@@ -1,0 +1,92 @@
+#!/usr/bin/env python
+"""Benchmark harness (BASELINE.md protocol).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line ``{"metric", "value", "unit", "queries", "sf"}``. Each query
+is forced end-to-end with the noop sink (full computation, no driver
+collect)."""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from tile_etl_spark import registry  # noqa: E402
+from tile_etl_spark.session import get_spark  # noqa: E402
+
+# Headline set: one per operator family; anything unregistered yet is
+# skipped so the bench stays runnable every round.
+HEADLINE = [
+    "q_tile_grid",
+    "q_tile_stats",
+    "q_scan_pushdown",
+    "q_filter_range",
+    "q_agg_group",
+    "q_agg_rollup",
+    "q_join_inner",
+    "q_join_broadcast",
+    "q_join_asof",
+    "q_win_rank",
+    "q_topk_per_group",
+    "q_sessionize",
+    "q_dedup_exact",
+    "q_dedup_near",
+    "q_sim_cosine_topk",
+    "q_text_tfidf",
+]
+
+
+def force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    registry.load_all()
+    qids = [q for q in HEADLINE if q in registry.QUERIES]
+
+    spark = get_spark(app_name="tile-etl-spark-bench")
+    # Warm the JVM + parquet footers once so per-query times measure the
+    # query, not session bootstrap.
+    force(spark.read.parquet(f"{sf_dir}/lineitem.parquet"))
+
+    # BASELINE.md protocol: warm-cache timing — run each query N times,
+    # report the fastest (first run pays one-time whole-stage-codegen
+    # compilation, which a long-lived cluster amortizes away).
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    times: dict[str, float] = {}
+    for qid in qids:
+        fn = registry.QUERIES[qid]
+        best = float("inf")
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            force(fn(spark, sf_dir))
+            best = min(best, time.perf_counter() - t0)
+        times[qid] = round(best, 4)
+
+    total = round(sum(times.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

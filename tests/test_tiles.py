@@ -1,0 +1,60 @@
+"""Tile-ETL core unit + property tests (SURVEY §5.2 items 4-5)."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from tile_etl_spark.tiles import grid as G
+
+GOLDEN_COUNTS = {5: 289, 6: 361, 7: 529, 8: 992, 9: 2499, 10: 7565, 11: 25584}
+
+
+def test_golden_grid_counts_pure():
+    """Per-level counts pinned to BASELINE.md — a pure function of the
+    reference constants (src/Program.cs:24-32,74-81); drift = semantic
+    change."""
+    assert G.grid_counts() == GOLDEN_COUNTS
+    assert sum(G.grid_counts().values()) == 37819
+
+
+def test_golden_grid_counts_spark(spark):
+    got = {
+        r["level"]: r["n"]
+        for r in G.tile_grid(spark).groupBy("level").count()
+        .withColumnRenamed("count", "n").collect()
+    }
+    assert got == GOLDEN_COUNTS
+
+
+@given(
+    cells=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=23),
+            st.integers(min_value=-(2**31), max_value=2**31 - 1),
+            st.integers(min_value=-(2**31), max_value=2**31 - 1),
+        ),
+        min_size=1,
+        max_size=64,
+    )
+)
+@settings(max_examples=5, deadline=None)
+def test_path_codec_roundtrip_property(spark, cells):
+    """parse(format(x)) == x for arbitrary 32-bit (row, col) — including
+    the negative columns the reference extent actually produces at
+    level 5 (start_col = -2). One Spark job per example batch."""
+    cells = cells + [(5, -2, -2), (11, 0, 2**31 - 1), (0, -(2**31), 0)]
+    df = spark.createDataFrame(cells, "level INT, row INT, col INT")
+    df = df.withColumn("src_path", G.src_path_col())
+    lvl, r, c = G.parse_src_path(F.col("src_path"))
+    got = df.select(lvl.alias("l"), r.alias("r"), c.alias("c")).collect()
+    assert [(g["l"], g["r"], g["c"]) for g in got] == cells
+
+
+def test_hex8_matches_reference_examples(spark):
+    """C# {0:x8} examples: 5 -> '00000005', -2 -> 'fffffffe'
+    (src/Program.cs:99-100 renders ints as 8-digit lowercase hex)."""
+    df = spark.createDataFrame([(5,), (-2,), (255,)], "row INT")
+    vals = [r[0] for r in df.select(G.hex8("row")).collect()]
+    assert vals == ["00000005", "fffffffe", "000000ff"]

@@ -1,0 +1,11 @@
+"""Import every query module for registration side effects.
+
+``tile_etl_spark.registry.load_all`` imports this module; each imported
+module registers its qids into ``registry.QUERIES`` / ``ORACLES``.
+"""
+
+# Tile-ETL core (reference parity, SURVEY §2A)
+import tile_etl_spark.tiles.grid  # noqa: F401
+
+# Relational operators (SURVEY §2B)
+import tile_etl_spark.operators.aggregates  # noqa: F401

@@ -1,0 +1,63 @@
+"""Table loading + canonicalization helpers (SURVEY §1.3, §5.3).
+
+All fixtures are driver-generated parquet under ``{sf_dir}/{name}.parquet``
+(TESTDATA.md). Readers stay fully declarative so Catalyst pushes filters
+and prunes columns into the parquet scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tile_etl_spark.session import ensure_session_determinism
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# DOUBLE-typed money columns cast to DECIMAL(18,2) before aggregation in
+# every hash-checked query (SURVEY §5.3: double summation is order
+# dependent; decimal sums are exact in both engines).
+MONEY = "decimal(18,2)"
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one fixture table. Plain parquet scan — predicate pushdown,
+    column pruning and row-group skipping all apply downstream."""
+    ensure_session_determinism(spark)
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def dec(col: str | Column) -> Column:
+    """Money double → exact DECIMAL(18,2) (both engines round the same
+    2-decimal-valued doubles to the same decimals)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast(MONEY)
+
+
+def as_double(c: Column) -> Column:
+    """Final-output cast: exact decimal aggregate → DOUBLE, so Spark and
+    DuckDB emit bit-identical doubles and identical output schemas."""
+    return c.cast("double")
+
+
+def money_sum(col: str | Column) -> Column:
+    """sum over exact decimals, emitted as double."""
+    return as_double(F.sum(dec(col)))
+
+
+def money_avg(col: str | Column) -> Column:
+    """avg = exact decimal sum / count, divided in double space so both
+    engines perform the identical double division."""
+    c = F.col(col) if isinstance(col, str) else col
+    return as_double(F.sum(dec(c))) / F.count(c)

@@ -1,0 +1,63 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Local mode mirrors the cluster posture: AQE on (runtime re-planning,
+skew-join handling, partition coalescing), explicit shuffle partition
+count, UTC session time zone for cross-engine determinism (SURVEY §5.3).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = "32"
+
+
+def get_spark(
+    app_name: str = "tile-etl-spark",
+    cpus: str | int | None = None,
+    shuffle_partitions: str | int | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession.
+
+    local[$SPARK_GRAFT_CPUS] by default; on a real cluster the same
+    configs apply — only ``master`` changes (provided externally via
+    spark-submit).
+    """
+    cpus = str(cpus or os.environ.get("SPARK_GRAFT_CPUS") or "*")
+    shuffle = str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS)
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", shuffle)
+        # AQE: runtime shuffle-partition coalescing, skew-join splitting,
+        # sort-merge→broadcast conversion when runtime stats allow.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Non-ANSI: bad casts yield NULL (oracle twins use TRY_CAST).
+        .config("spark.sql.ansi.enabled", "false")
+        # Arrow for every Python<->JVM data exchange (pandas UDFs etc.).
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
+    )
+    return builder.getOrCreate()
+
+
+def ensure_session_determinism(spark: SparkSession) -> SparkSession:
+    """Pin runtime confs that affect cross-engine value equality.
+
+    Queries receive an externally created session (driver contract), so
+    each query builder routes through this to guarantee UTC rendering of
+    timestamps and NULL-on-bad-cast semantics regardless of caller setup.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        spark.conf.set("spark.sql.ansi.enabled", "false")
+    except Exception:
+        pass  # conf may be fixed on some builds; try_cast is used anyway
+    return spark

@@ -1,0 +1,293 @@
+"""Tile-pyramid grid generation + path codecs (reference ops A1–A8).
+
+The reference walks a Web-Mercator tile pyramid restricted to a padded
+extent window (P:71-96 = src/Program.cs:71-96) and converts each cell to
+a hex source path (P:99-100) and a decimal object key (P:113). Here the
+same universe is a *generated* DataFrame — a pure compute source with no
+storage scan. The extent→range derivation (P:74-81) runs driver-side
+(plain math over 7 levels) and is baked into ``sequence()`` endpoints:
+the moral equivalent of static partition pruning — e.g. level 11 scans
+25,584 candidates instead of the global 4.2 M (BASELINE.md).
+
+Scale posture: the per-level bounds rows are tiny; the fan-out happens
+inside two ``explode(sequence(...))`` steps with a repartition between
+them, so a deep pyramid (billions of cells at level 20+) spreads across
+the cluster instead of materializing inside one task.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tile_etl_spark.registry import query
+from tile_etl_spark.session import ensure_session_determinism
+
+# Constants from the reference (P:24-33). One fixed Web-Mercator delta —
+# SURVEY §1.1 notes the two reference programs disagree in the 6th
+# decimal; we standardize on the GCS variant's value (P:32).
+WEB_MERCATOR_DELTA = 20037508.34278
+LEVELS = (5, 11)  # P:24-25, inclusive
+EXTENT = (-14078565.0, 3604577.0, -11137983.0, 6384021.0)  # P:26-29
+PADDING = (6, 6)  # P:30-31 (x, y)
+MAP_NAME = "Lite"  # P:16
+
+
+def level_bounds(
+    level: int,
+    extent: tuple[float, float, float, float] = EXTENT,
+    delta: float = WEB_MERCATOR_DELTA,
+    padding: tuple[int, int] = PADDING,
+) -> tuple[int, int, int, int]:
+    """Inclusive (start_row, end_row, start_col, end_col) for one level.
+
+    Mirrors P:74-81 exactly: truncating division of the extent into tile
+    indices, ±padding, and ``+1`` on the upper bounds (ranges inclusive).
+    """
+    minx, miny, maxx, maxy = extent
+    pad_x, pad_y = padding
+    tile_size = delta * math.pow(2, 1 - level)
+    start_row = int(math.trunc((delta - maxy) / tile_size)) - pad_y
+    end_row = int(math.trunc((delta - miny) / tile_size)) + 1 + pad_y
+    start_col = int(math.trunc((minx + delta) / tile_size)) - pad_x
+    end_col = int(math.trunc((maxx + delta) / tile_size)) + 1 + pad_x
+    return start_row, end_row, start_col, end_col
+
+
+def grid_counts() -> dict[int, int]:
+    """Per-level candidate-cell counts (golden values in BASELINE.md)."""
+    out = {}
+    for lvl in range(LEVELS[0], LEVELS[1] + 1):
+        r0, r1, c0, c1 = level_bounds(lvl)
+        out[lvl] = (r1 - r0 + 1) * (c1 - c0 + 1)
+    return out
+
+
+def _bounds_df(spark: SparkSession) -> DataFrame:
+    rows = [
+        (lvl, *level_bounds(lvl)) for lvl in range(LEVELS[0], LEVELS[1] + 1)
+    ]
+    return spark.createDataFrame(
+        rows, "level INT, r0 INT, r1 INT, c0 INT, c1 INT"
+    )
+
+
+def tile_grid(spark: SparkSession) -> DataFrame:
+    """A1–A4: every candidate (level, row, col) for the reference extent.
+
+    Two explodes = a lazy per-level cross product (P:93-96). The
+    repartition between them distributes the column fan-out: for deep
+    pyramids each (level, row) stripe generates its columns in its own
+    task, so no single task ever holds a full level.
+    """
+    bounds = _bounds_df(spark)
+    rows = bounds.select(
+        "level",
+        F.explode(F.sequence("r0", "r1")).alias("row"),
+        "c0",
+        "c1",
+    )
+    # Fan out the row stripes across the cluster before the second,
+    # much wider explode. spark.sql.shuffle.partitions governs width.
+    rows = rows.repartition("level", "row")
+    return rows.select(
+        "level", "row", F.explode(F.sequence("c0", "c1")).alias("col")
+    )
+
+
+def _grid_oracle_cte() -> str:
+    """DuckDB twin: the same bounds as literal VALUES + generate_series."""
+    values = ", ".join(
+        "({}, {}, {}, {}, {})".format(lvl, *level_bounds(lvl))
+        for lvl in range(LEVELS[0], LEVELS[1] + 1)
+    )
+    return f"""
+    WITH bounds(level, r0, r1, c0, c1) AS (VALUES {values}),
+    rows_ AS (
+      SELECT level, unnest(generate_series(r0, r1)) AS "row", c0, c1
+      FROM bounds
+    ),
+    grid AS (
+      SELECT CAST(level AS INT) AS level,
+             CAST("row" AS INT) AS "row",
+             CAST(unnest(generate_series(c0, c1)) AS INT) AS col
+      FROM rows_
+    )
+    """
+
+
+# --- hex/decimal codecs (A5 + A8) -------------------------------------
+
+def hex8(col_name: str) -> F.Column:
+    """8-digit lowercase two's-complement hex, as C# ``{0:x8}`` renders a
+    32-bit int (P:99-100). Spark's ``hex`` of a negative LONG yields 16
+    digits; the low 8 are exactly the 32-bit two's complement."""
+    return F.substring(F.lpad(F.lower(F.hex(F.col(col_name))), 16, "0"), -8, 8)
+
+
+_HEX8_DUCK = """right(printf('%016x', CAST({c} AS BIGINT)), 8)"""
+
+
+def src_path_col() -> F.Column:
+    """A5: ArcGIS exploded-cache relative path ``L{lvl:02d}/R{row:x8}/C{col:x8}.jpg``
+    (P:99-100; '/' separators — the Windows root prefix is deployment
+    config, not semantics)."""
+    return F.format_string(
+        "L%02d/R%s/C%s.jpg", F.col("level"), hex8("row"), hex8("col")
+    )
+
+
+def object_key_col(map_name: str = MAP_NAME) -> F.Column:
+    """A8: decimal slash-separated object key ``{map}/{z}/{r}/{c}`` (P:113)."""
+    return F.concat_ws(
+        "/", F.lit(map_name), F.col("level"), F.col("row"), F.col("col")
+    )
+
+
+def parse_src_path(path_col: F.Column) -> tuple[F.Column, F.Column, F.Column]:
+    """Inverse of A5: parse (level, row, col) back out of a source path.
+
+    Hex digits → unsigned value via ``conv``; values ≥ 2^31 fold back to
+    negative 32-bit ints (two's complement round trip).
+    """
+    level = F.regexp_extract(path_col, r"L(\d{2})/", 1).cast("int")
+
+    def signed32(hexs: F.Column) -> F.Column:
+        v = F.conv(hexs, 16, 10).cast("bigint")
+        return F.when(v >= 2**31, v - 2**32).otherwise(v).cast("int")
+
+    row = signed32(F.regexp_extract(path_col, r"R([0-9a-f]{8})/", 1))
+    col = signed32(F.regexp_extract(path_col, r"C([0-9a-f]{8})\.", 1))
+    return level, row, col
+
+
+# --- registered queries ------------------------------------------------
+
+@query(
+    "q_tile_grid",
+    oracle=_grid_oracle_cte()
+    + 'SELECT level, "row", col FROM grid',
+)
+def q_tile_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1–A4 end-to-end: the full candidate grid, 37,819 rows (§6)."""
+    ensure_session_determinism(spark)
+    return tile_grid(spark)
+
+
+@query(
+    "q_tile_path",
+    oracle=_grid_oracle_cte()
+    + f"""
+    SELECT level, "row", col,
+           printf('L%02d/R%s/C%s.jpg', level,
+                  {_HEX8_DUCK.format(c='"row"')},
+                  {_HEX8_DUCK.format(c='col')}) AS src_path,
+           concat_ws('/', 'Lite', level, "row", col) AS object_key,
+           level AS parsed_level, "row" AS parsed_row, col AS parsed_col
+    FROM grid
+    """,
+)
+def q_tile_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 + A8 codecs, plus the round-trip parse (oracle asserts identity)."""
+    ensure_session_determinism(spark)
+    g = tile_grid(spark).withColumn("src_path", src_path_col())
+    lvl, row, col = parse_src_path(F.col("src_path"))
+    return g.select(
+        "level",
+        "row",
+        "col",
+        "src_path",
+        object_key_col().alias("object_key"),
+        lvl.alias("parsed_level"),
+        row.alias("parsed_row"),
+        col.alias("parsed_col"),
+    )
+
+
+# Deterministic pseudo-content, shared between engines: presence and a
+# synthetic byte length are pure functions of md5(src_path) — both
+# engines agree on md5 of the same UTF-8 string. ~81% of cells present
+# (md5 first hex digit not in 0..2), mirroring the existence filter's
+# purpose (P:102-106): most cells exist, some don't.
+_PRESENT_SQL = "substring(md5(src_path), 1, 1) NOT IN ('0','1','2')"
+_TILE_LEN_SQL = (
+    "((ascii(substring(md5(src_path), 2, 1)) * 256"
+    " + ascii(substring(md5(src_path), 3, 1))) % 1801) + 200"
+)
+
+
+def tile_manifest(spark: SparkSession) -> DataFrame:
+    """The 'present tiles' manifest — models the directory listing the
+    reference probes per-tile with File.Exists (P:102-106). At 100 TB the
+    real thing is a distributed listing (binaryFile source) or an
+    inventory table; either way it lands as a DataFrame like this one."""
+    g = tile_grid(spark).withColumn("src_path", src_path_col())
+    return g.where(F.expr(_PRESENT_SQL)).withColumn(
+        "tile_len", F.expr(_TILE_LEN_SQL).cast("int")
+    )
+
+
+@query(
+    "q_tile_manifest_semi",
+    oracle=_grid_oracle_cte()
+    + f"""
+    , paths AS (
+      SELECT level, "row", col,
+             printf('L%02d/R%s/C%s.jpg', level,
+                    {_HEX8_DUCK.format(c='"row"')},
+                    {_HEX8_DUCK.format(c='col')}) AS src_path
+      FROM grid
+    )
+    SELECT level, "row", col FROM paths WHERE {_PRESENT_SQL}
+    """,
+)
+def q_tile_manifest_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 existence filter as a *semi join* of grid against the manifest
+    — the scan-less equivalent of `File.Exists` (P:102-106). Catalyst
+    broadcasts the smaller side; at scale both sides hash-partition on
+    src_path and the join stays shuffle-balanced."""
+    ensure_session_determinism(spark)
+    g = tile_grid(spark).withColumn("src_path", src_path_col())
+    manifest = tile_manifest(spark).select("src_path")
+    return g.join(manifest, "src_path", "left_semi").select(
+        "level", "row", "col"
+    )
+
+
+@query(
+    "q_tile_stats",
+    oracle=_grid_oracle_cte()
+    + f"""
+    , paths AS (
+      SELECT level,
+             printf('L%02d/R%s/C%s.jpg', level,
+                    {_HEX8_DUCK.format(c='"row"')},
+                    {_HEX8_DUCK.format(c='col')}) AS src_path
+      FROM grid
+    ),
+    manifest AS (
+      SELECT level, src_path, {_TILE_LEN_SQL} AS tile_len
+      FROM paths WHERE {_PRESENT_SQL}
+    )
+    SELECT level,
+           CAST(count(*) AS BIGINT) AS tile_count,
+           CAST(sum(tile_len) AS BIGINT) AS total_bytes,
+           CAST(count(DISTINCT md5(src_path)) AS BIGINT) AS distinct_hashes
+    FROM manifest GROUP BY level
+    """,
+)
+def q_tile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 + A9 rollup: per-level tile count, byte volume, distinct
+    content hashes over the present-tile manifest. Partial aggregation
+    (map-side combine) happens automatically in the hash aggregate."""
+    ensure_session_determinism(spark)
+    m = tile_manifest(spark)
+    return m.groupBy("level").agg(
+        F.count(F.lit(1)).alias("tile_count"),
+        F.sum("tile_len").alias("total_bytes"),
+        F.countDistinct(F.md5(F.col("src_path").cast("binary"))).alias(
+            "distinct_hashes"
+        ),
+    )
