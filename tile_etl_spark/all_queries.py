@@ -9,3 +9,7 @@ import tile_etl_spark.tiles.grid  # noqa: F401
 
 # Relational operators (SURVEY §2B)
 import tile_etl_spark.operators.aggregates  # noqa: F401
+import tile_etl_spark.operators.filters  # noqa: F401
+import tile_etl_spark.operators.joins  # noqa: F401
+import tile_etl_spark.operators.setops  # noqa: F401
+import tile_etl_spark.operators.windows  # noqa: F401

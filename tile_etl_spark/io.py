@@ -33,8 +33,19 @@ MONEY = "decimal(18,2)"
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one fixture table. Plain parquet scan — predicate pushdown,
-    column pruning and row-group skipping all apply downstream."""
+    column pruning and row-group skipping all apply downstream.
+
+    ``events.ts`` is TIMESTAMP(NANOS) in parquet, which Spark's
+    vectorized reader refuses outright ([PARQUET_TYPE_ILLEGAL]); read
+    the raw int64 nanos and floor-truncate to microseconds — exactly
+    what DuckDB's µs-native TIMESTAMP does, so both engines see
+    identical values (SURVEY §5.3).
+    """
     ensure_session_determinism(spark)
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

@@ -87,3 +87,188 @@ def q_agg_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         money_avg("l_discount").alias("avg_disc"),
         F.count(F.lit(1)).alias("count_order"),
     )
+
+
+@query(
+    "q_agg_distinct",
+    oracle="""
+    SELECT l_suppkey,
+           CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+           CAST(sum(DISTINCT CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_distinct_qty,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem GROUP BY l_suppkey
+    """,
+)
+def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregates: Catalyst plans these as an Expand + two-level
+    aggregate — the dedup happens partitioned by (group, value), never
+    on one node."""
+    ensure_session_determinism(spark)
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_suppkey").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        as_double(F.sum_distinct(dec("l_quantity"))).alias("sum_distinct_qty"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@query(
+    "q_agg_having",
+    oracle="""
+    SELECT o_custkey,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
+    FROM orders
+    GROUP BY o_custkey
+    HAVING count(*) > 10
+    """,
+)
+def q_agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-aggregation filter (HAVING) — a plain Filter above the agg;
+    Catalyst cannot push it below (it references the aggregate)."""
+    ensure_session_determinism(spark)
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            as_double(F.sum(dec("o_totalprice"))).alias("total_spend"),
+        )
+        .filter(F.col("n_orders") > 10)
+    )
+
+
+@query(
+    "q_agg_rollup",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS gid,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy with explicit grouping-bit id (identical bit
+    formula both engines)."""
+    ensure_session_determinism(spark)
+    o = load(spark, sf_dir, "orders")
+    gid = (
+        F.grouping("o_orderstatus") * 2 + F.grouping("o_orderpriority")
+    ).cast("int")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        gid.alias("gid"),
+        F.count(F.lit(1)).alias("n_orders"),
+        as_double(F.sum(dec("o_totalprice"))).alias("total_spend"),
+    )
+
+
+@query(
+    "q_agg_cube",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS gid,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: all grouping combinations via a single Expand — one pass
+    over the input regardless of the number of sets."""
+    ensure_session_determinism(spark)
+    o = load(spark, sf_dir, "orders")
+    gid = (
+        F.grouping("o_orderstatus") * 2 + F.grouping("o_orderpriority")
+    ).cast("int")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        gid.alias("gid"), F.count(F.lit(1)).alias("n_orders")
+    )
+
+
+@query(
+    "q_agg_gsets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def q_agg_gsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS via Spark SQL — same Expand machinery."""
+    ensure_session_determinism(spark)
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_gsets")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS n_orders
+        FROM orders_gsets
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@query(
+    "q_agg_stats",
+    oracle="""
+    SELECT l_returnflag,
+           round(CAST(stddev_samp(l_quantity) AS DOUBLE), 6) AS sd_qty,
+           round(CAST(var_samp(l_discount) AS DOUBLE), 6) AS var_disc,
+           round(CAST(corr(l_quantity, l_discount) AS DOUBLE), 6) AS corr_qd,
+           round(CAST(covar_samp(l_quantity, l_discount) AS DOUBLE), 6) AS covar_qd
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates, rounded to 6 dp (SURVEY §5.3: the merge
+    order of the one-pass moment formulas differs across engines in the
+    last few ulps). Computed over small-magnitude columns so 6-dp
+    rounding genuinely absorbs the noise."""
+    ensure_session_determinism(spark)
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
+        F.round(F.var_samp("l_discount"), 6).alias("var_disc"),
+        F.round(F.corr("l_quantity", "l_discount"), 6).alias("corr_qd"),
+        F.round(F.covar_samp("l_quantity", "l_discount"), 6).alias("covar_qd"),
+    )
+
+
+@query(
+    "q_agg_collect",
+    oracle="""
+    SELECT o_custkey,
+           list(o_orderkey ORDER BY o_orderkey) AS orderkeys,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders GROUP BY o_custkey
+    """,
+)
+def q_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collection aggregate with deterministic order: collect_list has
+    no intrinsic order under parallel merge, so the output is
+    array_sort-ed (the oracle's ORDER BY inside list())."""
+    ensure_session_determinism(spark)
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_custkey").agg(
+        F.array_sort(F.collect_list("o_orderkey")).alias("orderkeys"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@query("q_agg_approx")
+def q_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate aggregates (HLL++ distinct, KLL-ish quantiles).
+    R-checked: the sketches differ from DuckDB's by construction; the
+    accompanying unit test bounds the estimates against exact values
+    (SURVEY §2B marks this R)."""
+    ensure_session_determinism(spark)
+    li = load(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias(
+            "approx_median_price"
+        ),
+        F.count(F.lit(1)).alias("n_rows"),
+    )

@@ -1,0 +1,387 @@
+"""Join operators (SURVEY §2B 'Joins').
+
+Equi joins are declared and left to Catalyst: broadcast-hash when a
+side fits ``spark.sql.autoBroadcastJoinThreshold`` (AQE also converts
+sort-merge→broadcast at runtime), else shuffled sort-merge with AQE
+skew splitting. The two genuinely hard shapes — interval join and as-of
+join — are *builders* that rewrite into shuffle-friendly equi joins
+(SURVEY §4.3): no BroadcastNestedLoop in the scale path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tile_etl_spark.io import as_double, dec, load
+from tile_etl_spark.registry import query
+from tile_etl_spark.session import ensure_session_determinism
+
+
+@query(
+    "q_join_inner",
+    oracle="""
+    SELECT n.n_name,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash equi-join chain orders⋈customer⋈nation + group agg. customer
+    and nation are dimension-sized → Catalyst broadcasts them; the fact
+    table never shuffles before aggregation."""
+    ensure_session_determinism(spark)
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            as_double(F.sum(dec("o_totalprice"))).alias("total_spend"),
+        )
+    )
+
+
+@query(
+    "q_join_left",
+    oracle="""
+    SELECT c.c_custkey, c.c_name,
+           CAST(count(o.o_orderkey) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
+    FROM customer c
+    LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey, c.c_name
+    """,
+)
+def q_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer with null extension: customers without orders keep
+    n_orders = 0 (count of a NULL column) and NULL total_spend."""
+    ensure_session_determinism(spark)
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return (
+        c.join(o, o.o_custkey == c.c_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            as_double(F.sum(dec("o_totalprice"))).alias("total_spend"),
+        )
+    )
+
+
+@query(
+    "q_join_right",
+    oracle="""
+    SELECT c.c_custkey, o.o_orderkey
+    FROM orders o
+    RIGHT JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def q_join_right(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right outer: every customer survives; unmatched ones carry a
+    NULL o_orderkey."""
+    ensure_session_determinism(spark)
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return o.join(c, o.o_custkey == c.c_custkey, "right").select(
+        "c_custkey", "o_orderkey"
+    )
+
+
+@query(
+    "q_join_full",
+    oracle="""
+    WITH a AS (
+      SELECT p_size AS k, CAST(count(*) AS BIGINT) AS n_parts
+      FROM part GROUP BY p_size
+    ),
+    b AS (
+      SELECT CAST(l_quantity AS INT) AS k, CAST(count(*) AS BIGINT) AS n_lines
+      FROM lineitem GROUP BY CAST(l_quantity AS INT)
+    )
+    SELECT a.k AS part_size, b.k AS qty, a.n_parts, b.n_lines
+    FROM a FULL JOIN b ON a.k = b.k
+    """,
+)
+def q_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer over partially overlapping integer domains — rows
+    null-extended on either side."""
+    ensure_session_determinism(spark)
+    a = (
+        load(spark, sf_dir, "part")
+        .groupBy(F.col("p_size").alias("k"))
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+    )
+    b = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_quantity").cast("int").alias("k"))
+        .agg(F.count(F.lit(1)).alias("n_lines"))
+    )
+    return a.join(b, a.k == b.k, "full").select(
+        a.k.alias("part_size"), b.k.alias("qty"), "n_parts", "n_lines"
+    )
+
+
+@query(
+    "q_join_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left semi — customers WITH orders; probe side deduplicates, no
+    row multiplication, and only the left schema survives."""
+    ensure_session_determinism(spark)
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return c.join(
+        o, c.c_custkey == o.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@query(
+    "q_join_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left anti — customers WITHOUT orders."""
+    ensure_session_determinism(spark)
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return c.join(
+        o, c.c_custkey == o.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@query(
+    "q_join_broadcast",
+    oracle="""
+    SELECT p.p_brand,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_brand
+    """,
+)
+def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit broadcast hint: `part` is dimension-sized at every SF
+    the reference workload implies — the fact side streams map-side with
+    zero shuffle before the final agg."""
+    ensure_session_determinism(spark)
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    revenue = dec("l_extendedprice") * (1 - dec("l_discount"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            as_double(F.sum(revenue)).alias("revenue"),
+        )
+    )
+
+
+@query(
+    "q_join_cross",
+    oracle="""
+    SELECT r.r_regionkey, r.r_name, n.n_nationkey, n.n_name
+    FROM region r CROSS JOIN nation n
+    """,
+)
+def q_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cartesian product of two tiny dims (5×25) — the only place a
+    cross join is ever acceptable; Spark broadcasts one side."""
+    ensure_session_determinism(spark)
+    r = load(spark, sf_dir, "region")
+    n = load(spark, sf_dir, "nation")
+    return r.crossJoin(n).select(
+        "r_regionkey", "r_name", "n_nationkey", "n_name"
+    )
+
+
+@query(
+    "q_join_theta",
+    oracle="""
+    SELECT p1.p_brand,
+           p1.p_partkey AS pk_small, p2.p_partkey AS pk_large,
+           p1.p_size AS size_small, p2.p_size AS size_large
+    FROM part p1
+    JOIN part p2
+      ON p1.p_brand = p2.p_brand AND p1.p_size < p2.p_size
+    WHERE p1.p_size <= 10
+    """,
+)
+def q_join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi (theta) join — but NOT a nested loop: the equality on
+    p_brand hash-partitions the join; the `<` rides along as a residual
+    condition. This is the scale-safe way to express theta joins that
+    have any equi component."""
+    ensure_session_determinism(spark)
+    p = load(spark, sf_dir, "part")
+    p1 = p.alias("p1").where(F.col("p_size") <= 10)
+    p2 = p.alias("p2")
+    return p1.join(
+        p2,
+        (F.col("p1.p_brand") == F.col("p2.p_brand"))
+        & (F.col("p1.p_size") < F.col("p2.p_size")),
+    ).select(
+        F.col("p1.p_brand").alias("p_brand"),
+        F.col("p1.p_partkey").alias("pk_small"),
+        F.col("p2.p_partkey").alias("pk_large"),
+        F.col("p1.p_size").alias("size_small"),
+        F.col("p2.p_size").alias("size_large"),
+    )
+
+
+BAND_US = 5 * 60 * 1_000_000  # 5-minute band in microseconds
+
+
+def interval_self_join(events: DataFrame, band_us: int = BAND_US) -> DataFrame:
+    """Banding rewrite for |ts1-ts2| ≤ band self-pairs (SURVEY §4.3).
+
+    Pure inequality joins degenerate to BroadcastNestedLoop in OSS
+    Spark — O(n·m) and a guaranteed 100 TB disaster. Instead: quantize
+    time into band-width buckets, explode the left side into its
+    adjacent buckets (b-1, b, b+1), equi-join on (user, bucket) and
+    apply |Δt| ≤ band as a residual filter. Each qualifying pair meets
+    in exactly one bucket, so no dedup pass is needed; the join is a
+    plain shuffled hash join on a composite key.
+    """
+    us = F.unix_micros(F.col("ts"))
+    left = events.select(
+        F.col("user_id"),
+        F.col("event_id").alias("id1"),
+        us.alias("us1"),
+        F.explode(
+            F.sequence(
+                (us / band_us).cast("bigint") - 1,
+                (us / band_us).cast("bigint") + 1,
+            )
+        ).alias("bucket"),
+    )
+    right = events.select(
+        F.col("user_id"),
+        F.col("event_id").alias("id2"),
+        us.alias("us2"),
+        (us / band_us).cast("bigint").alias("bucket"),
+    )
+    return (
+        left.join(right, ["user_id", "bucket"])
+        .where(
+            (F.col("id1") < F.col("id2"))
+            & (F.abs(F.col("us1") - F.col("us2")) <= band_us)
+        )
+        .select("user_id", "id1", "id2")
+    )
+
+
+@query(
+    "q_join_interval",
+    oracle=f"""
+    SELECT a.user_id, a.event_id AS id1, b.event_id AS id2
+    FROM events a
+    JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_id < b.event_id
+     AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= {BAND_US}
+    """,
+)
+def q_join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event pairs of the same user within 5 minutes — via the banding
+    rewrite (oracle states the naive theta join; results identical)."""
+    ensure_session_determinism(spark)
+    return interval_self_join(load(spark, sf_dir, "events"))
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+) -> DataFrame:
+    """As-of join builder (SURVEY §4.3): for every left row, the most
+    recent right row with ``right.ts <= left.ts`` on the same key.
+
+    Implemented as union-tag + running ``last(..., ignorenulls)`` window
+    — a single sort-per-key shuffle instead of an O(n·m) inequality
+    join. Right rows order before left rows at equal timestamps (a
+    same-instant right row counts as 'prior'); ties inside the right
+    stream resolve to the highest right_id.
+
+    Returns the left rows plus ``asof_id`` / ``asof_ts`` of the match
+    (NULL where no prior right row exists).
+    """
+    from pyspark.sql import Window
+
+    lcols = left.columns
+    l = left.select(
+        F.col(on).alias("__k"),
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__is_left"),
+        F.lit(None).cast("bigint").alias("__rid"),
+        F.lit(None).cast("timestamp").alias("__rts"),
+        F.struct(*lcols).alias("__payload"),
+    )
+    r = right.select(
+        F.col(on).alias("__k"),
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__is_left"),
+        F.col("__right_id").alias("__rid"),
+        F.col(right_ts).alias("__rts"),
+        F.lit(None).cast(l.schema["__payload"].dataType).alias("__payload"),
+    )
+    w = (
+        Window.partitionBy("__k")
+        .orderBy("__ts", "__is_left", "__rid")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    u = l.unionByName(r)
+    u = u.withColumn("asof_id", F.last("__rid", ignorenulls=True).over(w))
+    u = u.withColumn("asof_ts", F.last("__rts", ignorenulls=True).over(w))
+    return u.where(F.col("__is_left") == 1).select(
+        "__payload.*", "asof_id", "asof_ts"
+    )
+
+
+@query(
+    "q_join_asof",
+    oracle="""
+    SELECT e.event_id, e.user_id, e.ts,
+           (SELECT c.event_id FROM events c
+             WHERE c.user_id = e.user_id AND c.event_type = 'click'
+               AND c.ts <= e.ts
+             ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) AS asof_id,
+           (SELECT c.ts FROM events c
+             WHERE c.user_id = e.user_id AND c.event_type = 'click'
+               AND c.ts <= e.ts
+             ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) AS asof_ts
+    FROM events e
+    WHERE e.event_type = 'error'
+    """,
+)
+def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each 'error' event → most recent prior-or-same-instant 'click'
+    of the same user (oracle = correlated top-1 subquery twin)."""
+    ensure_session_determinism(spark)
+    e = load(spark, sf_dir, "events")
+    errors = e.where(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = e.where(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("__right_id")
+    )
+    return asof_join(errors, clicks, on="user_id")

@@ -1,0 +1,206 @@
+"""Sorts, limits, top-k, and set operations (SURVEY §2B).
+
+Top-k uses Spark's TakeOrderedAndProject physical operator — each
+partition keeps only its local k, the driver merges k·p rows — never a
+full global sort. Grouped top-k is the row_number + filter pattern:
+one shuffle on the group key, per-group heap via window sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from tile_etl_spark.io import load
+from tile_etl_spark.registry import query
+from tile_etl_spark.session import ensure_session_determinism
+
+
+@query(
+    "q_sort_multi",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM orders
+    ORDER BY o_orderstatus ASC NULLS FIRST, o_totalprice DESC NULLS LAST,
+             o_orderkey ASC
+    """,
+)
+def q_sort_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-key sort with explicit NULL placement (Spark defaults
+    NULLS FIRST asc, DuckDB NULLS LAST — spelled out on both sides).
+    The driver's hash is order-insensitive; this verifies the row set
+    survives a global range-partitioned sort."""
+    ensure_session_determinism(spark)
+    o = load(spark, sf_dir, "orders")
+    return o.select("o_orderkey", "o_orderstatus", "o_totalprice").orderBy(
+        F.asc_nulls_first("o_orderstatus"),
+        F.desc_nulls_last("o_totalprice"),
+        F.asc("o_orderkey"),
+    )
+
+
+@query(
+    "q_topk",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 10
+    """,
+)
+def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 by (totalprice DESC, orderkey ASC) — a total order, so
+    the set is deterministic. Physical plan: TakeOrderedAndProject
+    (per-partition heap, no global sort)."""
+    ensure_session_determinism(spark)
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+@query(
+    "q_topk_per_group",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS BIGINT) AS rn
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+      FROM orders
+    )
+    WHERE rn <= 3
+    """,
+)
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer: row_number window + filter. Spark
+    pushes the rank limit into the sort (WindowGroupLimit) so each
+    group materializes only its top rows."""
+    ensure_session_determinism(spark)
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).cast("bigint").alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@query(
+    "q_union_all",
+    oracle="""
+    SELECT o_custkey AS custkey, 'order' AS src FROM orders
+    UNION ALL
+    SELECT c_custkey AS custkey, 'customer' AS src FROM customer
+    """,
+)
+def q_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag union by name — no shuffle at all; partitions concatenate."""
+    ensure_session_determinism(spark)
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"), F.lit("order").alias("src")
+    )
+    c = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), F.lit("customer").alias("src")
+    )
+    return o.unionByName(c)
+
+
+@query(
+    "q_union_distinct",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders
+    UNION
+    SELECT c_custkey AS custkey FROM customer
+    """,
+)
+def q_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set union = bag union + hash-distinct (one shuffle on the key)."""
+    ensure_session_determinism(spark)
+    o = load(spark, sf_dir, "orders").select(F.col("o_custkey").alias("custkey"))
+    c = load(spark, sf_dir, "customer").select(F.col("c_custkey").alias("custkey"))
+    return o.union(c).distinct()
+
+
+@query(
+    "q_intersect",
+    oracle="""
+    SELECT CAST(l_quantity AS INT) AS v FROM lineitem
+    INTERSECT
+    SELECT p_size AS v FROM part
+    """,
+)
+def q_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct semantics) — planned as a left-semi join on
+    all columns after dedup."""
+    ensure_session_determinism(spark)
+    a = load(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("int").alias("v")
+    )
+    b = load(spark, sf_dir, "part").select(F.col("p_size").alias("v"))
+    return a.intersect(b)
+
+
+@query(
+    "q_except",
+    oracle="""
+    SELECT p_size AS v FROM part
+    EXCEPT
+    SELECT CAST(l_quantity AS INT) AS v FROM lineitem
+    """,
+)
+def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct) — left-anti join after dedup."""
+    ensure_session_determinism(spark)
+    a = load(spark, sf_dir, "part").select(F.col("p_size").alias("v"))
+    b = load(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("int").alias("v")
+    )
+    return a.subtract(b)
+
+
+@query(
+    "q_except_all",
+    oracle="""
+    SELECT c_nationkey AS v FROM customer
+    EXCEPT ALL
+    SELECT n_nationkey AS v FROM nation
+    """,
+)
+def q_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL — bag difference with multiplicity (each nation key
+    removes one customer occurrence)."""
+    ensure_session_determinism(spark)
+    a = load(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("v")
+    )
+    b = load(spark, sf_dir, "nation").select(F.col("n_nationkey").alias("v"))
+    return a.exceptAll(b)
+
+
+@query(
+    "q_intersect_all",
+    oracle="""
+    SELECT CAST(l_quantity AS INT) AS v FROM lineitem WHERE l_quantity <= 10
+    INTERSECT ALL
+    SELECT p_size AS v FROM part
+    """,
+)
+def q_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL — bag intersection (min multiplicity per value)."""
+    ensure_session_determinism(spark)
+    a = (
+        load(spark, sf_dir, "lineitem")
+        .where(F.col("l_quantity") <= 10)
+        .select(F.col("l_quantity").cast("int").alias("v"))
+    )
+    b = load(spark, sf_dir, "part").select(F.col("p_size").alias("v"))
+    return a.intersectAll(b)

@@ -1,0 +1,173 @@
+"""Window-function operators (SURVEY §2B 'Window functions').
+
+Every window ORDER BY is made total with the table's unique key
+(SURVEY §5.3) so rank/lag/frame results are deterministic across
+engines and across partitionings. Physical shape: one shuffle on the
+partition key + in-partition sort — the same cost model at any scale,
+provided partition keys aren't pathologically skewed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from tile_etl_spark.io import as_double, dec, load
+from tile_etl_spark.registry import query
+from tile_etl_spark.session import ensure_session_determinism
+
+
+@query(
+    "q_win_rank",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           CAST(row_number() OVER w AS BIGINT) AS rn,
+           CAST(rank() OVER w AS BIGINT) AS rnk,
+           CAST(dense_rank() OVER w AS BIGINT) AS drnk
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey ASC)
+    """,
+)
+def q_win_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking family per customer by totalprice (o_orderkey tiebreak →
+    total order → deterministic)."""
+    ensure_session_determinism(spark)
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.row_number().over(w).cast("bigint").alias("rn"),
+        F.rank().over(w).cast("bigint").alias("rnk"),
+        F.dense_rank().over(w).cast("bigint").alias("drnk"),
+    )
+
+
+@query(
+    "q_win_running",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderdate,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                OVER (PARTITION BY o_custkey
+                      ORDER BY o_orderdate ASC, o_orderkey ASC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS running_spend
+    FROM orders
+    """,
+)
+def q_win_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running sum per customer over order history. The sum runs in
+    exact decimals — a running double sum would drift between engines
+    at every prefix."""
+    ensure_session_determinism(spark)
+    o = load(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        as_double(F.sum(dec("o_totalprice")).over(w)).alias("running_spend"),
+    )
+
+
+@query(
+    "q_win_leadlag",
+    oracle="""
+    SELECT event_id, user_id, ts, round(value, 6) AS value,
+           round(lag(value) OVER w, 6) AS prev_value,
+           round(lead(value) OVER w, 6) AS next_value,
+           round(value - lag(value) OVER w, 6) AS delta
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    """,
+)
+def q_win_leadlag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead per user ordered by (ts, event_id). Values are carried
+    (not re-aggregated), so only output rounding is needed."""
+    ensure_session_determinism(spark)
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round("value", 6).alias("value"),
+        F.round(F.lag("value").over(w), 6).alias("prev_value"),
+        F.round(F.lead("value").over(w), 6).alias("next_value"),
+        F.round(F.col("value") - F.lag("value").over(w), 6).alias("delta"),
+    )
+
+
+@query(
+    "q_win_ntile",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume
+    FROM orders
+    WINDOW w AS (ORDER BY o_totalprice ASC, o_orderkey ASC)
+    """,
+)
+def q_win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution functions over one global total order. NOTE: an
+    unpartitioned window is a single-reducer sort — fine for ranked
+    exports, never for per-entity analytics at scale (use the
+    partitioned variants above)."""
+    ensure_session_determinism(spark)
+    o = load(spark, sf_dir, "orders")
+    w = Window.orderBy(F.col("o_totalprice").asc(), F.col("o_orderkey").asc())
+    return o.select(
+        "o_orderkey",
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+RANGE_US = 10 * 60 * 1_000_000  # ±10 minutes in microseconds
+
+
+@query(
+    "q_win_range",
+    oracle=f"""
+    SELECT event_id, user_id, ts,
+           CAST(sum(CAST(value AS DECIMAL(18,6)))
+                OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                      RANGE BETWEEN {RANGE_US} PRECEDING AND {RANGE_US} FOLLOWING)
+                AS DOUBLE)
+             / CAST(count(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                      RANGE BETWEEN {RANGE_US} PRECEDING AND {RANGE_US} FOLLOWING)
+                    AS BIGINT) AS avg_value_10m
+    FROM events
+    """,
+)
+def q_win_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame over physical time: per-user mean of `value` within
+    ±10 minutes, keyed on microsecond epoch (identical integer domain
+    both engines; decimal sum / count division for bit equality)."""
+    ensure_session_determinism(spark)
+    e = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-RANGE_US, RANGE_US)
+    )
+    total = F.sum(F.col("value").cast("decimal(18,6)")).over(w)
+    n = F.count(F.lit(1)).over(w)
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        (as_double(total) / n).alias("avg_value_10m"),
+    )
