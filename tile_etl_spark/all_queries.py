@@ -13,3 +13,7 @@ import tile_etl_spark.operators.filters  # noqa: F401
 import tile_etl_spark.operators.joins  # noqa: F401
 import tile_etl_spark.operators.setops  # noqa: F401
 import tile_etl_spark.operators.windows  # noqa: F401
+
+# Scalar function families + Python UDF surface
+import tile_etl_spark.functions.scalar  # noqa: F401
+import tile_etl_spark.functions.udfs  # noqa: F401

@@ -1,0 +1,328 @@
+"""Scalar function families (SURVEY §2B 'Scalar function families').
+
+Everything here is a built-in ``pyspark.sql.functions`` expression —
+JVM-side, inside whole-stage codegen, zero Python in the row path.
+Dialect notes vs the DuckDB oracle are inline (dayofweek origin,
+date_trunc return type, epoch fractional seconds, etc.).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tile_etl_spark.io import load
+from tile_etl_spark.registry import query
+from tile_etl_spark.session import ensure_session_determinism
+
+
+@query(
+    "q_str_funcs",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_name) AS up,
+           lower(p_brand) AS lo,
+           substring(p_name, 1, 5) AS sub5,
+           trim('  ' || p_name || ' ') AS trimmed,
+           CAST(length(p_name) AS INT) AS len,
+           concat(p_brand, ':', p_type) AS cat,
+           replace(p_name, ' ', '_') AS repl,
+           lpad(CAST(p_size AS VARCHAR), 4, '0') AS padded,
+           string_split(p_name, ' ')[1] AS first_word,
+           regexp_extract(p_name, '([a-z]+)$', 1) AS last_word,
+           regexp_replace(p_name, '[aeiou]', '*', 'g') AS devowel
+    FROM part
+    """,
+)
+def q_str_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String family. Note DuckDB regexp_replace needs the 'g' flag to
+    match Spark's replace-all semantics."""
+    ensure_session_determinism(spark)
+    p = load(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("up"),
+        F.lower("p_brand").alias("lo"),
+        F.substring("p_name", 1, 5).alias("sub5"),
+        F.trim(F.concat(F.lit("  "), F.col("p_name"), F.lit(" "))).alias(
+            "trimmed"
+        ),
+        F.length("p_name").cast("int").alias("len"),
+        F.concat("p_brand", F.lit(":"), "p_type").alias("cat"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("repl"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("padded"),
+        F.split("p_name", " ").getItem(0).alias("first_word"),
+        F.regexp_extract("p_name", r"([a-z]+)$", 1).alias("last_word"),
+        F.regexp_replace("p_name", r"[aeiou]", "*").alias("devowel"),
+    )
+
+
+@query(
+    "q_date_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INT) AS yr,
+           CAST(month(o_orderdate) AS INT) AS mo,
+           CAST(day(o_orderdate) AS INT) AS dom,
+           CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow,
+           CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+           CAST(CAST(o_orderdate AS DATE) - DATE '1997-01-01' AS INT) AS days_since,
+           CAST(o_orderdate AS DATE) + 30 AS plus30,
+           last_day(o_orderdate) AS month_end,
+           CAST(floor(epoch(o_orderdate)) AS BIGINT) AS epoch_s
+    FROM orders
+    """,
+)
+def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time family. Dialect: Spark dayofweek is 1=Sunday, DuckDB
+    0=Sunday (+1 on the oracle side); Spark date_trunc returns
+    TIMESTAMP (cast to DATE); DuckDB epoch() is fractional (floor)."""
+    ensure_session_determinism(spark)
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("int").alias("yr"),
+        F.month("o_orderdate").cast("int").alias("mo"),
+        F.dayofmonth("o_orderdate").cast("int").alias("dom"),
+        F.dayofweek("o_orderdate").cast("int").alias("dow"),
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month_start"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1997-01-01").cast("date")
+        ).cast("int").alias("days_since"),
+        F.date_add(F.col("o_orderdate").cast("date"), 30).alias("plus30"),
+        F.last_day("o_orderdate").alias("month_end"),
+        F.unix_timestamp("o_orderdate").alias("epoch_s"),
+    )
+
+
+@query(
+    "q_math_funcs",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           abs(l_quantity - 25) AS abs_dev,
+           CAST(ceil(l_discount * 100) AS BIGINT) AS ceil_disc,
+           CAST(floor(l_discount * 100) AS BIGINT) AS floor_disc,
+           round(sqrt(l_quantity), 6) AS sqrt_qty,
+           round(ln(l_quantity + 1), 6) AS ln_qty,
+           round(exp(l_discount), 6) AS exp_disc,
+           pow(l_quantity, 2) AS qty_sq,
+           sign(l_quantity - 25) AS sgn,
+           CAST((CAST(l_quantity AS BIGINT) % 7 + 7) % 7 AS BIGINT) AS qty_pmod7,
+           CAST(CAST(l_quantity AS BIGINT) // 7 AS BIGINT) AS qty_div7
+    FROM lineitem
+    """,
+)
+def q_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math family. Transcendentals (ln/exp) round to 6 dp — JVM
+    intrinsics and libm can differ in the final ulp; sqrt/pow on small
+    ints are exact IEEE and compare raw via round's no-op. pmod is
+    spelled ((x % n) + n) % n for DuckDB."""
+    ensure_session_determinism(spark)
+    li = load(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(qty - 25).alias("abs_dev"),
+        F.ceil(F.col("l_discount") * 100).cast("bigint").alias("ceil_disc"),
+        F.floor(F.col("l_discount") * 100).cast("bigint").alias("floor_disc"),
+        F.round(F.sqrt(qty), 6).alias("sqrt_qty"),
+        F.round(F.log(qty + 1), 6).alias("ln_qty"),
+        F.round(F.exp("l_discount"), 6).alias("exp_disc"),
+        F.pow(qty, 2).alias("qty_sq"),
+        F.signum(qty - 25).alias("sgn"),
+        F.pmod(qty.cast("bigint"), 7).cast("bigint").alias("qty_pmod7"),
+        F.expr("CAST(l_quantity AS BIGINT) div 7").cast("bigint").alias(
+            "qty_div7"
+        ),
+    )
+
+
+@query(
+    "q_cond_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice > 200000 THEN 'big'
+                WHEN o_totalprice > 100000 THEN 'mid'
+                ELSE 'small' END AS bucket,
+           coalesce(nullif(o_orderstatus, 'O'), 'open') AS status_or_open,
+           least(CAST(o_totalprice AS DECIMAL(18,2)), 150000.00) AS capped,
+           greatest(CAST(o_custkey AS BIGINT), 100) AS floored_key,
+           (CASE WHEN o_orderpriority LIKE '1-%' THEN 1 ELSE 0 END) AS urgent
+    FROM orders
+    """,
+)
+def q_cond_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional family: CASE WHEN chains, coalesce/nullif,
+    least/greatest (both engines skip NULLs), if-as-case."""
+    ensure_session_determinism(spark)
+    o = load(spark, sf_dir, "orders")
+    tp = F.col("o_totalprice")
+    return o.select(
+        "o_orderkey",
+        F.when(tp > 200000, "big")
+        .when(tp > 100000, "mid")
+        .otherwise("small")
+        .alias("bucket"),
+        F.coalesce(
+            F.nullif(F.col("o_orderstatus"), F.lit("O")), F.lit("open")
+        ).alias("status_or_open"),
+        F.least(
+            F.col("o_totalprice").cast("decimal(18,2)"),
+            F.lit("150000.00").cast("decimal(18,2)"),
+        ).alias("capped"),
+        F.greatest(F.col("o_custkey").cast("bigint"), F.lit(100).cast("bigint")).alias(
+            "floored_key"
+        ),
+        F.when(F.col("o_orderpriority").like("1-%"), 1).otherwise(0).alias(
+            "urgent"
+        ),
+    )
+
+
+@query(
+    "q_array_funcs",
+    oracle="""
+    SELECT doc_id,
+           string_split(text, ' ') AS words,
+           CAST(len(string_split(text, ' ')) AS INT) AS n_words,
+           list_contains(string_split(text, ' '), 'data') AS has_data,
+           list_sort(list_distinct(string_split(text, ' '))) AS uniq_words,
+           string_split(text, ' ')[1:3] AS first3,
+           flatten([string_split(text, ' ')[1:2], string_split(text, ' ')[1:2]]) AS doubled
+    FROM documents
+    """,
+)
+def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array family over tokenized text. list_distinct order is
+    undefined in both engines — always sort before comparing."""
+    ensure_session_determinism(spark)
+    d = load(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    return d.select(
+        "doc_id",
+        words.alias("words"),
+        F.size(words).cast("int").alias("n_words"),
+        F.array_contains(words, "data").alias("has_data"),
+        F.array_sort(F.array_distinct(words)).alias("uniq_words"),
+        F.slice(words, 1, 3).alias("first3"),
+        F.flatten(
+            F.array(F.slice(words, 1, 2), F.slice(words, 1, 2))
+        ).alias("doubled"),
+    )
+
+
+@query("q_map_funcs")
+def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map family (R-checked: DuckDB's MAP dialect differs enough that
+    cross-engine hashing is meaningless — SURVEY §2B). Builds a map from
+    scratch, then round-trips keys/values/element_at/explode."""
+    ensure_session_determinism(spark)
+    d = load(spark, sf_dir, "documents")
+    m = F.create_map(
+        F.lit("lang"), F.col("lang"), F.lit("source"), F.col("source")
+    )
+    df = d.select("doc_id", m.alias("meta"))
+    return df.select(
+        "doc_id",
+        F.map_keys("meta").alias("ks"),
+        F.map_values("meta").alias("vs"),
+        F.element_at("meta", "lang").alias("lang"),
+        F.explode("meta").alias("k", "v"),
+    )
+
+
+@query(
+    "q_json_funcs",
+    oracle="""
+    SELECT event_id,
+           json_extract_string(props, '$.k') AS k_str,
+           CAST(json_extract_string(props, '$.k') AS INT) AS k_int,
+           CAST(to_json(struct_pack(k := CAST(json_extract_string(props, '$.k') AS INT)))
+                AS VARCHAR) AS rejson
+    FROM events
+    """,
+)
+def q_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON family: path extraction (string), typed from_json into a
+    struct, and re-serialization (both engines emit compact
+    {"k":<int>})."""
+    ensure_session_determinism(spark)
+    e = load(spark, sf_dir, "events")
+    parsed = F.from_json("props", "k INT")
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").alias("k_str"),
+        parsed.getField("k").alias("k_int"),
+        F.to_json(F.struct(parsed.getField("k").alias("k"))).alias("rejson"),
+    )
+
+
+@query(
+    "q_hash_funcs",
+    oracle="""
+    SELECT doc_id,
+           md5(text) AS md5_hex,
+           sha256(text) AS sha256_hex,
+           to_base64(encode(substring(text, 1, 24))) AS b64,
+           hex(doc_id) AS id_hex
+    FROM documents
+    """,
+)
+def q_hash_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash/encode family: md5 / sha2-256 (lowercase hex both sides),
+    base64 of UTF-8 bytes, uppercase minimal hex of a bigint."""
+    ensure_session_determinism(spark)
+    d = load(spark, sf_dir, "documents")
+    as_bin = F.col("text").cast("binary")
+    return d.select(
+        "doc_id",
+        F.md5(as_bin).alias("md5_hex"),
+        F.sha2(as_bin, 256).alias("sha256_hex"),
+        F.base64(F.substring("text", 1, 24).cast("binary")).alias("b64"),
+        F.hex("doc_id").alias("id_hex"),
+    )
+
+
+@query(
+    "q_cast_types",
+    oracle="""
+    SELECT p_partkey,
+           CAST(p_size AS VARCHAR) AS size_str,
+           CAST(p_size AS DOUBLE) AS size_dbl,
+           TRY_CAST(p_name AS INT) AS bad_int,
+           TRY_CAST(CAST(p_retailprice AS VARCHAR) AS DOUBLE) AS price_rt,
+           CAST(CAST(p_retailprice AS DECIMAL(18,2)) AS VARCHAR) AS price_dec_str,
+           TRY_CAST('2024-06-0' || CAST((p_partkey % 9) + 1 AS VARCHAR) AS DATE) AS built_date,
+           TRY_CAST(substring(p_name, 1, 3) AS DATE) AS bad_date,
+           CAST(p_size >= 25 AS BOOLEAN) AS is_large,
+           CAST(CAST(p_size >= 25 AS BOOLEAN) AS INT) AS is_large_int
+    FROM part
+    """,
+)
+def q_cast_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cast lattice incl. failure semantics: try_cast on both sides
+    makes bad casts NULL regardless of the session's ANSI mode (the
+    driver may hand us an ANSI-on session — never rely on session conf
+    for NULL-on-bad-cast)."""
+    ensure_session_determinism(spark)
+    p = load(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.col("p_size").cast("string").alias("size_str"),
+        F.col("p_size").cast("double").alias("size_dbl"),
+        F.expr("try_cast(p_name AS INT)").alias("bad_int"),
+        F.expr(
+            "try_cast(CAST(p_retailprice AS STRING) AS DOUBLE)"
+        ).alias("price_rt"),
+        F.col("p_retailprice")
+        .cast("decimal(18,2)")
+        .cast("string")
+        .alias("price_dec_str"),
+        F.expr(
+            "try_cast(concat('2024-06-0', CAST(pmod(p_partkey, 9) + 1 AS STRING)) AS DATE)"
+        ).alias("built_date"),
+        F.expr("try_cast(substring(p_name, 1, 3) AS DATE)").alias("bad_date"),
+        (F.col("p_size") >= 25).alias("is_large"),
+        (F.col("p_size") >= 25).cast("int").alias("is_large_int"),
+    )

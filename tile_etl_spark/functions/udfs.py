@@ -1,0 +1,147 @@
+"""Python UDF / UDAF / UDTF surface (SURVEY §2B 'UDF / UDAF / UDTF').
+
+Policy: Python only where built-ins can't express the semantics — and
+then always Arrow-batched (pandas_udf / applyInPandas), never
+row-at-a-time. Each qid here deliberately has a pure-SQL oracle twin,
+proving the Python path computes exactly what the declarative engine
+would (the H check doubles as an Arrow-boundary regression test).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from tile_etl_spark.io import load
+from tile_etl_spark.registry import query
+from tile_etl_spark.session import ensure_session_determinism
+
+
+@query(
+    "q_udf_scalar",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) AS revenue
+    FROM lineitem
+    """,
+)
+def q_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized scalar pandas UDF ≡ the built-in expression. Arrow
+    ships columnar batches both ways; the UDF computes in float64 so
+    results match the JVM double expression bit-for-bit."""
+    ensure_session_determinism(spark)
+
+    @pandas_udf("double")
+    def revenue_udf(price: pd.Series, discount: pd.Series) -> pd.Series:
+        # float64 arithmetic — bit-identical to the engines' double math
+        return price * (1.0 - discount)
+
+    li = load(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        revenue_udf("l_extendedprice", "l_discount").alias("revenue"),
+    )
+
+
+@query(
+    "q_udaf_grouped",
+    oracle="""
+    SELECT event_id, user_id,
+           round((value - avg(value) OVER (PARTITION BY user_id))
+                 / stddev_samp(value) OVER (PARTITION BY user_id), 6) AS z
+    FROM events
+    """,
+)
+def q_udaf_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas: z-normalize `value` per user. Each
+    group becomes one Arrow batch in one Python worker — the right tool
+    when per-group logic doesn't decompose into window functions (here
+    it does, which is what the oracle exploits).
+
+    NB: every callable shipped to Python workers in this package is a
+    closure, so cloudpickle serializes it by value — the workers must
+    not need `tile_etl_spark` importable on their own sys.path."""
+    ensure_session_determinism(spark)
+
+    def znorm(pdf: pd.DataFrame) -> pd.DataFrame:
+        v = pdf["value"]
+        mean = v.mean()
+        sd = v.std(ddof=1)  # sample stddev, matching stddev_samp
+        z = (v - mean) / sd if (sd and sd == sd) else v * float("nan")
+        return pd.DataFrame(
+            {
+                "event_id": pdf["event_id"],
+                "user_id": pdf["user_id"],
+                "z": z.round(6),
+            }
+        )
+
+    e = load(spark, sf_dir, "events")
+    return (
+        e.select("event_id", "user_id", "value")
+        .groupBy("user_id")
+        .applyInPandas(znorm, "event_id BIGINT, user_id BIGINT, z DOUBLE")
+    )
+
+
+@query(
+    "q_udaf_agg",
+    oracle="""
+    SELECT l_returnflag,
+           round(sum(l_discount * l_quantity) / sum(l_quantity), 6) AS w_avg_disc
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_udaf_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-aggregate pandas UDF: quantity-weighted mean discount,
+    rounded 6 dp (pandas' pairwise-ish summation order differs from the
+    engines' streaming sums in the last ulps)."""
+    ensure_session_determinism(spark)
+
+    @pandas_udf("double")
+    def weighted_avg(v: pd.Series, w: pd.Series) -> float:
+        return float((v * w).sum() / w.sum())
+
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(weighted_avg("l_discount", "l_quantity"), 6).alias(
+            "w_avg_disc"
+        )
+    )
+
+
+@query(
+    "q_udtf",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
+    SELECT doc_id,
+           CAST(unnest(generate_series(1, len(words))) AS INT) AS pos,
+           unnest(words) AS word
+    FROM toks
+    """,
+)
+def q_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table function: words-with-position exploder via Python UDTF
+    (Spark 3.5+), oracle = unnest WITH ORDINALITY (1-based positions
+    both sides)."""
+    ensure_session_determinism(spark)
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos INT, word STRING")
+    class WordSplit:
+        def eval(self, text: str):
+            for i, w in enumerate(text.split(" ")):
+                yield i + 1, w
+
+    d = load(spark, sf_dir, "documents")
+    spark.udtf.register("word_split", WordSplit)
+    d.select("doc_id", "text").createOrReplaceTempView("docs_for_udtf")
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.pos, t.word
+        FROM docs_for_udtf d, LATERAL word_split(d.text) t
+        """
+    )
