@@ -1,0 +1,139 @@
+"""Streaming ≡ batch-twin equivalence (SURVEY §5.2 item 3, B oracle)
+plus the watermark late-drop property."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from tile_etl_spark import registry
+
+registry.load_all()
+
+
+def rows_set(df, cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.select(*cols).collect())
+
+
+def test_s_tumbling_equals_batch(spark, sf_dir):
+    s = registry.QUERIES["s_tumbling"](spark, sf_dir)
+    b = registry.QUERIES["q_window_tumbling"](spark, sf_dir)
+    cols = ["window_start", "event_type", "n", "sum_value"]
+    assert rows_set(s, cols) == rows_set(b, cols)
+
+
+def test_s_sliding_equals_batch(spark, sf_dir):
+    s = registry.QUERIES["s_sliding"](spark, sf_dir)
+    b = registry.QUERIES["q_window_sliding"](spark, sf_dir)
+    cols = ["window_start", "event_type", "n"]
+    assert rows_set(s, cols) == rows_set(b, cols)
+
+
+def test_s_session_equals_batch(spark, sf_dir):
+    s = registry.QUERIES["s_session"](spark, sf_dir)
+    b = registry.QUERIES["q_sessionize"](spark, sf_dir)
+    cols = ["user_id", "session_start", "n_events"]
+    assert rows_set(s, cols) == rows_set(b, cols)
+
+
+def test_s_dedup_collapses_duplicates(spark, sf_dir):
+    s = registry.QUERIES["s_dedup"](spark, sf_dir)
+    got = {r["event_type"]: (r["n_unique"], r["n_rows"]) for r in s.collect()}
+    from tile_etl_spark.io import load
+
+    b = (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("event_id").alias("n"))
+    )
+    want = {r["event_type"]: r["n"] for r in b.collect()}
+    assert {k: v[0] for k, v in got.items()} == want
+    # every duplicate dropped: stored rows == unique ids
+    assert all(nu == nr for nu, nr in got.values())
+
+
+def test_s_stateful_equals_batch_counts(spark, sf_dir):
+    s = registry.QUERIES["s_stateful"](spark, sf_dir)
+    from tile_etl_spark.io import load
+
+    b = load(spark, sf_dir, "events").groupBy("user_id").count()
+    got = {r["user_id"]: r["n_events"] for r in s.collect()}
+    want = {r["user_id"]: r["count"] for r in b.collect()}
+    assert got == want
+
+
+def test_s_watermark_is_subset_of_batch(spark, sf_dir):
+    """Append mode emits only watermark-closed windows, each with the
+    full (late-rows-excluded) count — a subset of the batch result."""
+    s = registry.QUERIES["s_watermark"](spark, sf_dir)
+    b = registry.QUERIES["q_window_tumbling"](spark, sf_dir)
+    got = {
+        (r["window_start"], r["event_type"]): r["n"] for r in s.collect()
+    }
+    want = {
+        (r["window_start"], r["event_type"]): r["n"] for r in b.collect()
+    }
+    assert got  # something was finalized
+    assert all(want.get(k) == v for k, v in got.items())
+
+
+def test_watermark_drops_late_row(spark, tmp_path):
+    """Property (SURVEY §5.2 item 4): a row arriving behind the
+    watermark is excluded from its (already finalized) window."""
+    import shutil
+
+    base = str(tmp_path / "late_stream")
+    os.makedirs(base, exist_ok=True)
+
+    def write_chunk(i, rows):
+        df = spark.createDataFrame(
+            rows,
+            "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, "
+            "event_type STRING, value DOUBLE, props STRING",
+        )
+        tmp = os.path.join(base, f"_tmp{i}")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+        dst = os.path.join(base, f"chunk_{i:03d}.parquet")
+        shutil.move(os.path.join(tmp, part), dst)
+        shutil.rmtree(tmp)
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def ev(i, minutes):
+        return (i, t0 + dt.timedelta(minutes=minutes), 1, "click", 1.0, "{}")
+
+    # Spark applies the LATE-event filter with the watermark of the
+    # previous batch (eviction uses the current one), so the late row
+    # must arrive two batches after the watermark-advancing row:
+    # batch 0: hour-0 rows + hour-3 row (post-batch watermark 2:50);
+    # batch 1: hour-3 row (hour-0 window evicted+emitted, filter wm
+    # becomes 2:50); batch 2: the LATE hour-0 row -> dropped.
+    write_chunk(0, [ev(1, 5), ev(2, 10), ev(3, 20), ev(4, 180)])
+    write_chunk(1, [ev(6, 190)])
+    write_chunk(2, [ev(5, 15)])
+
+    from tile_etl_spark.streaming.replay import run_to_table
+
+    stream = (
+        spark.readStream.schema(
+            "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, "
+            "event_type STRING, value DOUBLE, props STRING"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(base + "/chunk_*.parquet")
+    )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("ws"), "n")
+    )
+    out = {r["ws"]: r["n"] for r in run_to_table(agg, "append").collect()}
+    # hour-0 window finalized with 3 rows; late event_id=5 was dropped
+    assert out[t0] == 3

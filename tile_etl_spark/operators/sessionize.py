@@ -1,0 +1,133 @@
+"""Gap-based sessionization + tumbling-window batch twins (SURVEY §2B
+'Streaming' — the H-checked batch halves; the streaming halves in
+tile_etl_spark.streaming assert equality against these).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from tile_etl_spark.io import as_double, load
+from tile_etl_spark.registry import query
+from tile_etl_spark.session import ensure_session_determinism
+
+GAP_US = 30 * 60 * 1_000_000  # 30-minute session gap
+
+
+def sessionize(events: DataFrame, gap_us: int = GAP_US) -> DataFrame:
+    """Classic lag + cumulative-sum sessionization: a session breaks
+    where the gap to the previous event of the same user exceeds
+    ``gap_us``. One shuffle on user_id; everything else is an
+    in-partition sort — the standard scale shape."""
+    us = F.unix_micros("ts")
+    w = Window.partitionBy("user_id").orderBy(us, F.col("event_id"))
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    is_new = F.when(
+        F.lag(us).over(w).isNull() | ((us - F.lag(us).over(w)) > gap_us), 1
+    ).otherwise(0)
+    return (
+        events.withColumn("__us", us)
+        .withColumn("session_id", F.sum(is_new).over(wcum))
+    )
+
+
+@query(
+    "q_sessionize",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, event_id, ts, epoch_us(ts) AS us FROM events
+    ),
+    flagged AS (
+      SELECT *,
+             CASE WHEN lag(us) OVER w IS NULL
+                       OR us - lag(us) OVER w > {GAP_US}
+                  THEN 1 ELSE 0 END AS is_new
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+    ),
+    sessions AS (
+      SELECT *,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    )
+    SELECT user_id,
+           CAST(session_id AS BIGINT) AS session_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           min(ts) AS session_start,
+           max(ts) AS session_end,
+           CAST(max(us) - min(us) AS BIGINT) AS duration_us
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30-minute-gap sessions per user: id, size, span. The streaming
+    twin (s_session) uses F.session_window and must agree."""
+    ensure_session_determinism(spark)
+    s = sessionize(load(spark, sf_dir, "events"))
+    return s.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        (F.max("__us") - F.min("__us")).alias("duration_us"),
+    )
+
+
+@query(
+    "q_window_sliding",
+    oracle="""
+    WITH e AS (SELECT event_type, epoch_us(ts) AS us FROM events),
+    expanded AS (
+      SELECT event_type,
+             make_timestamp(((us // 900000000) - unnest(generate_series(0, 3)))
+                            * 900000000) AS window_start
+      FROM e
+    )
+    SELECT window_start, event_type, CAST(count(*) AS BIGINT) AS n
+    FROM expanded GROUP BY 1, 2
+    """,
+)
+def q_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window batch twin (1 h window / 15 min slide): every
+    event contributes to exactly 4 epoch-aligned windows — the oracle
+    expands them arithmetically, Spark's F.window does the same via an
+    internal explode."""
+    ensure_session_determinism(spark)
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )
+
+
+@query(
+    "q_window_tumbling",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling counts/sums per event type — the batch twin of
+    s_tumbling, via the same F.window operator the stream uses."""
+    ensure_session_determinism(spark)
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            as_double(F.sum(F.col("value").cast("decimal(18,6)"))).alias(
+                "sum_value"
+            ),
+        )
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "n", "sum_value"
+        )
+    )

@@ -1,0 +1,183 @@
+"""CSV / JSON / partitioned-parquet / binary-file sources and sinks.
+
+Artifacts (round-trip scratch data, materialized tile files) live under
+a per-process-safe dir in /tmp; every builder is idempotent so repeated
+driver invocations see identical inputs.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tile_etl_spark.io import load
+from tile_etl_spark.registry import query
+from tile_etl_spark.session import ensure_session_determinism
+from tile_etl_spark.tiles.grid import src_path_col, tile_grid
+
+ART_DIR = os.environ.get(
+    "SPARK_GRAFT_ART_DIR", "/tmp/tile_etl_spark_artifacts"
+)
+
+
+def _art(name: str) -> str:
+    os.makedirs(ART_DIR, exist_ok=True)
+    return os.path.join(ART_DIR, name)
+
+
+@query(
+    "src_csv_json",
+    oracle="""
+    SELECT n_nationkey, n_name AS name_csv, n_name AS name_json,
+           n_regionkey
+    FROM nation
+    """,
+)
+def src_csv_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV + JSON ingest round trip: write `nation` to both formats,
+    read back with an explicit DDL schema (schema-first policy, SURVEY
+    §1.3), join on the key. Losslessness makes the oracle the original
+    table itself — an H-checked round trip."""
+    ensure_session_determinism(spark)
+    n = load(spark, sf_dir, "nation")
+    csv_dir, json_dir = _art("nation_csv"), _art("nation_json")
+    n.coalesce(1).write.mode("overwrite").option("header", True).csv(csv_dir)
+    n.coalesce(1).write.mode("overwrite").json(json_dir)
+    schema = "n_nationkey INT, n_name STRING, n_regionkey INT"
+    c = spark.read.option("header", True).schema(schema).csv(csv_dir)
+    j = spark.read.schema(schema).json(json_dir)
+    return (
+        c.alias("c")
+        .join(j.alias("j"), "n_nationkey")
+        .select(
+            "n_nationkey",
+            F.col("c.n_name").alias("name_csv"),
+            F.col("j.n_name").alias("name_json"),
+            F.col("c.n_regionkey").alias("n_regionkey"),
+        )
+    )
+
+
+@query(
+    "sink_parquet",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned columnar sink: write orders partitioned by
+    o_orderstatus (hive-style directories — the layout that gives
+    partition pruning on read), read back, aggregate. The oracle reads
+    the ORIGINAL table: the round trip must be lossless.
+
+    Scale note: partitionBy on a low-cardinality column is exactly how
+    a 100 TB table should land; each partition's files write in
+    parallel from their tasks."""
+    ensure_session_determinism(spark)
+    out = _art("orders_by_status")
+    o = load(spark, sf_dir, "orders")
+    o.write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
+    back = spark.read.parquet(out)
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total"),
+    )
+
+
+# Deterministic synthetic tile content shared with the DuckDB twin:
+# repeat md5(src_path) k times, k = ((ascii(4th md5 char) + 7) % 5) + 1.
+_K_SQL = "((ascii(substring(md5(src_path), 4, 1)) + 7) % 5) + 1"
+_PRESENT_SQL = "substring(md5(src_path), 1, 1) NOT IN ('0','1','2')"
+
+
+def _tile_files_df(spark: SparkSession, max_level: int = 5) -> DataFrame:
+    g = (
+        tile_grid(spark)
+        .where(F.col("level") <= max_level)
+        .withColumn("src_path", src_path_col())
+        .where(F.expr(_PRESENT_SQL))
+    )
+    return g.withColumn("k", F.expr(_K_SQL)).withColumn(
+        "content_str", F.repeat(F.md5(F.col("src_path").cast("binary")), F.col("k"))
+    )
+
+
+def materialize_tile_cache(spark: SparkSession, base: str) -> None:
+    """Write the level-5 present tiles as REAL files in the ArcGIS
+    exploded-cache layout (src/Program.cs:99-100), once. Content is the
+    deterministic md5-repeat string, so every engine can recompute it."""
+    marker = os.path.join(base, "_DONE")
+    if os.path.exists(marker):
+        return
+    rows = _tile_files_df(spark).select("src_path", "content_str").collect()
+    for r in rows:
+        p = os.path.join(base, r["src_path"])
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        with open(p, "wb") as f:
+            f.write(r["content_str"].encode("ascii"))
+    with open(marker, "w") as f:
+        f.write(f"{len(rows)}\n")
+
+
+_GRID5_ORACLE = """
+    WITH bounds(level, r0, r1, c0, c1) AS (VALUES (5, 4, 20, -2, 14)),
+    rows_ AS (
+      SELECT level, unnest(generate_series(r0, r1)) AS "row", c0, c1
+      FROM bounds
+    ),
+    grid AS (
+      SELECT CAST(level AS INT) AS level,
+             CAST("row" AS INT) AS "row",
+             CAST(unnest(generate_series(c0, c1)) AS INT) AS col
+      FROM rows_
+    ),
+    paths AS (
+      SELECT printf('L%02d/R%s/C%s.jpg', level,
+                    right(printf('%016x', CAST("row" AS BIGINT)), 8),
+                    right(printf('%016x', CAST(col AS BIGINT)), 8)) AS src_path
+      FROM grid
+    )
+"""
+
+
+@query(
+    "src_binary",
+    oracle=_GRID5_ORACLE
+    + f"""
+    SELECT src_path,
+           CAST(32 * ({_K_SQL}) AS BIGINT) AS length,
+           md5(repeat(md5(src_path), {_K_SQL})) AS content_md5
+    FROM paths WHERE {_PRESENT_SQL}
+    """,
+)
+def src_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """binaryFile source over a materialized exploded tile cache —
+    the distributed replacement for the reference's per-tile
+    File.Exists + ReadAllBytes loop (src/Program.cs:102-107): listing
+    and content reads are both cluster-parallel, and `pathGlobFilter`
+    prunes non-tiles at listing time. H-checked: path, byte length and
+    content md5 all recomputed by DuckDB from the shared formula."""
+    ensure_session_determinism(spark)
+    base = _art("tiles_cache")
+    materialize_tile_cache(spark, base)
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.jpg")
+        .option("recursiveFileLookup", "true")
+        .load(base)
+    )
+    return files.select(
+        F.regexp_extract(
+            "path", r"(L\d{2}/R[0-9a-f]{8}/C[0-9a-f]{8}\.jpg)$", 1
+        ).alias("src_path"),
+        F.col("length"),
+        F.md5("content").alias("content_md5"),
+    )

@@ -1,0 +1,147 @@
+"""Streaming qids (SURVEY §2B 'Streaming').
+
+Every builder returns a *batch* DataFrame produced by running the
+stream to completion (availableNow) — so the driver's rows-only check
+executes the real micro-batch machinery, and the unit tests assert
+equality against the H-checked batch twins (B oracle).
+
+Scale posture: these are the same plans a 24/7 cluster job would run —
+watermarked state in the state store (RocksDB in production config),
+append/update modes chosen per operator. Only the source (file replay
+vs Kafka) differs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tile_etl_spark.io import as_double
+from tile_etl_spark.registry import query
+from tile_etl_spark.session import ensure_session_determinism
+from tile_etl_spark.streaming.replay import read_stream, replay_dir, run_to_table
+
+
+@query("s_tumbling")
+def s_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming 1-hour tumbling counts/sums ≡ q_window_tumbling.
+
+    Complete output mode: the memory sink holds the final state of
+    every window once the replay drains."""
+    ensure_session_determinism(spark)
+    stream = read_stream(spark, replay_dir(spark, sf_dir))
+    agg = (
+        stream.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            as_double(F.sum(F.col("value").cast("decimal(18,6)"))).alias(
+                "sum_value"
+            ),
+        )
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "n", "sum_value"
+        )
+    )
+    return run_to_table(agg, "complete")
+
+
+@query("s_sliding")
+def s_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sliding window (1 h window, 15 min slide) ≡
+    q_window_sliding: every event lands in 4 overlapping windows."""
+    ensure_session_determinism(spark)
+    stream = read_stream(spark, replay_dir(spark, sf_dir))
+    agg = (
+        stream.groupBy(
+            F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )
+    return run_to_table(agg, "complete")
+
+
+@query("s_session")
+def s_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming session windows (30-min gap) per user ≡ q_sessionize's
+    (user, session_start, n_events) multiset. session_window merges
+    events whose gaps are < 30 min — the stateful-merge equivalent of
+    the batch lag+cumsum build."""
+    ensure_session_determinism(spark)
+    stream = read_stream(spark, replay_dir(spark, sf_dir))
+    agg = (
+        stream.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), "user_id"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"), F.min("ts").alias("session_start"))
+        .select("user_id", "session_start", "n_events")
+    )
+    return run_to_table(agg, "complete")
+
+
+@query("s_watermark")
+def s_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling agg in APPEND mode: only windows the 10-min
+    watermark has closed are emitted. Late rows (older than watermark)
+    are dropped — the unit test injects one and asserts its absence.
+    Windows still open when the replay drains are NOT in the output;
+    that is watermark semantics, not data loss."""
+    ensure_session_determinism(spark)
+    stream = read_stream(spark, replay_dir(spark, sf_dir))
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )
+    return run_to_table(agg, "append")
+
+
+@query("s_dedup")
+def s_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup: the replay is unioned with itself (every event
+    arrives twice) and dropDuplicatesWithinWatermark collapses the
+    copies — state for an id is kept only within the watermark horizon,
+    the unbounded-state-safe way to dedup an infinite stream.
+    Output ≡ batch per-type distinct counts."""
+    ensure_session_determinism(spark)
+    base = replay_dir(spark, sf_dir)
+    stream = read_stream(spark, base).unionByName(read_stream(spark, base))
+    dedup = stream.withWatermark("ts", "30 minutes").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    rows = run_to_table(dedup, "append")
+    return rows.groupBy("event_type").agg(
+        F.countDistinct("event_id").alias("n_unique"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@query("s_stateful")
+def s_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary stateful op via applyInPandasWithState: a per-user
+    running event counter whose state survives across micro-batches.
+    Emits the running total each batch (update mode); the final figure
+    per user ≡ batch groupBy(user).count() — asserted in tests."""
+    ensure_session_determinism(spark)
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def count_events(key, pdfs, state: GroupState):
+        running = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            running += len(pdf)
+        state.update((running,))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [running]})
+
+    stream = read_stream(spark, replay_dir(spark, sf_dir))
+    counted = stream.groupBy("user_id").applyInPandasWithState(
+        count_events,
+        outputStructType="user_id BIGINT, n_events BIGINT",
+        stateStructType="n BIGINT",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    rows = run_to_table(counted, "update")
+    # final state per user = the max running total emitted
+    return rows.groupBy("user_id").agg(F.max("n_events").alias("n_events"))

@@ -1,0 +1,96 @@
+"""File-source replay of the events fixture (FIXTURES.md §8).
+
+The stream is simulated by writing events as N time-ordered parquet
+chunks; ``maxFilesPerTrigger=1`` + ascending mtimes make the file
+source deliver them as N micro-batches in event-time order — late-data
+scenarios inject an old-timestamp file at the end of the sequence.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tile_etl_spark.io import load
+
+EVENTS_SCHEMA = (
+    "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, "
+    "event_type STRING, value DOUBLE, props STRING"
+)
+N_CHUNKS = 8
+
+
+def _art_root() -> str:
+    from tile_etl_spark.sources.files import ART_DIR
+
+    return ART_DIR
+
+
+def replay_dir(spark: SparkSession, sf_dir: str, n_chunks: int = N_CHUNKS) -> str:
+    """Write events as n time-ordered parquet chunk files (idempotent).
+
+    Chunk i holds the i-th quantile of the ts order; file mtimes
+    ascend so the file source processes them oldest-first.
+    """
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    base = os.path.join(_art_root(), f"events_stream_{tag}")
+    marker = os.path.join(base, "_DONE")
+    if os.path.exists(marker):
+        return base
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base, exist_ok=True)
+    e = load(spark, sf_dir, "events")
+    fracs = ",".join(str((i + 1) / n_chunks) for i in range(n_chunks - 1))
+    bounds = e.selectExpr(
+        f"percentile_approx(unix_micros(ts), array({fracs}), 100000) AS b"
+    ).first()["b"]
+    lo = None
+    for i in range(n_chunks):
+        hi = bounds[i] if i < n_chunks - 1 else None
+        us = F.unix_micros("ts")
+        chunk = e
+        if lo is not None:
+            chunk = chunk.where(us > lo)
+        if hi is not None:
+            chunk = chunk.where(us <= hi)
+        tmp = os.path.join(base, f"_tmp_{i}")
+        chunk.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+        dst = os.path.join(base, f"chunk_{i:03d}.parquet")
+        shutil.move(os.path.join(tmp, part), dst)
+        shutil.rmtree(tmp)
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+        lo = hi
+    with open(marker, "w") as f:
+        f.write("ok\n")
+    return base
+
+
+def read_stream(spark: SparkSession, base: str) -> DataFrame:
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(base + "/chunk_*.parquet")
+    )
+
+
+def run_to_table(df: DataFrame, mode: str) -> DataFrame:
+    """Execute a streaming DataFrame to completion (availableNow) into
+    an in-memory table; return it as a batch DataFrame."""
+    name = "s_" + uuid.uuid4().hex[:12]
+    ckpt = os.path.join(_art_root(), "checkpoints", name)
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    spark = df.sparkSession
+    return spark.table(name)
