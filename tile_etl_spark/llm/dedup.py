@@ -1,0 +1,448 @@
+"""Deduplication operators over the ``documents`` table.
+
+Scale design notes (the whole point of these implementations):
+
+- **Exact dedup** is a hash groupBy — one shuffle keyed by content
+  hash; survivors via min(doc_id). Never a pairwise comparison.
+- **MinHash/LSH near-dup** does O(n) signature work per doc and meets
+  candidates only inside LSH band buckets — the classic way to avoid
+  the O(n²) pair explosion. All stages are explodes + hash groupBys;
+  band-bucket skew (giant clusters of near-identical docs) is the one
+  hazard, bounded by capping bucket size before pairing.
+- **SimHash** reduces each doc to one 64-bit integer; candidate pairs
+  share a 16-bit band (4 exact-match buckets per doc), verified by
+  Hamming distance — integer ops end to end.
+- **n-gram Jaccard** is the exact (quadratic within shingle-bucket)
+  method, H-checkable in SQL; at scale it runs only on LSH survivors.
+- **Embedding near-dup** is cosine ≥ threshold on normalized vectors;
+  the all-pairs form here is for the verification tier — the ANN path
+  is in tile_etl_spark.llm.similarity.
+
+Every hash is seeded/constant: results are bit-stable across runs and
+cluster layouts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tile_etl_spark.io import load
+from tile_etl_spark.registry import query
+from tile_etl_spark.session import ensure_session_determinism
+
+# --- exact ------------------------------------------------------------
+
+
+@query(
+    "q_dedup_exact",
+    oracle="""
+    SELECT md5(text) AS content_hash,
+           CAST(min(doc_id) AS BIGINT) AS survivor_id,
+           CAST(count(*) AS BIGINT) AS n_copies
+    FROM documents
+    GROUP BY md5(text)
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: content-hash groupBy, min-id survivor, copy count.
+    One shuffle on md5(text); partial aggregation collapses duplicates
+    map-side first."""
+    ensure_session_determinism(spark)
+    d = load(spark, sf_dir, "documents")
+    return d.groupBy(
+        F.md5(F.col("text").cast("binary")).alias("content_hash")
+    ).agg(
+        F.min("doc_id").alias("survivor_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
+# --- shared shingling --------------------------------------------------
+
+
+def shingle_array(k: int = 3):
+    """Distinct k-word shingles of `text` as an array column. Guarded:
+    docs shorter than k words yield an EMPTY array (Spark's sequence
+    descends when start > stop — never rely on it clamping)."""
+    w = F.split("text", " ")
+    return F.when(
+        F.size(w) < k, F.array().cast("array<string>")
+    ).otherwise(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(w) - k),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(w, i + j + 1) for j in range(k)]
+                ),
+            )
+        )
+    )
+
+
+def shingles_df(docs: DataFrame, k: int = 3) -> DataFrame:
+    """(doc_id, shingle) — distinct k-word shingles, via a pure
+    transform over the token array (no Python)."""
+    return docs.select("doc_id", F.explode(shingle_array(k)).alias("shingle"))
+
+
+# --- MinHash / LSH ------------------------------------------------------
+
+N_PERM = 64
+N_BANDS = 16  # 4 rows per band
+_MERSENNE = (1 << 61) - 1
+
+
+def _perm_params(n: int = N_PERM) -> list[tuple[int, int]]:
+    """Deterministic (a, b) hash-family parameters from a fixed LCG
+    (seed pinned — SURVEY §2B requires reproducible signatures)."""
+    params, x = [], 42
+    for _ in range(n):
+        x = (6364136223846793005 * x + 1442695040888963407) % (1 << 63)
+        a = (x % (_MERSENNE - 1)) + 1
+        x = (6364136223846793005 * x + 1442695040888963407) % (1 << 63)
+        b = x % _MERSENNE
+        params.append((a, b))
+    return params
+
+
+def minhash_signatures(docs: DataFrame, n_perm: int = N_PERM) -> DataFrame:
+    """(doc_id, sig ARRAY<BIGINT>[n_perm]) MinHash signatures.
+
+    h_p(s) = (a_p · xxhash64(s) + b_p) mod 2^61-1 over 3-word shingles.
+
+    Shape: explode shingles → hash once per (doc, shingle) → ONE
+    hash-aggregate with n_perm ``min`` expressions. This is the scale
+    form on purpose: the mins combine map-side (the shuffle carries one
+    64-long row per doc per partition), every expression is codegen'd,
+    and nothing is a higher-order function. (A pure array-expression
+    version was 50× slower: Catalyst's projection collapse inlines the
+    shingle array into each of the 64 lambda references and interprets
+    HOFs row-at-a-time — measured at sf0.01. Aggregation is also a
+    collapse barrier, so the hash is computed exactly once per
+    shingle.)
+
+    Docs with fewer than 3 words have no shingles and therefore no
+    signature row — they can never near-dup-match anyway.
+    """
+    params = _perm_params(n_perm)
+    sh = shingles_df(docs)
+    hashed = sh.select(
+        "doc_id", F.pmod(F.xxhash64("shingle"), _MERSENNE).alias("h")
+    )
+
+    def perm_col(a: int, b: int):
+        return F.pmod(
+            F.pmod(F.lit(a) * F.col("h"), _MERSENNE) + F.lit(b), _MERSENNE
+        )
+
+    mins = hashed.groupBy("doc_id").agg(
+        *[
+            F.min(perm_col(a, b)).alias(f"m{p}")
+            for p, (a, b) in enumerate(params)
+        ]
+    )
+    return mins.select(
+        "doc_id",
+        F.array(*[F.col(f"m{p}") for p in range(n_perm)]).alias("sig"),
+    )
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, n_bands: int = N_BANDS, max_bucket: int = 1000
+) -> DataFrame:
+    """(d1, d2) candidate pairs sharing at least one LSH band bucket.
+
+    Explode each signature into n_bands (band_id, band_hash) keys and
+    self-join per bucket. ``max_bucket`` caps degenerate buckets (a
+    10M-duplicate cluster would otherwise create a quadratic bucket) —
+    capped buckets are still pairwise-connected through transitivity of
+    smaller buckets in practice; the cap is logged at the plan level as
+    a correctness/throughput trade (at the test SFs no bucket ever hits
+    the cap)."""
+    rows_per_band = N_PERM // n_bands
+    # Reference `sig` exactly ONCE: Catalyst's projection collapse
+    # inlines the signature expression into every reference, so 16
+    # bands × 4 getItems would evaluate the full 64-perm MinHash 64
+    # times per row (measured 50× slowdown at sf0.01). A single
+    # transform keeps one evaluation.
+    bands = F.transform(
+        F.sequence(F.lit(0), F.lit(n_bands - 1)),
+        lambda b: F.struct(
+            b.cast("int").alias("band_id"),
+            F.xxhash64(
+                F.array_join(
+                    F.transform(
+                        F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                        lambda x: x.cast("string"),
+                    ),
+                    ",",
+                )
+            ).alias("band_hash"),
+        ),
+    )
+    bucketed = sigs.select(
+        "doc_id", F.explode(bands).alias("band")
+    ).select("doc_id", "band.band_id", "band.band_hash")
+    counts = bucketed.groupBy("band_id", "band_hash").count()
+    bounded = bucketed.join(
+        counts.where(F.col("count") <= max_bucket).select("band_id", "band_hash"),
+        ["band_id", "band_hash"],
+    )
+    a = bounded.alias("a")
+    b = bounded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2")
+        )
+        .distinct()
+    )
+
+
+def exact_jaccard(docs: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Exact shingle-set Jaccard for the given pairs: intersection via
+    shingle join restricted to candidates, union by sizes."""
+    sh = shingles_df(docs)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        pairs.join(sh.withColumnRenamed("doc_id", "d1"), "d1")
+        .join(
+            sh.withColumnRenamed("doc_id", "d2").withColumnRenamed(
+                "shingle", "shingle2"
+            ),
+            "d2",
+        )
+        .where(F.col("shingle") == F.col("shingle2"))
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("n", "n1"), "d1")
+        .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("n", "n2"), "d2")
+        .select(
+            "d1",
+            "d2",
+            (
+                F.col("i").cast("double")
+                / (F.col("n1") + F.col("n2") - F.col("i"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+@query("q_dedup_near")
+def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(64) → LSH(16 bands) → exact-Jaccard verify ≥ 0.8.
+    R-checked (SURVEY §2B): the unit test recomputes the pipeline in
+    plain Python with the same pinned seeds and asserts set equality."""
+    ensure_session_determinism(spark)
+    d = load(spark, sf_dir, "documents")
+    sigs = minhash_signatures(d)
+    cand = lsh_candidate_pairs(sigs)
+    j = exact_jaccard(d, cand)
+    return j.where(F.col("jaccard") >= 0.8).select(
+        "d1", "d2", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+# --- n-gram Jaccard (exact, H-checked) ----------------------------------
+
+
+@query(
+    "q_dedup_ngram",
+    oracle="""
+    WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               generate_series(1, greatest(len(w) - 2, 0)),
+               i -> concat_ws(' ', w[i], w[i+1], w[i+2])))) AS shingle
+      FROM words
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT d1, d2,
+           round(CAST(i AS DOUBLE) / (na.n + nb.n - i), 6) AS jaccard
+    FROM inter
+    JOIN sizes na ON d1 = na.doc_id
+    JOIN sizes nb ON d2 = nb.doc_id
+    WHERE CAST(i AS DOUBLE) / (na.n + nb.n - i) >= 0.8
+    """,
+)
+def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard ≥ 0.8 over ALL colliding pairs — the
+    ground-truth twin of q_dedup_near (H-checked in DuckDB). The
+    shingle equi-join bounds the pair space to docs sharing at least
+    one shingle; at 100 TB this exact tier runs after LSH."""
+    ensure_session_determinism(spark)
+    d = load(spark, sf_dir, "documents")
+    sh = shingles_df(d)
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2")
+        )
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    j = (
+        inter.join(
+            sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("n", "n1"),
+            "d1",
+        )
+        .join(
+            sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("n", "n2"),
+            "d2",
+        )
+        .withColumn(
+            "jaccard",
+            F.col("i").cast("double") / (F.col("n1") + F.col("n2") - F.col("i")),
+        )
+    )
+    return j.where(F.col("jaccard") >= 0.8).select(
+        "d1", "d2", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+# --- SimHash ------------------------------------------------------------
+
+
+def simhash64(docs: DataFrame) -> DataFrame:
+    """(doc_id, simhash BIGINT): 64-bit SimHash over word unigrams.
+
+    bit_j(doc) = sign of Σ_words (±1 per xxhash64(word) bit j) — all
+    integer expressions: per-word hash once, per-bit popcount via
+    shiftright/AND. No Python, no shuffle."""
+    w = F.split("text", " ")
+    hashes = F.transform(F.array_distinct(w), lambda s: F.xxhash64(s))
+
+    def vote_fn(j: int):
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1
+        ).otherwise(-1)
+
+    bit_votes = [
+        F.aggregate(hashes, F.lit(0), vote_fn(j)) for j in range(64)
+    ]
+    sim = None
+    for j, v in enumerate(bit_votes):
+        bit = F.when(v > 0, F.lit(1).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        term = bit * F.lit(1 << j).cast("bigint") if j < 63 else F.when(
+            v > 0, F.lit(-(1 << 63)).cast("bigint")
+        ).otherwise(F.lit(0).cast("bigint"))
+        sim = term if sim is None else sim + term
+    return docs.select("doc_id", sim.alias("simhash"))
+
+
+@query("q_dedup_simhash")
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup: pairs within Hamming distance ≤ 3 of the
+    64-bit signature, found via 4×16-bit band buckets (a pair within
+    distance 3 must agree exactly on ≥1 of 4 bands). R-checked; unit
+    test recomputes signatures in Python."""
+    ensure_session_determinism(spark)
+    d = load(spark, sf_dir, "documents")
+    s = simhash64(d)
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.shiftright("simhash", b * 16)
+                .bitwiseAND(F.lit(0xFFFF))
+                .alias("band_val"),
+            )
+            for b in range(4)
+        ]
+    )
+    bucketed = s.select(
+        "doc_id", "simhash", F.explode(bands).alias("b")
+    ).select("doc_id", "simhash", "b.band_id", "b.band_val")
+    a, b = bucketed.alias("a"), bucketed.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("d1"),
+            F.col("b.doc_id").alias("d2"),
+            F.col("a.simhash").alias("h1"),
+            F.col("b.simhash").alias("h2"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("h1").bitwiseXOR(F.col("h2")))
+    return pairs.select(
+        "d1", "d2", hamming.cast("int").alias("hamming")
+    ).where(F.col("hamming") <= 3)
+
+
+# --- embedding cosine near-dup ------------------------------------------
+
+
+@query(
+    "q_dedup_embed",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    )
+    SELECT a.vec_id AS v1, b.vec_id AS v2,
+           round(list_dot_product(a.e, b.e)
+                 / (sqrt(list_dot_product(a.e, a.e))
+                    * sqrt(list_dot_product(b.e, b.e))), 6) AS cos_sim
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.e, b.e)
+          / (sqrt(list_dot_product(a.e, a.e))
+             * sqrt(list_dot_product(b.e, b.e))) >= 0.4
+    """,
+)
+def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup (cos ≥ threshold), exact all-pairs tier.
+    Threshold 0.4 (the synthetic fixture's max pairwise cosine is ~0.5;
+    a production near-dup run would use ~0.95 on normalized text
+    embeddings). Double-precision dot products in both engines → H. At
+    scale the pair space is pruned by LSH bucketing first (similarity
+    module); this exact form is the verification tier."""
+    ensure_session_determinism(spark)
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+    )
+    dot = lambda x, y: F.aggregate(  # noqa: E731
+        F.zip_with(x, y, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    a, b = e.alias("a"), e.alias("b")
+    pairs = a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+    cos = dot(F.col("a.e"), F.col("b.e")) / (
+        F.sqrt(dot(F.col("a.e"), F.col("a.e")))
+        * F.sqrt(dot(F.col("b.e"), F.col("b.e")))
+    )
+    return pairs.select(
+        F.col("a.vec_id").alias("v1"),
+        F.col("b.vec_id").alias("v2"),
+        cos.alias("cos_raw"),
+    ).where(F.col("cos_raw") >= 0.4).select(
+        "v1", "v2", F.round("cos_raw", 6).alias("cos_sim")
+    )

@@ -1,0 +1,171 @@
+"""Multimodal binary columns (SURVEY §2B 'q_multimodal_join' + the
+brief's decode/feature-extract plumbing).
+
+Policy: media are opaque BINARY columns + typed metadata structs; all
+per-byte work runs in Arrow-batched ``mapInPandas`` stages. The actual
+codec calls (PIL/ffmpeg/soundfile) are STUBBED — this container has no
+media libraries — behind a deterministic fake header parser, but the
+Spark-side contract is real and tested: schemas, batch shapes, UDF
+signatures, and partitioning are exactly what a production decode
+stage uses; swap `_fake_decode` for a real codec and nothing else
+changes.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tile_etl_spark.io import load
+from tile_etl_spark.registry import query
+from tile_etl_spark.session import ensure_session_determinism
+
+
+def payloads_df(docs: DataFrame) -> DataFrame:
+    """Synthesize a binary payload per document: a 16-byte fake header
+    (md5 of the text) + the text bytes. Models the (meta row ↔ blob)
+    pairing of the tiles fixture (FIXTURES.md §11) without external
+    files; everything is recomputable by the oracle."""
+    return docs.select(
+        "doc_id",
+        F.unhex(F.md5(F.col("text").cast("binary"))).alias("header"),
+        F.col("text").cast("binary").alias("body"),
+    ).select(
+        "doc_id",
+        F.concat("header", "body").alias("content"),
+        F.lit("application/fake-image").alias("content_type"),
+    )
+
+
+@query(
+    "q_multimodal_join",
+    oracle="""
+    WITH payloads AS (
+      SELECT doc_id,
+             16 + octet_length(encode(text)) AS content_len,
+             md5(text) AS header_hex
+      FROM documents
+    )
+    SELECT d.doc_id, d.lang, d.source,
+           CAST(p.content_len AS INT) AS content_len,
+           p.header_hex
+    FROM documents d JOIN payloads p USING (doc_id)
+    WHERE p.content_len > 100
+    """,
+)
+def q_multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text metadata ⋈ binary payloads in one row set, filtered on
+    blob length, header re-hexed — BINARY columns flowing through a
+    join + filter + expression, H-checked via recomputation."""
+    ensure_session_determinism(spark)
+    d = load(spark, sf_dir, "documents")
+    p = payloads_df(d)
+    joined = d.join(p, "doc_id").select(
+        "doc_id",
+        "lang",
+        "source",
+        F.length("content").cast("int").alias("content_len"),
+        F.lower(F.hex(F.substring("content", 1, 16))).alias("header_hex"),
+    )
+    return joined.where(F.col("content_len") > 100)
+
+
+@query("q_multimodal_decode")
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode + feature-extract stage over binary payloads via
+    mapInPandas (R-checked).
+
+    `_fake_decode` stands in for the real codec (no media libs in this
+    container): it parses the 16-byte header deterministically into
+    (width, height, n_channels) and 'resizes' by computing the scaled
+    dims — the real version calls PIL and returns pixel features. The
+    distributed shape is the production one: binary Arrow batches in,
+    fixed-schema feature rows out, no driver involvement.
+    """
+    ensure_session_determinism(spark)
+    d = load(spark, sf_dir, "documents")
+    p = payloads_df(d)
+
+    def decode_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        TARGET = 64  # 'resize' target edge
+
+        def fake_decode(blob: bytes) -> tuple[int, int, int]:
+            # STUB: a real implementation would be e.g.
+            #   img = PIL.Image.open(io.BytesIO(blob))
+            # Deterministic fake: dims from the header bytes.
+            h = blob[:16]
+            return (64 + h[0] % 192, 64 + h[1] % 192, 1 + h[2] % 4)
+
+        for pdf in it:
+            rows = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["content"]):
+                b = bytes(blob)
+                w, h, c = fake_decode(b)
+                scale = TARGET / max(w, h)
+                rows.append(
+                    (
+                        int(doc_id),
+                        w,
+                        h,
+                        c,
+                        int(round(w * scale)),
+                        int(round(h * scale)),
+                        len(b),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "width",
+                    "height",
+                    "n_channels",
+                    "resized_w",
+                    "resized_h",
+                    "n_bytes",
+                ],
+            )
+
+    return p.select("doc_id", "content").mapInPandas(
+        decode_batches,
+        "doc_id BIGINT, width INT, height INT, n_channels INT, "
+        "resized_w INT, resized_h INT, n_bytes INT",
+    )
+
+
+@query("q_multimodal_framesample")
+def q_multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing for video-like payloads (R-checked): each
+    blob yields one row per sampled 'frame' (every 256th byte offset) —
+    the 1:N exploding UDF shape of a real ffmpeg frame sampler, with
+    the decode itself stubbed to a deterministic byte slice hash."""
+    ensure_session_determinism(spark)
+    d = load(spark, sf_dir, "documents")
+    p = payloads_df(d)
+
+    def sample_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        STRIDE = 256
+
+        def frame_hash(blob: bytes, off: int) -> str:
+            # STUB for codec frame extraction; real impl decodes the
+            # frame at `off` and emits pixel stats.
+            return hashlib.md5(blob[off : off + STRIDE]).hexdigest()[:16]
+
+        for pdf in it:
+            rows = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["content"]):
+                b = bytes(blob)
+                for frame_no, off in enumerate(range(0, len(b), STRIDE)):
+                    rows.append((int(doc_id), frame_no, frame_hash(b, off)))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_no", "frame_hash"]
+            )
+
+    return p.select("doc_id", "content").mapInPandas(
+        sample_batches, "doc_id BIGINT, frame_no INT, frame_hash STRING"
+    )

@@ -1,0 +1,197 @@
+"""Similarity search over the ``embeddings`` table (SURVEY §2B).
+
+Two tiers, as a real 100 TB pipeline would ship them:
+
+- **Exact brute-force top-k** (q_sim_cosine_topk): probes × corpus with
+  the probe side broadcast — the corpus never shuffles; per-partition
+  partial top-k would bound memory at scale (here the window + filter
+  achieves the same plan via WindowGroupLimit).
+- **IVF-style ANN** (q_sim_ann_ivf): corpus pre-clustered into coarse
+  cells (deterministic centroids); a probe searches only its nprobe
+  nearest cells — the partition-pruning path that turns a full-corpus
+  scan into a few-percent scan. Recall vs the exact tier is asserted in
+  tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from tile_etl_spark.io import load
+from tile_etl_spark.registry import query
+from tile_etl_spark.session import ensure_session_determinism
+
+N_PROBES = 10  # vec_id 0..9 serve as probe vectors
+TOP_K = 5
+
+
+def _dot(x, y):
+    return F.aggregate(
+        F.zip_with(x, y, lambda a, b: a * b), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def _as_double_vec(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def cosine_topk(
+    corpus: DataFrame, probes: DataFrame, k: int = TOP_K
+) -> DataFrame:
+    """Exact cosine top-k: broadcast the (small) probe set against the
+    corpus, rank per probe. Plan shape at scale: one pass over the
+    corpus, no corpus shuffle, WindowGroupLimit keeps only k rows per
+    probe per partition before the final merge."""
+    c = corpus.select(
+        F.col("vec_id"), _as_double_vec("embedding").alias("e")
+    )
+    p = probes.select(
+        F.col("vec_id").alias("probe_id"),
+        _as_double_vec("embedding").alias("pe"),
+    )
+    joined = c.crossJoin(F.broadcast(p)).where(
+        F.col("vec_id") != F.col("probe_id")
+    )
+    cos = _dot(F.col("e"), F.col("pe")) / (
+        F.sqrt(_dot(F.col("e"), F.col("e")))
+        * F.sqrt(_dot(F.col("pe"), F.col("pe")))
+    )
+    scored = joined.select("probe_id", "vec_id", cos.alias("cos_raw"))
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("cos_raw").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "probe_id",
+            "vec_id",
+            F.round("cos_raw", 6).alias("cos_sim"),
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )
+
+
+@query(
+    "q_sim_cosine_topk",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ),
+    p AS (SELECT vec_id AS probe_id, e AS pe FROM v WHERE vec_id < {N_PROBES}),
+    scored AS (
+      SELECT p.probe_id, v.vec_id,
+             list_dot_product(v.e, p.pe)
+               / (sqrt(list_dot_product(v.e, v.e))
+                  * sqrt(list_dot_product(p.pe, p.pe))) AS cos_raw
+      FROM v JOIN p ON v.vec_id <> p.probe_id
+    ),
+    ranked AS (
+      SELECT probe_id, vec_id, cos_raw,
+             row_number() OVER (PARTITION BY probe_id
+                                ORDER BY cos_raw DESC, vec_id ASC) AS rank
+      FROM scored
+    )
+    SELECT probe_id, vec_id, round(cos_raw, 6) AS cos_sim,
+           CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= {TOP_K}
+    """,
+)
+def q_sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 for 10 probe vectors, vec_id tiebreak,
+    similarity rounded 6 dp (H-checked against DuckDB list ops)."""
+    ensure_session_determinism(spark)
+    e = load(spark, sf_dir, "embeddings")
+    return cosine_topk(e, e.where(F.col("vec_id") < N_PROBES))
+
+
+N_CELLS = 16
+N_PROBE_CELLS = 4
+
+
+def ivf_assign(vectors: DataFrame, centroids: DataFrame, n: int) -> DataFrame:
+    """Assign each vector to its n nearest centroid cells (by cosine).
+    centroids: (cell_id, ce ARRAY<DOUBLE>) — broadcast-sized."""
+    scored = vectors.crossJoin(F.broadcast(centroids))
+    cos = _dot(F.col("e"), F.col("ce")) / (
+        F.sqrt(_dot(F.col("e"), F.col("e")))
+        * F.sqrt(_dot(F.col("ce"), F.col("ce")))
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cell_cos").desc(), F.col("cell_id").asc()
+    )
+    return (
+        scored.select("vec_id", "e", "cell_id", cos.alias("cell_cos"))
+        .withColumn("r", F.row_number().over(w))
+        .where(F.col("r") <= n)
+        .drop("r", "cell_cos")
+    )
+
+
+def deterministic_centroids(corpus: DataFrame, n_cells: int = N_CELLS) -> DataFrame:
+    """Coarse centroids without an iterative trainer: cell j = mean of
+    corpus vectors whose xxhash64(vec_id) mod n_cells == j. Deterministic,
+    one aggregation pass; in production this is a k-means output — the
+    engine contract (an assignment table) is identical."""
+    dim_means = corpus.withColumn(
+        "cell_id", F.pmod(F.xxhash64("vec_id"), F.lit(n_cells)).cast("int")
+    ).groupBy("cell_id")
+    # element-wise mean via aggregate over zipped arrays
+    summed = dim_means.agg(
+        F.aggregate(
+            F.collect_list("e"),
+            F.transform(F.sequence(F.lit(1), F.lit(64)), lambda _: F.lit(0.0)),
+            lambda acc, v: F.zip_with(acc, v, lambda a, b: a + b),
+        ).alias("vsum"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return summed.select(
+        "cell_id",
+        F.transform("vsum", lambda s: s / F.col("n")).alias("ce"),
+    )
+
+
+@query("q_sim_ann_ivf")
+def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed ANN top-5: corpus assigned to 1 cell each, probes
+    search their 4 nearest cells only (~25% of the corpus scanned).
+    R-checked; the unit test measures recall vs q_sim_cosine_topk."""
+    ensure_session_determinism(spark)
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double_vec("embedding").alias("e")
+    )
+    cents = deterministic_centroids(emb)
+    corpus_cells = ivf_assign(emb, cents, 1)
+    probe_cells = ivf_assign(
+        emb.where(F.col("vec_id") < N_PROBES), cents, N_PROBE_CELLS
+    ).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("e").alias("pe"),
+        "cell_id",
+    )
+    # candidates co-located by cell: equi-join on cell_id — this is the
+    # partition prune; only vectors in probed cells are scored.
+    cand = corpus_cells.join(probe_cells, "cell_id").where(
+        F.col("vec_id") != F.col("probe_id")
+    )
+    cos = _dot(F.col("e"), F.col("pe")) / (
+        F.sqrt(_dot(F.col("e"), F.col("e")))
+        * F.sqrt(_dot(F.col("pe"), F.col("pe")))
+    )
+    scored = cand.select(
+        "probe_id", "vec_id", cos.alias("cos_raw")
+    ).dropDuplicates(["probe_id", "vec_id"])
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("cos_raw").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select(
+            "probe_id",
+            "vec_id",
+            F.round("cos_raw", 6).alias("cos_sim"),
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )

@@ -1,0 +1,343 @@
+"""Text-analysis operators over ``documents`` (SURVEY §2B): corpus
+stats, tf-idf, language-ID scoring, quality scoring, token counting,
+rolling-hash fingerprints. All pure JVM expressions (split / explode /
+agg / window) — the shapes that stream through a 100 TB corpus with one
+or two shuffles each.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from tile_etl_spark.io import load
+from tile_etl_spark.registry import query
+from tile_etl_spark.session import ensure_session_determinism
+
+
+@query(
+    "q_text_stats",
+    oracle="""
+    WITH tok AS (
+      SELECT lang, doc_id, n_chars, len(string_split(text, ' ')) AS n_tokens
+      FROM documents
+    ),
+    per_lang AS (
+      SELECT lang,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_tokens) AS DOUBLE) / count(*) AS avg_tokens,
+             CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars
+      FROM tok GROUP BY lang
+    ),
+    terms AS (
+      SELECT lang, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    term_counts AS (
+      SELECT lang, term, count(*) AS n FROM terms GROUP BY lang, term
+    ),
+    top_terms AS (
+      SELECT lang, term,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY n DESC, term ASC) AS r
+      FROM term_counts
+    )
+    SELECT p.lang, p.n_docs, p.avg_tokens, p.avg_chars,
+           t.term AS top_term
+    FROM per_lang p JOIN top_terms t ON p.lang = t.lang AND t.r = 1
+    """,
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus stats + most frequent term (count desc, term
+    asc tiebreak). Two aggregations + one broadcast join."""
+    ensure_session_determinism(spark)
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(
+        "lang", "n_chars", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    per_lang = tok.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("n_tokens").cast("double") / F.count(F.lit(1))).alias(
+            "avg_tokens"
+        ),
+        (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias(
+            "avg_chars"
+        ),
+    )
+    terms = d.select("lang", F.explode(F.split("text", " ")).alias("term"))
+    counts = terms.groupBy("lang", "term").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("lang").orderBy(
+        F.col("n").desc(), F.col("term").asc()
+    )
+    top = (
+        counts.withColumn("r", F.row_number().over(w))
+        .where(F.col("r") == 1)
+        .select("lang", F.col("term").alias("top_term"))
+    )
+    return per_lang.join(top, "lang")
+
+
+@query(
+    "q_text_tfidf",
+    oracle="""
+    WITH tf AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    tfc AS (SELECT doc_id, term, count(*) AS tf FROM tf GROUP BY 1, 2),
+    df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tfc.doc_id, tfc.term,
+             tfc.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df) AS tfidf
+      FROM tfc JOIN df USING (term) CROSS JOIN n
+    ),
+    ranked AS (
+      SELECT doc_id, term, tfidf,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY tfidf DESC, term ASC) AS r
+      FROM scored
+    )
+    SELECT doc_id, term AS top_term, round(tfidf, 6) AS tfidf
+    FROM ranked WHERE r = 1
+    """,
+)
+def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top tf-idf term per doc: tfidf = tf · ln(N/df), ranked (tfidf
+    desc, term asc). Explode → two aggregations → broadcast join of the
+    df table → window. The df (document-frequency) table is vocabulary-
+    sized — always broadcastable."""
+    ensure_session_determinism(spark)
+    d = load(spark, sf_dir, "documents")
+    n_docs = d.count()  # scalar plan constant, same as the oracle's CROSS JOIN n
+    terms = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tfc = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfc = terms.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    scored = tfc.join(F.broadcast(dfc), "term").select(
+        "doc_id",
+        "term",
+        (F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))).alias(
+            "tfidf"
+        ),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("r", F.row_number().over(w))
+        .where(F.col("r") == 1)
+        .select("doc_id", F.col("term").alias("top_term"), F.round("tfidf", 6).alias("tfidf"))
+    )
+
+
+# Deterministic lang-ID scoring rule shared with the oracle: score each
+# language by its marker-term hit counts; predict the argmax (marker
+# lists pinned). The synthetic fixture's text is vocabulary soup, so
+# this exercises the *operator shape* (N scores + argmax over marker
+# dictionaries — exactly how a real n-gram lang-ID kernel runs); with
+# real corpora the marker lists become n-gram profiles.
+_MARKERS = {
+    "en": ("the", "value", "fast"),
+    "de": ("der", "und", "table"),
+    "es": ("el", "los", "row"),
+    "fr": ("le", "les", "line"),
+    "zh": ("zh", "hash", "scan"),
+}
+
+
+def _hits_sql(terms: tuple[str, ...]) -> str:
+    return " + ".join(
+        f"len(list_filter(string_split(text, ' '), t -> t = '{t}'))"
+        for t in terms
+    )
+
+
+@query(
+    "q_text_langid",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             {", ".join(f"CAST({_hits_sql(ts)} AS INT) AS score_{lang}" for lang, ts in _MARKERS.items())}
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           {", ".join(f"score_{lang}" for lang in _MARKERS)},
+           CASE {" ".join(f"WHEN score_{lang} >= greatest({', '.join('score_' + o for o in _MARKERS)}) THEN '{lang}'" for lang in _MARKERS)}
+           END AS predicted
+    FROM scored
+    """,
+)
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID scoring: per-language marker-hit counts + argmax
+    (first language in pinned order wins ties — the CASE encodes the
+    same total order both sides)."""
+    ensure_session_determinism(spark)
+    d = load(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+
+    def marker_eq(m: str):
+        # closure, NOT a default arg — pyspark treats 2-param lambdas
+        # as (element, index) and would shadow `m` with the index
+        return lambda t: t == F.lit(m)
+
+    scores = {
+        lang: sum(
+            (F.size(F.filter(words, marker_eq(m))) for m in terms),
+            F.lit(0),
+        ).cast("int")
+        for lang, terms in _MARKERS.items()
+    }
+    df = d.select(
+        "doc_id",
+        "lang",
+        *[scores[lang].alias(f"score_{lang}") for lang in _MARKERS],
+    )
+    best = F.greatest(*[F.col(f"score_{lang}") for lang in _MARKERS])
+    pred = None
+    for lang in _MARKERS:
+        cond = F.col(f"score_{lang}") >= best
+        pred = F.when(cond, lang) if pred is None else pred.when(cond, lang)
+    return df.withColumn("predicted", pred)
+
+
+@query(
+    "q_text_quality",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, text,
+             len(string_split(text, ' ')) AS n_tokens,
+             length(text) AS n_chars_m,
+             length(regexp_replace(text, '[a-z ]', '', 'g')) AS n_nonalpha,
+             len(list_filter(string_split(text, ' '),
+                 t -> t IN ('the', 'a', 'of', 'and', 'data', 'value'))) AS n_stop
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(n_tokens AS INT) AS n_tokens,
+           round(CAST(n_nonalpha AS DOUBLE) / n_chars_m, 6) AS punct_ratio,
+           round(CAST(n_stop AS DOUBLE) / n_tokens, 6) AS stopword_ratio,
+           round(CAST(n_chars_m AS DOUBLE) / n_tokens, 6) AS avg_token_len,
+           (n_tokens >= 5 AND CAST(n_stop AS DOUBLE) / n_tokens > 0.0) AS passes
+    FROM t
+    """,
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: token count, punctuation ratio, stopword ratio,
+    mean token length, and a pass/fail gate — the standard pre-training
+    filter feature set, all in one projection pass."""
+    ensure_session_determinism(spark)
+    d = load(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    stop = F.size(
+        F.filter(
+            words,
+            lambda t: t.isin("the", "a", "of", "and", "data", "value"),
+        )
+    )
+    n_tokens = F.size(words)
+    n_chars = F.length("text")
+    n_nonalpha = F.length(F.regexp_replace("text", "[a-z ]", ""))
+    return d.select(
+        "doc_id",
+        n_tokens.cast("int").alias("n_tokens"),
+        F.round(n_nonalpha.cast("double") / n_chars, 6).alias("punct_ratio"),
+        F.round(stop.cast("double") / n_tokens, 6).alias("stopword_ratio"),
+        F.round(n_chars.cast("double") / n_tokens, 6).alias("avg_token_len"),
+        ((n_tokens >= 5) & (stop.cast("double") / n_tokens > 0.0)).alias(
+            "passes"
+        ),
+    )
+
+
+@query(
+    "q_text_tokens",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INT) AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INT)
+             AS bpe_ish_tokens,
+           CAST(length(text) AS INT) AS n_bytes
+    FROM documents
+    """,
+)
+def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace split and a BPE-ish regex
+    (letter runs / digit runs / single symbols) — the cheap proxy used
+    to budget LLM token counts at corpus scale."""
+    ensure_session_determinism(spark)
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("int").alias("ws_tokens"),
+        F.size(
+            F.expr(r"regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)")
+        ).cast("int").alias("bpe_ish_tokens"),
+        F.length("text").cast("int").alias("n_bytes"),
+    )
+
+
+# Rolling-hash fingerprinting: word value wv = ascii(first)·10000 +
+# ascii(last)·100 + length; window-4 polynomial hash base 31. Both
+# dialects compute identical BIGINTs.
+_WV_SPARK = (
+    lambda w: F.ascii(F.substring(w, 1, 1)) * 10000
+    + F.ascii(F.substring(w, -1, 1)) * 100
+    + F.length(w)
+)
+
+
+@query(
+    "q_text_fingerprint",
+    oracle="""
+    WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    wv AS (
+      SELECT doc_id,
+             list_transform(w, t -> CAST(ascii(substring(t, 1, 1)) * 10000
+                            + ascii(substring(t, -1, 1)) * 100
+                            + length(t) AS BIGINT)) AS v
+      FROM words
+    ),
+    fp AS (
+      SELECT doc_id,
+             list_transform(
+               generate_series(1, greatest(len(v) - 3, 0)),
+               i -> ((v[i] * 31 + v[i+1]) * 31 + v[i+2]) * 31 + v[i+3]) AS fps
+      FROM wv
+    )
+    SELECT doc_id,
+           CAST(len(list_distinct(fps)) AS INT) AS n_distinct_fp,
+           list_aggregate(fps, 'min') AS min_fp,
+           list_aggregate(fps, 'max') AS max_fp
+    FROM fp
+    """,
+)
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: rolling polynomial hash over 4-word
+    windows; emits distinct-fingerprint count and min/max (the winnowing
+    primitives). Pure array expressions — no shuffle until any
+    cross-doc fingerprint join."""
+    ensure_session_determinism(spark)
+    d = load(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    v = F.transform(w, lambda t: _WV_SPARK(t).cast("bigint"))
+    # Guard: Spark's sequence(1, 0) DESCENDS (DuckDB's generate_series
+    # yields empty) — short docs must produce an empty fingerprint list.
+    fps = F.when(F.size(v) < 4, F.array().cast("array<bigint>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(v) - 3),
+            lambda i: (
+                (
+                    F.element_at(v, i) * 31 + F.element_at(v, i + 1)
+                ) * 31
+                + F.element_at(v, i + 2)
+            )
+            * 31
+            + F.element_at(v, i + 3),
+        )
+    )
+    return d.select(
+        "doc_id",
+        F.size(F.array_distinct(fps)).cast("int").alias("n_distinct_fp"),
+        F.array_min(fps).alias("min_fp"),
+        F.array_max(fps).alias("max_fp"),
+    )
