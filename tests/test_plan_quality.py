@@ -1,0 +1,105 @@
+"""Physical-plan shape assertions (the 100 TB posture, SURVEY §4).
+
+Correctness tests prove the operators compute the right rows; these
+prove Catalyst is executing them the way the scale design intends —
+filters reach the parquet reader, dimension joins broadcast, rewritten
+joins never fall back to nested loops, top-k never globally sorts.
+A regression here is a silent 100× at-scale slowdown that row counts
+would never catch.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from tile_etl_spark import registry
+
+registry.load_all()
+
+
+def plan(df, mode: str = "formatted") -> str:
+    jvm = df.sparkSession._jvm
+    return df._jdf.queryExecution().explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    )
+
+
+def q(qid, spark, sf_dir):
+    return registry.QUERIES[qid](spark, sf_dir)
+
+
+def test_projection_prunes_scan(spark, sf_dir):
+    p = plan(q("q_scan_project", spark, sf_dir))
+    read = [ln for ln in p.splitlines() if "ReadSchema" in ln][0]
+    assert "l_orderkey" in read and "l_shipdate" in read
+    assert "l_extendedprice" not in read and "l_comment" not in read
+
+
+def test_filter_pushdown_reaches_parquet(spark, sf_dir):
+    p = plan(q("q_scan_pushdown", spark, sf_dir))
+    pushed = [ln for ln in p.splitlines() if "PushedFilters" in ln][0]
+    assert "GreaterThanOrEqual(l_shipdate" in pushed
+
+
+def test_q6_pushes_all_range_predicates(spark, sf_dir):
+    p = plan(q("q_filter_range", spark, sf_dir))
+    pushed = [ln for ln in p.splitlines() if "PushedFilters" in ln][0]
+    for frag in ("l_shipdate", "l_discount", "LessThan(l_quantity"):
+        assert frag in pushed, pushed
+
+
+def test_dimension_joins_broadcast(spark, sf_dir):
+    for qid in ("q_join_inner", "q_join_broadcast"):
+        p = plan(q(qid, spark, sf_dir))
+        assert "BroadcastHashJoin" in p, qid
+        assert "CartesianProduct" not in p, qid
+
+
+def test_rewritten_joins_avoid_nested_loop(spark, sf_dir):
+    """The whole point of the banding/union-window builders (SURVEY
+    §4.3): no BroadcastNestedLoopJoin in interval or as-of plans."""
+    for qid in ("q_join_interval", "q_join_asof"):
+        p = plan(q(qid, spark, sf_dir))
+        assert "BroadcastNestedLoopJoin" not in p, qid
+        assert "CartesianProduct" not in p, qid
+
+
+def test_theta_join_keeps_equi_component(spark, sf_dir):
+    p = plan(q("q_join_theta", spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "Join" in p  # hash join on p_brand with residual <
+
+
+def test_topk_uses_take_ordered(spark, sf_dir):
+    p = plan(q("q_topk", spark, sf_dir))
+    assert "TakeOrderedAndProject" in p
+
+
+def test_grouped_topk_limits_inside_window(spark, sf_dir):
+    p = plan(q("q_topk_per_group", spark, sf_dir))
+    assert "WindowGroupLimit" in p
+
+
+def test_agg_has_partial_and_final(spark, sf_dir):
+    df = q("q_agg_group", spark, sf_dir)
+    p = plan(df)
+    assert p.count("HashAggregate") >= 2  # map-side partial + final
+    # AQE hides codegen stars pre-execution; codegen mode shows subtrees
+    assert "WholeStageCodegen" in plan(df, "codegen")
+
+
+def test_near_dup_pipeline_has_no_cartesian(spark, sf_dir):
+    p = plan(q("q_dedup_near", spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_pandas_udf_is_arrow(spark, sf_dir):
+    p = plan(q("q_udf_scalar", spark, sf_dir))
+    assert "ArrowEvalPython" in p
+
+
+def test_semi_anti_are_joins_not_subquery_loops(spark, sf_dir):
+    for qid, kind in (("q_join_semi", "LeftSemi"), ("q_join_anti", "LeftAnti")):
+        p = plan(q(qid, spark, sf_dir))
+        assert kind in p, qid
