@@ -1,0 +1,109 @@
+"""Property tests (SURVEY §5.2 item 4) beyond the codec round trip:
+grid-count formula vs brute force, approximate-agg error bounds,
+object-store sink side effects, MinHash signature estimate quality."""
+
+from __future__ import annotations
+
+import math
+import os
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from tile_etl_spark import registry
+from tile_etl_spark.tiles import grid as G
+
+registry.load_all()
+
+
+@given(
+    minx=st.floats(min_value=-2e7, max_value=1.9e7),
+    miny=st.floats(min_value=-2e7, max_value=1.9e7),
+    dx=st.floats(min_value=1e3, max_value=1e6),
+    dy=st.floats(min_value=1e3, max_value=1e6),
+    level=st.integers(min_value=3, max_value=14),
+)
+@settings(max_examples=200, deadline=None)
+def test_grid_bounds_match_bruteforce(minx, miny, dx, dy, level):
+    """level_bounds (the sequence() endpoints) must equal the reference
+    loop's brute-force enumeration (src/Program.cs:74-96) for random
+    extents: same truncating division, padding, and +1 upper bound."""
+    extent = (minx, miny, minx + dx, miny + dy)
+    r0, r1, c0, c1 = G.level_bounds(level, extent=extent)
+    ts = G.WEB_MERCATOR_DELTA * math.pow(2, 1 - level)
+    # brute-force the reference formulas directly
+    assert r0 == int(math.trunc((G.WEB_MERCATOR_DELTA - extent[3]) / ts)) - 6
+    assert r1 == int(math.trunc((G.WEB_MERCATOR_DELTA - extent[1]) / ts)) + 7
+    assert c0 == int(math.trunc((extent[0] + G.WEB_MERCATOR_DELTA) / ts)) - 6
+    assert c1 == int(math.trunc((extent[2] + G.WEB_MERCATOR_DELTA) / ts)) + 7
+    # ranges are inclusive and non-degenerate for positive-area extents
+    assert r1 >= r0 and c1 >= c0
+
+
+def test_approx_aggs_within_bounds(spark, duck, sf_dir):
+    """q_agg_approx (R oracle): HLL++ distinct within 5% of exact,
+    approx median within the true [p25, p75]."""
+    row = registry.QUERIES["q_agg_approx"](spark, sf_dir).first()
+    exact_distinct, p25, p50, p75 = duck.execute(
+        "SELECT count(DISTINCT l_partkey), "
+        "quantile_cont(l_extendedprice, 0.25), "
+        "quantile_cont(l_extendedprice, 0.5), "
+        "quantile_cont(l_extendedprice, 0.75) FROM lineitem"
+    ).fetchone()
+    assert abs(row["approx_parts"] - exact_distinct) <= 0.05 * exact_distinct
+    assert p25 <= row["approx_median_price"] <= p75
+
+
+def test_objectstore_sink_writes_objects_and_deadletters(spark, sf_dir):
+    """The sink must actually PUT: files exist under the decimal keys
+    with metadata sidecars, err keys are absent, and statuses add up."""
+    import shutil
+
+    from tile_etl_spark.sources.files import ART_DIR
+
+    base = os.path.join(ART_DIR, "object_store")
+    shutil.rmtree(base, ignore_errors=True)
+    out = {
+        r["status"]: r["n"]
+        for r in registry.QUERIES["sink_objectstore"](spark, sf_dir).collect()
+    }
+    assert out.get("ok", 0) > 0 and out.get("err", 0) > 0
+    written = []
+    for root, _dirs, files in os.walk(base):
+        for f in files:
+            if not f.endswith(".meta"):
+                written.append(os.path.join(root, f))
+    assert len(written) == out["ok"]
+    sample = written[0]
+    assert os.path.exists(sample + ".meta")
+    with open(sample + ".meta") as fh:
+        meta = fh.read()
+    assert "content_type" in meta and "acl" in meta
+    # keys are Lite/{level}/{row}/{col} decimal (src/Program.cs:113)
+    rel = os.path.relpath(sample, base)
+    parts = rel.split(os.sep)
+    assert parts[0] == "Lite" and len(parts) == 4
+    int(parts[1]), int(parts[2]), int(parts[3])
+
+
+def test_minhash_signature_estimates_jaccard(spark, sf_dir):
+    """Signature agreement rate ≈ true Jaccard (within 0.2 at 64 perms)
+    for the fixture's true near-dup pairs."""
+    from tile_etl_spark.io import load
+    from tile_etl_spark.llm.dedup import minhash_signatures
+
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in load(spark, sf_dir, "documents").collect()
+    }
+    sigs = {
+        r["doc_id"]: r["sig"]
+        for r in minhash_signatures(load(spark, sf_dir, "documents")).collect()
+    }
+    pairs = registry.QUERIES["q_dedup_near"](spark, sf_dir).collect()
+    assert pairs
+    for r in pairs[:20]:
+        est = sum(
+            a == b for a, b in zip(sigs[r["d1"]], sigs[r["d2"]])
+        ) / len(sigs[r["d1"]])
+        assert abs(est - r["jaccard"]) <= 0.2, (r["d1"], r["d2"], est, r["jaccard"])
