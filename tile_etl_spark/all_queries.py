@@ -15,6 +15,7 @@ import tile_etl_spark.sources.files  # noqa: F401
 import tile_etl_spark.operators.aggregates  # noqa: F401
 import tile_etl_spark.operators.filters  # noqa: F401
 import tile_etl_spark.operators.joins  # noqa: F401
+import tile_etl_spark.operators.reshape  # noqa: F401
 import tile_etl_spark.operators.sessionize  # noqa: F401
 import tile_etl_spark.operators.setops  # noqa: F401
 import tile_etl_spark.operators.windows  # noqa: F401
