@@ -23,22 +23,36 @@ from tile_etl_spark.session import get_spark  # noqa: E402
 # Headline set: one per operator family; anything unregistered yet is
 # skipped so the bench stays runnable every round.
 HEADLINE = [
+    # tile-ETL core (reference parity)
     "q_tile_grid",
     "q_tile_stats",
+    "sink_objectstore",
+    # scans + filters
     "q_scan_pushdown",
     "q_filter_range",
-    "q_agg_group",
-    "q_agg_rollup",
+    # joins
     "q_join_inner",
     "q_join_broadcast",
+    "q_join_interval",
     "q_join_asof",
+    # aggregation + windows + top-k
+    "q_agg_group",
+    "q_agg_rollup",
     "q_win_rank",
     "q_topk_per_group",
     "q_sessionize",
+    "q_window_tumbling",
+    # reshape + UDF surface
+    "q_pivot",
+    "q_udf_scalar",
+    "q_udaf_grouped",
+    # LLM-pipeline
     "q_dedup_exact",
     "q_dedup_near",
+    "q_dedup_embed",
     "q_sim_cosine_topk",
     "q_text_tfidf",
+    "q_text_fingerprint",
 ]
 
 

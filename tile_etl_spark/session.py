@@ -52,6 +52,41 @@ def get_spark(
     return builder.getOrCreate()
 
 
+def cluster_conf() -> dict[str, str]:
+    """Config delta for a real multi-executor deployment (the local[*]
+    factory above is the same engine; these knobs only matter with a
+    cluster manager and a 100 TB-class input):
+
+    - shuffle width sized so ~128-256 MB lands per reduce partition
+      (AQE coalesces down, so err high);
+    - RocksDB state store for streaming state that exceeds heap;
+    - dynamic allocation as the admission-control replacement for the
+      reference's Semaphore(40) (SURVEY §2A A12);
+    - shuffle/broadcast compression and off-heap memory for Tungsten.
+
+    Returned as a dict so spark-submit wrappers can splat it.
+    """
+    return {
+        "spark.sql.shuffle.partitions": "2000",
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "128MB",
+        "spark.sql.files.maxPartitionBytes": "256MB",
+        "spark.sql.autoBroadcastJoinThreshold": "256MB",
+        "spark.sql.streaming.stateStore.providerClass": (
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider"
+        ),
+        "spark.dynamicAllocation.enabled": "true",
+        "spark.dynamicAllocation.shuffleTracking.enabled": "true",
+        "spark.memory.offHeap.enabled": "true",
+        "spark.memory.offHeap.size": "8g",
+        "spark.sql.parquet.filterPushdown": "true",
+        "spark.sql.parquet.aggregatePushdown": "true",
+    }
+
+
 def ensure_session_determinism(spark: SparkSession) -> SparkSession:
     """Pin runtime confs that affect cross-engine value equality.
 
