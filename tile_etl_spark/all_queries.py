@@ -5,6 +5,7 @@ module registers its qids into ``registry.QUERIES`` / ``ORACLES``.
 """
 
 # Tile-ETL core (reference parity, SURVEY §2A)
+import tile_etl_spark.tiles.etl  # noqa: F401
 import tile_etl_spark.tiles.grid  # noqa: F401
 import tile_etl_spark.tiles.sink  # noqa: F401
 

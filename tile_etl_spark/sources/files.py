@@ -62,6 +62,36 @@ def src_csv_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "src_csv_infer",
+    oracle="""
+    SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+           CAST(n_regionkey AS BIGINT) AS n_regionkey
+    FROM nation
+    """,
+)
+def src_csv_infer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV ingest with SCHEMA INFERENCE (inferSchema samples the data;
+    integers come back as int — normalized to BIGINT so the oracle
+    twin's types match). Inference costs an extra pass over the file —
+    fine for ad-hoc ingest, never for the 100 TB path (explicit DDL,
+    as src_csv_json)."""
+    ensure_session_determinism(spark)
+    n = load(spark, sf_dir, "nation")
+    csv_dir = _art("nation_csv_infer")
+    n.coalesce(1).write.mode("overwrite").option("header", True).csv(csv_dir)
+    c = (
+        spark.read.option("header", True)
+        .option("inferSchema", True)
+        .csv(csv_dir)
+    )
+    return c.select(
+        F.col("n_nationkey").cast("bigint"),
+        "n_name",
+        F.col("n_regionkey").cast("bigint"),
+    )
+
+
+@query(
     "sink_parquet",
     oracle="""
     SELECT o_orderstatus,
