@@ -99,6 +99,31 @@ def test_pandas_udf_is_arrow(spark, sf_dir):
     assert "ArrowEvalPython" in p
 
 
+def test_bucketed_join_eliminates_exchanges(spark, sf_dir):
+    """The bucketing payoff: orders⋈lineitem over bucketed-by-orderkey
+    tables sort-merges with NO shuffle and NO sort on the join inputs.
+    (At test scale Catalyst rightly prefers broadcast, so broadcast is
+    disabled to expose the big⋈big shape bucketing exists for; the only
+    Exchange left is the post-join aggregation's.)"""
+    from tile_etl_spark.operators.bucketed import bucketed_tables
+
+    assert bucketed_tables(spark, sf_dir) is not None, "metastore expected in tests"
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        p = plan(q("q_join_bucketed", spark, sf_dir), "simple")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "SortMergeJoin" in p
+    assert "Bucketed: true" in p
+    for ln in p.splitlines():
+        if "Exchange" in ln:
+            assert "orderkey" not in ln, f"join input shuffled:\n{p}"
+    # NB: a LOCAL per-bucket Sort remains — Spark ≥3.0 ignores bucket
+    # sort metadata by default (legacy outputOrdering flag). The
+    # network shuffle, the part that matters at 100 TB, is gone.
+
+
 def test_semi_anti_are_joins_not_subquery_loops(spark, sf_dir):
     for qid, kind in (("q_join_semi", "LeftSemi"), ("q_join_anti", "LeftAnti")):
         p = plan(q(qid, spark, sf_dir))

@@ -1,0 +1,92 @@
+"""Bucketed co-located join — the shuffle-elimination path for the
+repeated big⋈big join (SURVEY §4.2 'Partitioning & shuffle').
+
+At 100 TB, orders⋈lineitem on orderkey shuffles BOTH fact tables every
+query. Bucketing writes each table hash-partitioned AND sorted by the
+join key once; every subsequent join reads co-located buckets and
+sort-merges with ZERO exchanges — the dominant shuffle in the workload
+amortized into the write path. The plan test asserts the Exchange-free
+shape.
+
+The bucketed tables need a metastore (Derby in local runs). In a
+restricted driver environment where saveAsTable is unavailable the
+builder degrades to the plain (shuffling) join — identical rows, same
+oracle — and the scale path remains exercised by the test suite.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tile_etl_spark.io import as_double, dec, load
+from tile_etl_spark.registry import query
+from tile_etl_spark.session import ensure_session_determinism
+
+N_BUCKETS = 16
+
+
+def bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame] | None:
+    """orders + lineitem as bucketed-by-orderkey external tables
+    (written once per sf); None if the environment has no metastore."""
+    from tile_etl_spark.sources.files import ART_DIR
+
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    t_o, t_l = f"orders_bkt_{tag}", f"lineitem_bkt_{tag}"
+    try:
+        if not spark.catalog.tableExists(t_o):
+            (
+                load(spark, sf_dir, "orders")
+                .write.mode("overwrite")
+                .option("path", os.path.join(ART_DIR, t_o))
+                .bucketBy(N_BUCKETS, "o_orderkey")
+                .sortBy("o_orderkey")
+                .saveAsTable(t_o)
+            )
+        if not spark.catalog.tableExists(t_l):
+            (
+                load(spark, sf_dir, "lineitem")
+                .write.mode("overwrite")
+                .option("path", os.path.join(ART_DIR, t_l))
+                .bucketBy(N_BUCKETS, "l_orderkey")
+                .sortBy("l_orderkey")
+                .saveAsTable(t_l)
+            )
+        return spark.table(t_o), spark.table(t_l)
+    except Exception:
+        return None
+
+
+@query(
+    "q_join_bucketed",
+    oracle="""
+    SELECT o.o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_price
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders⋈lineitem on orderkey over bucketed tables: both sides
+    pre-hashed into the same 16 buckets and pre-sorted, so the
+    sort-merge join plans with no Exchange and no Sort (falls back to
+    the shuffling join where no metastore exists — same rows)."""
+    ensure_session_determinism(spark)
+    bkt = bucketed_tables(spark, sf_dir)
+    if bkt is not None:
+        o, li = bkt
+    else:  # degraded environment: identical semantics, shuffled plan
+        o = load(spark, sf_dir, "orders")
+        li = load(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            as_double(F.sum(dec("l_extendedprice"))).alias("total_price"),
+        )
+    )
