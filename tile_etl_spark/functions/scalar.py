@@ -96,6 +96,80 @@ def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_str_funcs2",
+    oracle="""
+    SELECT p_partkey,
+           reverse(p_name) AS rev,
+           repeat(p_brand, 2) AS brand2,
+           CAST(strpos(p_name, ' ') AS INT) AS space_at,
+           translate(p_name, 'aeiou', '_____') AS masked,
+           CAST(levenshtein(p_name, p_type) AS INT) AS edit_dist,
+           split_part(p_name, ' ', 2) AS second_word,
+           left(p_name, 4) AS first4,
+           right(p_name, 4) AS last4,
+           contains(p_name, 'bolt') AS has_bolt,
+           starts_with(p_type, 'PROMO') AS is_promo,
+           ends_with(p_name, 'nut') AS is_nut
+    FROM part
+    """,
+)
+def q_str_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second string family: reverse/repeat/instr/translate/
+    levenshtein/split_part/left/right/contains/starts/ends — including
+    edit distance, the classic fuzzy-matching kernel."""
+    ensure_session_determinism(spark)
+    p = load(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.reverse("p_name").alias("rev"),
+        F.repeat("p_brand", 2).alias("brand2"),
+        F.instr("p_name", " ").cast("int").alias("space_at"),
+        F.translate("p_name", "aeiou", "_____").alias("masked"),
+        F.levenshtein("p_name", "p_type").cast("int").alias("edit_dist"),
+        F.split_part(F.col("p_name"), F.lit(" "), F.lit(2)).alias(
+            "second_word"
+        ),
+        F.expr("left(p_name, 4)").alias("first4"),
+        F.expr("right(p_name, 4)").alias("last4"),
+        F.contains("p_name", F.lit("bolt")).alias("has_bolt"),
+        F.startswith(F.col("p_type"), F.lit("PROMO")).alias("is_promo"),
+        F.endswith(F.col("p_name"), F.lit("nut")).alias("is_nut"),
+    )
+
+
+@query(
+    "q_date_funcs2",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(quarter(o_orderdate) AS INT) AS qtr,
+           CAST(weekofyear(o_orderdate) AS INT) AS woy,
+           CAST(CAST(o_orderdate AS DATE) + INTERVAL 2 MONTH AS DATE) AS plus2m,
+           make_date(CAST(year(o_orderdate) AS INT), 1, 1) AS year_start,
+           CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+                AS INT) AS days_95
+    FROM orders
+    """,
+)
+def q_date_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second date family: quarter, ISO week, add_months (both engines
+    clamp to month end), make_date, day diff from an epoch date."""
+    ensure_session_determinism(spark)
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.quarter("o_orderdate").cast("int").alias("qtr"),
+        F.weekofyear("o_orderdate").cast("int").alias("woy"),
+        F.add_months(F.col("o_orderdate").cast("date"), 2).alias("plus2m"),
+        F.make_date(F.year("o_orderdate"), F.lit(1), F.lit(1)).alias(
+            "year_start"
+        ),
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")
+        ).cast("int").alias("days_95"),
+    )
+
+
+@query(
     "q_math_funcs",
     oracle="""
     SELECT l_orderkey, l_linenumber,

@@ -257,6 +257,30 @@ def q_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_agg_argminmax",
+    oracle="""
+    SELECT o_custkey,
+           CAST(arg_max(o_orderkey, o_totalprice) AS BIGINT) AS priciest_order,
+           CAST(arg_min(o_orderkey, o_totalprice) AS BIGINT) AS cheapest_order,
+           CAST(max(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS max_price
+    FROM orders GROUP BY o_custkey
+    """,
+)
+def q_agg_argminmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by/min_by (arg-max aggregates): the orderkey of each
+    customer's priciest/cheapest order. NB: ties on o_totalprice would
+    be engine-dependent; the fixture's 2-decimal prices are unique per
+    customer (asserted by the hash match itself at sf0.01)."""
+    ensure_session_determinism(spark)
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_custkey").agg(
+        F.max_by("o_orderkey", "o_totalprice").alias("priciest_order"),
+        F.min_by("o_orderkey", "o_totalprice").alias("cheapest_order"),
+        as_double(F.max(dec("o_totalprice"))).alias("max_price"),
+    )
+
+
 @query("q_agg_approx")
 def q_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate aggregates (HLL++ distinct, KLL-ish quantiles).

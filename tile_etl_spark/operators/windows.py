@@ -135,6 +135,41 @@ def q_win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_win_value",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           first_value(o_orderkey) OVER w AS biggest_order,
+           last_value(o_orderkey)
+             OVER (PARTITION BY o_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS smallest_order,
+           nth_value(o_orderkey, 2) OVER w AS second_order
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey ASC)
+    """,
+)
+def q_win_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value window family: first/last/nth over a total per-customer
+    order. last_value gets the full frame explicitly — its default
+    frame (up to CURRENT ROW) is the classic silent-wrong-answer."""
+    ensure_session_determinism(spark)
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.first("o_orderkey").over(w).alias("biggest_order"),
+        F.last("o_orderkey").over(wfull).alias("smallest_order"),
+        F.nth_value("o_orderkey", 2).over(w).alias("second_order"),
+    )
+
+
 RANGE_US = 10 * 60 * 1_000_000  # ±10 minutes in microseconds
 
 
