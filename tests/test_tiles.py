@@ -52,6 +52,18 @@ def test_path_codec_roundtrip_property(spark, cells):
     assert [(g["l"], g["r"], g["c"]) for g in got] == cells
 
 
+def test_s3_variant_golden_counts():
+    """The S3 program's workload (reference/EtlToS3.cs:23-34): levels
+    17-18 over the Massachusetts extent with its own delta."""
+    sizes = {}
+    for lvl in (17, 18):
+        r0, r1, c0, c1 = G.level_bounds(
+            lvl, extent=G.S3_EXTENT, delta=G.S3_DELTA
+        )
+        sizes[lvl] = (r1 - r0 + 1) * (c1 - c0 + 1)
+    assert sizes == {17: 67 * 73, 18: 121 * 132}
+
+
 def test_hex8_matches_reference_examples(spark):
     """C# {0:x8} examples: 5 -> '00000005', -2 -> 'fffffffe'
     (src/Program.cs:99-100 renders ints as 8-digit lowercase hex)."""

@@ -65,24 +65,40 @@ def grid_counts() -> dict[int, int]:
     return out
 
 
-def _bounds_df(spark: SparkSession) -> DataFrame:
+def _bounds_df(
+    spark: SparkSession,
+    levels: tuple[int, int] = LEVELS,
+    extent: tuple[float, float, float, float] = EXTENT,
+    delta: float = WEB_MERCATOR_DELTA,
+    padding: tuple[int, int] = PADDING,
+) -> DataFrame:
     rows = [
-        (lvl, *level_bounds(lvl)) for lvl in range(LEVELS[0], LEVELS[1] + 1)
+        (lvl, *level_bounds(lvl, extent=extent, delta=delta, padding=padding))
+        for lvl in range(levels[0], levels[1] + 1)
     ]
     return spark.createDataFrame(
         rows, "level INT, r0 INT, r1 INT, c0 INT, c1 INT"
     )
 
 
-def tile_grid(spark: SparkSession) -> DataFrame:
+def tile_grid(
+    spark: SparkSession,
+    levels: tuple[int, int] = LEVELS,
+    extent: tuple[float, float, float, float] = EXTENT,
+    delta: float = WEB_MERCATOR_DELTA,
+    padding: tuple[int, int] = PADDING,
+) -> DataFrame:
     """A1–A4: every candidate (level, row, col) for the reference extent.
 
     Two explodes = a lazy per-level cross product (P:93-96). The
     repartition between them distributes the column fan-out: for deep
     pyramids each (level, row) stripe generates its columns in its own
     task, so no single task ever holds a full level.
+
+    Defaults are the GCS program's constants (P:24-32); pass the S3
+    variant's (S:23-34) — or any deployment's — to retarget.
     """
-    bounds = _bounds_df(spark)
+    bounds = _bounds_df(spark, levels, extent, delta, padding)
     rows = bounds.select(
         "level",
         F.explode(F.sequence("r0", "r1")).alias("row"),
@@ -118,6 +134,17 @@ def _grid_oracle_cte() -> str:
     """
 
 
+# The S3 program variant's workload (S:18-34 = reference/EtlToS3.cs):
+# Massachusetts extent, deep zooms 17-18, PNG tiles, its own (slightly
+# different) Web-Mercator delta — SURVEY §1.1 notes the 6th-decimal
+# disagreement between the two programs; per-variant deltas reproduce
+# each program's exact ranges.
+S3_LEVELS = (17, 18)  # S:23-24
+S3_EXTENT = (-8143974.0, 5195979.0, -8125992.0, 5212260.0)  # S:26-29
+S3_DELTA = 20037508.342787  # S:34
+S3_MAP_NAME = "MBIAddressing/Basemap"  # S:20
+
+
 # --- hex/decimal codecs (A5 + A8) -------------------------------------
 
 def hex8(col_name: str) -> F.Column:
@@ -130,12 +157,13 @@ def hex8(col_name: str) -> F.Column:
 _HEX8_DUCK = """right(printf('%016x', CAST({c} AS BIGINT)), 8)"""
 
 
-def src_path_col() -> F.Column:
-    """A5: ArcGIS exploded-cache relative path ``L{lvl:02d}/R{row:x8}/C{col:x8}.jpg``
+def src_path_col(ext: str = "jpg") -> F.Column:
+    """A5: ArcGIS exploded-cache relative path ``L{lvl:02d}/R{row:x8}/C{col:x8}.{ext}``
     (P:99-100; '/' separators — the Windows root prefix is deployment
-    config, not semantics)."""
+    config, not semantics; ext follows the content type: jpg for the
+    GCS program P:117, png for the S3 variant S:21,81)."""
     return F.format_string(
-        "L%02d/R%s/C%s.jpg", F.col("level"), hex8("row"), hex8("col")
+        f"L%02d/R%s/C%s.{ext}", F.col("level"), hex8("row"), hex8("col")
     )
 
 
@@ -203,6 +231,61 @@ def q_tile_path(spark: SparkSession, sf_dir: str) -> DataFrame:
         lvl.alias("parsed_level"),
         row.alias("parsed_row"),
         col.alias("parsed_col"),
+    )
+
+
+def _s3_oracle_cte() -> str:
+    values = ", ".join(
+        "({}, {}, {}, {}, {})".format(
+            lvl,
+            *level_bounds(lvl, extent=S3_EXTENT, delta=S3_DELTA),
+        )
+        for lvl in range(S3_LEVELS[0], S3_LEVELS[1] + 1)
+    )
+    return f"""
+    WITH bounds(level, r0, r1, c0, c1) AS (VALUES {values}),
+    rows_ AS (
+      SELECT level, unnest(generate_series(r0, r1)) AS "row", c0, c1
+      FROM bounds
+    ),
+    grid AS (
+      SELECT CAST(level AS INT) AS level,
+             CAST("row" AS INT) AS "row",
+             CAST(unnest(generate_series(c0, c1)) AS INT) AS col
+      FROM rows_
+    )
+    """
+
+
+@query(
+    "q_tile_s3_variant",
+    oracle=_s3_oracle_cte()
+    + f"""
+    SELECT level, "row", col,
+           printf('L%02d/R%s/C%s.png', level,
+                  {_HEX8_DUCK.format(c='"row"')},
+                  {_HEX8_DUCK.format(c='col')}) AS src_path,
+           concat_ws('/', '{S3_MAP_NAME}', level, "row", col) AS object_key
+    FROM grid
+    """,
+)
+def q_tile_s3_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's SECOND program (reference/EtlToS3.cs) as data:
+    Massachusetts extent, levels 17-18, PNG paths, the S3 variant's own
+    Web-Mercator delta (S:34 differs from P:32 in the 6th decimal —
+    reproduced per-variant, not papered over), and its slash-namespaced
+    map name. Same builders, different constants — the parameterization
+    IS the feature."""
+    ensure_session_determinism(spark)
+    g = tile_grid(
+        spark, levels=S3_LEVELS, extent=S3_EXTENT, delta=S3_DELTA
+    )
+    return g.select(
+        "level",
+        "row",
+        "col",
+        src_path_col(ext="png").alias("src_path"),
+        object_key_col(map_name=S3_MAP_NAME).alias("object_key"),
     )
 
 
