@@ -106,8 +106,14 @@ def tile_grid(
         "c1",
     )
     # Fan out the row stripes across the cluster before the second,
-    # much wider explode. spark.sql.shuffle.partitions governs width.
-    rows = rows.repartition("level", "row")
+    # much wider explode — with an EXPLICIT partition count. A bare
+    # repartition(cols) lets AQE coalesce on the tiny pre-explode
+    # shuffle size (row stripes are bytes; the amplification happens
+    # AFTER, in the column explode) — measured: a levels-5..15 grid
+    # (11M cells) collapsed to one task. Numbered repartitions are
+    # exempt from AQE coalescing.
+    width = spark.sparkContext.defaultParallelism * 2
+    rows = rows.repartition(width, "level", "row")
     return rows.select(
         "level", "row", F.explode(F.sequence("c0", "c1")).alias("col")
     )
