@@ -258,6 +258,29 @@ def q_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_agg_percentile",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_quantity, 0.5), 6) AS median_qty,
+           round(quantile_cont(l_quantity, 0.9), 6) AS p90_qty,
+           round(quantile_cont(l_discount, 0.25), 6) AS p25_disc
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT percentiles (linear interpolation in both engines) — the
+    sort-based exact aggregate, vs q_agg_approx's sketch. At 100 TB use
+    the approx form; the exact form exists for verification tiers."""
+    ensure_session_determinism(spark)
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_quantity", 0.5), 6).alias("median_qty"),
+        F.round(F.percentile("l_quantity", 0.9), 6).alias("p90_qty"),
+        F.round(F.percentile("l_discount", 0.25), 6).alias("p25_disc"),
+    )
+
+
+@query(
     "q_agg_argminmax",
     oracle="""
     SELECT o_custkey,

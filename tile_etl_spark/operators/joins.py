@@ -246,6 +246,44 @@ def q_join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_join_nullsafe",
+    oracle="""
+    WITH a AS (
+      SELECT event_id, CASE WHEN event_type = 'error' THEN NULL
+                            ELSE user_id END AS k
+      FROM events WHERE event_id % 97 = 0
+    ),
+    b AS (
+      SELECT event_id, CASE WHEN event_type = 'error' THEN NULL
+                            ELSE user_id END AS k
+      FROM events WHERE event_id % 97 = 1
+    )
+    SELECT a.event_id AS id_a, b.event_id AS id_b, a.k
+    FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+    """,
+)
+def q_join_nullsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys
+    MATCH each other — still a hash join (the null bucket is just
+    another key), unlike `=` which drops all NULL rows. Inputs are
+    1/97-sampled: the NULL bucket is inherently quadratic — at scale
+    null-keyed rows are the canonical skew case (salt or pre-filter
+    them; here the sample keeps the demo bounded)."""
+    ensure_session_determinism(spark)
+    e = load(spark, sf_dir, "events")
+    k = F.when(F.col("event_type") == "error", F.lit(None)).otherwise(
+        F.col("user_id")
+    )
+    a = e.where(F.col("event_id") % 97 == 0).select(
+        F.col("event_id").alias("id_a"), k.alias("k")
+    )
+    b = e.where(F.col("event_id") % 97 == 1).select(
+        F.col("event_id").alias("id_b"), k.alias("kb")
+    )
+    return a.join(b, a.k.eqNullSafe(b.kb)).select("id_a", "id_b", "k")
+
+
 BAND_US = 5 * 60 * 1_000_000  # 5-minute band in microseconds
 
 
