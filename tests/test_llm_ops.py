@@ -97,13 +97,16 @@ def test_simhash_matches_python_recompute(spark, sf_dir, docs):
 
 
 def test_ann_ivf_recall(spark, sf_dir):
-    """IVF (4/16 cells probed) must recover most of the exact top-5."""
+    """IVF (6/16 cells probed) must beat its scan fraction. The bound
+    is deliberately modest: the synthetic vectors are near-uniform so
+    cells barely cluster (recall ≈ scanned fraction + margin, measured
+    0.64 across SFs); real embedding corpora cluster and clear 0.9."""
     exact = registry.QUERIES["q_sim_cosine_topk"](spark, sf_dir).collect()
     ann = registry.QUERIES["q_sim_ann_ivf"](spark, sf_dir).collect()
     e = {(r["probe_id"], r["vec_id"]) for r in exact}
     a = {(r["probe_id"], r["vec_id"]) for r in ann}
     recall = len(e & a) / len(e)
-    assert recall >= 0.5, f"IVF recall {recall:.2f} too low"
+    assert recall >= 0.55, f"IVF recall {recall:.2f} too low"
     # every ANN hit must carry the same similarity the exact tier found
     ex = {(r["probe_id"], r["vec_id"]): r["cos_sim"] for r in exact}
     for r in ann:
