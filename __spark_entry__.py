@@ -26,6 +26,81 @@ registry.load_all()
 _SMOKE_SF_DIR = "/root/testdata/sf0.001"
 FLAGSHIP = "q_agg_group"
 
+# Round-2 verification priority. The round-1 driver recorded CORRECTNESS
+# rows for exactly the first 50 registry entries, leaving 51 qids with no
+# hard signal. Front-load the qids that still lack a driver row (plus the
+# two repaired this round: q_agg_collect's hashable output and
+# q_agg_approx's tolerance oracle); the 48 qids already proven green in
+# CORRECTNESS_r01.json follow after. Registration/implementation is
+# unchanged — this orders only the exported dict views.
+_PRIORITY = [
+    # repaired this round
+    "q_agg_collect",
+    "q_agg_approx",
+    # set ops / top-k (SURVEY §2B, no r01 row)
+    "q_topk",
+    "q_topk_per_group",
+    "q_union_all",
+    "q_union_distinct",
+    "q_intersect",
+    "q_except",
+    "q_intersect_all",
+    "q_except_all",
+    # window family
+    "q_win_rank",
+    "q_win_running",
+    "q_win_leadlag",
+    "q_win_ntile",
+    "q_win_value",
+    "q_win_range",
+    # scalar function families
+    "q_str_funcs",
+    "q_date_funcs",
+    "q_math_funcs",
+    "q_cond_funcs",
+    "q_array_funcs",
+    "q_map_funcs",
+    "q_json_funcs",
+    "q_hash_funcs",
+    "q_cast_types",
+    # Python UDF surface
+    "q_udf_scalar",
+    "q_udaf_grouped",
+    "q_udaf_agg",
+    "q_udtf",
+    # Structured Streaming (rows-only checks)
+    "s_tumbling",
+    "s_sliding",
+    "s_session",
+    "s_watermark",
+    "s_dedup",
+    "s_stateful",
+    # LLM-data-pipeline operators
+    "q_dedup_exact",
+    "q_dedup_near",
+    "q_dedup_ngram",
+    "q_dedup_simhash",
+    "q_dedup_embed",
+    "q_sim_cosine_topk",
+    "q_sim_ann_ivf",
+    "q_text_stats",
+    "q_text_tfidf",
+    "q_text_langid",
+    "q_text_quality",
+    "q_text_tokens",
+    "q_text_fingerprint",
+    "q_multimodal_join",
+    "q_multimodal_decode",
+]
+
+
+def _ordered(names: list[str]) -> list[str]:
+    """Priority qids first, then the rest in registration order."""
+    missing = [q for q in _PRIORITY if q not in registry.QUERIES]
+    assert not missing, f"priority qids not registered: {missing}"
+    front = [q for q in _PRIORITY if q in names]
+    return front + [q for q in names if q not in _PRIORITY]
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query (TPC-H Q1 shape) on sf0.001; driver checks rows>0."""
@@ -34,9 +109,9 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2B."""
-    return dict(registry.QUERIES)
+    return {q: registry.QUERIES[q] for q in _ordered(list(registry.QUERIES))}
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB ANSI-SQL twins for every H-checked qid (SURVEY §2B)."""
-    return dict(registry.ORACLES)
+    return {q: registry.ORACLES[q] for q in _ordered(list(registry.ORACLES))}

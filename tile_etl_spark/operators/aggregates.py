@@ -240,19 +240,27 @@ def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_agg_collect",
     oracle="""
     SELECT o_custkey,
-           list(o_orderkey ORDER BY o_orderkey) AS orderkeys,
+           array_to_string(list(o_orderkey ORDER BY o_orderkey), ',')
+               AS orderkeys,
            CAST(count(*) AS BIGINT) AS n_orders
     FROM orders GROUP BY o_custkey
     """,
 )
 def q_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Collection aggregate with deterministic order: collect_list has
-    no intrinsic order under parallel merge, so the output is
-    array_sort-ed (the oracle's ORDER BY inside list())."""
+    no intrinsic order under parallel merge, so the list is
+    array_sort-ed (the oracle's ORDER BY inside list()). The collection
+    is emitted as a ','-joined STRING rather than an ARRAY column: the
+    driver harness canonicalizes results through pandas, which cannot
+    hash list cells — the string form exercises the same aggregate with
+    a hashable output."""
     ensure_session_determinism(spark)
     o = load(spark, sf_dir, "orders")
     return o.groupBy("o_custkey").agg(
-        F.array_sort(F.collect_list("o_orderkey")).alias("orderkeys"),
+        F.array_join(
+            F.array_sort(F.collect_list("o_orderkey")).cast("array<string>"),
+            ",",
+        ).alias("orderkeys"),
         F.count(F.lit(1)).alias("n_orders"),
     )
 
@@ -304,18 +312,44 @@ def q_agg_argminmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_agg_approx")
+@query(
+    "q_agg_approx",
+    oracle="""
+    SELECT TRUE AS ok_distinct, TRUE AS ok_median,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM lineitem
+    """,
+)
 def q_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate aggregates (HLL++ distinct, KLL-ish quantiles).
-    R-checked: the sketches differ from DuckDB's by construction; the
-    accompanying unit test bounds the estimates against exact values
-    (SURVEY §2B marks this R)."""
+
+    The sketches differ from DuckDB's by construction, so the oracle
+    encodes the TOLERANCE instead of the values: the Spark side
+    computes both the sketch and the exact aggregate and emits
+    ``abs(approx-exact)/exact < 0.05`` booleans (the exact legs are
+    the verification harness, not the production plan — at 100 TB you
+    run only the sketch). The DuckDB twin asserts the same contract
+    trivially (exact-vs-exact), so a sketch drifting out of tolerance
+    is a hard hash mismatch. ``n_rows`` is a real cross-engine value
+    check. The ±5%% unit test on the raw estimates also remains."""
     ensure_session_determinism(spark)
     li = load(spark, sf_dir, "lineitem")
     return li.agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.percentile_approx("l_extendedprice", 0.5, 10000).alias(
-            "approx_median_price"
-        ),
+        (
+            F.abs(
+                F.approx_count_distinct("l_partkey")
+                - F.count_distinct("l_partkey")
+            )
+            / F.count_distinct("l_partkey")
+            < F.lit(0.05)
+        ).alias("ok_distinct"),
+        (
+            F.abs(
+                F.percentile_approx("l_extendedprice", 0.5, 10000)
+                - F.percentile("l_extendedprice", 0.5)
+            )
+            / F.percentile("l_extendedprice", 0.5)
+            < F.lit(0.05)
+        ).alias("ok_median"),
         F.count(F.lit(1)).alias("n_rows"),
     )
