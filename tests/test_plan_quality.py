@@ -128,3 +128,22 @@ def test_semi_anti_are_joins_not_subquery_loops(spark, sf_dir):
     for qid, kind in (("q_join_semi", "LeftSemi"), ("q_join_anti", "LeftAnti")):
         p = plan(q(qid, spark, sf_dir))
         assert kind in p, qid
+
+
+def test_global_rank_never_single_reducer_sorts(spark, sf_dir):
+    """q_win_ntile's two-pass form: the orders data flows through a
+    RangePartitioning exchange + per-partition windows; the ONLY
+    unpartitioned window allowed is the one over the tiny per-partition
+    histogram (input: an Aggregate, not the scan)."""
+    p = plan(q("q_win_ntile", spark, sf_dir))
+    assert "rangepartitioning" in p.lower(), p
+    # the data-bearing window partitions by pid (spark_partition_id)
+    assert "spark_partition_id" in p.lower(), p
+    # the invariant: any Window node ordering the full data by
+    # o_totalprice must carry a partition spec (pid); an unpartitioned
+    # one would be the single-reducer global sort this plan exists to
+    # avoid. (The histogram window is unpartitioned but never touches
+    # o_totalprice.)
+    for ln in p.splitlines():
+        if "Window" in ln and "o_totalprice" in ln:
+            assert "pid" in ln or "spark_partition_id" in ln, ln

@@ -41,17 +41,33 @@ def test_grid_bounds_match_bruteforce(minx, miny, dx, dy, level):
 
 
 def test_approx_aggs_within_bounds(spark, duck, sf_dir):
-    """q_agg_approx (R oracle): HLL++ distinct within 5% of exact,
-    approx median within the true [p25, p75]."""
+    """q_agg_approx emits the tolerance verdicts directly (the oracle
+    contract): both sketches in-bounds, row count exact vs DuckDB; plus
+    the RAW estimates stay within bounds of DuckDB's exact values."""
+    from pyspark.sql import functions as F
+
+    from tile_etl_spark.io import load
+
     row = registry.QUERIES["q_agg_approx"](spark, sf_dir).first()
-    exact_distinct, p25, p50, p75 = duck.execute(
+    exact_distinct, p25, p75, n_rows = duck.execute(
         "SELECT count(DISTINCT l_partkey), "
         "quantile_cont(l_extendedprice, 0.25), "
-        "quantile_cont(l_extendedprice, 0.5), "
-        "quantile_cont(l_extendedprice, 0.75) FROM lineitem"
+        "quantile_cont(l_extendedprice, 0.75), count(*) FROM lineitem"
     ).fetchone()
-    assert abs(row["approx_parts"] - exact_distinct) <= 0.05 * exact_distinct
-    assert p25 <= row["approx_median_price"] <= p75
+    assert row["ok_distinct"] and row["ok_median"]
+    assert row["n_rows"] == n_rows
+    raw = (
+        load(spark, sf_dir, "lineitem")
+        .agg(
+            F.approx_count_distinct("l_partkey").alias("approx_parts"),
+            F.percentile_approx("l_extendedprice", 0.5, 10000).alias(
+                "approx_median_price"
+            ),
+        )
+        .first()
+    )
+    assert abs(raw["approx_parts"] - exact_distinct) <= 0.05 * exact_distinct
+    assert p25 <= raw["approx_median_price"] <= p75
 
 
 def test_objectstore_sink_writes_objects_and_deadletters(spark, sf_dir):

@@ -312,23 +312,32 @@ def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_id,
            json_extract_string(props, '$.k') AS k_str,
            CAST(json_extract_string(props, '$.k') AS INT) AS k_int,
-           CAST(to_json(struct_pack(k := CAST(json_extract_string(props, '$.k') AS INT)))
-                AS VARCHAR) AS rejson
+           CASE WHEN CAST(json_extract_string(props, '$.k') AS INT) IS NULL
+                THEN NULL
+                ELSE CAST(to_json(struct_pack(
+                       k := CAST(json_extract_string(props, '$.k') AS INT)))
+                     AS VARCHAR) END AS rejson
     FROM events
     """,
 )
 def q_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON family: path extraction (string), typed from_json into a
     struct, and re-serialization (both engines emit compact
-    {"k":<int>})."""
+    {"k":<int>}). Re-serialization is guarded to NULL when k is null in
+    BOTH dialects — Spark's to_json drops null struct fields ('{}')
+    while DuckDB emits '{"k":null}', so the unguarded forms disagree
+    exactly on absent keys."""
     ensure_session_determinism(spark)
     e = load(spark, sf_dir, "events")
     parsed = F.from_json("props", "k INT")
+    k_int = parsed.getField("k")
     return e.select(
         "event_id",
         F.get_json_object("props", "$.k").alias("k_str"),
-        parsed.getField("k").alias("k_int"),
-        F.to_json(F.struct(parsed.getField("k").alias("k"))).alias("rejson"),
+        k_int.alias("k_int"),
+        F.when(
+            k_int.isNotNull(), F.to_json(F.struct(k_int.alias("k")))
+        ).alias("rejson"),
     )
 
 

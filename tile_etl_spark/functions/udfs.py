@@ -46,6 +46,9 @@ def q_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_UDAF_BUCKETS = 32
+
+
 @query(
     "q_udaf_grouped",
     oracle="""
@@ -56,21 +59,30 @@ def q_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_udaf_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Grouped-map applyInPandas: z-normalize `value` per user. Each
-    group becomes one Arrow batch in one Python worker — the right tool
-    when per-group logic doesn't decompose into window functions (here
-    it does, which is what the oracle exploits).
+    """Grouped-map applyInPandas: z-normalize `value` per user — the
+    right tool when per-group logic doesn't decompose into window
+    functions (here it does, which is what the oracle exploits).
+
+    The Spark group key is a BUCKET of users (user_id mod B), not the
+    user: one Arrow round trip per bucket, with the per-user math done
+    by a vectorized pandas groupby-transform inside the worker. Naive
+    one-group-per-user was 59× the DuckDB twin at sf0.1 — 1,500 tiny
+    Arrow batches are pure fixed cost. Size B so a bucket's rows fit
+    worker memory (rows_total / B ≈ target batch); semantics are
+    identical under any B.
 
     NB: every callable shipped to Python workers in this package is a
     closure, so cloudpickle serializes it by value — the workers must
     not need `tile_etl_spark` importable on their own sys.path."""
     ensure_session_determinism(spark)
 
-    def znorm(pdf: pd.DataFrame) -> pd.DataFrame:
-        v = pdf["value"]
-        mean = v.mean()
-        sd = v.std(ddof=1)  # sample stddev, matching stddev_samp
-        z = (v - mean) / sd if (sd and sd == sd) else v * float("nan")
+    def znorm_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        g = pdf.groupby("user_id")["value"]
+        mean = g.transform("mean")
+        sd = g.transform("std")  # pandas default ddof=1 = stddev_samp
+        # 0/0 and x/NaN both yield NaN — same edge behavior as the
+        # per-user form (sd==0 implies v==mean; single-row sd is NaN).
+        z = (pdf["value"] - mean) / sd
         return pd.DataFrame(
             {
                 "event_id": pdf["event_id"],
@@ -82,8 +94,11 @@ def q_udaf_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events")
     return (
         e.select("event_id", "user_id", "value")
-        .groupBy("user_id")
-        .applyInPandas(znorm, "event_id BIGINT, user_id BIGINT, z DOUBLE")
+        .withColumn("bucket", F.pmod("user_id", F.lit(N_UDAF_BUCKETS)))
+        .groupBy("bucket")
+        .applyInPandas(
+            znorm_bucket, "event_id BIGINT, user_id BIGINT, z DOUBLE"
+        )
     )
 
 

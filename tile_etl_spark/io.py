@@ -42,11 +42,25 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     identical values (SURVEY §5.3).
     """
     ensure_session_determinism(spark)
+    key = (id(spark), sf_dir, name)
+    hit = _LOAD_MEMO.get(key)
+    if hit is not None:
+        return hit
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    else:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    _LOAD_MEMO[key] = df
+    return df
+
+
+# DataFrames are immutable; memoizing per (session, sf_dir, table)
+# saves re-listing files + re-reading parquet footers + re-analysis on
+# every one of the ~100 qids a driver sweep builds. Bounded: ~10 tables
+# × a few sf dirs per session.
+_LOAD_MEMO: dict[tuple[int, str, str], DataFrame] = {}
 
 
 def dec(col: str | Column) -> Column:

@@ -31,37 +31,9 @@ from tile_etl_spark.io import load
 from tile_etl_spark.registry import query
 from tile_etl_spark.session import ensure_session_determinism
 
-# Cached intermediates are scoped per (qid, sf_dir): a builder releases
-# every OTHER scope's handles on entry, so a long-lived session running
-# many qids never accumulates cached partitions, while repeated runs of
-# the SAME query (bench warm-run protocol, driver retries) still get
-# Spark CacheManager hits — same logical plan → cached data reused.
-_CACHED: list[tuple[str, DataFrame]] = []
-_SCOPE: list[str] = [""]
-
-
-def _scope(tag: str) -> None:
-    """Enter cache scope ``tag``, unpersisting all other scopes."""
-    _SCOPE[0] = tag
-    keep = []
-    while _CACHED:
-        t, df = _CACHED.pop()
-        if t == tag:
-            keep.append((t, df))
-        else:
-            df.unpersist()
-    _CACHED.extend(keep)
-
-
-def _persist(df: DataFrame) -> DataFrame:
-    _CACHED.append((_SCOPE[0], df))
-    return df.persist()
-
-
-def release_cached() -> None:
-    """Unpersist every intermediate cached by this module's builders."""
-    while _CACHED:
-        _CACHED.pop()[1].unpersist()
+# Scoped persist lifecycle — see tile_etl_spark.cache for the contract.
+from tile_etl_spark.cache import persist_scoped as _persist  # noqa: E402
+from tile_etl_spark.cache import release_cached, scope as _scope  # noqa: E402,F401
 
 
 # --- exact ------------------------------------------------------------
@@ -138,33 +110,41 @@ def shingles_df(docs: DataFrame, k: int = 3) -> DataFrame:
 
 N_PERM = 64
 N_BANDS = 16  # 4 rows per band
-_MERSENNE = (1 << 61) - 1
 
 
 def _perm_params(n: int = N_PERM) -> list[tuple[int, int]]:
-    """Deterministic (a, b) hash-family parameters from a fixed LCG
+    """Deterministic (a, b) multiply-shift parameters from a fixed LCG
     (seed pinned — SURVEY §2B requires reproducible signatures).
 
-    ``a`` is bounded to 30 bits and the shingle hash to 32 bits so that
-    a·h + b < 2^62 + 2^61 fits signed int64 EXACTLY — Spark multiplies
-    non-ANSI and would silently wrap a 61-bit × 61-bit product,
-    breaking the (a·h + b) mod 2^61-1 permutation the LSH banding
-    probabilities assume."""
+    The permutation family is Dietzfelbinger multiply-shift:
+    ``h_p(x) = (a_p·x + b_p mod 2^64) >>> 32`` with odd 64-bit ``a``.
+    Arithmetic mod 2^64 is exactly Java's wrapping long arithmetic, so
+    the int64 "overflow" is the DEFINITION of the scheme, not an
+    accident — unlike a Mersenne-prime family, whose 61-bit products
+    cannot be formed in int64 at all (a bounded-multiplier variant is
+    near-linear, correlating the permutations and wrecking the
+    agreement-rate ≈ Jaccard estimate). Requires non-ANSI mode
+    (``ensure_session_determinism``) — ANSI would raise on the wrap.
+    ``a`` / ``b`` are emitted as SIGNED int64 so F.lit round-trips."""
+
+    def signed(v: int) -> int:
+        return v - (1 << 64) if v >= (1 << 63) else v
+
     params, x = [], 42
     for _ in range(n):
-        x = (6364136223846793005 * x + 1442695040888963407) % (1 << 63)
-        a = (x % ((1 << 30) - 1)) + 1
-        x = (6364136223846793005 * x + 1442695040888963407) % (1 << 63)
-        b = x % _MERSENNE
-        params.append((a, b))
+        x = (6364136223846793005 * x + 1442695040888963407) % (1 << 64)
+        a = x | 1  # odd 64-bit multiplier
+        x = (6364136223846793005 * x + 1442695040888963407) % (1 << 64)
+        b = x
+        params.append((signed(a), signed(b)))
     return params
 
 
 def minhash_signatures(docs: DataFrame, n_perm: int = N_PERM) -> DataFrame:
     """(doc_id, sig ARRAY<BIGINT>[n_perm]) MinHash signatures.
 
-    h_p(s) = (a_p · h32(s) + b_p) mod 2^61-1 over 3-word shingles,
-    where h32 = xxhash64 masked to 32 bits (see _perm_params for why).
+    h_p(s) = (a_p · xxhash64(s) + b_p mod 2^64) >>> 32 over 3-word
+    shingles — multiply-shift, see _perm_params for the family.
 
     Shape: explode shingles → hash once per (doc, shingle) → ONE
     hash-aggregate with n_perm ``min`` expressions. This is the scale
@@ -182,15 +162,12 @@ def minhash_signatures(docs: DataFrame, n_perm: int = N_PERM) -> DataFrame:
     """
     params = _perm_params(n_perm)
     sh = shingles_df(docs)
-    # 32-bit shingle hash: with 30-bit `a` the product a·h stays inside
-    # int64 (see _perm_params) — no silent wrap.
-    hashed = sh.select(
-        "doc_id",
-        F.xxhash64("shingle").bitwiseAND(F.lit((1 << 32) - 1)).alias("h"),
-    )
+    hashed = sh.select("doc_id", F.xxhash64("shingle").alias("h"))
 
     def perm_col(a: int, b: int):
-        return F.pmod(F.lit(a) * F.col("h") + F.lit(b), _MERSENNE)
+        # (a·h + b) wraps mod 2^64 (Java long semantics, non-ANSI),
+        # then the top 32 bits are the permuted value — multiply-shift.
+        return F.shiftrightunsigned(F.lit(a) * F.col("h") + F.lit(b), 32)
 
     mins = hashed.groupBy("doc_id").agg(
         *[

@@ -107,18 +107,24 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     sized — always broadcastable."""
     ensure_session_determinism(spark)
     d = load(spark, sf_dir, "documents")
-    n_docs = d.count()  # scalar plan constant, same as the oracle's CROSS JOIN n
+    # N as a broadcast 1-row aggregate (the oracle's CROSS JOIN n) — no
+    # extra driver-side job per plan build.
+    n_docs = d.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
     terms = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
     tfc = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     dfc = terms.groupBy("term").agg(
         F.countDistinct("doc_id").alias("df")
     )
-    scored = tfc.join(F.broadcast(dfc), "term").select(
-        "doc_id",
-        "term",
-        (F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))).alias(
-            "tfidf"
-        ),
+    scored = (
+        tfc.join(F.broadcast(dfc), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            (F.col("tf") * F.log(F.col("n_docs") / F.col("df"))).alias(
+                "tfidf"
+            ),
+        )
     )
     w = Window.partitionBy("doc_id").orderBy(
         F.col("tfidf").desc(), F.col("term").asc()

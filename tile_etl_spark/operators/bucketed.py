@@ -31,29 +31,36 @@ N_BUCKETS = 16
 def bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame] | None:
     """orders + lineitem as bucketed-by-orderkey external tables
     (written once per sf); None if the environment has no metastore."""
-    from tile_etl_spark.sources.files import ART_DIR
+    from tile_etl_spark.sources.files import (
+        ART_DIR,
+        marker_current,
+        source_fingerprint,
+        write_marker,
+    )
 
     tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
     t_o, t_l = f"orders_bkt_{tag}", f"lineitem_bkt_{tag}"
     try:
-        if not spark.catalog.tableExists(t_o):
+        for tbl, src, key in (
+            (t_o, "orders", "o_orderkey"),
+            (t_l, "lineitem", "l_orderkey"),
+        ):
+            # marker keyed on the source parquet's size+mtime: a
+            # regenerated fixture rebuilds the bucketed table instead
+            # of silently joining stale data.
+            marker = os.path.join(ART_DIR, f"{tbl}_FPR")
+            fpr = source_fingerprint(os.path.join(sf_dir, f"{src}.parquet"))
+            if spark.catalog.tableExists(tbl) and marker_current(marker, fpr):
+                continue
             (
-                load(spark, sf_dir, "orders")
+                load(spark, sf_dir, src)
                 .write.mode("overwrite")
-                .option("path", os.path.join(ART_DIR, t_o))
-                .bucketBy(N_BUCKETS, "o_orderkey")
-                .sortBy("o_orderkey")
-                .saveAsTable(t_o)
+                .option("path", os.path.join(ART_DIR, tbl))
+                .bucketBy(N_BUCKETS, key)
+                .sortBy(key)
+                .saveAsTable(tbl)
             )
-        if not spark.catalog.tableExists(t_l):
-            (
-                load(spark, sf_dir, "lineitem")
-                .write.mode("overwrite")
-                .option("path", os.path.join(ART_DIR, t_l))
-                .bucketBy(N_BUCKETS, "l_orderkey")
-                .sortBy("l_orderkey")
-                .saveAsTable(t_l)
-            )
+            write_marker(marker, fpr)
         return spark.table(t_o), spark.table(t_l)
     except Exception:
         return None

@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from tile_etl_spark import cache
 from tile_etl_spark.io import as_double, dec, load
 from tile_etl_spark.registry import query
 from tile_etl_spark.session import ensure_session_determinism
@@ -120,18 +121,72 @@ def q_win_leadlag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distribution functions over one global total order. NOTE: an
-    unpartitioned window is a single-reducer sort — fine for ranked
-    exports, never for per-entity analytics at scale (use the
-    partitioned variants above)."""
+    """Distribution functions over one global total order, WITHOUT the
+    single-reducer global sort an unpartitioned window implies.
+
+    Two-pass global rank: (1) ``repartitionByRange`` on the sort key —
+    partition i holds keys ≤ partition i+1's, each sorted locally in
+    parallel; (2) the per-partition row counts (a tiny N-row histogram)
+    turn local row_numbers into global ones via broadcast offsets. The
+    only unpartitioned window runs over the N-row histogram, never the
+    data. Since the sort key is total (o_orderkey tiebreak), the window
+    distribution functions are pure arithmetic on the global row number
+    rn and the total count n:
+
+      percent_rank = (rn-1)/(n-1)            (0 when n=1)
+      cume_dist    = rn/n                    (keys unique ⇒ no ties)
+      ntile(4)     = first n%4 buckets get ⌈n/4⌉ rows, the rest ⌊n/4⌋
+
+    The range-partitioned block is cached so the histogram pass and the
+    rank pass see the SAME partition boundaries (the range sampler is
+    not guaranteed stable across separate evaluations)."""
     ensure_session_determinism(spark)
-    o = load(spark, sf_dir, "orders")
-    w = Window.orderBy(F.col("o_totalprice").asc(), F.col("o_orderkey").asc())
-    return o.select(
+    cache.scope(f"q_win_ntile:{sf_dir}")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    n_parts = spark.sparkContext.defaultParallelism
+    part = cache.persist_scoped(
+        o.repartitionByRange(
+            n_parts, F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
+        ).withColumn("pid", F.spark_partition_id())
+    )
+    hist = part.groupBy("pid").agg(F.count(F.lit(1)).alias("cnt"))
+    w_hist = Window.orderBy("pid").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow - 1
+    )
+    offsets = hist.select(
+        "pid",
+        F.coalesce(F.sum("cnt").over(w_hist), F.lit(0)).alias("off"),
+        F.sum("cnt")
+        .over(
+            Window.orderBy("pid").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .alias("n"),
+    )
+    w_local = Window.partitionBy("pid").orderBy(
+        F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
+    )
+    ranked = part.withColumn("lrn", F.row_number().over(w_local)).join(
+        F.broadcast(offsets), "pid"
+    )
+    rn = F.col("off") + F.col("lrn")
+    n = F.col("n")
+    base, rem = F.floor(n / 4), n % F.lit(4)
+    big = rem * (base + 1)  # rows covered by the (base+1)-sized buckets
+    quartile = F.when(
+        rn <= big, F.floor((rn - 1) / (base + 1)) + 1
+    ).otherwise(rem + F.floor((rn - big - 1) / F.greatest(base, F.lit(1))) + 1)
+    return ranked.select(
         "o_orderkey",
-        F.ntile(4).over(w).cast("bigint").alias("quartile"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        quartile.cast("bigint").alias("quartile"),
+        F.round(
+            F.when(n == 1, F.lit(0.0)).otherwise(
+                (rn - 1).cast("double") / (n - 1)
+            ),
+            6,
+        ).alias("pct_rank"),
+        F.round(rn.cast("double") / n, 6).alias("cume"),
     )
 
 

@@ -31,10 +31,18 @@ def get_spark(
         or os.environ.get("SPARK_GRAFT_SHUFFLE")
         or DEFAULT_SHUFFLE_PARTITIONS
     )
+    builder = SparkSession.builder.appName(app_name)
+    # Respect an externally provided master (spark-submit --master sets
+    # PYSPARK_SUBMIT_ARGS; cluster launchers set SPARK_MASTER/MASTER) —
+    # only default to local[N] when nothing chose one, so the same code
+    # runs unmodified under a cluster manager.
+    external = os.environ.get("SPARK_MASTER") or os.environ.get("MASTER")
+    if external:
+        builder = builder.master(external)
+    elif "--master" not in os.environ.get("PYSPARK_SUBMIT_ARGS", ""):
+        builder = builder.master(f"local[{cpus}]")
     builder = (
-        SparkSession.builder.appName(app_name)
-        .master(f"local[{cpus}]")
-        .config("spark.sql.session.timeZone", "UTC")
+        builder.config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.shuffle.partitions", shuffle)
         # AQE: runtime shuffle-partition coalescing, skew-join splitting,
         # sort-merge→broadcast conversion when runtime stats allow.

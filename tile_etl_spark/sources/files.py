@@ -28,6 +28,43 @@ def _art(name: str) -> str:
     return os.path.join(ART_DIR, name)
 
 
+def source_fingerprint(*paths: str) -> str:
+    """Cheap content fingerprint of source files (size + mtime per
+    file, no reads). Artifact caches key their _DONE markers on this so
+    regenerated fixture parquet under the same path invalidates the
+    cache instead of silently replaying stale data."""
+    parts = []
+    for p in paths:
+        if os.path.isdir(p):
+            files = sorted(
+                os.path.join(r, f)
+                for r, _, fs in os.walk(p)
+                for f in fs
+            )
+        elif os.path.exists(p):
+            files = [p]
+        else:
+            files = []
+        for f in files:
+            st = os.stat(f)
+            parts.append(f"{os.path.basename(f)}:{st.st_size}:{st.st_mtime_ns}")
+    return hashlib.md5("|".join(parts).encode()).hexdigest()
+
+
+def marker_current(marker: str, fingerprint: str) -> bool:
+    """True iff ``marker`` exists and records ``fingerprint``."""
+    try:
+        with open(marker) as f:
+            return f.read().strip() == fingerprint
+    except OSError:
+        return False
+
+
+def write_marker(marker: str, fingerprint: str) -> None:
+    with open(marker, "w") as f:
+        f.write(fingerprint + "\n")
+
+
 @query(
     "src_csv_json",
     oracle="""
@@ -143,18 +180,24 @@ def _tile_files_df(spark: SparkSession, max_level: int = 5) -> DataFrame:
 def materialize_tile_cache(spark: SparkSession, base: str) -> None:
     """Write the level-5 present tiles as REAL files in the ArcGIS
     exploded-cache layout (src/Program.cs:99-100), once. Content is the
-    deterministic md5-repeat string, so every engine can recompute it."""
+    deterministic md5-repeat string, so every engine can recompute it.
+    The marker records the generating formula: if the content recipe
+    changes, the cache rebuilds instead of serving stale tiles."""
     marker = os.path.join(base, "_DONE")
-    if os.path.exists(marker):
+    recipe = hashlib.md5(f"{_K_SQL}|{_PRESENT_SQL}|v1".encode()).hexdigest()
+    if marker_current(marker, recipe):
         return
+    import shutil
+
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base, exist_ok=True)
     rows = _tile_files_df(spark).select("src_path", "content_str").collect()
     for r in rows:
         p = os.path.join(base, r["src_path"])
         os.makedirs(os.path.dirname(p), exist_ok=True)
         with open(p, "wb") as f:
             f.write(r["content_str"].encode("ascii"))
-    with open(marker, "w") as f:
-        f.write(f"{len(rows)}\n")
+    write_marker(marker, recipe)
 
 
 _GRID5_ORACLE = """

@@ -36,10 +36,20 @@ def replay_dir(spark: SparkSession, sf_dir: str, n_chunks: int = N_CHUNKS) -> st
     Chunk i holds the i-th quantile of the ts order; file mtimes
     ascend so the file source processes them oldest-first.
     """
+    from tile_etl_spark.sources.files import (
+        marker_current,
+        source_fingerprint,
+        write_marker,
+    )
+
     tag = os.path.basename(os.path.normpath(sf_dir))
     base = os.path.join(_art_root(), f"events_stream_{tag}")
     marker = os.path.join(base, "_DONE")
-    if os.path.exists(marker):
+    # keyed on the source parquet's size+mtime: a regenerated fixture
+    # under the same sf path rebuilds the replay chunks instead of
+    # silently streaming stale data.
+    fpr = source_fingerprint(os.path.join(sf_dir, "events.parquet"))
+    if marker_current(marker, fpr):
         return base
     shutil.rmtree(base, ignore_errors=True)
     os.makedirs(base, exist_ok=True)
@@ -65,8 +75,7 @@ def replay_dir(spark: SparkSession, sf_dir: str, n_chunks: int = N_CHUNKS) -> st
         shutil.rmtree(tmp)
         os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
         lo = hi
-    with open(marker, "w") as f:
-        f.write("ok\n")
+    write_marker(marker, fpr)
     return base
 
 
