@@ -2,14 +2,15 @@
 
 Two tiers, as a real 100 TB pipeline would ship them:
 
-- **Exact brute-force top-k** (q_sim_cosine_topk): probes × corpus with
-  the probe side broadcast — the corpus never shuffles; per-partition
-  partial top-k would bound memory at scale (here the window + filter
-  achieves the same plan via WindowGroupLimit).
-- **IVF-style ANN** (q_sim_ann_ivf): corpus pre-clustered into coarse
-  cells (deterministic centroids); a probe searches only its nprobe
-  nearest cells — the partition-pruning path that turns a full-corpus
-  scan into a few-percent scan. Recall vs the exact tier is asserted in
+- **Exact brute-force top-k** (q_sim_cosine_topk): broadcast probe
+  matrix, one Arrow GEMM pass over the corpus with per-partition
+  partial top-k — the corpus never shuffles and per-task output is
+  bounded by probes × k.
+- **IVF-style ANN** (q_sim_ann_ivf): corpus clustered into coarse cells
+  by distributed spherical k-means (kmeans_centroids); a probe scores
+  only members of its nprobe nearest cells — the partition-pruning path
+  that turns a full-corpus scan into a few-percent scan when the corpus
+  is laid out bucketed by cell. Recall vs the exact tier is asserted in
   tests.
 """
 
@@ -18,18 +19,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from tile_etl_spark import cache
 from tile_etl_spark.io import load
 from tile_etl_spark.registry import query
 from tile_etl_spark.session import ensure_session_determinism
 
 N_PROBES = 10  # vec_id 0..9 serve as probe vectors
 TOP_K = 5
-
-
-def _dot(x, y):
-    return F.aggregate(
-        F.zip_with(x, y, lambda a, b: a * b), F.lit(0.0), lambda acc, v: acc + v
-    )
 
 
 def _as_double_vec(col):
@@ -39,30 +35,81 @@ def _as_double_vec(col):
 def cosine_topk(
     corpus: DataFrame, probes: DataFrame, k: int = TOP_K
 ) -> DataFrame:
-    """Exact cosine top-k: broadcast the (small) probe set against the
-    corpus, rank per probe. Plan shape at scale: one pass over the
-    corpus, no corpus shuffle, WindowGroupLimit keeps only k rows per
-    probe per partition before the final merge."""
-    c = corpus.select(
-        F.col("vec_id"), _as_double_vec("embedding").alias("e")
-    )
-    p = probes.select(
+    """Exact cosine top-k, GEMM-shaped for scale.
+
+    The probe set is SMALL by contract (that is what makes exact
+    brute-force viable at all), so it is collected into an (m × d)
+    numpy matrix and broadcast to executors — the ~10-row collect here
+    is the probe side, never the corpus. One Arrow ``mapInPandas`` pass
+    over the corpus then computes an (n_batch × m) BLAS GEMM per batch
+    and keeps only each probe's local top-k: per-task output is bounded
+    by m·k rows regardless of corpus size, the corpus never shuffles,
+    and the final global rank window sees ≤ tasks·m·k candidate rows.
+
+    This replaces a crossJoin + interpreted ``zip_with``/``aggregate``
+    dot product (three HOF evaluations per pair — Catalyst evaluates
+    higher-order functions per element, ~100× BLAS on the same data —
+    and an O(n·m)-row window input instead of O(tasks·m·k)).
+
+    Numerics: cos = raw_dot / (‖e‖·‖p‖) in float64, the same formula
+    as the DuckDB twin; np.dot's pairwise summation can differ from
+    sequential summation only in the last ulp, far below the 6-dp
+    rounding of the emitted similarity. The per-batch top-k uses the
+    same (cos desc, vec_id asc) total order as the final window, so
+    the candidate cut is exact, not approximate."""
+    import numpy as np
+
+    p_rows = probes.select(
         F.col("vec_id").alias("probe_id"),
         _as_double_vec("embedding").alias("pe"),
-    )
-    joined = c.crossJoin(F.broadcast(p)).where(
-        F.col("vec_id") != F.col("probe_id")
-    )
-    cos = _dot(F.col("e"), F.col("pe")) / (
-        F.sqrt(_dot(F.col("e"), F.col("e")))
-        * F.sqrt(_dot(F.col("pe"), F.col("pe")))
-    )
-    scored = joined.select("probe_id", "vec_id", cos.alias("cos_raw"))
+    ).collect()
+    pids = np.array([r["probe_id"] for r in p_rows], dtype=np.int64)
+    P = np.stack([np.asarray(r["pe"], dtype=np.float64) for r in p_rows])
+    pnorm = np.sqrt((P * P).sum(axis=1))
+    bp = corpus.sparkSession.sparkContext.broadcast((pids, P, pnorm))
+
+    def scan(batches):
+        import numpy as np
+        import pandas as pd
+
+        pids, P, pnorm = bp.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            E = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf["e"]]
+            )
+            vids = pdf["vec_id"].to_numpy()
+            raw = E @ P.T  # (n, m)
+            enorm = np.sqrt((E * E).sum(axis=1))
+            cos = raw / (enorm[:, None] * pnorm[None, :])
+            cos[vids[:, None] == pids[None, :]] = -np.inf  # self-pairs
+            kk = min(k, len(vids))
+            out_p, out_v, out_c = [], [], []
+            for j in range(len(pids)):
+                # total order (cos desc, vec_id asc); lexsort is
+                # last-key-primary
+                order = np.lexsort((vids, -cos[:, j]))[:kk]
+                out_p.append(np.full(len(order), pids[j]))
+                out_v.append(vids[order])
+                out_c.append(cos[order, j])
+            yield pd.DataFrame(
+                {
+                    "probe_id": np.concatenate(out_p),
+                    "vec_id": np.concatenate(out_v),
+                    "cos_raw": np.concatenate(out_c),
+                }
+            )
+
+    cand = corpus.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    ).mapInPandas(scan, "probe_id bigint, vec_id bigint, cos_raw double")
+    cand = cand.where(F.col("cos_raw") != float("-inf"))
     w = Window.partitionBy("probe_id").orderBy(
         F.col("cos_raw").desc(), F.col("vec_id").asc()
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        cand.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select(
             "probe_id",
@@ -116,83 +163,188 @@ N_CELLS = 16
 N_PROBE_CELLS = 6
 
 
-def ivf_assign(vectors: DataFrame, centroids: DataFrame, n: int) -> DataFrame:
-    """Assign each vector to its n nearest centroid cells (by cosine).
-    centroids: (cell_id, ce ARRAY<DOUBLE>) — broadcast-sized."""
-    scored = vectors.crossJoin(F.broadcast(centroids))
-    cos = _dot(F.col("e"), F.col("ce")) / (
-        F.sqrt(_dot(F.col("e"), F.col("e")))
-        * F.sqrt(_dot(F.col("ce"), F.col("ce")))
-    )
-    w = Window.partitionBy("vec_id").orderBy(
-        F.col("cell_cos").desc(), F.col("cell_id").asc()
-    )
-    return (
-        scored.select("vec_id", "e", "cell_id", cos.alias("cell_cos"))
-        .withColumn("r", F.row_number().over(w))
-        .where(F.col("r") <= n)
-        .drop("r", "cell_cos")
-    )
+KMEANS_ITERS = 4
 
 
-def deterministic_centroids(corpus: DataFrame, n_cells: int = N_CELLS) -> DataFrame:
-    """Coarse centroids without an iterative trainer: cell j = mean of
-    corpus vectors whose xxhash64(vec_id) mod n_cells == j. Deterministic,
-    one aggregation pass; in production this is a k-means output — the
-    engine contract (an assignment table) is identical."""
-    dim_means = corpus.withColumn(
-        "cell_id", F.pmod(F.xxhash64("vec_id"), F.lit(n_cells)).cast("int")
-    ).groupBy("cell_id")
-    # element-wise mean via aggregate over zipped arrays
-    summed = dim_means.agg(
-        F.aggregate(
-            F.collect_list("e"),
-            F.transform(F.sequence(F.lit(1), F.lit(64)), lambda _: F.lit(0.0)),
-            lambda acc, v: F.zip_with(acc, v, lambda a, b: a + b),
-        ).alias("vsum"),
-        F.count(F.lit(1)).alias("n"),
-    )
-    return summed.select(
-        "cell_id",
-        F.transform("vsum", lambda s: s / F.col("n")).alias("ce"),
-    )
+def kmeans_centroids(corpus: DataFrame, n_cells: int = N_CELLS, iters: int = KMEANS_ITERS):
+    """Spherical k-means (Lloyd's) trained distributed, deterministic.
+    Returns the (n_cells × d) centroid matrix as numpy, unit-normalized.
+
+    Init is the former hash-of-id stand-in (cell j = mean of vectors
+    with xxhash64-ish bucket j — here vec_id % n_cells, computed in the
+    same reduce path as the updates). Each Lloyd round is ONE corpus
+    pass: a ``mapInPandas`` GEMM assigns every Arrow batch's vectors to
+    their argmax-cosine centroid and emits per-(batch, cell) partial
+    sums — ≤ n_cells rows of d doubles per batch, the map-side combine
+    — which the driver reduces in SORTED row order (deterministic float
+    addition) and renormalizes. Model state (n_cells × d floats) lives
+    on the driver and is broadcast each round; the corpus never
+    shuffles and is never collected.
+
+    Centroids are rounded to 9 dp before use so run-to-run ulp jitter
+    of the distributed summation cannot flip an assignment. Empty
+    cells keep their previous centroid."""
+    import numpy as np
+
+    sc = corpus.sparkSession.sparkContext
+    out_schema = "cell_id int, psum array<double>, cnt bigint"
+
+    def make_pass(C_bc, n_cells):
+        """One corpus pass: C_bc None → init buckets (vec_id mod k),
+        else argmax-cosine assignment against the broadcast matrix."""
+
+        def partial(batches):
+            import numpy as np
+            import pandas as pd
+
+            C = C_bc.value if C_bc is not None else None
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                E = np.stack(
+                    [np.asarray(v, dtype=np.float64) for v in pdf["e"]]
+                )
+                norms = np.linalg.norm(E, axis=1, keepdims=True)
+                En = E / np.where(norms == 0, 1.0, norms)
+                if C is None:
+                    a = pdf["vec_id"].to_numpy() % n_cells
+                else:
+                    a = (En @ C.T).argmax(axis=1)  # ties → lowest cell
+                sums = np.zeros((n_cells, En.shape[1]))
+                np.add.at(sums, a, En)
+                cnts = np.bincount(a, minlength=n_cells)
+                nz = cnts.nonzero()[0]
+                yield pd.DataFrame(
+                    {
+                        "cell_id": nz.astype("int32"),
+                        "psum": [sums[j].tolist() for j in nz],
+                        "cnt": cnts[nz].astype("int64"),
+                    }
+                )
+
+        return partial
+
+    def reduce_round(C_bc):
+        rows = corpus.select("vec_id", "e").mapInPandas(
+            make_pass(C_bc, n_cells), out_schema
+        ).collect()
+        # sorted reduce order → deterministic float addition
+        rows.sort(key=lambda r: (r["cell_id"], r["cnt"], tuple(r["psum"])))
+        d = len(rows[0]["psum"])
+        sums, cnts = np.zeros((n_cells, d)), np.zeros(n_cells)
+        for r in rows:
+            sums[r["cell_id"]] += np.asarray(r["psum"])
+            cnts[r["cell_id"]] += r["cnt"]
+        return sums, cnts
+
+    C = None
+    for it in range(iters + 1):  # round 0 = init buckets
+        bc = sc.broadcast(C) if C is not None else None
+        sums, cnts = reduce_round(bc)
+        newC = C.copy() if C is not None else np.zeros_like(sums)
+        nz = cnts.nonzero()[0]
+        newC[nz] = sums[nz] / cnts[nz, None]
+        norms = np.linalg.norm(newC, axis=1, keepdims=True)
+        newC = newC / np.where(norms == 0, 1.0, norms)
+        C = np.round(newC, 9)
+    return C
 
 
 @query("q_sim_ann_ivf")
 def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-bucketed ANN top-5: corpus assigned to 1 cell each, probes
-    search their 6 nearest cells only (~37% of the corpus scanned).
+    """IVF ANN top-5: k-means-trained coarse cells; each probe scores
+    only members of its 6 nearest cells (per-probe pruning).
+
+    Plan: train centroids (kmeans_centroids — corpus passes only),
+    compute each probe's probed-cell set on the driver (10 × 16 dots),
+    then ONE fused mapInPandas pass over the corpus: assign the batch's
+    vectors to their cell by GEMM, score them against the broadcast
+    probe matrix, and mask out (probe, vector) pairs whose cell the
+    probe does not probe — the IVF candidate restriction — plus
+    self-pairs. Per-task output ≤ m·k rows; the corpus never shuffles.
+
+    At 100 TB the same operator runs against a corpus WRITTEN bucketed
+    by cell_id (the IVF index layout): the probed-cell union becomes a
+    partition-pruning predicate at the scan and unprobed cells are
+    never read. Here (16 cells, 10 probes × 6 cells) the union covers
+    most cells, so the demo keeps the mask form; semantics — exact
+    search restricted to probed cells — are identical.
+
     R-checked; the unit test measures recall vs q_sim_cosine_topk."""
+    import numpy as np
+
     ensure_session_determinism(spark)
-    emb = load(spark, sf_dir, "embeddings").select(
-        "vec_id", _as_double_vec("embedding").alias("e")
+    cache.scope(f"q_sim_ann_ivf:{sf_dir}")
+    # the trainer makes iters+1 passes and the scorer one more — cache
+    # the projected corpus once instead of re-reading parquet per pass
+    emb = cache.persist_scoped(
+        load(spark, sf_dir, "embeddings").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("e")
+        )
     )
-    cents = deterministic_centroids(emb)
-    corpus_cells = ivf_assign(emb, cents, 1)
-    probe_cells = ivf_assign(
-        emb.where(F.col("vec_id") < N_PROBES), cents, N_PROBE_CELLS
-    ).select(
-        F.col("vec_id").alias("probe_id"),
-        F.col("e").alias("pe"),
-        "cell_id",
+    C = kmeans_centroids(emb)  # (n_cells, d) unit rows
+
+    p_rows = emb.where(F.col("vec_id") < N_PROBES).collect()
+    pids = np.array([r["vec_id"] for r in p_rows], dtype=np.int64)
+    P = np.stack([np.asarray(r["e"], dtype=np.float64) for r in p_rows])
+    pnorm = np.sqrt((P * P).sum(axis=1))
+    Pn = P / np.where(pnorm == 0, 1.0, pnorm)[:, None]
+    # probe j probes its N_PROBE_CELLS nearest cells (cos desc, cell asc
+    # tiebreak via stable argsort on -cos)
+    probe_cells = np.argsort(-(Pn @ C.T), axis=1, kind="stable")[
+        :, :N_PROBE_CELLS
+    ]
+    probes_cell_mask = np.zeros((len(pids), len(C)), dtype=bool)
+    for j in range(len(pids)):
+        probes_cell_mask[j, probe_cells[j]] = True
+    bp = spark.sparkContext.broadcast((pids, P, pnorm, C, probes_cell_mask))
+
+    def scan(batches):
+        import numpy as np
+        import pandas as pd
+
+        pids, P, pnorm, C, cell_mask = bp.value
+        k = TOP_K
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            E = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf["e"]]
+            )
+            vids = pdf["vec_id"].to_numpy()
+            enorm = np.linalg.norm(E, axis=1)
+            En = E / np.where(enorm == 0, 1.0, enorm)[:, None]
+            cells = (En @ C.T).argmax(axis=1)  # top-1 assignment
+            cos = (E @ P.T) / (
+                np.where(enorm == 0, 1.0, enorm)[:, None] * pnorm[None, :]
+            )
+            # IVF restriction: probe j only sees rows in its cells
+            cos[~cell_mask[:, cells].T] = -np.inf
+            cos[vids[:, None] == pids[None, :]] = -np.inf  # self-pairs
+            kk = min(k, len(vids))
+            out_p, out_v, out_c = [], [], []
+            for j in range(len(pids)):
+                order = np.lexsort((vids, -cos[:, j]))[:kk]
+                keep = order[np.isfinite(cos[order, j])]
+                out_p.append(np.full(len(keep), pids[j]))
+                out_v.append(vids[keep])
+                out_c.append(cos[keep, j])
+            yield pd.DataFrame(
+                {
+                    "probe_id": np.concatenate(out_p),
+                    "vec_id": np.concatenate(out_v),
+                    "cos_raw": np.concatenate(out_c),
+                }
+            )
+
+    cand = emb.mapInPandas(
+        scan, "probe_id bigint, vec_id bigint, cos_raw double"
     )
-    # candidates co-located by cell: equi-join on cell_id — this is the
-    # partition prune; only vectors in probed cells are scored.
-    cand = corpus_cells.join(probe_cells, "cell_id").where(
-        F.col("vec_id") != F.col("probe_id")
-    )
-    cos = _dot(F.col("e"), F.col("pe")) / (
-        F.sqrt(_dot(F.col("e"), F.col("e")))
-        * F.sqrt(_dot(F.col("pe"), F.col("pe")))
-    )
-    scored = cand.select(
-        "probe_id", "vec_id", cos.alias("cos_raw")
-    ).dropDuplicates(["probe_id", "vec_id"])
     w = Window.partitionBy("probe_id").orderBy(
         F.col("cos_raw").desc(), F.col("vec_id").asc()
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        cand.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= TOP_K)
         .select(
             "probe_id",
