@@ -68,13 +68,6 @@ _PRIORITY = [
     "q_udaf_grouped",
     "q_udaf_agg",
     "q_udtf",
-    # Structured Streaming (rows-only checks)
-    "s_tumbling",
-    "s_sliding",
-    "s_session",
-    "s_watermark",
-    "s_dedup",
-    "s_stateful",
     # LLM-data-pipeline operators
     "q_dedup_exact",
     "q_dedup_near",
@@ -91,6 +84,16 @@ _PRIORITY = [
     "q_text_fingerprint",
     "q_multimodal_join",
     "q_multimodal_decode",
+    # Structured Streaming last within the priority block: rows-only
+    # checks (no oracle hash) that each replay multi-second micro-batch
+    # rounds — if the driver's 50-row cutoff is a time budget rather
+    # than a count cap, the hash-checked qids above must come first.
+    "s_tumbling",
+    "s_sliding",
+    "s_session",
+    "s_watermark",
+    "s_dedup",
+    "s_stateful",
 ]
 
 
