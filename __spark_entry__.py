@@ -26,74 +26,75 @@ registry.load_all()
 _SMOKE_SF_DIR = "/root/testdata/sf0.001"
 FLAGSHIP = "q_agg_group"
 
-# Round-2 verification priority. The round-1 driver recorded CORRECTNESS
-# rows for exactly the first 50 registry entries, leaving 51 qids with no
-# hard signal. Front-load the qids that still lack a driver row (plus the
-# two repaired this round: q_agg_collect's hashable output and
-# q_agg_approx's tolerance oracle); the 48 qids already proven green in
-# CORRECTNESS_r01.json follow after. Registration/implementation is
-# unchanged — this orders only the exported dict views.
+# Round-3 verification priority. The driver records ~50 CORRECTNESS
+# rows per round; r1 covered the first 50 registry entries, r2 the
+# 50-qid priority block. Round 3 front-loads (a) the 4 qids repaired
+# this round (r2 red: sgn INT cast, capped DOUBLE cast, array/map
+# outputs serialized to strings), (b) the 3 qids never checked in
+# either round, then (c) the 48 r1-green qids whose shared
+# infrastructure (io.py memoization, cache.py scoping, session.py)
+# changed in rounds 2-3, so their green doesn't go stale — freshest
+# signal first, within the ~50-row budget. Registration/implementation
+# is unchanged — this orders only the exported dict views.
 _PRIORITY = [
-    # repaired this round
-    "q_agg_collect",
-    "q_agg_approx",
-    # set ops / top-k (SURVEY §2B, no r01 row)
-    "q_topk",
-    "q_topk_per_group",
-    "q_union_all",
-    "q_union_distinct",
-    "q_intersect",
-    "q_except",
-    "q_intersect_all",
-    "q_except_all",
-    # window family
-    "q_win_rank",
-    "q_win_running",
-    "q_win_leadlag",
-    "q_win_ntile",
-    "q_win_value",
-    "q_win_range",
-    # scalar function families
-    "q_str_funcs",
-    "q_date_funcs",
+    # (a) repaired this round — were driver-red in CORRECTNESS_r02
     "q_math_funcs",
     "q_cond_funcs",
     "q_array_funcs",
     "q_map_funcs",
-    "q_json_funcs",
-    "q_hash_funcs",
-    "q_cast_types",
-    # Python UDF surface
-    "q_udf_scalar",
-    "q_udaf_grouped",
-    "q_udaf_agg",
-    "q_udtf",
-    # LLM-data-pipeline operators
-    "q_dedup_exact",
-    "q_dedup_near",
-    "q_dedup_ngram",
-    "q_dedup_simhash",
-    "q_dedup_embed",
-    "q_sim_cosine_topk",
-    "q_sim_ann_ivf",
-    "q_text_stats",
-    "q_text_tfidf",
-    "q_text_langid",
-    "q_text_quality",
-    "q_text_tokens",
-    "q_text_fingerprint",
-    "q_multimodal_join",
-    "q_multimodal_decode",
-    # Structured Streaming last within the priority block: rows-only
-    # checks (no oracle hash) that each replay multi-second micro-batch
-    # rounds — if the driver's 50-row cutoff is a time budget rather
-    # than a count cap, the hash-checked qids above must come first.
-    "s_tumbling",
-    "s_sliding",
-    "s_session",
-    "s_watermark",
-    "s_dedup",
-    "s_stateful",
+    # (b) never driver-checked in r1 or r2
+    "q_str_funcs2",
+    "q_date_funcs2",
+    "q_multimodal_framesample",
+    # (c) r1-green, shared infra touched since: re-verify
+    "q_agg_global",
+    "q_agg_group",
+    "q_agg_distinct",
+    "q_agg_having",
+    "q_agg_rollup",
+    "q_agg_cube",
+    "q_agg_gsets",
+    "q_agg_stats",
+    "q_agg_percentile",
+    "q_agg_argminmax",
+    "q_scan_project",
+    "q_scan_pushdown",
+    "q_filter_range",
+    "q_project_expr",
+    "q_filter_in_like",
+    "q_filter_null_bool",
+    "q_join_inner",
+    "q_join_left",
+    "q_join_right",
+    "q_join_full",
+    "q_join_semi",
+    "q_join_anti",
+    "q_join_broadcast",
+    "q_join_cross",
+    "q_join_theta",
+    "q_join_nullsafe",
+    "q_join_interval",
+    "q_join_asof",
+    "q_join_bucketed",
+    "q_sort_multi",
+    "q_pivot",
+    "q_unpivot",
+    "q_subquery_scalar",
+    "q_subquery_corr",
+    "q_sessionize",
+    "q_window_sliding",
+    "q_window_tumbling",
+    "q_tile_grid",
+    "q_tile_path",
+    "q_tile_s3_variant",
+    "q_tile_manifest_semi",
+    "q_tile_stats",
+    "q_tile_etl_e2e",
+    "src_csv_json",
+    "src_csv_infer",
+    "sink_parquet",
+    "src_binary",
+    "sink_objectstore",
 ]
 
 

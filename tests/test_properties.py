@@ -102,6 +102,44 @@ def test_objectstore_sink_writes_objects_and_deadletters(spark, sf_dir):
     int(parts[1]), int(parts[2]), int(parts[3])
 
 
+def test_registry_outputs_driver_hashable(spark, sf_dir):
+    """Every registered qid must emit ONLY driver-hashable scalar
+    columns (r2 lesson: the driver canonicalizes through pandas
+    ``sort_values``, which crashes on ARRAY/MAP/STRUCT cells — even for
+    rows-only R-checks). Additionally, H-checked qids must not emit
+    DECIMAL: DuckDB's ``.df()`` renders DECIMAL as float64 while Spark
+    delivers ``decimal.Decimal`` objects, so the driver hash always
+    mismatches (r2: q_cond_funcs). SURVEY §5.3: money math in DECIMAL,
+    emitted as DOUBLE."""
+    from pyspark.sql import types as T
+
+    hashable = (
+        T.StringType,
+        T.BooleanType,
+        T.DateType,
+        T.TimestampType,
+        T.TimestampNTZType,
+        T.BinaryType,
+        T.ByteType,
+        T.ShortType,
+        T.IntegerType,
+        T.LongType,
+        T.FloatType,
+        T.DoubleType,
+    )
+    bad = []
+    for qid, fn in sorted(registry.QUERIES.items()):
+        schema = fn(spark, sf_dir).schema
+        for field in schema.fields:
+            dtype = field.dataType
+            if isinstance(dtype, T.DecimalType):
+                if qid in registry.ORACLES:
+                    bad.append((qid, field.name, "DECIMAL in H-checked output"))
+            elif not isinstance(dtype, hashable):
+                bad.append((qid, field.name, dtype.simpleString()))
+    assert not bad, f"non-driver-hashable output columns: {bad}"
+
+
 def test_minhash_signature_estimates_jaccard(spark, sf_dir):
     """Signature agreement rate ≈ true Jaccard (within 0.2 at 64 perms)
     for the fixture's true near-dup pairs."""

@@ -180,7 +180,7 @@ def q_date_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(ln(l_quantity + 1), 6) AS ln_qty,
            round(exp(l_discount), 6) AS exp_disc,
            pow(l_quantity, 2) AS qty_sq,
-           sign(l_quantity - 25) AS sgn,
+           CAST(sign(l_quantity - 25) AS INT) AS sgn,
            CAST((CAST(l_quantity AS BIGINT) % 7 + 7) % 7 AS BIGINT) AS qty_pmod7,
            CAST(CAST(l_quantity AS BIGINT) // 7 AS BIGINT) AS qty_div7
     FROM lineitem
@@ -204,7 +204,9 @@ def q_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.log(qty + 1), 6).alias("ln_qty"),
         F.round(F.exp("l_discount"), 6).alias("exp_disc"),
         F.pow(qty, 2).alias("qty_sq"),
-        F.signum(qty - 25).alias("sgn"),
+        # INT both sides: Spark signum is DOUBLE, DuckDB sign is TINYINT
+        # — the driver's pandas canonicalizer hashes 1.0 != 1 (r2 red).
+        F.signum(qty - 25).cast("int").alias("sgn"),
         F.pmod(qty.cast("bigint"), 7).cast("bigint").alias("qty_pmod7"),
         F.expr("CAST(l_quantity AS BIGINT) div 7").cast("bigint").alias(
             "qty_div7"
@@ -220,7 +222,8 @@ def q_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 WHEN o_totalprice > 100000 THEN 'mid'
                 ELSE 'small' END AS bucket,
            coalesce(nullif(o_orderstatus, 'O'), 'open') AS status_or_open,
-           least(CAST(o_totalprice AS DECIMAL(18,2)), 150000.00) AS capped,
+           CAST(least(CAST(o_totalprice AS DECIMAL(18,2)), 150000.00)
+                AS DOUBLE) AS capped,
            greatest(CAST(o_custkey AS BIGINT), 100) AS floored_key,
            (CASE WHEN o_orderpriority LIKE '1-%' THEN 1 ELSE 0 END) AS urgent
     FROM orders
@@ -241,10 +244,15 @@ def q_cond_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(
             F.nullif(F.col("o_orderstatus"), F.lit("O")), F.lit("open")
         ).alias("status_or_open"),
+        # Money math in DECIMAL, EMITTED as DOUBLE (SURVEY §5.3): the
+        # driver's pandas path gets Decimal objects from Spark but
+        # float64 from DuckDB, which hash-mismatch (r2 red).
         F.least(
             F.col("o_totalprice").cast("decimal(18,2)"),
             F.lit("150000.00").cast("decimal(18,2)"),
-        ).alias("capped"),
+        )
+        .cast("double")
+        .alias("capped"),
         F.greatest(F.col("o_custkey").cast("bigint"), F.lit(100).cast("bigint")).alias(
             "floored_key"
         ),
@@ -258,39 +266,66 @@ def q_cond_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_array_funcs",
     oracle="""
     SELECT doc_id,
-           string_split(text, ' ') AS words,
+           array_to_string(string_split(text, ' '), ',') AS words,
            CAST(len(string_split(text, ' ')) AS INT) AS n_words,
            list_contains(string_split(text, ' '), 'data') AS has_data,
-           list_sort(list_distinct(string_split(text, ' '))) AS uniq_words,
-           string_split(text, ' ')[1:3] AS first3,
-           flatten([string_split(text, ' ')[1:2], string_split(text, ' ')[1:2]]) AS doubled
+           array_to_string(list_sort(list_distinct(string_split(text, ' '))),
+                           ',') AS uniq_words,
+           array_to_string(string_split(text, ' ')[1:3], ',') AS first3,
+           array_to_string(flatten([string_split(text, ' ')[1:2],
+                                    string_split(text, ' ')[1:2]]),
+                           ',') AS doubled
     FROM documents
     """,
 )
 def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array family over tokenized text. list_distinct order is
-    undefined in both engines — always sort before comparing."""
+    undefined in both engines — always sort before comparing. Every
+    array-typed result is emitted as a ','-joined STRING (same
+    convention as q_agg_collect): the driver harness canonicalizes
+    through pandas ``sort_values``, which cannot hash list cells — the
+    string form exercises the same array kernels with hashable output.
+    Tokens are single words (no commas), so the join is lossless."""
     ensure_session_determinism(spark)
     d = load(spark, sf_dir, "documents")
     words = F.split("text", " ")
     return d.select(
         "doc_id",
-        words.alias("words"),
+        F.array_join(words, ",").alias("words"),
         F.size(words).cast("int").alias("n_words"),
         F.array_contains(words, "data").alias("has_data"),
-        F.array_sort(F.array_distinct(words)).alias("uniq_words"),
-        F.slice(words, 1, 3).alias("first3"),
-        F.flatten(
-            F.array(F.slice(words, 1, 2), F.slice(words, 1, 2))
+        F.array_join(F.array_sort(F.array_distinct(words)), ",").alias(
+            "uniq_words"
+        ),
+        F.array_join(F.slice(words, 1, 3), ",").alias("first3"),
+        F.array_join(
+            F.flatten(F.array(F.slice(words, 1, 2), F.slice(words, 1, 2))),
+            ",",
         ).alias("doubled"),
     )
 
 
-@query("q_map_funcs")
+@query(
+    "q_map_funcs",
+    oracle="""
+    SELECT doc_id, 'lang,source' AS ks, lang || ',' || source AS vs,
+           lang AS lang, 'lang' AS k, lang AS v
+    FROM documents
+    UNION ALL
+    SELECT doc_id, 'lang,source', lang || ',' || source,
+           lang, 'source', source
+    FROM documents
+    """,
+)
 def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Map family (R-checked: DuckDB's MAP dialect differs enough that
-    cross-engine hashing is meaningless — SURVEY §2B). Builds a map from
-    scratch, then round-trips keys/values/element_at/explode."""
+    """Map family: build a map from scratch, then round-trip
+    keys/values/element_at/explode. All map-typed intermediates are
+    emitted as scalar columns (','-joined keys/values, exploded k/v
+    rows) — the driver harness canonicalizes through pandas, which
+    cannot hash list/map cells. The oracle reconstructs the exploded
+    ground truth with a plain UNION ALL (DuckDB's MAP dialect differs;
+    the oracle's job is ground truth, not mirroring the operator).
+    Upgraded R→H in round 3 now that the output is all-scalar."""
     ensure_session_determinism(spark)
     d = load(spark, sf_dir, "documents")
     m = F.create_map(
@@ -299,8 +334,8 @@ def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = d.select("doc_id", m.alias("meta"))
     return df.select(
         "doc_id",
-        F.map_keys("meta").alias("ks"),
-        F.map_values("meta").alias("vs"),
+        F.array_join(F.map_keys("meta"), ",").alias("ks"),
+        F.array_join(F.map_values("meta"), ",").alias("vs"),
         F.element_at("meta", "lang").alias("lang"),
         F.explode("meta").alias("k", "v"),
     )
