@@ -73,12 +73,22 @@ def main() -> None:
     # query, not session bootstrap.
     force(spark.read.parquet(f"{sf_dir}/lineitem.parquet"))
 
+    # Warm pass: run every headline qid once UNTIMED. Fingerprinted
+    # artifact caches (tile fixtures, MinHash signatures, IVF index)
+    # rebuild when source mtimes change — BENCH_r02 showed that rebuild
+    # landing inside the timed window inflates q_tile_stats /
+    # sink_objectstore by 2-3×. The warm pass pays all one-time builds
+    # (plus whole-stage-codegen compile) before any clock starts.
+    for qid in qids:
+        try:
+            force(registry.QUERIES[qid](spark, sf_dir))
+        except Exception as ex:  # keep the bench runnable every round
+            print(f"WARM ERROR {qid}: {str(ex)[:120]}", file=sys.stderr)
+
     # BASELINE.md protocol: warm-cache timing — run each query N times,
-    # report the fastest (first run pays one-time whole-stage-codegen
-    # compilation, which a long-lived cluster amortizes away). Best-of-3:
-    # this box shows ~1.6× whole-run noise windows (periodic harness
-    # ticks); with 2 runs a window straddling a qid inflates its minimum,
-    # with 3 at least one run lands clean (measured 2026-08-13).
+    # report the fastest (a long-lived cluster amortizes one-time costs).
+    # Best-of-3: this box shows ~1.6× whole-run noise windows (periodic
+    # harness ticks); with 3 runs at least one lands clean.
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     times: dict[str, float] = {}
     for qid in qids:
@@ -90,7 +100,44 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         times[qid] = round(best, 4)
 
+    # DuckDB side of the BASELINE gate (Spark ≤ 2× DuckDB per qid):
+    # time each headline qid's oracle twin on the same parquet so the
+    # bench record carries the ratio, not just the Spark absolute.
+    duck_times: dict[str, float] = {}
+    try:
+        import duckdb
+
+        con = duckdb.connect()
+        tables = (
+            "region nation customer supplier part orders lineitem "
+            "events documents embeddings"
+        ).split()
+        for t in tables:
+            path = f"{sf_dir}/{t}.parquet"
+            if os.path.exists(path):
+                con.execute(
+                    f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
+                )
+        for qid in qids:
+            sql = registry.ORACLES.get(qid)
+            if not sql:
+                continue  # B/R qid: no SQL twin; ratio omitted by design
+            best = float("inf")
+            for _ in range(runs):
+                t0 = time.perf_counter()
+                con.execute(sql).fetchall()
+                best = min(best, time.perf_counter() - t0)
+            duck_times[qid] = round(best, 4)
+        con.close()
+    except Exception as ex:
+        print(f"DUCK ERROR: {str(ex)[:160]}", file=sys.stderr)
+
     total = round(sum(times.values()), 4)
+    ratios = {
+        q: round(times[q] / max(d, 1e-6), 2)
+        for q, d in duck_times.items()
+        if q in times
+    }
     print(
         json.dumps(
             {
@@ -98,6 +145,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": times,
+                "duck_queries": duck_times,
+                "ratios": ratios,
                 "sf": sf,
             }
         )

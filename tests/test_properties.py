@@ -102,6 +102,42 @@ def test_objectstore_sink_writes_objects_and_deadletters(spark, sf_dir):
     int(parts[1]), int(parts[2]), int(parts[3])
 
 
+def test_scan_relayout_preserves_values(spark, sf_dir, monkeypatch):
+    """The single-row-group fixture re-layout (io._scan_path) must be
+    value-transparent: same multiset of rows, just spread over multiple
+    files for scan parallelism. Exercised here at tiny SF by dropping
+    the row threshold (real SFs trigger it naturally at >=100k rows).
+    Covers both the plain path (orders) and the events path, whose
+    ns->us timestamp conversion is materialized INTO the artifact."""
+    import shutil
+
+    from tile_etl_spark import io as io_mod
+    from tile_etl_spark.sources.files import ART_DIR
+
+    monkeypatch.setattr(io_mod, "_RELAYOUT_MIN_ROWS", 1)
+    monkeypatch.setattr(io_mod, "_RELAYOUT_ROWS_PER_FILE", 100)
+    io_mod._LOAD_MEMO.clear()
+    shutil.rmtree(os.path.join(ART_DIR, "scan_layout"), ignore_errors=True)
+    try:
+        for name in ("orders", "events"):
+            raw = io_mod._read_raw(
+                spark, os.path.join(sf_dir, f"{name}.parquet"), name
+            )
+            df = io_mod.load(spark, sf_dir, name)
+            files = df.inputFiles()
+            assert len(files) > 1, name
+            assert all("scan_layout" in f for f in files), name
+            assert raw.schema == df.schema, name
+            a = sorted(map(tuple, raw.collect()))
+            b = sorted(map(tuple, df.collect()))
+            assert a == b, name
+    finally:
+        io_mod._LOAD_MEMO.clear()
+        shutil.rmtree(
+            os.path.join(ART_DIR, "scan_layout"), ignore_errors=True
+        )
+
+
 def test_registry_outputs_driver_hashable(spark, sf_dir):
     """Every registered qid must emit ONLY driver-hashable scalar
     columns (r2 lesson: the driver canonicalizes through pandas

@@ -70,3 +70,27 @@ def test_hex8_matches_reference_examples(spark):
     df = spark.createDataFrame([(5,), (-2,), (255,)], "row INT")
     vals = [r[0] for r in df.select(G.hex8("row")).collect()]
     assert vals == ["00000005", "fffffffe", "000000ff"]
+
+
+def test_cloud_connector_conf_shapes():
+    """A14 config recipe: both providers produce spark.hadoop.* keys
+    only, keyed auth appears iff requested, unknown providers fail."""
+    import pytest
+
+    from tile_etl_spark.tiles.sink import cloud_connector_conf
+
+    gcs = cloud_connector_conf("gcs", gcs_keyfile="/secrets/sa.json")
+    assert all(k.startswith("spark.hadoop.") for k in gcs)
+    assert (
+        gcs["spark.hadoop.google.cloud.auth.service.account.json.keyfile"]
+        == "/secrets/sa.json"
+    )
+    assert "json.keyfile" not in str(cloud_connector_conf("gcs"))
+
+    s3 = cloud_connector_conf("s3", s3_endpoint="http://minio:9000")
+    assert all(k.startswith("spark.hadoop.") for k in s3)
+    assert s3["spark.hadoop.fs.s3a.endpoint"] == "http://minio:9000"
+    assert "endpoint" not in str(cloud_connector_conf("s3"))
+
+    with pytest.raises(ValueError):
+        cloud_connector_conf("azure")

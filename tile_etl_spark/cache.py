@@ -5,6 +5,17 @@ every OTHER scope's handles on entry, so a long-lived session running
 many qids never accumulates cached partitions, while repeated runs of
 the SAME query (bench warm-run protocol, driver retries) still get
 Spark CacheManager hits — identical logical plan → cached data reused.
+
+Two ways to tie a persist to its builder (the round-2 advice: scope is
+process-global last-writer-wins state, so a helper that persists must
+not silently inherit an unrelated query's lifecycle):
+
+- ``persist_scoped(df, tag=...)`` pins the handle to an explicit tag;
+- ``with scope(tag): ...`` enters the scope for the block and restores
+  the previous tag on exit, so helpers called AFTER the block don't
+  leak into it. Bare ``scope(tag)`` calls (the builder pattern: the
+  persisted plan must outlive the builder until the action runs) keep
+  working unchanged — the returned context manager is optional.
 """
 
 from __future__ import annotations
@@ -15,8 +26,24 @@ _CACHED: list[tuple[str, DataFrame]] = []
 _SCOPE: list[str] = [""]
 
 
-def scope(tag: str) -> None:
+class _ScopeCtx:
+    """Returned by scope(); optionally used as a context manager that
+    restores the previously active tag (without touching the persisted
+    handles themselves — they live until another scope is entered)."""
+
+    def __init__(self, prev: str) -> None:
+        self._prev = prev
+
+    def __enter__(self) -> "_ScopeCtx":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        _SCOPE[0] = self._prev
+
+
+def scope(tag: str) -> _ScopeCtx:
     """Enter cache scope ``tag``, unpersisting all other scopes."""
+    prev = _SCOPE[0]
     _SCOPE[0] = tag
     keep = []
     while _CACHED:
@@ -26,11 +53,12 @@ def scope(tag: str) -> None:
         else:
             df.unpersist()
     _CACHED.extend(keep)
+    return _ScopeCtx(prev)
 
 
-def persist_scoped(df: DataFrame) -> DataFrame:
-    """Persist ``df`` under the current scope."""
-    _CACHED.append((_SCOPE[0], df))
+def persist_scoped(df: DataFrame, tag: str | None = None) -> DataFrame:
+    """Persist ``df`` under ``tag`` (default: the current scope)."""
+    _CACHED.append((tag if tag is not None else _SCOPE[0], df))
     return df.persist()
 
 

@@ -176,10 +176,12 @@ def kmeans_centroids(corpus: DataFrame, n_cells: int = N_CELLS, iters: int = KME
     pass: a ``mapInPandas`` GEMM assigns every Arrow batch's vectors to
     their argmax-cosine centroid and emits per-(batch, cell) partial
     sums — ≤ n_cells rows of d doubles per batch, the map-side combine
-    — which the driver reduces in SORTED row order (deterministic float
-    addition) and renormalizes. Model state (n_cells × d floats) lives
-    on the driver and is broadcast each round; the corpus never
-    shuffles and is never collected.
+    — then a distributed groupBy(cell_id) pre-reduce folds the partials
+    per cell (sorted order → deterministic float addition) so the
+    driver only collects and renormalizes O(n_cells) rows regardless of
+    corpus size. Model state (n_cells × d floats) lives on the driver
+    and is broadcast each round; the corpus never shuffles and is never
+    collected.
 
     Centroids are rounded to 9 dp before use so run-to-run ulp jitter
     of the distributed summation cannot flip an assignment. Empty
@@ -224,15 +226,50 @@ def kmeans_centroids(corpus: DataFrame, n_cells: int = N_CELLS, iters: int = KME
 
         return partial
 
+    def cell_sum(pdf):
+        """Per-cell distributed pre-reduce: fold all (batch, cell)
+        partials of one cell into a single row, adding in (cnt, psum)
+        sorted order so float addition is deterministic regardless of
+        task arrival order."""
+        import numpy as np
+        import pandas as pd
+
+        items = sorted(
+            (int(c), tuple(p)) for c, p in zip(pdf["cnt"], pdf["psum"])
+        )
+        s = np.zeros(len(items[0][1]))
+        for _, p in items:
+            s += np.asarray(p)
+        return pd.DataFrame(
+            {
+                "cell_id": [int(pdf["cell_id"].iloc[0])],
+                "psum": [s.tolist()],
+                "cnt": [int(sum(c for c, _ in items))],
+            }
+        )
+
     def reduce_round(C_bc):
-        rows = corpus.select("vec_id", "e").mapInPandas(
+        partials = corpus.select("vec_id", "e").mapInPandas(
             make_pass(C_bc, n_cells), out_schema
+        )
+        # Distributed pre-reduce: one shuffle on ≤ n_cells keys, so the
+        # driver collects O(n_cells) rows — NOT O(batches), which grows
+        # with corpus size. The per-cell fold adds in the same sorted
+        # (cnt, psum) order the old driver-side reduce used, so the
+        # resulting floats are bit-identical; the remaining determinism
+        # assumption is that Arrow batch boundaries (which define the
+        # partials themselves) are stable run-to-run — the 9-dp rounding
+        # below absorbs boundary-level ulp jitter.
+        rows = partials.groupBy("cell_id").applyInPandas(
+            cell_sum, out_schema
         ).collect()
-        # sorted reduce order → deterministic float addition
-        rows.sort(key=lambda r: (r["cell_id"], r["cnt"], tuple(r["psum"])))
+        if not rows:
+            raise ValueError(
+                "kmeans_centroids: empty corpus — no vectors to train on"
+            )
         d = len(rows[0]["psum"])
         sums, cnts = np.zeros((n_cells, d)), np.zeros(n_cells)
-        for r in rows:
+        for r in rows:  # one row per non-empty cell
             sums[r["cell_id"]] += np.asarray(r["psum"])
             cnts[r["cell_id"]] += r["cnt"]
         return sums, cnts

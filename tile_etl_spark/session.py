@@ -106,5 +106,15 @@ def ensure_session_determinism(spark: SparkSession) -> SparkSession:
     try:
         spark.conf.set("spark.sql.ansi.enabled", "false")
     except Exception:
-        pass  # conf may be fixed on some builds; try_cast is used anyway
+        pass  # conf may be fixed on some builds — verified below
+    # Read back rather than trust the set: the MinHash multiply-shift
+    # family (llm/dedup.py) requires non-ANSI int64 wraparound — under
+    # ANSI its a*h+b raises ARITHMETIC_OVERFLOW mid-job. Fail fast with
+    # a clear error instead of deep in a task.
+    if spark.conf.get("spark.sql.ansi.enabled", "false") != "false":
+        raise RuntimeError(
+            "spark.sql.ansi.enabled could not be set to false on this "
+            "build; the engine's hash families rely on non-ANSI int64 "
+            "wraparound arithmetic (llm/dedup.py multiply-shift MinHash)"
+        )
     return spark

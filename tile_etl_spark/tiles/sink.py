@@ -13,7 +13,11 @@ matching GCS/S3 semantics, so task retries are safe.
 The storage client here is a local-filesystem fake with the same
 surface (put(key, data, content_type, acl)); a GCS/S3 client drops in
 per-partition exactly the same way — that part is connector config,
-not engine semantics (SURVEY §2A A14).
+not engine semantics (SURVEY §2A A14). See ``cloud_connector_conf``
+for the spark-submit config recipe that replaces the reference's
+credential bootstrap (src/Program.cs:55-69 reads a service-account
+key; reference/EtlToS3.cs:45 builds an S3 client from the default
+credential chain).
 """
 
 from __future__ import annotations
@@ -31,6 +35,64 @@ from tile_etl_spark.session import ensure_session_determinism
 # Deterministic injected PUT failure: ~1/16 of keys, recomputable by
 # the DuckDB twin (md5 of the object key starts with '0').
 _FAIL_SQL = "substring(md5(object_key), 1, 1) = '0'"
+
+
+def cloud_connector_conf(
+    provider: str,
+    *,
+    gcs_keyfile: str | None = None,
+    s3_endpoint: str | None = None,
+) -> dict[str, str]:
+    """Spark config delta that points the SAME sink at a real object
+    store — the engine-side replacement for the reference's credential
+    bootstrap (A14; src/Program.cs:55-69 GCS service-account JSON,
+    reference/EtlToS3.cs:45 AWS default credential chain).
+
+    Hadoop FS connectors handle auth/retry/multipart below the engine:
+    with these confs set, ``spark.read``/``df.write`` accept
+    ``gs://bucket/...`` or ``s3a://bucket/...`` paths directly, and the
+    mapInPandas PUT stage swaps its local ``put()`` for the provider
+    SDK client created per-partition (never on the driver, never
+    serialized into the closure).
+
+    No cloud is reachable from this sandbox, so this is config assembly
+    only — unit-tested for shape, documented for deployment.
+    """
+    if provider == "gcs":
+        conf = {
+            # Hadoop GCS connector (public artifact gcs-connector-hadoop3)
+            "spark.hadoop.fs.AbstractFileSystem.gs.impl": (
+                "com.google.cloud.hadoop.fs.gcs.GoogleHadoopFS"
+            ),
+            "spark.hadoop.fs.gs.impl": (
+                "com.google.cloud.hadoop.fs.gcs.GoogleHadoopFileSystem"
+            ),
+        }
+        if gcs_keyfile:  # src/Program.cs:55-69 service-account JSON
+            conf.update(
+                {
+                    "spark.hadoop.google.cloud.auth.service.account.enable": "true",
+                    "spark.hadoop.google.cloud.auth.service.account.json.keyfile": gcs_keyfile,
+                }
+            )
+        return conf
+    if provider == "s3":
+        conf = {
+            # hadoop-aws S3A connector; default chain = env vars,
+            # instance profile, ~/.aws — EtlToS3.cs:45 semantics
+            "spark.hadoop.fs.s3a.impl": (
+                "org.apache.hadoop.fs.s3a.S3AFileSystem"
+            ),
+            "spark.hadoop.fs.s3a.aws.credentials.provider": (
+                "com.amazonaws.auth.DefaultAWSCredentialsProviderChain"
+            ),
+            "spark.hadoop.fs.s3a.fast.upload": "true",
+            "spark.hadoop.fs.s3a.connection.maximum": "96",
+        }
+        if s3_endpoint:
+            conf["spark.hadoop.fs.s3a.endpoint"] = s3_endpoint
+        return conf
+    raise ValueError(f"unknown object-store provider: {provider!r}")
 
 
 def objectstore_sink(
