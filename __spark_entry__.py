@@ -37,6 +37,17 @@ FLAGSHIP = "q_agg_group"
 # signal first, within the ~50-row budget. Registration/implementation
 # is unchanged — this orders only the exported dict views.
 _PRIORITY = [
+    # (a0) NEW this round (curation extensions + ORC source) — need
+    # their first-ever driver rows
+    "q_dedup_cluster",
+    "q_decontam",
+    "q_pii_scrub",
+    "q_data_split",
+    "q_pack_sequences",
+    "q_text_repetition",
+    "q_funnel",
+    "q_embed_quantize",
+    "src_orc",
     # (a) repaired this round — were driver-red in CORRECTNESS_r02
     "q_math_funcs",
     "q_cond_funcs",

@@ -30,6 +30,7 @@ import tile_etl_spark.functions.udfs  # noqa: F401
 import tile_etl_spark.streaming.queries  # noqa: F401
 
 # LLM-data-pipeline extensions
+import tile_etl_spark.llm.curation  # noqa: F401
 import tile_etl_spark.llm.dedup  # noqa: F401
 import tile_etl_spark.llm.multimodal  # noqa: F401
 import tile_etl_spark.llm.similarity  # noqa: F401

@@ -1,0 +1,672 @@
+"""Training-data curation operators (round-3 extensions): near-dup
+cluster resolution, benchmark decontamination, PII scrubbing,
+deterministic dataset splits, sequence packing, and within-document
+repetition scoring.
+
+These are the steps BETWEEN the primitives (dedup / similarity / text
+scoring, in sibling modules) and an actual training set: candidate
+pairs must be resolved to one survivor per connected component, eval
+benchmarks must be decontaminated out of the corpus, documents must be
+assigned to stable train/val/test splits and packed into fixed token
+budgets. Every operator is a DataFrame composition (one or two shuffles
+each) except sequence packing, whose greedy in-order fill is inherently
+sequential per group and runs as an Arrow ``applyInPandas`` over
+deterministic shards.
+
+Scale notes per operator live on the builders. Nothing here collects
+data-bearing rows to the driver; the one driver-side loop
+(q_dedup_cluster's fixpoint iteration) reduces a single scalar per
+round and runs O(component-diameter) rounds — near-dup components are
+clique-like (every member pairs with most others), so 2–4 rounds in
+practice.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tile_etl_spark.cache import persist_scoped as _persist
+from tile_etl_spark.cache import scope as _scope
+from tile_etl_spark.io import load
+from tile_etl_spark.llm.dedup import (
+    NGRAM_PAIRS_CTES,
+    _parallelize_docs,
+    ngram_jaccard_pairs,
+    shingles_df,
+)
+from tile_etl_spark.registry import query
+from tile_etl_spark.session import ensure_session_determinism
+
+# --- near-dup cluster resolution ---------------------------------------
+
+_MAX_CC_ROUNDS = 20
+
+
+def connected_components(edges: DataFrame, max_rounds: int = _MAX_CC_ROUNDS) -> DataFrame:
+    """(node, component) — component = min node id reachable from
+    ``node`` over the undirected edge set ``(src, dst)``.
+
+    Min-label propagation: every round each node takes the min of its
+    own label and its neighbors' labels — one equi-join + one hash
+    aggregate per round, converging in O(component diameter) rounds.
+    Near-dup graphs are the favorable case: LSH-verified components are
+    dense (most members pair directly), so diameter is 2–4 regardless
+    of corpus size. For high-diameter graphs (linked lists of docs) the
+    alternating large-star/small-star contraction [Kiveris et al.,
+    "Connected Components in MapReduce and Beyond"] halves diameter per
+    round (O(log n) total) — same join-shape building blocks, swap-in
+    documented rather than implemented because near-dup resolution
+    never sees such graphs.
+
+    Each round ``localCheckpoint``s the label frame: truncating lineage
+    is what keeps round k from re-running rounds 1..k-1 (and the plan
+    from growing unboundedly). On a cluster, checkpoint to durable
+    storage instead if executor loss must not restart the loop. The
+    per-round driver reduce is ONE scalar (the changed-label count).
+    """
+    sym = edges.union(edges.select(F.col("dst"), F.col("src")))
+    labels = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_rounds):
+        nbr_min = (
+            sym.join(labels, sym["dst"] == labels["node"])
+            .groupBy(sym["src"].alias("node"))
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        upd = (
+            labels.join(nbr_min, "node", "left")
+            .select(
+                "node",
+                F.col("label").alias("old"),
+                F.least(
+                    F.col("label"), F.coalesce("nbr_min", "label")
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = upd.where(F.col("label") < F.col("old")).count()
+        labels = upd.select("node", "label")
+        if changed == 0:
+            break
+    return labels.select("node", F.col("label").alias("component"))
+
+
+@query(
+    "q_dedup_cluster",
+    oracle=f"""
+    WITH RECURSIVE {NGRAM_PAIRS_CTES},
+    edges AS (
+      SELECT d1 AS a, d2 AS b FROM njpairs
+      UNION ALL
+      SELECT d2, d1 FROM njpairs
+    ),
+    reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    rep AS (
+      SELECT a AS doc_id, least(a, min(b)) AS cluster_rep
+      FROM reach GROUP BY a
+    ),
+    assign AS (
+      SELECT d.doc_id,
+             coalesce(r.cluster_rep, d.doc_id) AS cluster_rep
+      FROM documents d LEFT JOIN rep r ON d.doc_id = r.doc_id
+    ),
+    csize AS (
+      SELECT cluster_rep, count(*) AS n FROM assign GROUP BY cluster_rep
+    )
+    SELECT a.doc_id, a.cluster_rep, CAST(s.n AS BIGINT) AS cluster_size,
+           CAST(CASE WHEN a.doc_id = a.cluster_rep THEN 1 ELSE 0 END
+                AS INT) AS is_survivor
+    FROM assign a JOIN csize s ON a.cluster_rep = s.cluster_rep
+    """,
+)
+def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTER RESOLUTION: pairwise matches (exact 3-gram
+    Jaccard ≥ 0.8, the H-checked tier shared with q_dedup_ngram) are
+    only half of dedup — transitive groups must collapse to one
+    survivor. Connected components over the match graph assigns every
+    doc its component's min doc_id as ``cluster_rep``; survivors are
+    reps. Docs in no pair are their own singleton cluster.
+
+    Oracle: DuckDB recursive transitive closure over the SAME pair CTE
+    (shared SQL constant), min over the reachable set — O(n·component)
+    closure is fine at oracle scale, while the Spark side stays
+    propagation-shaped for 100 TB.
+    """
+    ensure_session_determinism(spark)
+    _scope(f"q_dedup_cluster:{sf_dir}")
+    d = _parallelize_docs(load(spark, sf_dir, "documents"))
+    pairs = ngram_jaccard_pairs(d).select(
+        F.col("d1").alias("src"), F.col("d2").alias("dst")
+    )
+    comp = connected_components(pairs)
+    assign = (
+        d.select("doc_id")
+        .join(
+            comp.select(
+                F.col("node").alias("doc_id"),
+                F.col("component").alias("cluster_rep"),
+            ),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "doc_id",
+            F.coalesce("cluster_rep", F.col("doc_id")).alias("cluster_rep"),
+        )
+    )
+    sizes = assign.groupBy("cluster_rep").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return assign.join(sizes, "cluster_rep").select(
+        "doc_id",
+        "cluster_rep",
+        "cluster_size",
+        (F.col("doc_id") == F.col("cluster_rep"))
+        .cast("int")
+        .alias("is_survivor"),
+    )
+
+
+# --- benchmark decontamination -----------------------------------------
+
+
+@query(
+    "q_decontam",
+    oracle="""
+    WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               generate_series(1, greatest(len(w) - 4, 0)),
+               i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4])
+             ))) AS shingle
+      FROM words
+    ),
+    ev AS (SELECT doc_id AS eval_id, shingle FROM sh WHERE doc_id % 10 = 0),
+    corp AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 10 <> 0)
+    SELECT c.doc_id,
+           CAST(count(DISTINCT c.shingle) AS BIGINT) AS n_shared_ngrams,
+           CAST(count(DISTINCT e.eval_id) AS BIGINT) AS n_eval_docs
+    FROM corp c JOIN ev e ON c.shingle = e.shingle
+    GROUP BY c.doc_id
+    """,
+)
+def q_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark DECONTAMINATION: flag corpus documents sharing any
+    5-gram with the eval set (docs with doc_id % 10 = 0 stand in for a
+    held-out benchmark). Per contaminated doc: how many distinct
+    5-grams collide and how many eval docs are hit — the evidence a
+    filtering decision needs.
+
+    Scale shape: the eval side is tiny relative to the corpus (a
+    benchmark is KBs against 100 TB), so its shingle set is BROADCAST —
+    the corpus streams through a broadcast hash join with no shuffle of
+    corpus shingles; the only shuffle is the per-doc count aggregation.
+    5-grams not 13-grams (the common production n) because fixture docs
+    are short; n is a parameter of the same plan.
+    """
+    ensure_session_determinism(spark)
+    d = _parallelize_docs(load(spark, sf_dir, "documents"))
+    ev = d.where(F.col("doc_id") % 10 == 0)
+    corp = d.where(F.col("doc_id") % 10 != 0)
+    sh_ev = shingles_df(ev, 5).withColumnRenamed("doc_id", "eval_id")
+    sh_corp = shingles_df(corp, 5)
+    hits = sh_corp.join(F.broadcast(sh_ev), "shingle")
+    return hits.groupBy("doc_id").agg(
+        F.countDistinct("shingle").alias("n_shared_ngrams"),
+        F.countDistinct("eval_id").alias("n_eval_docs"),
+    )
+
+
+# --- PII scrubbing ------------------------------------------------------
+
+_PII_SALT = "::tile-etl-salt-v1"
+
+# RE2-safe patterns (no lookaround/backrefs): usable verbatim in Spark
+# (java.util.regex) and DuckDB (RE2). Applied by scrub_text(); the
+# fixture corpus contains none of these, so the H-check exercises them
+# as identity transforms and the unit test drives them on synthetic
+# rows with real emails/phones/IPs.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?[0-9][0-9 ()-]{6,}[0-9]",
+    "ipv4": r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}",
+}
+
+
+def scrub_text(col, kinds=("email", "phone", "ipv4")):
+    """Chained regexp_replace redacting each PII kind to ``<KIND>``."""
+    out = col if not isinstance(col, str) else F.col(col)
+    for k in kinds:
+        out = F.regexp_replace(out, PII_PATTERNS[k], f"<{k.upper()}>")
+    return out
+
+
+@query(
+    "q_pii_scrub",
+    oracle=f"""
+    SELECT c_custkey,
+           concat(
+             regexp_replace(substring(c_name, 1, length(c_name) - 2),
+                            '[0-9]', '#', 'g'),
+             substring(c_name, length(c_name) - 1, 2)
+           ) AS masked_name,
+           substring(sha256(c_name || '{_PII_SALT}'), 1, 16) AS pseudo_id,
+           CAST(length(regexp_replace(c_name, '[^0-9]', '', 'g'))
+                AS BIGINT) AS n_digits,
+           CAST(floor(c_acctbal / 1000) * 1000 AS BIGINT) AS acct_band
+    FROM customer
+    """,
+)
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing / pseudonymization over ``customer``: mask the
+    numeric identity in ``c_name`` (keep last 2 chars for human
+    eyeballing), derive a stable salted-SHA256 pseudonymous key (same
+    input → same key across runs and tables — join-able, untraceable
+    without the salt), and generalize ``c_acctbal`` to $1000 bands
+    (k-anonymity-style coarsening). Free-text redaction (emails,
+    phones, IPs) ships as ``scrub_text`` with RE2-safe patterns — the
+    fixture corpus has no such tokens, so those patterns are
+    unit-tested on synthetic rows instead of hash-checked here.
+
+    All five columns are single-pass narrow expressions — no shuffle,
+    no UDF; at 100 TB this is a pure map stage pipelined into the scan.
+    """
+    ensure_session_determinism(spark)
+    c = load(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.concat(
+            F.regexp_replace(
+                F.expr("substring(c_name, 1, length(c_name) - 2)"),
+                "[0-9]",
+                "#",
+            ),
+            F.expr("substring(c_name, length(c_name) - 1, 2)"),
+        ).alias("masked_name"),
+        F.substring(
+            F.sha2(F.concat(F.col("c_name"), F.lit(_PII_SALT)), 256), 1, 16
+        ).alias("pseudo_id"),
+        F.length(F.regexp_replace(F.col("c_name"), "[^0-9]", ""))
+        .cast("bigint")
+        .alias("n_digits"),
+        (F.floor(F.col("c_acctbal") / 1000) * 1000)
+        .cast("bigint")
+        .alias("acct_band"),
+    )
+
+
+# --- deterministic dataset splits ---------------------------------------
+
+
+@query(
+    "q_data_split",
+    oracle="""
+    WITH tagged AS (
+      SELECT lang, n_chars,
+             CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc'
+                  THEN 'train'
+                  WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+                  THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    )
+    SELECT lang, split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS chars_total
+    FROM tagged GROUP BY lang, split
+    """,
+)
+def q_data_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment: hash the stable doc_id
+    (never random() — reruns, retries and late-arriving shards must all
+    agree), take the first 2 hex chars of md5 and threshold the STRING:
+    lexicographic order over ``[0-9a-f]{2}`` equals numeric order, so
+    ``< 'cc'`` is bucket < 204/256 ≈ 79.7 % train, ``< 'e6'`` adds
+    ≈ 10.2 % val, rest test. String thresholds sidestep every
+    hex-parsing dialect difference between engines. Reported as per
+    (lang, split) doc and char counts — the split-balance audit a
+    pipeline runs before training.
+
+    Scale: one map-side expression + one 15-key aggregate; the
+    assignment itself never shuffles.
+    """
+    ensure_session_determinism(spark)
+    d = load(spark, sf_dir, "documents")
+    b2 = F.substring(
+        F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 2
+    )
+    split = (
+        F.when(b2 < "cc", "train").when(b2 < "e6", "val").otherwise("test")
+    )
+    return (
+        d.select("lang", "n_chars", split.alias("split"))
+        .groupBy("lang", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("chars_total"),
+        )
+    )
+
+
+# --- sequence packing ---------------------------------------------------
+
+PACK_BUDGET = 512
+
+
+@query(
+    "q_pack_sequences",
+    oracle=f"""
+    WITH RECURSIVE docs AS (
+      SELECT doc_id, lang, len(string_split(text, ' ')) AS tok,
+             row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+      FROM documents
+    ),
+    step(lang, rn, bin_id, fill) AS (
+      SELECT lang, rn, 0, tok FROM docs WHERE rn = 1
+      UNION ALL
+      SELECT d.lang, d.rn,
+             CASE WHEN s.fill + d.tok <= {PACK_BUDGET}
+                  THEN s.bin_id ELSE s.bin_id + 1 END,
+             CASE WHEN s.fill + d.tok <= {PACK_BUDGET}
+                  THEN s.fill + d.tok ELSE d.tok END
+      FROM step s JOIN docs d ON d.lang = s.lang AND d.rn = s.rn + 1
+    ),
+    packed AS (
+      SELECT s.lang, s.bin_id, d.tok
+      FROM step s JOIN docs d ON d.lang = s.lang AND d.rn = s.rn
+    )
+    SELECT lang, CAST(bin_id AS BIGINT) AS bin_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(tok) AS BIGINT) AS bin_tokens
+    FROM packed GROUP BY lang, bin_id
+    """,
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEQUENCE PACKING: greedy first-fit of documents (in doc_id
+    order, per lang) into {PACK_BUDGET}-token bins — the step that
+    turns a filtered corpus into fixed-length training sequences.
+    Greedy in-order fill is inherently sequential, so it runs as an
+    Arrow ``applyInPandas`` per group: a tight pandas loop over
+    (already sorted) token counts, emitting a bin id per doc; Spark
+    then aggregates per (lang, bin).
+
+    An over-budget document gets a bin of its own (fill = its own count
+    — real pipelines would chunk it first) and the NEXT doc always
+    starts fresh; the DuckDB oracle replays the identical rule as a
+    recursive CTE, one recursion step per doc per lang — fine at oracle
+    scale, sequential by construction at any scale, which is exactly
+    why the engine packs per group instead.
+
+    Scale: bins are local to their (lang) group here; at 100 TB you
+    pack per (lang, shard) partition — same code with the shard id in
+    the groupBy — accepting per-shard bin numbering, since global
+    sequential numbering is the antithesis of distributed. Group state
+    is one integer pair; memory per task is the group's (doc_id, tok)
+    pairs only.
+    """
+    ensure_session_determinism(spark)
+    d = _parallelize_docs(load(spark, sf_dir, "documents"))
+    tok = d.select(
+        "lang", "doc_id", F.size(F.split("text", " ")).alias("tok")
+    )
+
+    budget = PACK_BUDGET
+
+    def pack(pdf):
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        bins = []
+        bin_id, fill = 0, 0
+        first = True
+        for t in pdf["tok"]:
+            t = int(t)
+            if first:
+                first = False
+                fill = t
+            elif fill + t <= budget:
+                fill += t
+            else:
+                bin_id += 1
+                fill = t
+            bins.append(bin_id)
+        pdf["bin_id"] = bins
+        return pdf[["lang", "doc_id", "bin_id", "tok"]]
+
+    packed = tok.groupBy("lang").applyInPandas(
+        pack, "lang string, doc_id long, bin_id long, tok long"
+    )
+    return packed.groupBy("lang", "bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("tok").alias("bin_tokens"),
+    )
+
+
+# --- within-document repetition ----------------------------------------
+
+
+@query(
+    "q_text_repetition",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word
+      FROM documents
+    ),
+    wc AS (
+      SELECT doc_id, word, count(*) AS n FROM words GROUP BY doc_id, word
+    )
+    SELECT doc_id,
+           CAST(sum(n) AS BIGINT) AS n_words,
+           CAST(count(*) AS BIGINT) AS n_distinct,
+           round(CAST(max(n) AS DOUBLE) / sum(n), 6) AS top_ratio,
+           round(CAST(count(*) AS DOUBLE) / sum(n), 6) AS distinct_ratio,
+           CAST(CASE WHEN CAST(max(n) AS DOUBLE) / sum(n) > 0.2
+                     THEN 1 ELSE 0 END AS INT) AS repetitive
+    FROM wc GROUP BY doc_id
+    """,
+)
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document REPETITION scoring — the boilerplate/spam signal
+    (a page of one word repeated 500× has high n_words and terrible
+    top_ratio). Per doc: word count, distinct-word count, the most
+    frequent word's share (top_ratio), type-token ratio
+    (distinct_ratio), and a 20 %-share repetitive flag.
+
+    Shape: explode words → two stacked hash aggregates ((doc, word)
+    then doc) — both combine map-side; no window, no UDF. The flag
+    compares UNROUNDED ratios in both engines (rounding first would
+    make the boundary engine-dependent).
+    """
+    ensure_session_determinism(spark)
+    d = _parallelize_docs(load(spark, sf_dir, "documents"))
+    wc = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    ratio = F.col("max_n").cast("double") / F.col("n_words")
+    return (
+        wc.groupBy("doc_id")
+        .agg(
+            F.sum("n").alias("n_words"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.max("n").alias("max_n"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            "n_distinct",
+            F.round(ratio, 6).alias("top_ratio"),
+            F.round(
+                F.col("n_distinct").cast("double") / F.col("n_words"), 6
+            ).alias("distinct_ratio"),
+            (ratio > 0.2).cast("int").alias("repetitive"),
+        )
+    )
+
+
+# --- event funnels ------------------------------------------------------
+
+
+@query(
+    "q_funnel",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'click' AND e.ts > s1.t1
+      GROUP BY e.user_id
+    ),
+    s3 AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM events e JOIN s2 ON e.user_id = s2.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+      GROUP BY e.user_id
+    )
+    SELECT stage, n_users FROM (
+      SELECT 'signup' AS stage,
+             CAST((SELECT count(*) FROM s1) AS BIGINT) AS n_users
+      UNION ALL
+      SELECT 'signup>click',
+             CAST((SELECT count(*) FROM s2) AS BIGINT)
+      UNION ALL
+      SELECT 'signup>click>purchase',
+             CAST((SELECT count(*) FROM s3) AS BIGINT)
+    )
+    """,
+)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered event-sequence (FUNNEL) detection: users who signed up,
+    then clicked strictly after their first signup, then purchased
+    strictly after that first qualifying click — the strict-order
+    semantics of MATCH_RECOGNIZE / windowFunnel, built from chained
+    min-timestamp aggregates: stage k is a groupBy(user) min(ts) over
+    events later than stage k-1's timestamp.
+
+    Scale: three aggregates + two joins, all keyed on user_id — they
+    co-partition, so AQE plans one real shuffle of the events scan per
+    stage filter with small probe sides; stage frames only shrink.
+    Output is one row per funnel stage with the surviving user count.
+    """
+    ensure_session_determinism(spark)
+    e = load(spark, sf_dir, "events")
+    s1 = (
+        e.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        e.where(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .where(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        e.where(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .where(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+
+    def stage(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("stage"),
+            F.count(F.lit(1)).alias("n_users"),
+        ).select("stage", "n_users")
+
+    return (
+        stage("signup", s1)
+        .unionByName(stage("signup>click", s2))
+        .unionByName(stage("signup>click>purchase", s3))
+    )
+
+
+# --- embedding quantization ---------------------------------------------
+
+
+@query(
+    "q_embed_quantize",
+    oracle="""
+    WITH base AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    scaled AS (
+      SELECT vec_id, e,
+             127.0 / list_aggregate(list_transform(e, x -> abs(x)), 'max')
+               AS scale
+      FROM base
+    )
+    SELECT vec_id,
+           round(scale, 6) AS scale_r,
+           array_to_string(
+             list_transform(e,
+               x -> CAST(floor(x * scale + 0.5) AS BIGINT)), ',') AS codes,
+           round(list_aggregate(
+             list_transform(e,
+               x -> abs(x - floor(x * scale + 0.5) / scale)), 'max'),
+             6) AS max_abs_err
+    FROM scaled
+    """,
+)
+def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric INT8 QUANTIZATION of the embedding column — 4×
+    compression for ANN shortlists and caches. Per vector: scale =
+    127/max|x|, code_i = floor(x_i·scale + 0.5) ∈ [-127, 127], plus
+    the max absolute reconstruction error. Codes are emitted as a
+    comma-joined string (driver-hashable, and integer codes are
+    EXACTLY comparable across engines — float32→double widening, the
+    multiply and floor are all deterministic; max is order-independent,
+    so no float-summation-order risk anywhere).
+
+    Shape: pure per-row array expressions (transform/max/floor) — a map
+    stage, no shuffle, no UDF. The 64-wide HOFs run interpreted
+    per-element, which is fine off the hot path; the GEMM tier
+    (similarity.py) is where vector math must be BLAS.
+    """
+    ensure_session_determinism(spark)
+    em = load(spark, sf_dir, "embeddings")
+    e = F.transform("embedding", lambda x: x.cast("double"))
+    base = em.select("vec_id", e.alias("e"))
+    scale = 127.0 / F.array_max(
+        F.transform("e", lambda x: F.abs(x))
+    )
+    scaled = base.select("vec_id", "e", scale.alias("scale"))
+    codes = F.array_join(
+        F.transform(
+            "e",
+            lambda x: F.floor(x * F.col("scale") + 0.5)
+            .cast("bigint")
+            .cast("string"),
+        ),
+        ",",
+    )
+    err = F.array_max(
+        F.transform(
+            "e",
+            lambda x: F.abs(
+                x - F.floor(x * F.col("scale") + 0.5) / F.col("scale")
+            ),
+        )
+    )
+    return scaled.select(
+        "vec_id",
+        F.round("scale", 6).alias("scale_r"),
+        codes.alias("codes"),
+        F.round(err, 6).alias("max_abs_err"),
+    )

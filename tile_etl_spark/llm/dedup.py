@@ -295,10 +295,13 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- n-gram Jaccard (exact, H-checked) ----------------------------------
 
 
-@query(
-    "q_dedup_ngram",
-    oracle="""
-    WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+# Shared DuckDB CTE block: exact 3-gram-Jaccard ≥ 0.8 pairs (d1 < d2)
+# ending in a `njpairs` relation — the oracle twin of
+# ngram_jaccard_pairs(). Reused by q_dedup_cluster's transitive-closure
+# oracle (llm/curation.py), so both qids agree on the edge set by
+# construction.
+NGRAM_PAIRS_CTES = """
+    words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
     sh AS (
       SELECT doc_id,
              unnest(list_distinct(list_transform(
@@ -311,20 +314,37 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
       FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       GROUP BY 1, 2
+    ),
+    njpairs AS (
+      SELECT d1, d2,
+             round(CAST(i AS DOUBLE) / (na.n + nb.n - i), 6) AS jaccard
+      FROM inter
+      JOIN sizes na ON d1 = na.doc_id
+      JOIN sizes nb ON d2 = nb.doc_id
+      WHERE CAST(i AS DOUBLE) / (na.n + nb.n - i) >= 0.8
     )
-    SELECT d1, d2,
-           round(CAST(i AS DOUBLE) / (na.n + nb.n - i), 6) AS jaccard
-    FROM inter
-    JOIN sizes na ON d1 = na.doc_id
-    JOIN sizes nb ON d2 = nb.doc_id
-    WHERE CAST(i AS DOUBLE) / (na.n + nb.n - i) >= 0.8
-    """,
+"""
+
+
+@query(
+    "q_dedup_ngram",
+    oracle=f"WITH {NGRAM_PAIRS_CTES} SELECT d1, d2, jaccard FROM njpairs",
 )
 def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard ≥ 0.8 over ALL colliding pairs — the
     ground-truth twin of q_dedup_near (H-checked in DuckDB). The
     shingle equi-join bounds the pair space to docs sharing at least
     one shingle; at 100 TB this exact tier runs after LSH.
+
+    Plan shape: see ngram_jaccard_pairs."""
+    ensure_session_determinism(spark)
+    _scope(f"q_dedup_ngram:{sf_dir}")
+    d = _parallelize_docs(load(spark, sf_dir, "documents"))
+    return ngram_jaccard_pairs(d)
+
+
+def ngram_jaccard_pairs(d: DataFrame, thresh: float = 0.8) -> DataFrame:
+    """(d1, d2, jaccard) — exact 3-gram Jaccard ≥ ``thresh`` pairs.
 
     Plan shape: (1) shingle in parallel once and cache — three plan
     branches (sizes + both join sides) otherwise re-run the serial
@@ -333,10 +353,8 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     in a single doc can never produce a pair, and unique shingles are
     the bulk of any real corpus (90 % in the fixture), so the join
     input shrinks ~10× with zero semantic change (intersections only
-    involve shared shingles; union sizes still count all shingles)."""
-    ensure_session_determinism(spark)
-    _scope(f"q_dedup_ngram:{sf_dir}")
-    d = _parallelize_docs(load(spark, sf_dir, "documents"))
+    involve shared shingles; union sizes still count all shingles).
+    Persists register under the CALLER's cache scope."""
     # join on the 64-bit shingle hash, not the string: ~3× narrower
     # shuffle rows and a cheaper join key; intersection counts are
     # unchanged unless xxhash64 collides within one doc pair's shingle
@@ -379,7 +397,7 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("i").cast("double") / (F.col("n1") + F.col("n2") - F.col("i")),
         )
     )
-    return j.where(F.col("jaccard") >= 0.8).select(
+    return j.where(F.col("jaccard") >= thresh).select(
         "d1", "d2", F.round("jaccard", 6).alias("jaccard")
     )
 

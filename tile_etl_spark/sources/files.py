@@ -159,6 +159,30 @@ def sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "src_orc",
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey FROM nation
+    """,
+)
+def src_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC ingest round trip: write ``nation`` to ORC, read back with
+    an explicit DDL schema. ORC is Spark-native (same vectorized reader
+    + predicate pushdown machinery as Parquet), so losslessness makes
+    the oracle the original table — DuckDB never needs to read ORC
+    itself. Columnar-format interop matters for lakes that standardized
+    on ORC (Hive lineage) rather than Parquet."""
+    ensure_session_determinism(spark)
+    n = load(spark, sf_dir, "nation")
+    orc_dir = _art("nation_orc")
+    n.coalesce(1).write.mode("overwrite").orc(orc_dir)
+    schema = "n_nationkey INT, n_name STRING, n_regionkey INT"
+    return (
+        spark.read.schema(schema).orc(orc_dir)
+        .select("n_nationkey", "n_name", "n_regionkey")
+    )
+
+
 # Deterministic synthetic tile content shared with the DuckDB twin:
 # repeat md5(src_path) k times, k = ((ascii(4th md5 char) + 7) % 5) + 1.
 _K_SQL = "((ascii(substring(md5(src_path), 4, 1)) + 7) % 5) + 1"
