@@ -48,6 +48,12 @@ _PRIORITY = [
     "q_funnel",
     "q_embed_quantize",
     "src_orc",
+    "q_sample_stratified",
+    "q_doc_chunk",
+    "q_mixture_weights",
+    "q_quality_filter",
+    "q_sim_ann_lsh",
+    "s_join",
     # (a) repaired this round — were driver-red in CORRECTNESS_r02
     "q_math_funcs",
     "q_cond_funcs",

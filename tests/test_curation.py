@@ -1,0 +1,115 @@
+"""Targeted tests for the curation operators (llm/curation.py) beyond
+the auto parity sweep: graph resolution on adversarial shapes, PII
+patterns on synthetic rows (the fixture corpus contains none), and
+packing invariants."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tile_etl_spark import registry
+from tile_etl_spark.llm.curation import (
+    PACK_BUDGET,
+    connected_components,
+    scrub_text,
+)
+
+registry.load_all()
+
+
+def test_connected_components_chain(spark):
+    """A 6-node path graph (worst case for label propagation: diameter
+    5 needs multiple rounds, unlike the clique-like near-dup graphs)
+    plus an isolated edge — every node must resolve to its component's
+    min id."""
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (10, 11)],
+        "src long, dst long",
+    )
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(edges).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 1, 10: 10, 11: 10}
+
+
+def test_dedup_cluster_invariants(spark, sf_dir):
+    """Structural invariants independent of the oracle: reps are
+    members of their own cluster, exactly one survivor per cluster,
+    cluster_size sums to the corpus size."""
+    rows = registry.QUERIES["q_dedup_cluster"](spark, sf_dir).collect()
+    by_rep = {}
+    for r in rows:
+        by_rep.setdefault(r["cluster_rep"], []).append(r)
+    n_docs = len(rows)
+    assert sum(len(v) for v in by_rep.values()) == n_docs
+    for rep, members in by_rep.items():
+        ids = {m["doc_id"] for m in members}
+        assert rep in ids  # rep is a member
+        assert rep == min(ids)  # rep is the min id
+        survivors = [m for m in members if m["is_survivor"] == 1]
+        assert len(survivors) == 1 and survivors[0]["doc_id"] == rep
+        assert all(m["cluster_size"] == len(members) for m in members)
+
+
+def test_scrub_text_masks_pii(spark):
+    """The RE2-safe email/phone/IP patterns on synthetic rows — the
+    fixture corpus has no PII, so the H-check exercises them only as
+    identity transforms."""
+    df = spark.createDataFrame(
+        [
+            ("mail me at jane.doe+spam@example.co.uk please",),
+            ("call +1 (555) 123-4567 now",),
+            ("server at 192.168.0.1 down",),
+            ("nothing sensitive here",),
+        ],
+        "text string",
+    )
+    got = [r["out"] for r in df.select(scrub_text("text").alias("out")).collect()]
+    assert got[0] == "mail me at <EMAIL> please"
+    assert got[1] == "call <PHONE> now"
+    assert got[2] == "server at <IPV4> down"
+    assert got[3] == "nothing sensitive here"
+
+
+def test_pack_sequences_invariants(spark, sf_dir):
+    """Every bin fits the budget unless it holds a single over-budget
+    doc; bin ids are dense from 0 per lang."""
+    rows = registry.QUERIES["q_pack_sequences"](spark, sf_dir).collect()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r)
+    for lang, bins in by_lang.items():
+        ids = sorted(b["bin_id"] for b in bins)
+        assert ids == list(range(len(ids))), lang  # dense 0..n-1
+        for b in bins:
+            assert b["bin_tokens"] <= PACK_BUDGET or b["n_docs"] == 1, (
+                lang,
+                b,
+            )
+
+
+def test_data_split_partitions_corpus(spark, sf_dir):
+    """Splits are exhaustive and deterministic: per-lang totals equal
+    the corpus per-lang totals, and a re-run hashes identically."""
+    from tile_etl_spark.io import load
+
+    got = registry.QUERIES["q_data_split"](spark, sf_dir)
+    per_lang = {
+        r["lang"]: r["n"]
+        for r in got.groupBy("lang")
+        .agg(F.sum("n_docs").alias("n"))
+        .collect()
+    }
+    want = {
+        r["lang"]: r["n"]
+        for r in load(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert per_lang == want
+    again = registry.QUERIES["q_data_split"](spark, sf_dir)
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, again.collect())
+    )

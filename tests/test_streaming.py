@@ -137,3 +137,26 @@ def test_watermark_drops_late_row(spark, tmp_path):
     out = {r["ws"]: r["n"] for r in run_to_table(agg, "append").collect()}
     # hour-0 window finalized with 3 rows; late event_id=5 was dropped
     assert out[t0] == 3
+
+
+def test_s_join_equals_batch(spark, sf_dir):
+    """Stream-static enrichment join ≡ the same join + agg in batch."""
+    from tile_etl_spark.io import as_double, load
+
+    s = registry.QUERIES["s_join"](spark, sf_dir)
+    e = load(spark, sf_dir, "events")
+    cust = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    b = (
+        e.join(cust, "user_id")
+        .groupBy("c_mktsegment", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            as_double(F.sum(F.col("value").cast("decimal(18,6)"))).alias(
+                "sum_value"
+            ),
+        )
+    )
+    cols = ["c_mktsegment", "event_type", "n", "sum_value"]
+    assert rows_set(s, cols) == rows_set(b, cols)

@@ -595,6 +595,318 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- stratified sampling ------------------------------------------------
+
+
+@query(
+    "q_sample_stratified",
+    oracle="""
+    WITH t AS (
+      SELECT lang,
+             (ascii(substring(lang, 1, 1)) % 10) + 3 AS th,
+             substring(md5(CAST(doc_id AS VARCHAR) || '::sample'), 1, 1)
+               AS h1
+      FROM documents
+    ),
+    flagged AS (
+      SELECT lang, th,
+             CASE WHEN h1 < substring('0123456789abcdef', th + 1, 1)
+                  THEN 1 ELSE 0 END AS sampled
+      FROM t
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(sampled) AS BIGINT) AS n_sampled,
+           round(CAST(min(th) AS DOUBLE) / 16, 6) AS rate_nominal,
+           round(CAST(sum(sampled) AS DOUBLE) / count(*), 6)
+             AS rate_observed
+    FROM flagged GROUP BY lang
+    """,
+)
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRATIFIED downsampling audit: each stratum (lang) is sampled at
+    its own deterministic rate — here th/16 with th derived from the
+    lang name (3/16 .. 12/16), standing in for a per-stratum quota
+    table. Membership is decided per row by hashing the stable doc_id
+    (salted differently from q_data_split so the two assignments are
+    independent): first md5 hex char < the stratum's threshold digit —
+    lexicographic order over hex digits equals numeric order, the same
+    dialect-proof string-threshold trick as q_data_split. Never
+    ``sample()``/random(): retries and re-runs must pick the SAME rows.
+
+    Output is the audit a pipeline checks before training: per stratum,
+    population, sample size, nominal vs observed rate.
+
+    Scale: pure map expression + one small aggregate; the sampled
+    subset itself (filter on the same flag) never shuffles.
+    """
+    ensure_session_determinism(spark)
+    d = load(spark, sf_dir, "documents")
+    th = (F.ascii(F.substring("lang", 1, 1)) % 10) + 3
+    h1 = F.substring(
+        F.md5(
+            F.concat(F.col("doc_id").cast("string"), F.lit("::sample")).cast(
+                "binary"
+            )
+        ),
+        1,
+        1,
+    )
+    # substring(lit, Column) needs the SQL-expr form in Spark
+    digit = F.expr(
+        "substring('0123456789abcdef',"
+        " (ascii(substring(lang, 1, 1)) % 10) + 3 + 1, 1)"
+    )
+    sampled = (h1 < digit).cast("int")
+    return (
+        d.select("lang", th.alias("th"), sampled.alias("sampled"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("sampled").alias("n_sampled"),
+            F.round(F.min("th").cast("double") / 16, 6).alias("rate_nominal"),
+            F.round(
+                F.sum("sampled").cast("double") / F.count(F.lit(1)), 6
+            ).alias("rate_observed"),
+        )
+    )
+
+
+# --- document chunking --------------------------------------------------
+
+CHUNK_SIZE = 32
+CHUNK_STRIDE = 24
+
+
+@query(
+    "q_doc_chunk",
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id, string_split(text, ' ') AS w,
+             len(string_split(text, ' ')) AS n
+      FROM documents
+    ),
+    st AS (
+      SELECT doc_id, w, n,
+             unnest(generate_series(1, n, {CHUNK_STRIDE})) AS start
+      FROM words
+    )
+    SELECT doc_id,
+           CAST((start - 1) / {CHUNK_STRIDE} AS BIGINT) AS chunk_id,
+           CAST(least({CHUNK_SIZE}, n - start + 1) AS INT) AS n_chunk_tokens,
+           array_to_string(
+             w[start:least(start + {CHUNK_SIZE} - 1, n)], ' ') AS chunk_text
+    FROM st
+    """,
+)
+def q_doc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document CHUNKING for training: split each doc into
+    {CHUNK_SIZE}-token windows advancing by {CHUNK_STRIDE} tokens
+    ({CHUNK_SIZE - CHUNK_STRIDE}-token overlap keeps context across
+    chunk boundaries) — the step that turns variable-length documents
+    into model-sized sequences, upstream of q_pack_sequences. Chunk ids
+    are per-doc (deterministic from the start offset); the final
+    (short) window starts at the last stride position ≤ n.
+
+    Shape: sequence() + explode + slice — pure per-row array
+    expressions, a map stage with ~n/stride row amplification and no
+    shuffle. At 100 TB chunking pipelines into the scan and the
+    downstream repartition is the packing stage's, not chunking's.
+    """
+    ensure_session_determinism(spark)
+    d = _parallelize_docs(load(spark, sf_dir, "documents"))
+    w = F.split("text", " ")
+    base = d.select("doc_id", w.alias("w"), F.size(w).alias("n"))
+    st = base.select(
+        "doc_id",
+        "w",
+        "n",
+        F.explode(
+            F.sequence(F.lit(1), F.col("n"), F.lit(CHUNK_STRIDE))
+        ).alias("start"),
+    )
+    chunk_len = F.least(F.lit(CHUNK_SIZE), F.col("n") - F.col("start") + 1)
+    return st.select(
+        "doc_id",
+        ((F.col("start") - 1) / CHUNK_STRIDE).cast("bigint").alias("chunk_id"),
+        chunk_len.cast("int").alias("n_chunk_tokens"),
+        F.array_join(
+            F.slice(F.col("w"), F.col("start"), chunk_len), " "
+        ).alias("chunk_text"),
+    )
+
+
+# --- domain mixture weighting -------------------------------------------
+
+
+@query(
+    "q_mixture_weights",
+    oracle="""
+    WITH per_src AS (
+      SELECT source,
+             (CAST(substring(source, 4) AS INT) % 4) + 1 AS raw_w,
+             count(*) AS n_docs
+      FROM documents GROUP BY source
+    ),
+    tot AS (
+      SELECT sum(raw_w) AS s,
+             min(CAST(n_docs AS DOUBLE) / raw_w) AS m
+      FROM per_src
+    )
+    SELECT p.source,
+           CAST(p.n_docs AS BIGINT) AS n_docs,
+           round(CAST(p.raw_w AS DOUBLE) / g.s, 6) AS target_w,
+           round(p.raw_w * g.m / p.n_docs, 6) AS rate,
+           CAST(floor(p.raw_w * g.m) AS BIGINT) AS expected_docs
+    FROM per_src p CROSS JOIN tot g
+    """,
+)
+def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain MIXTURE reweighting: given target mixture weights per
+    source domain (derived here from the source name — a stand-in for
+    the curated weights table of a real run), compute the downsampling
+    rate per domain that achieves the target mixture with the largest
+    corpus satisfying rate ≤ 1 everywhere: with target share w_s and
+    population n_s, the binding domain is argmin(n_s / w_s) and
+    rate_s = w_s · C / n_s with C = min(n_s / w_s) — which algebraically
+    reduces to raw_s · min(n/raw) / n_s, so the normalizer cancels and
+    both engines compute the identical double expression.
+
+    Shape: one per-source aggregate, then a BROADCAST cross join of the
+    1-row global (sum, min) — the same no-driver-roundtrip scalar
+    pattern as tf-idf's N. The rates then drive the same hash-threshold
+    sampler as q_sample_stratified.
+    """
+    ensure_session_determinism(spark)
+    d = load(spark, sf_dir, "documents")
+    per_src = (
+        d.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .select(
+            "source",
+            "n_docs",
+            ((F.expr("CAST(substring(source, 4) AS INT)") % 4) + 1).alias(
+                "raw_w"
+            ),
+        )
+    )
+    glob = per_src.agg(
+        F.sum("raw_w").alias("s"),
+        F.min(F.col("n_docs").cast("double") / F.col("raw_w")).alias("m"),
+    )
+    return per_src.crossJoin(F.broadcast(glob)).select(
+        "source",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.round(F.col("raw_w").cast("double") / F.col("s"), 6).alias(
+            "target_w"
+        ),
+        F.round(F.col("raw_w") * F.col("m") / F.col("n_docs"), 6).alias(
+            "rate"
+        ),
+        F.floor(F.col("raw_w") * F.col("m")).cast("bigint").alias(
+            "expected_docs"
+        ),
+    )
+
+
+# --- composite quality gate ---------------------------------------------
+
+
+@query(
+    "q_quality_filter",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word
+      FROM documents
+    ),
+    wc AS (
+      SELECT doc_id, word, count(*) AS n FROM words GROUP BY doc_id, word
+    ),
+    rep AS (
+      SELECT doc_id, sum(n) AS n_words, max(n) AS max_n
+      FROM wc GROUP BY doc_id
+    ),
+    base AS (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n_tokens,
+             len(list_filter(string_split(text, ' '),
+                 t -> t IN ('the', 'a', 'of', 'and', 'data', 'value')))
+               AS n_stop
+      FROM documents
+    ),
+    scored AS (
+      SELECT b.doc_id, b.n_tokens, b.n_stop,
+             CAST(r.max_n AS DOUBLE) / r.n_words AS top_ratio
+      FROM base b JOIN rep r ON b.doc_id = r.doc_id
+    )
+    SELECT doc_id,
+           CAST(n_tokens AS INT) AS n_tokens,
+           round(top_ratio, 6) AS top_ratio,
+           CASE WHEN n_tokens < 5 THEN 'too_short'
+                WHEN n_tokens > 80 THEN 'too_long'
+                WHEN top_ratio > 0.2 THEN 'repetitive'
+                WHEN n_stop = 0 THEN 'no_stopwords'
+                ELSE 'ok' END AS reason,
+           CAST(CASE WHEN n_tokens >= 5 AND n_tokens <= 80
+                      AND top_ratio <= 0.2 AND n_stop > 0
+                     THEN 1 ELSE 0 END AS INT) AS keep
+    FROM scored
+    """,
+)
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite QUALITY GATE — the decision step that composes the
+    individual signals (token count, repetition share, stopword
+    presence; siblings q_text_quality / q_text_repetition compute the
+    full feature sets) into a keep/drop verdict with a REASON CODE, in
+    fixed priority order: too_short → too_long → repetitive →
+    no_stopwords → ok. Reason codes are what make a drop auditable —
+    every real curation pipeline reports removal counts per rule.
+
+    Gate thresholds compare UNROUNDED ratios in both engines; only the
+    reported top_ratio is rounded. Shape: one explode + two stacked
+    aggregates for the repetition signal, joined back to the per-doc
+    scalar pass on doc_id — two shuffles total, both map-side-combined.
+    """
+    ensure_session_determinism(spark)
+    d = _parallelize_docs(load(spark, sf_dir, "documents"))
+    words = F.split("text", " ")
+    rep = (
+        d.select("doc_id", F.explode(words).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy("doc_id")
+        .agg(F.sum("n").alias("n_words"), F.max("n").alias("max_n"))
+    )
+    base = d.select(
+        "doc_id",
+        F.size(words).alias("n_tokens"),
+        F.size(
+            F.filter(
+                words,
+                lambda t: t.isin("the", "a", "of", "and", "data", "value"),
+            )
+        ).alias("n_stop"),
+    )
+    top_ratio = F.col("max_n").cast("double") / F.col("n_words")
+    scored = base.join(rep, "doc_id").select(
+        "doc_id", "n_tokens", "n_stop", top_ratio.alias("top_ratio")
+    )
+    reason = (
+        F.when(F.col("n_tokens") < 5, "too_short")
+        .when(F.col("n_tokens") > 80, "too_long")
+        .when(F.col("top_ratio") > 0.2, "repetitive")
+        .when(F.col("n_stop") == 0, "no_stopwords")
+        .otherwise("ok")
+    )
+    return scored.select(
+        "doc_id",
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        F.round("top_ratio", 6).alias("top_ratio"),
+        reason.alias("reason"),
+        (reason == "ok").cast("int").alias("keep"),
+    )
+
+
 # --- embedding quantization ---------------------------------------------
 
 

@@ -287,6 +287,137 @@ def kmeans_centroids(corpus: DataFrame, n_cells: int = N_CELLS, iters: int = KME
     return C
 
 
+# 6 bands × 4 bits: empirically the best recall-per-candidate on the
+# fixture (cand. fraction ≈ 0.33, recall 0.56–0.58 across SFs; 4×4
+# gave 0.23/0.34, 8×4 gave 0.41/0.62 — diminishing). Near-uniform
+# synthetic vectors are the hostile case for any locality family; real
+# embedding corpora cluster and clear 0.9 at far lower fractions.
+LSH_BITS = 24
+LSH_BANDS = 6
+LSH_SEED = 1234
+
+
+def lsh_hyperplanes(d: int):
+    """(LSH_BITS × d) random-hyperplane matrix, fixed seed — the
+    signature family is part of the index definition, so it must be
+    identical across runs, executors and the test's recompute."""
+    import numpy as np
+
+    return np.random.RandomState(LSH_SEED).standard_normal((LSH_BITS, d))
+
+
+def lsh_band_codes(E, H, bands: int = LSH_BANDS):
+    """(n × bands) int codes: sign-bit signature packed per band —
+    MSB-first within each band. Same one-liner is inlined in the
+    executor closure (which must stay self-contained: the driver loads
+    ``__spark_entry__`` by path, so workers cannot re-import this
+    module to resolve by-reference function pickles)."""
+    import numpy as np
+
+    bits = ((E @ H.T) > 0).astype(np.int64)  # (n, LSH_BITS)
+    width = H.shape[0] // bands
+    pw = 1 << np.arange(width - 1, -1, -1)
+    return (bits.reshape(len(E), bands, width) * pw).sum(axis=2)
+
+
+@query("q_sim_ann_lsh")
+def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN top-5 — the hyperplane-hash alternative to IVF
+    (q_sim_ann_ivf): {LSH_BITS} sign bits against fixed random
+    hyperplanes, split into {LSH_BANDS} bands; a corpus vector is a
+    candidate for a probe iff they collide in ≥ 1 band (the classic
+    OR-of-ANDs LSH amplification — P[collide] rises steeply with
+    cosine). Candidates are scored exactly; non-candidates are never
+    scored.
+
+    Plan: ONE fused mapInPandas pass — per Arrow batch, GEMM the
+    signature bits, compare band codes against the broadcast probe
+    codes (m × {LSH_BANDS} ints), mask non-colliding pairs, score the
+    rest via the same BLAS cosine as the exact tier, keep the local
+    top-k. Per-task output ≤ m·k rows; the corpus never shuffles or
+    collects. At 100 TB the same signature becomes the TABLE LAYOUT:
+    write the corpus bucketed by (band, code) and each probe reads only
+    its {LSH_BANDS} buckets — a partition-pruning predicate, the same
+    scale path documented for IVF.
+
+    R-checked; tests recompute the signature bit-exactly and verify
+    every hit collides, sims match the exact tier, and recall clears a
+    fixture-calibrated bound (near-uniform synthetic vectors make any
+    locality family look weak — documented at N_PROBE_CELLS too)."""
+    import numpy as np
+
+    ensure_session_determinism(spark)
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    p_rows = emb.where(F.col("vec_id") < N_PROBES).collect()
+    pids = np.array([r["vec_id"] for r in p_rows], dtype=np.int64)
+    P = np.stack([np.asarray(r["e"], dtype=np.float64) for r in p_rows])
+    pnorm = np.sqrt((P * P).sum(axis=1))
+    H = lsh_hyperplanes(P.shape[1])
+    pcodes = lsh_band_codes(P, H)  # (m, LSH_BANDS)
+    bp = spark.sparkContext.broadcast(
+        (pids, P, pnorm, H, pcodes, LSH_BANDS, TOP_K)
+    )
+
+    def scan(batches):
+        import numpy as np
+        import pandas as pd
+
+        pids, P, pnorm, H, pcodes, bands, k = bp.value
+        width = H.shape[0] // bands
+        pw = 1 << np.arange(width - 1, -1, -1)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            E = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf["e"]]
+            )
+            vids = pdf["vec_id"].to_numpy()
+            bits = ((E @ H.T) > 0).astype(np.int64)
+            codes = (bits.reshape(len(E), bands, width) * pw).sum(axis=2)
+            # (n, m): collide in >= 1 band
+            match = (codes[:, None, :] == pcodes[None, :, :]).any(axis=2)
+            enorm = np.sqrt((E * E).sum(axis=1))
+            cos = (E @ P.T) / (
+                np.where(enorm == 0, 1.0, enorm)[:, None] * pnorm[None, :]
+            )
+            cos[~match] = -np.inf
+            cos[vids[:, None] == pids[None, :]] = -np.inf  # self-pairs
+            kk = min(k, len(vids))
+            out_p, out_v, out_c = [], [], []
+            for j in range(len(pids)):
+                order = np.lexsort((vids, -cos[:, j]))[:kk]
+                keep = order[np.isfinite(cos[order, j])]
+                out_p.append(np.full(len(keep), pids[j]))
+                out_v.append(vids[keep])
+                out_c.append(cos[keep, j])
+            yield pd.DataFrame(
+                {
+                    "probe_id": np.concatenate(out_p),
+                    "vec_id": np.concatenate(out_v),
+                    "cos_raw": np.concatenate(out_c),
+                }
+            )
+
+    cand = emb.mapInPandas(
+        scan, "probe_id bigint, vec_id bigint, cos_raw double"
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("cos_raw").desc(), F.col("vec_id").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select(
+            "probe_id",
+            "vec_id",
+            F.round("cos_raw", 6).alias("cos_sim"),
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )
+
+
 @query("q_sim_ann_ivf")
 def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN top-5: k-means-trained coarse cells; each probe scores

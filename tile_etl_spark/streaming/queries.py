@@ -117,6 +117,34 @@ def s_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("s_join")
+def s_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static ENRICHMENT join: the replayed event stream joins
+    the static ``customer`` dimension (user_id = c_custkey) and
+    aggregates per (market segment, event type) — the canonical
+    streaming enrichment shape. The static side is broadcast: every
+    micro-batch probes the same in-memory hash table, so the stream
+    never shuffles for the join (only for the windowless aggregate).
+    On a cluster the dim table is re-resolved per batch, picking up
+    slowly-changing updates; semantics here ≡ the batch twin asserted
+    in tests."""
+    ensure_session_determinism(spark)
+    from tile_etl_spark.io import load
+
+    stream = read_stream(spark, replay_dir(spark, sf_dir))
+    cust = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    joined = stream.join(F.broadcast(cust), "user_id")
+    agg = joined.groupBy("c_mktsegment", "event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        as_double(F.sum(F.col("value").cast("decimal(18,6)"))).alias(
+            "sum_value"
+        ),
+    )
+    return run_to_table(agg, "complete")
+
+
 @query("s_stateful")
 def s_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arbitrary stateful op via applyInPandasWithState: a per-user
