@@ -54,6 +54,10 @@ _PRIORITY = [
     "q_quality_filter",
     "q_sim_ann_lsh",
     "s_join",
+    "q_tpch_q3",
+    "q_tpch_q5",
+    "q_tpch_q10",
+    "q_join_skew_salted",
     # (a) repaired this round — were driver-red in CORRECTNESS_r02
     "q_math_funcs",
     "q_cond_funcs",

@@ -147,3 +147,33 @@ def test_global_rank_never_single_reducer_sorts(spark, sf_dir):
     for ln in p.splitlines():
         if "Window" in ln and "o_totalprice" in ln:
             assert "pid" in ln or "spark_partition_id" in ln, ln
+
+
+def test_tpch_q3_star_plan(spark, sf_dir):
+    """Composite star query: dims broadcast (fact never pre-shuffles
+    for the joins), top-10 via TakeOrderedAndProject, date filters
+    pushed to the scans."""
+    p = plan(q("q_tpch_q3", spark, sf_dir))
+    assert p.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in p
+    assert "TakeOrderedAndProject" in p
+    assert "PushedFilters: [IsNotNull(o_orderdate), LessThan(o_orderdate" in p
+
+
+def test_tpch_q5_single_fact_shuffle(spark, sf_dir):
+    """Six-table join: every non-fact relation broadcasts; the only
+    exchange is the final 5-row aggregate's."""
+    p = plan(q("q_tpch_q5", spark, sf_dir))
+    assert p.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in p
+    # one shuffle for the aggregate (plus AQE reads); never a fact sort
+    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
+
+
+def test_skew_salted_join_is_sort_merge(spark, sf_dir):
+    """The salted demo must actually exercise the shuffle path — a
+    broadcast would dodge the skew instead of spreading it — and join
+    on the widened (skew_key, salt) key."""
+    p = plan(q("q_join_skew_salted", spark, sf_dir))
+    assert "SortMergeJoin" in p
+    assert "skew_key" in p and "salt" in p

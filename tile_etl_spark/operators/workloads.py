@@ -1,0 +1,271 @@
+"""Composite analytic workloads: multi-join TPC-H-shaped queries and a
+skew-salted join.
+
+The single-operator qids (operators/*.py) pin each primitive; these pin
+the COMPOSITIONS a warehouse actually runs — 3-to-6-table star joins
+with selective filters, where the plan-level wins (broadcast the dims,
+push the filters into every scan, aggregate partial-first, top-k via
+TakeOrderedAndProject) compound. Schemas are the driver fixtures'
+trimmed TPC-H (no shippriority/comment columns; o_orderpriority stands
+in for Q3's shippriority).
+
+Money math follows the repo rule (SURVEY §5.3): sums over
+DECIMAL(18,2), emitted as DOUBLE — bit-identical across engines
+regardless of executor summation order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tile_etl_spark.io import as_double, dec, load
+from tile_etl_spark.registry import query
+from tile_etl_spark.session import ensure_session_determinism
+
+_REV = "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))"
+
+
+def _rev() -> F.Column:
+    return dec("l_extendedprice") * (1 - dec("l_discount"))
+
+
+@query(
+    "q_tpch_q3",
+    oracle=f"""
+    SELECT l_orderkey,
+           CAST(sum({_REV}) AS DOUBLE) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC
+    LIMIT 10
+    """,
+)
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape (shipping-priority): top-10 open 'BUILDING'
+    orders by outstanding revenue. The classic star probe: both dims
+    (filtered customer, filtered orders) are small relative to
+    lineitem, so the fact table joins via BROADCAST hashes and never
+    pre-shuffles; the revenue aggregate reduces map-side to one row per
+    (orderkey, date, priority); the LIMIT plans as
+    TakeOrderedAndProject (no global sort materialization). l_orderkey
+    tiebreak makes the top-10 cut total-order deterministic.
+
+    At 100 TB: identical plan with the orders side promoted to a
+    shuffle join once it outgrows the broadcast threshold — AQE decides
+    from runtime sizes; nothing in the query pins a strategy.
+    """
+    ensure_session_determinism(spark)
+    cutoff = F.lit("1998-01-01 00:00:00").cast("timestamp")
+    c = load(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load(spark, sf_dir, "orders").where(F.col("o_orderdate") < cutoff)
+    li = load(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > cutoff)
+    return (
+        li.join(
+            F.broadcast(o), li["l_orderkey"] == o["o_orderkey"]
+        )
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(as_double(F.sum(_rev())).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(
+            F.col("revenue").desc(),
+            F.col("o_orderdate").asc(),
+            F.col("l_orderkey").asc(),
+        )
+        .limit(10)
+    )
+
+
+@query(
+    "q_tpch_q5",
+    oracle=f"""
+    SELECT n_name,
+           CAST(sum({_REV}) AS DOUBLE) AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+                 AND c_nationkey = s_nationkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+)
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape (local-supplier volume): six-table join with the
+    non-tree predicate c_nationkey = s_nationkey (customer and supplier
+    in the same nation) folded into the supplier join condition —
+    Catalyst keeps it an equi-join key, not a post-filter. All five
+    non-fact tables broadcast; lineitem is the only shuffled relation
+    (for the final 5-row aggregate). Region filter prunes nations
+    before they reach the fact join.
+    """
+    ensure_session_determinism(spark)
+    lo = F.lit("1996-01-01 00:00:00").cast("timestamp")
+    hi = F.lit("1998-01-01 00:00:00").cast("timestamp")
+    r = load(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    n = load(spark, sf_dir, "nation").join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    s = load(spark, sf_dir, "supplier").join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)
+    )
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.join(
+            F.broadcast(s),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .join(F.broadcast(o), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(c),
+            (F.col("o_custkey") == F.col("c_custkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(as_double(F.sum(_rev())).alias("revenue"))
+    )
+
+
+@query(
+    "q_tpch_q10",
+    oracle=f"""
+    SELECT c_custkey, c_name,
+           CAST(sum({_REV}) AS DOUBLE) AS revenue,
+           c_acctbal, n_name
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey ASC
+    LIMIT 20
+    """,
+)
+def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape (returned-item reporting): top-20 customers by
+    revenue lost to returns in a year. Same star discipline as Q3 —
+    filtered orders and the nation dim broadcast, lineitem filtered on
+    the return flag at the scan (PushedFilters), aggregate keyed on the
+    customer attributes, TakeOrderedAndProject for the top-20 with a
+    c_custkey tiebreak.
+    """
+    ensure_session_determinism(spark)
+    lo = F.lit("1997-01-01 00:00:00").cast("timestamp")
+    hi = F.lit("1998-01-01 00:00:00").cast("timestamp")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    o = load(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)
+    )
+    li = load(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    return (
+        li.join(F.broadcast(o), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(as_double(F.sum(_rev())).alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+SALT_WIDTH = 8
+
+
+@query(
+    "q_join_skew_salted",
+    oracle="""
+    WITH fact AS (
+      SELECT CASE WHEN l_orderkey % 10 < 7 THEN 0
+                  ELSE l_orderkey % 100 END AS skew_key,
+             l_extendedprice, l_discount
+      FROM lineitem
+    ),
+    dim AS (
+      SELECT i AS skew_key, concat('grp_', CAST(i % 7 AS VARCHAR)) AS grp
+      FROM generate_series(0, 99) t(i)
+    )
+    SELECT d.grp,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(f.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(f.l_discount AS DECIMAL(18,2))))
+                AS DOUBLE) AS revenue
+    FROM fact f JOIN dim d ON f.skew_key = d.skew_key
+    GROUP BY d.grp
+    """,
+)
+def q_join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SALTED JOIN under manufactured skew: 70 % of fact rows share one
+    hot key (l_orderkey % 10 < 7 → key 0), the classic shape that sends
+    one shuffle partition 70 % of the data and stalls the stage on a
+    single straggler task. The salted rewrite is semantics-preserving:
+
+    - fact rows get a DETERMINISTIC salt (l_linenumber % SALT_WIDTH —
+      never rand(): retries must re-produce the same rows),
+    - the dim side is exploded × SALT_WIDTH so every (key, salt)
+      combination still finds its match,
+    - the join key becomes (skew_key, salt) — the hot key now spreads
+      over SALT_WIDTH partitions — and the merge hint pins a shuffle
+      sort-merge join, because a broadcastable dim would dodge the
+      skew instead of demonstrating the fix (at 100 TB the dim that
+      skews you is precisely the one too big to broadcast).
+
+    The oracle is the UNSALTED join — proving the rewrite changes the
+    physical distribution only. AQE's skew-join split
+    (spark.sql.adaptive.skewJoin) solves the same problem from the
+    runtime side; salting remains the portable fix when the skew is in
+    a single key AQE cannot split (e.g. under a following aggregate on
+    the same key, as here — the groupBy(grp) re-keys, so salt never
+    leaks downstream).
+    """
+    ensure_session_determinism(spark)
+    li = load(spark, sf_dir, "lineitem")
+    fact = li.select(
+        F.when(F.col("l_orderkey") % 10 < 7, F.lit(0))
+        .otherwise(F.col("l_orderkey") % 100)
+        .alias("skew_key"),
+        (F.col("l_linenumber") % SALT_WIDTH).alias("salt"),
+        "l_extendedprice",
+        "l_discount",
+    )
+    dim = (
+        spark.range(100)
+        .select(
+            F.col("id").alias("skew_key"),
+            F.concat(F.lit("grp_"), (F.col("id") % 7).cast("string")).alias(
+                "grp"
+            ),
+        )
+        .withColumn(
+            "salt",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(SALT_WIDTH - 1), F.lit(1))
+            ),
+        )
+    )
+    joined = fact.join(dim.hint("merge"), ["skew_key", "salt"])
+    return joined.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"),
+        as_double(F.sum(_rev())).alias("revenue"),
+    )
