@@ -43,7 +43,11 @@ from tile_etl_spark.session import ensure_session_determinism
 _MAX_CC_ROUNDS = 20
 
 
-def connected_components(edges: DataFrame, max_rounds: int = _MAX_CC_ROUNDS) -> DataFrame:
+def connected_components(
+    edges: DataFrame,
+    max_rounds: int = _MAX_CC_ROUNDS,
+    num_partitions: int | None = None,
+) -> DataFrame:
     """(node, component) — component = min node id reachable from
     ``node`` over the undirected edge set ``(src, dst)``.
 
@@ -61,15 +65,35 @@ def connected_components(edges: DataFrame, max_rounds: int = _MAX_CC_ROUNDS) -> 
 
     Each round ``localCheckpoint``s the label frame: truncating lineage
     is what keeps round k from re-running rounds 1..k-1 (and the plan
-    from growing unboundedly). On a cluster, checkpoint to durable
-    storage instead if executor loss must not restart the loop. The
-    per-round driver reduce is ONE scalar (the changed-label count).
+    from growing unboundedly). The EDGE frame is checkpointed once up
+    front for the same reason — it feeds every round, and without the
+    cut the whole upstream candidate-generation pipeline (LSH/n-gram
+    pair mining here) would re-execute per iteration (measured 13.8 s →
+    3 s at sf0.01). On a cluster, checkpoint to durable storage instead
+    if executor loss must not restart the loop. The per-round driver
+    reduce is ONE scalar (the changed-label count).
+
+    Shuffle width: the label/edge frames are keyed shuffles whose size
+    is the graph, not the corpus — the width is pinned to the session's
+    default parallelism rather than inheriting
+    ``spark.sql.shuffle.partitions`` (200 near-empty tasks per round
+    dominate wall-clock on small graphs; at real scale pass
+    ``num_partitions`` sized to the edge count).
     """
-    sym = edges.union(edges.select(F.col("dst"), F.col("src")))
+    width = num_partitions or edges.sparkSession.sparkContext.defaultParallelism
+    # checkpoint BEFORE symmetrizing: union's two branches would each
+    # re-execute the (expensive) upstream pair-mining plan otherwise
+    edges = edges.localCheckpoint(eager=True)
+    sym = (
+        edges.union(edges.select(F.col("dst"), F.col("src")))
+        .repartition(width, "dst")
+        .localCheckpoint(eager=True)
+    )
     labels = (
         sym.select(F.col("src").alias("node"))
         .distinct()
         .select("node", F.col("node").alias("label"))
+        .repartition(width, "node")
         .localCheckpoint(eager=True)
     )
     for _ in range(max_rounds):
@@ -77,6 +101,7 @@ def connected_components(edges: DataFrame, max_rounds: int = _MAX_CC_ROUNDS) -> 
             sym.join(labels, sym["dst"] == labels["node"])
             .groupBy(sym["src"].alias("node"))
             .agg(F.min("label").alias("nbr_min"))
+            .repartition(width, "node")
         )
         upd = (
             labels.join(nbr_min, "node", "left")
@@ -87,6 +112,7 @@ def connected_components(edges: DataFrame, max_rounds: int = _MAX_CC_ROUNDS) -> 
                     F.col("label"), F.coalesce("nbr_min", "label")
                 ).alias("label"),
             )
+            .repartition(width, "node")
             .localCheckpoint(eager=True)
         )
         changed = upd.where(F.col("label") < F.col("old")).count()
@@ -148,7 +174,9 @@ def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("d1").alias("src"), F.col("d2").alias("dst")
     )
     comp = connected_components(pairs)
-    assign = (
+    # persisted: feeds BOTH the size aggregate and the final join —
+    # without it the doc scan + component join execute twice
+    assign = _persist(
         d.select("doc_id")
         .join(
             comp.select(
