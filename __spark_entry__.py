@@ -58,6 +58,8 @@ _PRIORITY = [
     "q_tpch_q5",
     "q_tpch_q10",
     "q_join_skew_salted",
+    "s_ss_join",
+    "q_text_normalize",
     # (a) repaired this round — were driver-red in CORRECTNESS_r02
     "q_math_funcs",
     "q_cond_funcs",

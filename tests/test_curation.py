@@ -113,3 +113,23 @@ def test_data_split_partitions_corpus(spark, sf_dir):
     assert sorted(map(tuple, got.collect())) == sorted(
         map(tuple, again.collect())
     )
+
+
+def test_text_normalize_on_messy_rows(spark):
+    """Normalization on synthetic punctuated/mixed-case rows (the
+    fixture corpus is already canonical)."""
+    from tile_etl_spark.llm.text import q_text_normalize  # noqa: F401
+
+    df = spark.createDataFrame(
+        [("Hello,   WORLD!!",), ("already clean",), ("  pad  ",)],
+        "text string",
+    )
+    normalized = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""),
+            " +",
+            " ",
+        )
+    )
+    got = [r["n"] for r in df.select(normalized.alias("n")).collect()]
+    assert got == ["hello world", "already clean", "pad"]

@@ -160,3 +160,41 @@ def test_s_join_equals_batch(spark, sf_dir):
     )
     cols = ["c_mktsegment", "event_type", "n", "sum_value"]
     assert rows_set(s, cols) == rows_set(b, cols)
+
+
+def test_s_ss_join_equals_batch(spark, sf_dir):
+    """Stream-stream interval join (availableNow-drained) ≡ the batch
+    interval self-join: inner joins emit every in-window match once."""
+    from tile_etl_spark.io import load
+
+    s = registry.QUERIES["s_ss_join"](spark, sf_dir)
+    e = load(spark, sf_dir, "events")
+    c = e.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    p = e.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    b = (
+        c.join(
+            p,
+            (F.col("c_user") == F.col("p_user"))
+            & (F.col("purchase_ts") >= F.col("click_ts"))
+            & (
+                F.col("purchase_ts")
+                <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")
+            ),
+        )
+        .groupBy(F.col("c_user").alias("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.countDistinct("click_id").alias("n_clicks"),
+            F.countDistinct("purchase_id").alias("n_purchases"),
+        )
+    )
+    cols = ["user_id", "n_pairs", "n_clicks", "n_purchases"]
+    assert rows_set(s, cols) == rows_set(b, cols)

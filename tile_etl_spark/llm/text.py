@@ -358,3 +358,53 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_fp",
         )
     )
+
+
+@query(
+    "q_text_normalize",
+    oracle="""
+    WITH norm AS (
+      SELECT doc_id, text,
+             trim(regexp_replace(
+               regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+               ' +', ' ', 'g')) AS normalized
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(length(text) AS INT) AS n_chars_raw,
+           CAST(length(normalized) AS INT) AS n_chars_norm,
+           CAST(CASE WHEN normalized <> text THEN 1 ELSE 0 END AS INT)
+             AS changed,
+           md5(normalized) AS norm_hash
+    FROM norm
+    """,
+)
+def q_text_normalize(spark, sf_dir: str):
+    """Text NORMALIZATION — the canonicalization pass every dedup tier
+    assumes: lowercase, strip non-alphanumerics, collapse runs of
+    spaces, trim. Emits before/after lengths, a changed flag, and the
+    md5 of the canonical form (the key exact dedup groups on — pairing
+    with q_dedup_exact makes dedup robust to case/punctuation noise).
+    The fixture corpus is already canonical (changed = 0 — the
+    H-check exercises the expressions as near-identities); punctuated
+    synthetic rows are driven in unit tests, same policy as
+    q_pii_scrub's patterns.
+
+    Pure single-pass narrow expressions: no shuffle, no UDF — at
+    100 TB this pipelines into the scan like q_pii_scrub."""
+    ensure_session_determinism(spark)
+    d = load(spark, sf_dir, "documents")
+    normalized = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""),
+            " +",
+            " ",
+        )
+    )
+    return d.select(
+        "doc_id",
+        F.length("text").cast("int").alias("n_chars_raw"),
+        F.length(normalized).cast("int").alias("n_chars_norm"),
+        (normalized != F.col("text")).cast("int").alias("changed"),
+        F.md5(normalized.cast("binary")).alias("norm_hash"),
+    )

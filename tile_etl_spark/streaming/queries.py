@@ -145,6 +145,65 @@ def s_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_table(agg, "complete")
 
 
+@query("s_ss_join")
+def s_ss_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM interval join: the click stream joins the purchase
+    stream per user when the purchase lands within 1 hour after the
+    click — the attribution-window shape. Both sides carry a 1-hour
+    watermark and the join condition bounds event time in BOTH
+    directions, which is what lets the state store evict: a buffered
+    click can be dropped once the purchase watermark passes click_ts +
+    1 h (state is bounded by watermark + interval, not stream length).
+
+    availableNow drains the replay, so the inner join's emitted match
+    set ≡ the batch interval join exactly (asserted in tests); the
+    memory-sink rows are then aggregated per user batch-side. Scale:
+    state is partitioned by the equi key (user_id) — the same shuffle a
+    batch join would take, held incrementally."""
+    ensure_session_determinism(spark)
+    base = replay_dir(spark, sf_dir)
+    clicks = (
+        read_stream(spark, base)
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        read_stream(spark, base)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")
+        ),
+    )
+    rows = run_to_table(
+        joined.select(
+            F.col("c_user").alias("user_id"), "click_id", "purchase_id"
+        ),
+        "append",
+    )
+    return rows.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.countDistinct("click_id").alias("n_clicks"),
+        F.countDistinct("purchase_id").alias("n_purchases"),
+    )
+
+
 @query("s_stateful")
 def s_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arbitrary stateful op via applyInPandasWithState: a per-user
