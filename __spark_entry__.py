@@ -60,6 +60,7 @@ _PRIORITY = [
     "q_join_skew_salted",
     "s_ss_join",
     "q_text_normalize",
+    "q_merge_upsert",
     # (a) repaired this round — were driver-red in CORRECTNESS_r02
     "q_math_funcs",
     "q_cond_funcs",

@@ -269,3 +269,77 @@ def q_join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         as_double(F.sum(_rev())).alias("revenue"),
     )
+
+
+@query(
+    "q_merge_upsert",
+    oracle="""
+    WITH src AS (
+      SELECT c_custkey AS k,
+             c_acctbal + CASE WHEN c_custkey % 10 = 0
+                              THEN 100.0 ELSE 0.0 END AS bal
+      FROM customer WHERE c_custkey % 7 <> 0
+      UNION ALL
+      SELECT c_custkey + 100000, 50.0
+      FROM customer WHERE c_custkey % 20 = 5
+    ),
+    tgt AS (SELECT c_custkey AS k, c_acctbal AS bal FROM customer)
+    SELECT coalesce(t.k, s.k) AS k,
+           CAST(t.bal AS DOUBLE) AS old_bal,
+           CAST(s.bal AS DOUBLE) AS new_bal,
+           CASE WHEN t.k IS NULL THEN 'insert'
+                WHEN s.k IS NULL THEN 'expire'
+                WHEN s.bal <> t.bal THEN 'update'
+                ELSE 'keep' END AS action
+    FROM tgt t FULL OUTER JOIN src s ON t.k = s.k
+    """,
+)
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE / UPSERT semantics (the SCD maintenance step) expressed as
+    a FULL OUTER join — Spark without a table format has no MERGE INTO
+    statement, but the operator decomposes exactly: source-only rows
+    INSERT, target-only rows EXPIRE (SCD2's close-out), value changes
+    UPDATE, the rest KEEP. The synthetic source snapshot derives
+    deterministically from the target itself (10 % rebalanced, ~14 %
+    absent, 5 % brand-new keys), so both engines build the identical
+    merge input.
+
+    Emitting the action column per row is the audit a real MERGE job
+    logs; a sink would then write the merged snapshot partitioned by
+    action or date. Shape: ONE full-outer shuffle join on the key —
+    the same single co-partitioned pass Delta/Iceberg MERGE plans at
+    100 TB — plus narrow expressions. On a cluster the target side is
+    the bucketed/partitioned table, so the shuffle is one-sided.
+    """
+    ensure_session_determinism(spark)
+    c = load(spark, sf_dir, "customer")
+    tgt = c.select(F.col("c_custkey").alias("k"), F.col("c_acctbal").alias("bal"))
+    src = (
+        c.where(F.col("c_custkey") % 7 != 0)
+        .select(
+            F.col("c_custkey").alias("k"),
+            (
+                F.col("c_acctbal")
+                + F.when(F.col("c_custkey") % 10 == 0, 100.0).otherwise(0.0)
+            ).alias("bal"),
+        )
+        .unionByName(
+            c.where(F.col("c_custkey") % 20 == 5).select(
+                (F.col("c_custkey") + 100000).alias("k"),
+                F.lit(50.0).alias("bal"),
+            )
+        )
+    )
+    t, s = tgt.alias("t"), src.alias("s")
+    action = (
+        F.when(F.col("t.k").isNull(), "insert")
+        .when(F.col("s.k").isNull(), "expire")
+        .when(F.col("s.bal") != F.col("t.bal"), "update")
+        .otherwise("keep")
+    )
+    return t.join(s, F.col("t.k") == F.col("s.k"), "full_outer").select(
+        F.coalesce("t.k", "s.k").alias("k"),
+        F.col("t.bal").cast("double").alias("old_bal"),
+        F.col("s.bal").cast("double").alias("new_bal"),
+        action.alias("action"),
+    )
