@@ -49,17 +49,16 @@ def _rev() -> F.Column:
 )
 def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape (shipping-priority): top-10 open 'BUILDING'
-    orders by outstanding revenue. The classic star probe: both dims
-    (filtered customer, filtered orders) are small relative to
-    lineitem, so the fact table joins via BROADCAST hashes and never
-    pre-shuffles; the revenue aggregate reduces map-side to one row per
+    orders by outstanding revenue. The classic star probe: the customer
+    dim broadcasts explicitly (small by contract); the filtered orders
+    side is left to AQE, which auto-broadcasts it from runtime sizes at
+    this SF and promotes to a shuffle join once it outgrows the
+    threshold at real scale — nothing in the query pins a strategy (the
+    q5 A/B showed force-broadcasting the larger side costs driver-side
+    hash builds). The revenue aggregate reduces map-side to one row per
     (orderkey, date, priority); the LIMIT plans as
     TakeOrderedAndProject (no global sort materialization). l_orderkey
     tiebreak makes the top-10 cut total-order deterministic.
-
-    At 100 TB: identical plan with the orders side promoted to a
-    shuffle join once it outgrows the broadcast threshold — AQE decides
-    from runtime sizes; nothing in the query pins a strategy.
     """
     ensure_session_determinism(spark)
     cutoff = F.lit("1998-01-01 00:00:00").cast("timestamp")
@@ -69,9 +68,7 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders").where(F.col("o_orderdate") < cutoff)
     li = load(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > cutoff)
     return (
-        li.join(
-            F.broadcast(o), li["l_orderkey"] == o["o_orderkey"]
-        )
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
         .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(as_double(F.sum(_rev())).alias("revenue"))
@@ -184,7 +181,7 @@ def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     li = load(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
     return (
-        li.join(F.broadcast(o), F.col("l_orderkey") == F.col("o_orderkey"))
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
