@@ -61,6 +61,7 @@ _PRIORITY = [
     "s_ss_join",
     "q_text_normalize",
     "q_merge_upsert",
+    "q_agg_hll_sketch",
     # (a) repaired this round — were driver-red in CORRECTNESS_r02
     "q_math_funcs",
     "q_cond_funcs",

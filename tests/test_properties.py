@@ -197,3 +197,39 @@ def test_minhash_signature_estimates_jaccard(spark, sf_dir):
             a == b for a, b in zip(sigs[r["d1"]], sigs[r["d2"]])
         ) / len(sigs[r["d1"]])
         assert abs(est - r["jaccard"]) <= 0.2, (r["d1"], r["d2"], est, r["jaccard"])
+
+
+def test_hll_sketch_union_matches_direct(spark, sf_dir):
+    """Sharded-sketch union ≡ direct sketch over the whole column (the
+    mergeability property), and both within 5% of exact."""
+    from pyspark.sql import functions as F
+
+    from tile_etl_spark.io import load
+
+    rows = registry.QUERIES["q_agg_hll_sketch"](spark, sf_dir).collect()
+    assert rows and all(r["ok_uniq"] for r in rows)
+    li = load(spark, sf_dir, "lineitem")
+    direct = {
+        r["l_returnflag"]: r["est"]
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.hll_sketch_estimate(
+                F.hll_sketch_agg("l_orderkey")
+            ).alias("est")
+        )
+        .collect()
+    }
+    sharded = {
+        r["l_returnflag"]: r["est"]
+        for r in li.groupBy("l_returnflag", (F.col("l_orderkey") % 16).alias("s"))
+        .agg(F.hll_sketch_agg("l_orderkey").alias("sk"))
+        .groupBy("l_returnflag")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+        .collect()
+    }
+    # Not exact equality: a directly-built Datasketches HLL reports the
+    # (order-sensitive) HIP estimate while a union must fall back to
+    # the composite estimator — estimates agree only within HLL error.
+    assert direct.keys() == sharded.keys()
+    for k in direct:
+        assert abs(direct[k] - sharded[k]) / direct[k] < 0.05, k

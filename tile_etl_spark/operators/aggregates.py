@@ -353,3 +353,48 @@ def q_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("ok_median"),
         F.count(F.lit(1)).alias("n_rows"),
     )
+
+
+@query(
+    "q_agg_hll_sketch",
+    oracle="""
+    SELECT l_returnflag, TRUE AS ok_uniq,
+           CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_uniq
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE HLL sketches (Datasketches, Spark 3.5+): per-shard
+    ``hll_sketch_agg`` then ``hll_union_agg`` across shards — the
+    two-level pattern that makes distinct counts composable at 100 TB
+    (sketch each partition/day once, union for any rollup later,
+    never re-scan raw data; a sketch is a few KB regardless of input).
+    The shard key here (l_orderkey % 16) stands in for the physical
+    partition; the union must agree with a direct count within HLL
+    error.
+
+    Same tolerance-oracle contract as q_agg_approx: the query emits
+    ``abs(est - exact)/exact < 0.05`` per group (TRUE in the DuckDB
+    twin by construction) plus the exact count as a real cross-engine
+    value check; the exact leg exists only to verify — production runs
+    the sketch alone."""
+    ensure_session_determinism(spark)
+    li = load(spark, sf_dir, "lineitem")
+    shards = li.groupBy(
+        "l_returnflag", (F.col("l_orderkey") % 16).alias("shard")
+    ).agg(F.hll_sketch_agg("l_orderkey").alias("sk"))
+    merged = shards.groupBy("l_returnflag").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+    )
+    exact = li.groupBy("l_returnflag").agg(
+        F.count_distinct("l_orderkey").alias("exact_uniq")
+    )
+    return merged.join(exact, "l_returnflag").select(
+        "l_returnflag",
+        (
+            F.abs(F.col("est") - F.col("exact_uniq"))
+            / F.col("exact_uniq")
+            < 0.05
+        ).alias("ok_uniq"),
+        F.col("exact_uniq").cast("bigint").alias("exact_uniq"),
+    )
