@@ -1010,3 +1010,211 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         codes.alias("codes"),
         F.round(err, 6).alias("max_abs_err"),
     )
+
+
+# --- end-to-end curation pipeline ---------------------------------------
+
+_E2E_ORACLE = f"""
+    WITH RECURSIVE norm AS (
+      SELECT doc_id, text, lang, n_chars,
+             md5(trim(regexp_replace(
+               regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+               ' +', ' ', 'g'))) AS norm_hash
+      FROM documents
+    ),
+    exact_surv AS (
+      SELECT min(doc_id) AS doc_id FROM norm GROUP BY norm_hash
+    ),
+    docs2 AS (
+      SELECT n.doc_id, n.text, n.lang, n.n_chars
+      FROM norm n JOIN exact_surv e ON n.doc_id = e.doc_id
+    ),
+    {NGRAM_PAIRS_CTES.replace("FROM documents", "FROM docs2")},
+    edges AS (
+      SELECT d1 AS a, d2 AS b FROM njpairs
+      UNION ALL SELECT d2, d1 FROM njpairs
+    ),
+    reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    rep AS (
+      SELECT a AS doc_id, least(a, min(b)) AS cluster_rep
+      FROM reach GROUP BY a
+    ),
+    cluster_surv AS (
+      SELECT d.doc_id, d.text, d.lang, d.n_chars
+      FROM docs2 d LEFT JOIN rep r ON d.doc_id = r.doc_id
+      WHERE coalesce(r.cluster_rep, d.doc_id) = d.doc_id
+    ),
+    qwords AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word
+      FROM cluster_surv
+    ),
+    qwc AS (
+      SELECT doc_id, word, count(*) AS n FROM qwords GROUP BY doc_id, word
+    ),
+    repet AS (
+      SELECT doc_id, sum(n) AS n_words, max(n) AS max_n
+      FROM qwc GROUP BY doc_id
+    ),
+    quality_ok AS (
+      SELECT c.doc_id, c.lang, c.n_chars
+      FROM cluster_surv c JOIN repet r ON c.doc_id = r.doc_id
+      WHERE len(string_split(c.text, ' ')) >= 5
+        AND len(string_split(c.text, ' ')) <= 80
+        AND CAST(r.max_n AS DOUBLE) / r.n_words <= 0.2
+        AND len(list_filter(string_split(c.text, ' '),
+                t -> t IN ('the', 'a', 'of', 'and', 'data', 'value'))) > 0
+    ),
+    final AS (
+      SELECT doc_id, n_chars,
+             CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc'
+                  THEN 'train'
+                  WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+                  THEN 'val'
+                  ELSE 'test' END AS split
+      FROM quality_ok
+    )
+    SELECT stage, n_docs, n_chars FROM (
+      SELECT 'raw' AS stage, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS n_chars FROM documents
+      UNION ALL
+      SELECT 'exact_unique', CAST(count(*) AS BIGINT),
+             CAST(sum(n_chars) AS BIGINT) FROM docs2
+      UNION ALL
+      SELECT 'cluster_survivor', CAST(count(*) AS BIGINT),
+             CAST(sum(n_chars) AS BIGINT) FROM cluster_surv
+      UNION ALL
+      SELECT 'quality_ok', CAST(count(*) AS BIGINT),
+             CAST(sum(n_chars) AS BIGINT) FROM quality_ok
+      UNION ALL
+      SELECT 'split:' || split, CAST(count(*) AS BIGINT),
+             CAST(sum(n_chars) AS BIGINT) FROM final GROUP BY split
+    )
+"""
+
+
+@query("q_curation_e2e", oracle=_E2E_ORACLE)
+def q_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END curation pipeline — the composite the individual
+    qids exist for, chained exactly as a production run would stage
+    them: normalize → exact dedup (canonical-hash survivors) →
+    near-dup cluster resolution (3-gram Jaccard ≥ 0.8 components, min
+    id survives) → composite quality gate → deterministic split
+    assignment. Output is the FUNNEL AUDIT: one row per stage with doc
+    and char counts, plus the final per-split sizes — the table a data
+    lead reads before green-lighting a training run.
+
+    Every stage is the H-checked primitive's exact logic (shared SQL
+    constants / shared builders), so the DuckDB twin replays the whole
+    chain; the funnel numbers hash-match end to end. Scale: each stage
+    is the primitive's own plan (one or two shuffles each), composed
+    lazily — Catalyst sees ONE DAG and shares the docs2 scan across
+    stage counters; the union of 5 tiny aggregates adds no shuffle of
+    data-bearing rows.
+    """
+    ensure_session_determinism(spark)
+    _scope(f"q_curation_e2e:{sf_dir}")
+    d = _parallelize_docs(load(spark, sf_dir, "documents"))
+
+    normalized = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""),
+            " +",
+            " ",
+        )
+    )
+    norm = d.select(
+        "doc_id", "text", "lang", "n_chars",
+        F.md5(normalized.cast("binary")).alias("norm_hash"),
+    )
+    exact_surv = norm.groupBy("norm_hash").agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    docs2 = _persist(
+        norm.join(exact_surv.select("doc_id"), "doc_id").select(
+            "doc_id", "text", "lang", "n_chars"
+        )
+    )
+
+    pairs = ngram_jaccard_pairs(docs2).select(
+        F.col("d1").alias("src"), F.col("d2").alias("dst")
+    )
+    comp = connected_components(pairs)
+    cluster_surv = _persist(
+        docs2.join(
+            comp.select(
+                F.col("node").alias("doc_id"),
+                F.col("component").alias("cluster_rep"),
+            ),
+            "doc_id",
+            "left",
+        ).where(
+            F.coalesce("cluster_rep", F.col("doc_id")) == F.col("doc_id")
+        ).select("doc_id", "text", "lang", "n_chars")
+    )
+
+    words = F.split("text", " ")
+    repet = (
+        cluster_surv.select(
+            "doc_id", F.explode(words).alias("word")
+        )
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy("doc_id")
+        .agg(F.sum("n").alias("n_words"), F.max("n").alias("max_n"))
+    )
+    n_tokens = F.size(words)
+    stop = F.size(
+        F.filter(
+            words,
+            lambda t: t.isin("the", "a", "of", "and", "data", "value"),
+        )
+    )
+    quality_ok = _persist(
+        cluster_surv.join(repet, "doc_id")
+        .where(
+            (n_tokens >= 5)
+            & (n_tokens <= 80)
+            & (F.col("max_n").cast("double") / F.col("n_words") <= 0.2)
+            & (stop > 0)
+        )
+        .select("doc_id", "n_chars")
+    )
+
+    b2 = F.substring(
+        F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 2
+    )
+    split = (
+        F.when(b2 < "cc", "train").when(b2 < "e6", "val").otherwise("test")
+    )
+    final = quality_ok.select("n_chars", split.alias("split"))
+
+    def counter(stage: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(stage).alias("stage"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("n_chars"),
+        ).select("stage", "n_docs", "n_chars")
+
+    per_split = (
+        final.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("n_chars"),
+        )
+        .select(
+            F.concat(F.lit("split:"), F.col("split")).alias("stage"),
+            "n_docs",
+            "n_chars",
+        )
+    )
+    return (
+        counter("raw", d)
+        .unionByName(counter("exact_unique", docs2))
+        .unionByName(counter("cluster_survivor", cluster_surv))
+        .unionByName(counter("quality_ok", quality_ok))
+        .unionByName(per_split)
+    )
