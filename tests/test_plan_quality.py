@@ -177,3 +177,27 @@ def test_skew_salted_join_is_sort_merge(spark, sf_dir):
     p = plan(q("q_join_skew_salted", spark, sf_dir))
     assert "SortMergeJoin" in p
     assert "skew_key" in p and "salt" in p
+
+
+def test_decontam_broadcasts_eval_side(spark, sf_dir):
+    """The eval shingle set must broadcast (a benchmark is KBs against
+    a 100 TB corpus) — the corpus side must never shuffle for the
+    join."""
+    p = plan(q("q_decontam", spark, sf_dir))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_pii_scrub_is_pure_map(spark, sf_dir):
+    """Scrubbing is a single narrow projection — no exchange, no UDF."""
+    p = plan(q("q_pii_scrub", spark, sf_dir))
+    assert "Exchange" not in p
+    assert "Python" not in p  # no Python UDF in the hot path
+
+
+def test_merge_upsert_single_join(spark, sf_dir):
+    """MERGE decomposes to ONE full-outer join pass over the key."""
+    p = plan(q("q_merge_upsert", spark, sf_dir))
+    assert "FullOuter" in p
+    assert p.count("SortMergeJoin") == 1  # the one key-shuffle pass
+    assert "CartesianProduct" not in p
