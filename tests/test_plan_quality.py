@@ -197,7 +197,11 @@ def test_pii_scrub_is_pure_map(spark, sf_dir):
 
 def test_merge_upsert_single_join(spark, sf_dir):
     """MERGE decomposes to ONE full-outer join pass over the key."""
+    import re
+
     p = plan(q("q_merge_upsert", spark, sf_dir))
     assert "FullOuter" in p
-    assert p.count("SortMergeJoin") == 1  # the one key-shuffle pass
+    # exactly one join node (detail headers look like "(14) SortMergeJoin")
+    joins = re.findall(r"^\(\d+\) \w*Join", p, flags=re.M)
+    assert len(joins) == 1, joins
     assert "CartesianProduct" not in p
