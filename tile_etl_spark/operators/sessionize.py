@@ -131,3 +131,101 @@ def q_window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("w.start").alias("window_start"), "event_type", "n", "sum_value"
         )
     )
+
+
+RESAMPLE_S = 900  # 15-minute buckets
+
+
+@query(
+    "q_ts_resample",
+    oracle=f"""
+    WITH b AS (
+      SELECT user_id, event_id, value,
+             to_timestamp(CAST(floor(epoch(ts) / {RESAMPLE_S}) AS BIGINT)
+                          * {RESAMPLE_S}) AS bucket,
+             row_number() OVER (
+               PARTITION BY user_id,
+                 CAST(floor(epoch(ts) / {RESAMPLE_S}) AS BIGINT)
+               ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ),
+    lastv AS (SELECT user_id, bucket, value FROM b WHERE rn = 1),
+    spans AS (
+      SELECT user_id, min(bucket) AS lo, max(bucket) AS hi
+      FROM lastv GROUP BY user_id
+    ),
+    grid AS (
+      SELECT user_id,
+             unnest(generate_series(lo, hi,
+                    INTERVAL {RESAMPLE_S} SECOND)) AS bucket
+      FROM spans
+    )
+    SELECT g.user_id, g.bucket,
+           CAST(last_value(l.value IGNORE NULLS) OVER (
+             PARTITION BY g.user_id ORDER BY g.bucket
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS DOUBLE) AS value_ff,
+           CAST(CASE WHEN l.value IS NULL THEN 0 ELSE 1 END AS INT)
+             AS had_event
+    FROM grid g LEFT JOIN lastv l
+      ON g.user_id = l.user_id AND g.bucket = l.bucket
+    """,
+)
+def q_ts_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series RESAMPLE + GAP-FILL: each user's event stream is
+    regularized onto a 15-minute grid — last observed ``value`` per
+    bucket (deterministic (ts, event_id) tiebreak), empty buckets
+    forward-filled from the previous observation, plus a had_event
+    flag. The dense regular grid is what downstream feature pipelines
+    and charting consume; forward fill is the standard
+    last-observation-carried-forward semantics.
+
+    Shape: one (user, bucket) aggregate, a per-user grid explode
+    (sequence between the user's min/max bucket — row amplification is
+    the grid, no shuffle), a co-keyed left join, and ONE window for the
+    fill — all partitioned by user_id, so at 100 TB every stage reuses
+    the same hash partitioning and the window never sees cross-user
+    data. Values are picked, never summed — no float-order risk.
+    """
+    ensure_session_determinism(spark)
+    e = load(spark, sf_dir, "events")
+    bucket = F.to_timestamp(
+        F.from_unixtime(
+            F.floor(F.unix_timestamp("ts") / RESAMPLE_S) * RESAMPLE_S
+        )
+    )
+    w_last = Window.partitionBy("user_id", "bucket").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    lastv = (
+        e.select("user_id", "event_id", "value", "ts", bucket.alias("bucket"))
+        .withColumn("rn", F.row_number().over(w_last))
+        .where(F.col("rn") == 1)
+        .select("user_id", "bucket", "value")
+    )
+    spans = lastv.groupBy("user_id").agg(
+        F.min("bucket").alias("lo"), F.max("bucket").alias("hi")
+    )
+    grid = spans.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.col("lo"), F.col("hi"), F.expr(f"INTERVAL {RESAMPLE_S} SECOND")
+            )
+        ).alias("bucket"),
+    )
+    joined = grid.join(lastv, ["user_id", "bucket"], "left")
+    w_ff = (
+        Window.partitionBy("user_id")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "user_id",
+        "bucket",
+        F.last("value", ignorenulls=True)
+        .over(w_ff)
+        .cast("double")
+        .alias("value_ff"),
+        F.col("value").isNotNull().cast("int").alias("had_event"),
+    )
