@@ -64,6 +64,7 @@ _PRIORITY = [
     "q_agg_hll_sketch",
     "q_curation_e2e",
     "q_ts_resample",
+    "q_partition_prune",
     # (a) repaired this round — were driver-red in CORRECTNESS_r02
     "q_math_funcs",
     "q_cond_funcs",

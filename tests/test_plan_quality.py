@@ -205,3 +205,13 @@ def test_merge_upsert_single_join(spark, sf_dir):
     joins = re.findall(r"^\(\d+\) \w*Join", p, flags=re.M)
     assert len(joins) == 1, joins
     assert "CartesianProduct" not in p
+
+
+def test_partition_prune_reads_one_directory(spark, sf_dir):
+    """The date filter must reach the scan as a PartitionFilter with
+    the literal date — one directory listed and read, not a post-scan
+    filter over every partition."""
+    p = plan(q("q_partition_prune", spark, sf_dir))
+    pf = [ln for ln in p.splitlines() if "PartitionFilters" in ln][0]
+    assert "event_date" in pf and "=" in pf, pf
+    assert "dynamicpruning" in pf or "event_date" in pf

@@ -13,7 +13,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from tile_etl_spark.io import load
+from tile_etl_spark.io import as_double, load
 from tile_etl_spark.registry import query
 from tile_etl_spark.session import ensure_session_determinism
 from tile_etl_spark.tiles.grid import src_path_col, tile_grid
@@ -277,4 +277,62 @@ def src_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("src_path"),
         F.col("length"),
         F.md5("content").alias("content_md5"),
+    )
+
+
+@query(
+    "q_partition_prune",
+    oracle="""
+    SELECT CAST(ts AS DATE) AS event_date, event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events
+    WHERE CAST(ts AS DATE) = (SELECT min(CAST(ts AS DATE)) FROM events)
+    GROUP BY event_date, event_type
+    """,
+)
+def q_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARTITION PRUNING end to end: events are written out
+    hive-partitioned by event_date (the canonical lake layout —
+    fingerprint-cached artifact, built once), then read back with an
+    equality filter on one date. Spark turns the filter into a
+    PartitionFilter: only that date's directory is LISTED AND READ —
+    at 100 TB this is the difference between scanning one day and
+    scanning three years. The plan test pins PartitionFilters being
+    present and the scan reading a single partition directory.
+
+    The probe date (corpus min) is resolved by a bounded 1-row scalar
+    lookup and inlined as a LITERAL — exactly what a real daily job
+    does with its run date — because static literals are what give the
+    scan a static PartitionFilter (a broadcast-join variant was tried
+    first: without a selective predicate on the dim side, dynamic
+    partition pruning does not engage and the scan read every
+    directory)."""
+    ensure_session_determinism(spark)
+    e = load(spark, sf_dir, "events")
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    out = _art(f"events_by_date_{tag}")
+    marker = os.path.join(out, "_DONE")
+    fpr = source_fingerprint(os.path.join(sf_dir, "events.parquet"))
+    if not marker_current(marker, fpr):
+        (
+            e.withColumn("event_date", F.col("ts").cast("date"))
+            .repartition("event_date")
+            .write.mode("overwrite")
+            .partitionBy("event_date")
+            .parquet(out)
+        )
+        write_marker(marker, fpr)
+    part = spark.read.parquet(out)
+    min_date = e.agg(F.min(F.col("ts").cast("date"))).first()[0]
+    return (
+        part.where(F.col("event_date") == F.lit(min_date))
+        .groupBy("event_date", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            as_double(F.sum(F.col("value").cast("decimal(18,6)"))).alias(
+                "sum_value"
+            ),
+        )
+        .select("event_date", "event_type", "n", "sum_value")
     )
