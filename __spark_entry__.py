@@ -65,6 +65,8 @@ _PRIORITY = [
     "q_curation_e2e",
     "q_ts_resample",
     "q_partition_prune",
+    "q_graph_pagerank",
+    "q_ts_interpolate",
     # (a) repaired this round — were driver-red in CORRECTNESS_r02
     "q_math_funcs",
     "q_cond_funcs",

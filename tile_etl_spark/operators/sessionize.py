@@ -136,10 +136,11 @@ def q_window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 RESAMPLE_S = 900  # 15-minute buckets
 
 
-@query(
-    "q_ts_resample",
-    oracle=f"""
-    WITH b AS (
+# Shared DuckDB CTE block: (user, 15-min bucket) grid with the last
+# observed value per bucket — the twin of resampled_grid(). Reused by
+# both time-series qids so they agree on the grid by construction.
+RESAMPLE_CTES = f"""
+    b AS (
       SELECT user_id, event_id, value,
              to_timestamp(CAST(floor(epoch(ts) / {RESAMPLE_S}) AS BIGINT)
                           * {RESAMPLE_S}) AS bucket,
@@ -160,6 +161,45 @@ RESAMPLE_S = 900  # 15-minute buckets
                     INTERVAL {RESAMPLE_S} SECOND)) AS bucket
       FROM spans
     )
+"""
+
+
+def resampled_grid(e: DataFrame) -> DataFrame:
+    """(user_id, bucket, value) — dense per-user 15-min grid, value =
+    last observation in the bucket (deterministic (ts, event_id)
+    tiebreak) or NULL for empty buckets. All stages keyed on user_id."""
+    bucket = F.to_timestamp(
+        F.from_unixtime(
+            F.floor(F.unix_timestamp("ts") / RESAMPLE_S) * RESAMPLE_S
+        )
+    )
+    w_last = Window.partitionBy("user_id", "bucket").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    lastv = (
+        e.select("user_id", "event_id", "value", "ts", bucket.alias("bucket"))
+        .withColumn("rn", F.row_number().over(w_last))
+        .where(F.col("rn") == 1)
+        .select("user_id", "bucket", "value")
+    )
+    spans = lastv.groupBy("user_id").agg(
+        F.min("bucket").alias("lo"), F.max("bucket").alias("hi")
+    )
+    grid = spans.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.col("lo"), F.col("hi"), F.expr(f"INTERVAL {RESAMPLE_S} SECOND")
+            )
+        ).alias("bucket"),
+    )
+    return grid.join(lastv, ["user_id", "bucket"], "left")
+
+
+@query(
+    "q_ts_resample",
+    oracle=f"""
+    WITH {RESAMPLE_CTES}
     SELECT g.user_id, g.bucket,
            CAST(last_value(l.value IGNORE NULLS) OVER (
              PARTITION BY g.user_id ORDER BY g.bucket
@@ -188,33 +228,7 @@ def q_ts_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     data. Values are picked, never summed — no float-order risk.
     """
     ensure_session_determinism(spark)
-    e = load(spark, sf_dir, "events")
-    bucket = F.to_timestamp(
-        F.from_unixtime(
-            F.floor(F.unix_timestamp("ts") / RESAMPLE_S) * RESAMPLE_S
-        )
-    )
-    w_last = Window.partitionBy("user_id", "bucket").orderBy(
-        F.col("ts").desc(), F.col("event_id").desc()
-    )
-    lastv = (
-        e.select("user_id", "event_id", "value", "ts", bucket.alias("bucket"))
-        .withColumn("rn", F.row_number().over(w_last))
-        .where(F.col("rn") == 1)
-        .select("user_id", "bucket", "value")
-    )
-    spans = lastv.groupBy("user_id").agg(
-        F.min("bucket").alias("lo"), F.max("bucket").alias("hi")
-    )
-    grid = spans.select(
-        "user_id",
-        F.explode(
-            F.sequence(
-                F.col("lo"), F.col("hi"), F.expr(f"INTERVAL {RESAMPLE_S} SECOND")
-            )
-        ).alias("bucket"),
-    )
-    joined = grid.join(lastv, ["user_id", "bucket"], "left")
+    joined = resampled_grid(load(spark, sf_dir, "events"))
     w_ff = (
         Window.partitionBy("user_id")
         .orderBy("bucket")
@@ -228,4 +242,109 @@ def q_ts_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("value_ff"),
         F.col("value").isNotNull().cast("int").alias("had_event"),
+    )
+
+
+@query(
+    "q_ts_interpolate",
+    oracle=f"""
+    WITH {RESAMPLE_CTES},
+    j AS (
+      SELECT g.user_id, g.bucket, l.value,
+             CAST(epoch(g.bucket) AS BIGINT) AS idx
+      FROM grid g LEFT JOIN lastv l
+        ON g.user_id = l.user_id AND g.bucket = l.bucket
+    ),
+    w AS (
+      SELECT user_id, bucket, value, idx,
+             last_value(value IGNORE NULLS) OVER wprev AS pv,
+             last_value(CASE WHEN value IS NOT NULL THEN idx END
+                        IGNORE NULLS) OVER wprev AS pi,
+             first_value(value IGNORE NULLS) OVER wnext AS nv,
+             first_value(CASE WHEN value IS NOT NULL THEN idx END
+                         IGNORE NULLS) OVER wnext AS ni
+      FROM j
+      WINDOW wprev AS (PARTITION BY user_id ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wnext AS (PARTITION BY user_id ORDER BY bucket
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id, bucket,
+           floor(CAST(CASE WHEN value IS NOT NULL THEN value
+                WHEN nv IS NULL THEN pv
+                ELSE pv + (nv - pv)
+                     * (CAST(idx - pi AS DOUBLE) / (ni - pi)) END
+             AS DOUBLE) * 1000000 + 0.5) / 1000000 AS value_li,
+           CASE WHEN value IS NOT NULL THEN 'obs'
+                WHEN nv IS NULL THEN 'ffill'
+                ELSE 'interp' END AS fill_kind
+    FROM w
+    """,
+)
+def q_ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINEAR INTERPOLATION over the resampled grid — the smooth
+    alternative to q_ts_resample's LOCF: an empty bucket between two
+    observations gets pv + (nv − pv)·(t − tp)/(tn − tp); trailing
+    buckets after the last observation forward-fill (no future point to
+    interpolate toward); observed buckets pass through. ``fill_kind``
+    labels each row obs/interp/ffill — the provenance a feature
+    pipeline keeps.
+
+    Shape: the shared grid (resampled_grid) plus TWO user-partitioned
+    windows (backward last-non-null, forward first-non-null) computed
+    in one pass each — no extra shuffle beyond the grid's own user_id
+    partitioning. The interpolation arithmetic is the same expression
+    tree in both engines (double subtraction/division/rounding), so
+    the 6-dp values hash-match.
+    """
+    ensure_session_determinism(spark)
+    joined = resampled_grid(load(spark, sf_dir, "events")).withColumn(
+        "idx", F.unix_timestamp("bucket")
+    )
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_next = (
+        Window.partitionBy("user_id")
+        .orderBy("bucket")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_idx = F.when(F.col("value").isNotNull(), F.col("idx"))
+    withw = joined.select(
+        "user_id",
+        "bucket",
+        "value",
+        "idx",
+        F.last("value", ignorenulls=True).over(w_prev).alias("pv"),
+        F.last(obs_idx, ignorenulls=True).over(w_prev).alias("pi"),
+        F.first("value", ignorenulls=True).over(w_next).alias("nv"),
+        F.first(obs_idx, ignorenulls=True).over(w_next).alias("ni"),
+    )
+    interp = F.col("pv") + (F.col("nv") - F.col("pv")) * (
+        (F.col("idx") - F.col("pi")).cast("double")
+        / (F.col("ni") - F.col("pi"))
+    )
+    value_li = (
+        F.when(F.col("value").isNotNull(), F.col("value"))
+        .when(F.col("nv").isNull(), F.col("pv"))
+        .otherwise(interp)
+    )
+    fill_kind = (
+        F.when(F.col("value").isNotNull(), "obs")
+        .when(F.col("nv").isNull(), "ffill")
+        .otherwise("interp")
+    )
+    # explicit HALF_UP via floor(x·1e6 + 0.5)/1e6 in BOTH dialects:
+    # interpolation fractions (quarters, halves) times 2-decimal values
+    # land EXACTLY on the 6-dp rounding boundary, where Spark's and
+    # DuckDB's native round() differ in tie-breaking
+    return withw.select(
+        "user_id",
+        "bucket",
+        (F.floor(value_li.cast("double") * 1000000 + 0.5) / 1000000).alias(
+            "value_li"
+        ),
+        fill_kind.alias("fill_kind"),
     )

@@ -345,3 +345,117 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s.bal").cast("double").alias("new_bal"),
         action.alias("action"),
     )
+
+
+PR_ITERS = 10
+PR_DAMP = 0.85
+
+
+# The DuckDB twin UNROLLS the fixed iteration count as generated CTEs
+# (a recursive CTE may reference its working table only once, which
+# cannot express "join ranks to edges AND left-join the result back to
+# all nodes" in one recursive term).
+_PR_ORACLE_HEAD = """
+    WITH edges AS (
+      SELECT DISTINCT o_custkey % 100 AS src, o_orderkey % 100 AS dst
+      FROM orders WHERE o_custkey % 100 <> o_orderkey % 100
+    ),
+    nodes AS (
+      SELECT src AS node FROM edges UNION SELECT dst FROM edges
+    ),
+    outdeg AS (
+      SELECT src, count(*) AS deg FROM edges GROUP BY src
+    ),
+    nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+    it0 AS (SELECT node, 1.0 / nn.n AS r FROM nodes, nn)
+"""
+
+
+def _pr_oracle() -> str:
+    ctes = [_PR_ORACLE_HEAD]
+    for k in range(1, PR_ITERS + 1):
+        ctes.append(f"""
+    , it{k} AS (
+      SELECT b.node,
+             round({1 - PR_DAMP} / (SELECT n FROM nn)
+                   + {PR_DAMP} * coalesce(inc.s, 0.0), 12) AS r
+      FROM nodes b LEFT JOIN (
+        SELECT e.dst AS node, sum(p.r / d.deg) AS s
+        FROM it{k - 1} p
+        JOIN edges e ON p.node = e.src
+        JOIN outdeg d ON e.src = d.src
+        GROUP BY e.dst
+      ) inc ON inc.node = b.node
+    )""")
+    ctes.append(
+        f" SELECT node, round(r, 6) AS rank FROM it{PR_ITERS}"
+    )
+    return "".join(ctes)
+
+
+@query("q_graph_pagerank", oracle=_pr_oracle())
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PAGERANK — iterative message-passing dataflow (damping 0.85,
+    {PR_ITERS} fixed iterations) over a deterministic 100-node graph
+    derived from ``orders`` (custkey→orderkey mod 100; a stand-in for
+    any entity-link graph). Each iteration is the classic two-step:
+    contribution = rank/out-degree routed along edges (one equi-join),
+    summed per destination (one aggregate); dangling nodes keep only
+    the teleport term. Ranks are rounded to 12 dp EVERY iteration in
+    BOTH engines — double summation order differs across engines and
+    10 iterations would otherwise compound ulp drift past the 6-dp
+    output rounding (same pinning technique as the k-means centroids).
+
+    The driver loop is O(iters) with a localCheckpoint per round
+    (lineage truncation, same contract as connected_components); state
+    per round is one (node, rank) frame partitioned like the edges, so
+    at 100 TB every iteration is one co-partitioned shuffle. The
+    fixed-iteration DuckDB recursive CTE replays the identical
+    computation — a rare case of an ITERATIVE algorithm being
+    H-checkable."""
+    ensure_session_determinism(spark)
+    o = load(spark, sf_dir, "orders")
+    edges = (
+        o.select(
+            (F.col("o_custkey") % 100).alias("src"),
+            (F.col("o_orderkey") % 100).alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    contrib_edges = (
+        edges.join(outdeg, "src")
+        .select("src", "dst", "deg")
+        .localCheckpoint(eager=True)
+    )
+    n_nodes = nodes.count()  # scalar graph size (drives the teleport term)
+    ranks = nodes.select(
+        "node", (F.lit(1.0) / n_nodes).alias("r")
+    ).localCheckpoint(eager=True)
+    for _ in range(PR_ITERS):
+        inc = (
+            contrib_edges.join(ranks, contrib_edges["src"] == ranks["node"])
+            .groupBy("dst")
+            .agg(F.sum(F.col("r") / F.col("deg")).alias("s"))
+        )
+        ranks = (
+            nodes.join(inc, nodes["node"] == inc["dst"], "left")
+            .select(
+                "node",
+                F.round(
+                    F.lit((1 - PR_DAMP) / n_nodes)
+                    + PR_DAMP * F.coalesce("s", F.lit(0.0)),
+                    12,
+                ).alias("r"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select("node", F.round("r", 6).alias("rank"))
