@@ -67,6 +67,7 @@ _PRIORITY = [
     "q_partition_prune",
     "q_graph_pagerank",
     "q_ts_interpolate",
+    "q_dq_checks",
     # (a) repaired this round — were driver-red in CORRECTNESS_r02
     "q_math_funcs",
     "q_cond_funcs",

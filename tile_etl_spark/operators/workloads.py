@@ -459,3 +459,110 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=True)
         )
     return ranks.select("node", F.round("r", 6).alias("rank"))
+
+
+@query(
+    "q_dq_checks",
+    oracle="""
+    SELECT chk, n_viol FROM (
+      SELECT 'orders_pk_unique' AS chk,
+             CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT)
+               AS n_viol
+      FROM orders
+      UNION ALL
+      SELECT 'lineitem_fk_orders',
+             CAST(count(*) AS BIGINT)
+      FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_orderkey IS NULL
+      UNION ALL
+      SELECT 'orders_fk_customer',
+             CAST(count(*) AS BIGINT)
+      FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE c.c_custkey IS NULL
+      UNION ALL
+      SELECT 'lineitem_qty_range',
+             CAST(sum(CASE WHEN l_quantity < 0 OR l_quantity > 50
+                           THEN 1 ELSE 0 END) AS BIGINT)
+      FROM lineitem
+      UNION ALL
+      SELECT 'lineitem_discount_range',
+             CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 1
+                           THEN 1 ELSE 0 END) AS BIGINT)
+      FROM lineitem
+      UNION ALL
+      SELECT 'customer_name_not_null',
+             CAST(sum(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END)
+               AS BIGINT)
+      FROM customer
+    )
+    """,
+)
+def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DATA-QUALITY constraint audit (the dbt-test / Deequ shape): one
+    row per declared constraint with its violation count — primary-key
+    uniqueness, two referential-integrity checks (anti-join shaped:
+    Catalyst turns the left-join + IS NULL into LeftAnti), value-range
+    gates, and a not-null check. A pipeline gates promotion on
+    ``max(n_viol) = 0``; emitting counts (not booleans) is what makes
+    the report actionable.
+
+    Scale shape: each check is either a single-pass conditional
+    aggregate (range/null checks — they share one scan per table via
+    one projection each) or one key-shuffle anti-join (FK checks).
+    Nothing collects; the audit over 100 TB is the same few scans a
+    single analytics query costs.
+    """
+    ensure_session_determinism(spark)
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    c = load(spark, sf_dir, "customer")
+
+    pk = o.agg(
+        F.lit("orders_pk_unique").alias("chk"),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey"))
+        .cast("bigint")
+        .alias("n_viol"),
+    )
+    fk_li = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"], "left_anti")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_viol"))
+        .select(F.lit("lineitem_fk_orders").alias("chk"), "n_viol")
+    )
+    fk_o = (
+        o.join(c, o["o_custkey"] == c["c_custkey"], "left_anti")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_viol"))
+        .select(F.lit("orders_fk_customer").alias("chk"), "n_viol")
+    )
+    qty = li.agg(
+        F.lit("lineitem_qty_range").alias("chk"),
+        F.sum(
+            ((F.col("l_quantity") < 0) | (F.col("l_quantity") > 50)).cast(
+                "int"
+            )
+        )
+        .cast("bigint")
+        .alias("n_viol"),
+    )
+    disc = li.agg(
+        F.lit("lineitem_discount_range").alias("chk"),
+        F.sum(
+            ((F.col("l_discount") < 0) | (F.col("l_discount") > 1)).cast(
+                "int"
+            )
+        )
+        .cast("bigint")
+        .alias("n_viol"),
+    )
+    nn = c.agg(
+        F.lit("customer_name_not_null").alias("chk"),
+        F.sum(F.col("c_name").isNull().cast("int"))
+        .cast("bigint")
+        .alias("n_viol"),
+    )
+    return (
+        pk.unionByName(fk_li)
+        .unionByName(fk_o)
+        .unionByName(qty)
+        .unionByName(disc)
+        .unionByName(nn)
+    )
