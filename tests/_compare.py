@@ -126,12 +126,31 @@ def run_duck_pdf(con, sql) -> pd.DataFrame:
     return con.execute(sql).df()
 
 
+def _tz_aware_cols(pdf: pd.DataFrame) -> set[str]:
+    """Columns with tz-aware datetime dtype. Spark's toPandas always
+    delivers naive timestamps; DuckDB functions returning TIMESTAMPTZ
+    (``to_timestamp``, ``now``, tz arithmetic) deliver
+    ``datetime64[..., UTC]`` — the driver's schema check flags that as
+    a mismatch (r3: q_ts_resample/q_ts_interpolate), so ours must too.
+    Oracle SQL should use ``make_timestamp(µs)`` or cast to naive."""
+    return {
+        c
+        for c in pdf.columns
+        if getattr(pdf[c].dtype, "tz", None) is not None
+    }
+
+
 def assert_query_matches_oracle(fn, sql, spark, duck, sf_dir, qid=""):
     s_pdf = run_spark_pdf(fn, spark, sf_dir)
     d_pdf = run_duck_pdf(duck, sql)
     assert sorted(s_pdf.columns) == sorted(d_pdf.columns), (
         f"{qid}: column mismatch spark={sorted(s_pdf.columns)} "
         f"duck={sorted(d_pdf.columns)}"
+    )
+    s_tz, d_tz = _tz_aware_cols(s_pdf), _tz_aware_cols(d_pdf)
+    assert s_tz == d_tz, (
+        f"{qid}: tz-awareness schema mismatch spark={sorted(s_tz)} "
+        f"duck={sorted(d_tz)} — driver schema check fails on this"
     )
     assert len(s_pdf) == len(d_pdf), (
         f"{qid}: row count spark={len(s_pdf)} duck={len(d_pdf)}"

@@ -142,8 +142,8 @@ RESAMPLE_S = 900  # 15-minute buckets
 RESAMPLE_CTES = f"""
     b AS (
       SELECT user_id, event_id, value,
-             to_timestamp(CAST(floor(epoch(ts) / {RESAMPLE_S}) AS BIGINT)
-                          * {RESAMPLE_S}) AS bucket,
+             make_timestamp(CAST(floor(epoch(ts) / {RESAMPLE_S}) AS BIGINT)
+                            * {RESAMPLE_S} * 1000000) AS bucket,
              row_number() OVER (
                PARTITION BY user_id,
                  CAST(floor(epoch(ts) / {RESAMPLE_S}) AS BIGINT)
