@@ -26,74 +26,82 @@ registry.load_all()
 _SMOKE_SF_DIR = "/root/testdata/sf0.001"
 FLAGSHIP = "q_agg_group"
 
-# Round-3 verification priority. The driver records ~50 CORRECTNESS
-# rows per round; r1 covered the first 50 registry entries, r2 the
-# 50-qid priority block. Round 3 front-loads (a) the 4 qids repaired
-# this round (r2 red: sgn INT cast, capped DOUBLE cast, array/map
-# outputs serialized to strings), (b) the 3 qids never checked in
-# either round, then (c) the 48 r1-green qids whose shared
-# infrastructure (io.py memoization, cache.py scoping, session.py)
-# changed in rounds 2-3, so their green doesn't go stale — freshest
-# signal first, within the ~50-row budget. Registration/implementation
-# is unchanged — this orders only the exported dict views.
+# Round-4 verification priority. The driver records ~50 CORRECTNESS
+# rows per round. Round 4 front-loads (a) the 2 qids red in r3
+# (TIMESTAMPTZ oracle schema mismatch, fixed via make_timestamp), (b)
+# every events-based qid — the driver regenerated fixtures after r3
+# (events.ts TIMESTAMP(NANOS)→µs) and io.py's loader changed to
+# match, so their r3 green is stale — then (c) the qids whose last
+# driver row is r1/r2, oldest signal first. Registration/
+# implementation is unchanged — this orders only the exported dict
+# views.
 _PRIORITY = [
-    # (a0) NEW this round (curation extensions + ORC source) — need
-    # their first-ever driver rows
-    "q_dedup_cluster",
-    "q_decontam",
-    "q_pii_scrub",
-    "q_data_split",
-    "q_pack_sequences",
-    "q_text_repetition",
-    "q_funnel",
-    "q_embed_quantize",
-    "src_orc",
-    "q_sample_stratified",
-    "q_doc_chunk",
-    "q_mixture_weights",
-    "q_quality_filter",
-    "q_sim_ann_lsh",
-    "s_join",
-    "q_tpch_q3",
-    "q_tpch_q5",
-    "q_tpch_q10",
-    "q_join_skew_salted",
-    "s_ss_join",
-    "q_text_normalize",
-    "q_merge_upsert",
-    "q_agg_hll_sketch",
-    "q_curation_e2e",
+    # (a0) NEW this round — need their first-ever driver rows
+    "q_join_bloom",
+    "q_hist_equiwidth",
+    "q_hist_equidepth",
+    "q_text_inverted_index",
+    "q_text_cooccur",
+    # (a) r3-red, repaired: naive-timestamp oracle via make_timestamp
     "q_ts_resample",
-    "q_partition_prune",
-    "q_graph_pagerank",
     "q_ts_interpolate",
-    "q_dq_checks",
-    # (a) repaired this round — were driver-red in CORRECTNESS_r02
-    "q_math_funcs",
-    "q_cond_funcs",
-    "q_array_funcs",
-    "q_map_funcs",
-    # (b) never driver-checked in r1 or r2
-    "q_str_funcs2",
-    "q_date_funcs2",
-    "q_multimodal_framesample",
-    # (c) r1-green, shared infra touched since: re-verify
-    "q_agg_global",
-    "q_agg_group",
-    "q_agg_distinct",
-    "q_agg_having",
-    "q_agg_rollup",
-    "q_agg_cube",
-    "q_agg_gsets",
-    "q_agg_stats",
-    "q_agg_percentile",
-    "q_agg_argminmax",
-    "q_scan_project",
-    "q_scan_pushdown",
-    "q_filter_range",
-    "q_project_expr",
-    "q_filter_in_like",
+    # (b) events-based — fixture timestamp type changed post-r3
     "q_filter_null_bool",
+    "q_join_nullsafe",
+    "q_join_interval",
+    "q_join_asof",
+    "q_sessionize",
+    "q_window_sliding",
+    "q_window_tumbling",
+    "q_win_leadlag",
+    "q_win_range",
+    "q_json_funcs",
+    "q_udaf_grouped",
+    "q_udaf_agg",
+    "q_partition_prune",
+    "q_funnel",
+    "q_merge_upsert",
+    # (c) last driver row is r1/r2 — refresh, oldest infra-coupled first
+    "q_agg_collect",
+    "q_agg_approx",
+    "q_win_rank",
+    "q_win_running",
+    "q_win_ntile",
+    "q_win_value",
+    "q_str_funcs",
+    "q_date_funcs",
+    "q_hash_funcs",
+    "q_cast_types",
+    "q_udf_scalar",
+    "q_udtf",
+    "q_dedup_exact",
+    "q_dedup_near",
+    "q_dedup_ngram",
+    "q_dedup_simhash",
+    "q_dedup_embed",
+    "q_sim_cosine_topk",
+    "q_sim_ann_ivf",
+    "q_text_stats",
+    "q_text_tfidf",
+    "q_text_langid",
+    "q_text_quality",
+    "q_text_tokens",
+    "q_text_fingerprint",
+    "q_multimodal_join",
+    "q_multimodal_decode",
+    "q_tile_grid",
+    "q_tile_path",
+    "q_tile_s3_variant",
+    "q_tile_manifest_semi",
+    "q_tile_stats",
+    "q_tile_etl_e2e",
+    "sink_objectstore",
+    "src_csv_json",
+    "src_csv_infer",
+    "sink_parquet",
+    "src_binary",
+    "q_join_bucketed",
+    "q_filter_in_like",
     "q_join_inner",
     "q_join_left",
     "q_join_right",
@@ -103,29 +111,25 @@ _PRIORITY = [
     "q_join_broadcast",
     "q_join_cross",
     "q_join_theta",
-    "q_join_nullsafe",
-    "q_join_interval",
-    "q_join_asof",
-    "q_join_bucketed",
-    "q_sort_multi",
     "q_pivot",
     "q_unpivot",
     "q_subquery_scalar",
     "q_subquery_corr",
-    "q_sessionize",
-    "q_window_sliding",
-    "q_window_tumbling",
-    "q_tile_grid",
-    "q_tile_path",
-    "q_tile_s3_variant",
-    "q_tile_manifest_semi",
-    "q_tile_stats",
-    "q_tile_etl_e2e",
-    "src_csv_json",
-    "src_csv_infer",
-    "sink_parquet",
-    "src_binary",
-    "sink_objectstore",
+    "q_sort_multi",
+    "q_topk",
+    "q_topk_per_group",
+    "q_union_all",
+    "q_union_distinct",
+    "q_intersect",
+    "q_except",
+    "q_except_all",
+    "q_intersect_all",
+    "s_tumbling",
+    "s_sliding",
+    "s_session",
+    "s_watermark",
+    "s_dedup",
+    "s_stateful",
 ]
 
 

@@ -114,15 +114,25 @@ def _scan_path(spark: SparkSession, sf_dir: str, name: str) -> str:
 
 
 def _read_raw(spark: SparkSession, path: str, name: str) -> DataFrame:
-    """``events.ts`` is TIMESTAMP(NANOS) in parquet, which Spark's
-    vectorized reader refuses outright ([PARQUET_TYPE_ILLEGAL]); read
-    the raw int64 nanos and floor-truncate to microseconds — exactly
-    what DuckDB's µs-native TIMESTAMP does, so both engines see
-    identical values (SURVEY §5.3)."""
+    """``events.ts`` has been TIMESTAMP(NANOS) in some fixture
+    generations, which Spark's vectorized reader refuses outright
+    ([PARQUET_TYPE_ILLEGAL]); with ``nanosAsLong`` the nanos arrive as
+    int64 and are floor-truncated to microseconds — exactly what
+    DuckDB's µs-native TIMESTAMP does, so both engines see identical
+    values (SURVEY §5.3). Newer fixture generations store µs directly
+    (ts reads back as a timestamp), so the conversion is applied only
+    when the column actually lands as a long."""
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            )
+        # µs fixtures read back as TIMESTAMP_NTZ; downstream code (and
+        # every driver-green run) expects TIMESTAMP. Session TZ is UTC,
+        # so the cast is value-identity.
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
     return spark.read.parquet(path)
 
 
