@@ -14,6 +14,7 @@ import tile_etl_spark.sources.files  # noqa: F401
 
 # Relational operators (SURVEY §2B)
 import tile_etl_spark.operators.aggregates  # noqa: F401
+import tile_etl_spark.operators.analytics  # noqa: F401
 import tile_etl_spark.operators.bucketed  # noqa: F401
 import tile_etl_spark.operators.filters  # noqa: F401
 import tile_etl_spark.operators.joins  # noqa: F401

@@ -408,3 +408,154 @@ def q_text_normalize(spark, sf_dir: str):
         (normalized != F.col("text")).cast("int").alias("changed"),
         F.md5(normalized.cast("binary")).alias("norm_hash"),
     )
+
+
+@query(
+    "q_text_inverted_index",
+    oracle="""
+    WITH toks AS (
+      SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term
+      FROM documents
+    ),
+    post AS (
+      SELECT term,
+             CAST(count(*) AS BIGINT) AS df,
+             array_to_string(list(doc_id ORDER BY doc_id), ',') AS postings
+      FROM toks GROUP BY term
+    )
+    SELECT term, df, postings FROM post
+    WHERE df BETWEEN 3 AND 50 AND length(term) >= 3
+    """,
+)
+def q_text_inverted_index(spark, sf_dir: str):
+    """INVERTED INDEX construction — term -> (document frequency,
+    sorted posting list), the core build step of any corpus search /
+    decontamination index. Postings are emitted as a comma-joined
+    STRING (array_sort + array_join) so the output stays
+    driver-hashable (the q_agg_collect/q_array_funcs lesson: no
+    ARRAY columns in H-checked output).
+
+    Shape: explode -> distinct (map-side combined) -> one groupBy(term)
+    with collect_set. Per-term state is bounded by the df cap; at
+    100 TB the df BETWEEN filter is exactly why real indexes drop
+    stop-words — unbounded posting lists (df > cap) never materialize
+    past the aggregate because HAVING prunes them before the sink, and
+    hot terms would instead go to a postings-sharding tier (documented,
+    not needed at fixture scale)."""
+    ensure_session_determinism(spark)
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    ).distinct()
+    return (
+        toks.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.array_join(
+                F.array_sort(F.collect_set("doc_id")), ","
+            ).alias("postings"),
+        )
+        .where(
+            (F.col("df").between(3, 50)) & (F.length("term") >= 3)
+        )
+        .select("term", "df", "postings")
+    )
+
+
+# Vocabulary prune for co-occurrence: only terms appearing in >= DF_MIN
+# docs pair up. This is the scale lever — pair count is quadratic in
+# per-doc vocabulary, and df-pruning (like LSH's shingle pruning)
+# bounds it before the self-join.
+_CO_DF_MIN = 10
+_CO_PAIR_MIN = 5
+
+
+@query(
+    "q_text_cooccur",
+    oracle=f"""
+    WITH toks AS (
+      SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term
+      FROM documents
+      WHERE length(text) > 0
+    ),
+    vocab AS (
+      SELECT term, count(*) AS df FROM toks
+      WHERE length(term) >= 3
+      GROUP BY term HAVING count(*) >= {_CO_DF_MIN}
+    ),
+    vt AS (
+      SELECT t.doc_id, t.term, v.df FROM toks t JOIN vocab v USING (term)
+    ),
+    pairs AS (
+      SELECT a.term AS term_a, b.term AS term_b,
+             CAST(count(*) AS BIGINT) AS n_ab,
+             any_value(a.df) AS df_a, any_value(b.df) AS df_b
+      FROM vt a JOIN vt b
+        ON a.doc_id = b.doc_id AND a.term < b.term
+      GROUP BY a.term, b.term
+    ),
+    n AS (SELECT count(*) AS n_docs FROM documents)
+    SELECT term_a, term_b, n_ab,
+           round(CAST(n_ab AS DOUBLE) * n_docs / (df_a * df_b), 6)
+             AS lift
+    FROM pairs, n WHERE n_ab >= {_CO_PAIR_MIN}
+    """,
+)
+def q_text_cooccur(spark, sf_dir: str):
+    """Term CO-OCCURRENCE with lift scoring — the association-mining
+    primitive behind phrase detection and topic features: for term
+    pairs sharing a document, lift = P(a,b) / (P(a)P(b)) =
+    n_ab * N / (df_a * df_b). Lift (a single double division of exact
+    integers) is used instead of PMI because log() is libm-dependent
+    and could differ in the last ulp between engines; the division of
+    identical int64s is bit-identical.
+
+    Shape: explode -> distinct, df-filtered vocabulary (broadcast-sized
+    after the _CO_DF_MIN prune), vocabulary-pruned self-join keyed on
+    doc_id, one pair aggregate. The df prune bounds the quadratic
+    blowup exactly like the LSH shingle prune in llm/dedup.py — at
+    100 TB the vocabulary table is the small side of a broadcast join
+    and the pair aggregate is the only wide shuffle."""
+    ensure_session_determinism(spark)
+    d = load(spark, sf_dir, "documents")
+    toks = (
+        d.where(F.length("text") > 0)
+        .select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .distinct()
+    )
+    vocab = (
+        toks.where(F.length("term") >= 3)
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") >= _CO_DF_MIN)
+    )
+    vt = toks.join(F.broadcast(vocab), "term")
+    a = vt.select(
+        "doc_id", F.col("term").alias("term_a"), F.col("df").alias("df_a")
+    )
+    b = vt.select(
+        "doc_id", F.col("term").alias("term_b"), F.col("df").alias("df_b")
+    )
+    pairs = (
+        a.join(b, "doc_id")
+        .where(F.col("term_a") < F.col("term_b"))
+        .groupBy("term_a", "term_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_ab"),
+            F.any_value("df_a").alias("df_a"),
+            F.any_value("df_b").alias("df_b"),
+        )
+        .where(F.col("n_ab") >= _CO_PAIR_MIN)
+    )
+    n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    return pairs.crossJoin(F.broadcast(n_docs)).select(
+        "term_a",
+        "term_b",
+        "n_ab",
+        F.round(
+            F.col("n_ab").cast("double")
+            * F.col("n_docs")
+            / (F.col("df_a") * F.col("df_b")),
+            6,
+        ).alias("lift"),
+    )

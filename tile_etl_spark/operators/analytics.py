@@ -1,0 +1,270 @@
+"""Warehouse analytics primitives: Bloom-filter semi-join reduction
+and histogram construction (equi-width / equi-depth).
+
+These pin three patterns a 100 TB warehouse leans on constantly:
+
+- **q_join_bloom** — the runtime-filter pattern (Spark's own
+  InjectRuntimeFilter, Iceberg/Delta's bloom pruning): reduce a big
+  probe side by a compact bitmap of the small side's join keys BEFORE
+  any shuffle or join, then run the exact join on the survivors. At
+  100 TB the bloom filter kills ~all non-matching rows at the scan, so
+  the semi-join shuffles only matches. Built by hand here (SQL-level
+  ``xxhash64`` + bitwise aggregation) so the engine controls the bits
+  instead of relying on a non-deterministic optimizer injection.
+- **q_hist_equiwidth** — fixed-width value histogram. All bucket math
+  is INTEGER (prices are exact cents after the DECIMAL(18,2) cast), so
+  the Spark and DuckDB bucket assignments are identical by
+  construction — no float-boundary risk.
+- **q_hist_equidepth** — quantile (equal-count) histogram via a global
+  ntile over a total order, using the same two-pass
+  range-partition + broadcast-offsets rewrite as q_win_ntile
+  (operators/windows.py) so no single reducer ever sorts the data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from tile_etl_spark import cache
+from tile_etl_spark.io import as_double, dec, load
+from tile_etl_spark.registry import query
+from tile_etl_spark.session import ensure_session_determinism
+
+# Bloom geometry: m = 8192 bits (128 int64 words), k = 3 hash probes.
+# For the ~40 part keys of one p_size at sf0.01 the false-positive rate
+# is ~(1-exp(-3*40/8192))^3 ≈ 3e-6; at real scale m grows with the
+# build-side key count (m ≈ 10 bits/key keeps FP < 1%), and the bitmap
+# stays a broadcast-sized array of longs either way.
+_BLOOM_BITS = 8192
+_BLOOM_WORDS = _BLOOM_BITS // 64
+_BLOOM_K = 3
+
+
+def _bloom_pos(key_sql: str, i: int) -> str:
+    """SQL for the i-th bloom bit position of ``key_sql`` (0..m-1).
+    Identical expression text on build and probe side, so the bits
+    agree by construction."""
+    return f"pmod(xxhash64({key_sql}, {i}), {_BLOOM_BITS})"
+
+
+def bloom_build(keys: DataFrame, key: str) -> list[int]:
+    """Aggregate the m-bit bloom bitmap of ``keys[key]`` distributed:
+    explode each key into its k (word, mask) pairs, ``bit_or`` per word
+    (map-side combined — one shuffle of ≤ k·distinct-keys tiny rows),
+    and collect the ≤ m/64 non-empty words. The collect is the
+    broadcast-build step — O(bitmap), independent of build-side row
+    count, exactly like Spark's own BroadcastExchange of a runtime
+    filter."""
+    pos_arr = ", ".join(_bloom_pos(key, i) for i in range(_BLOOM_K))
+    words = (
+        keys.select(F.expr(f"explode(array({pos_arr}))").alias("pos"))
+        .select(
+            F.expr("pos div 64").alias("word"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").alias(
+                "mask"
+            ),
+        )
+        .groupBy("word")
+        .agg(F.expr("bit_or(mask)").alias("bits"))
+        .collect()
+    )
+    bitmap = [0] * _BLOOM_WORDS
+    for r in words:
+        bitmap[r["word"]] = r["bits"]
+    return bitmap
+
+
+def bloom_might_contain(bitmap: list[int], key_sql: str) -> F.Column:
+    """Membership predicate: all k bits set. Pure JVM bitwise ops inside
+    whole-stage codegen — the probe side never leaves the scan stage."""
+    arr = F.array(*[F.lit(w) for w in bitmap])
+    cond = F.lit(True)
+    for i in range(_BLOOM_K):
+        pos = F.expr(_bloom_pos(key_sql, i))
+        word = F.element_at(arr, (pos / 64).cast("int") + 1)
+        mask = F.expr(
+            f"shiftleft(CAST(1 AS BIGINT), CAST({_bloom_pos(key_sql, i)} % 64 AS INT))"
+        )
+        cond = cond & (word.bitwiseAND(mask) != 0)
+    return cond
+
+
+@query(
+    "q_join_bloom",
+    oracle="""
+    SELECT l_partkey,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+             AS revenue
+    FROM lineitem
+    WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size = 15)
+    GROUP BY l_partkey
+    """,
+)
+def q_join_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join reduction: lineitem rows for parts of one
+    size. The small side's keys become an 8192-bit bitmap (distributed
+    bit_or build); the probe side is pre-filtered by the bitmap INSIDE
+    its scan stage, and only the survivors (matches + ~3e-6 false
+    positives) reach the exact broadcast semi-join that removes FPs.
+    Result is exactly the plain semi-join — the oracle IS the plain
+    semi-join — but the probe-side shuffle volume at 100 TB is the
+    match set, not the table.
+    """
+    ensure_session_determinism(spark)
+    part = load(spark, sf_dir, "part")
+    li = load(spark, sf_dir, "lineitem")
+    keys = part.where(F.col("p_size") == 15).select(
+        F.col("p_partkey").alias("k")
+    )
+    bitmap = bloom_build(keys, "k")
+    survivors = li.where(bloom_might_contain(bitmap, "l_partkey"))
+    exact = survivors.join(
+        F.broadcast(keys), survivors["l_partkey"] == keys["k"], "left_semi"
+    )
+    return exact.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        as_double(
+            F.sum(dec("l_extendedprice") * (1 - dec("l_discount")))
+        ).alias("revenue"),
+    )
+
+
+_EW_BUCKETS = 20
+
+# Bucket math in exact integer cents: price is 2-decimal, so
+# cents = CAST(price AS DECIMAL(18,2)) * 100 is an exact integer and
+# bucket = ((cents - min) * B) div (max - min + 1) is pure int64
+# arithmetic — Spark and DuckDB agree bit-for-bit, and the max value
+# lands in bucket B-1 without a clamp.
+_EW_CENTS = "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+
+
+@query(
+    "q_hist_equiwidth",
+    oracle=f"""
+    WITH c AS (SELECT {_EW_CENTS} AS cents FROM lineitem),
+    b AS (SELECT min(cents) AS lo, max(cents) - min(cents) + 1 AS span
+          FROM c)
+    SELECT CAST((cents - lo) * {_EW_BUCKETS} // span AS INT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(CAST(min(cents) AS DECIMAL(18,2)) / 100 AS DOUBLE) AS lo_price,
+           CAST(CAST(max(cents) AS DECIMAL(18,2)) / 100 AS DOUBLE) AS hi_price
+    FROM c, b GROUP BY 1
+    """,
+)
+def q_hist_equiwidth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of lineitem price in 20 buckets. The global
+    [min, max] comes from a 1-row aggregate broadcast into the scan
+    (same pattern as tf-idf's corpus-size N) — two passes over the
+    data, zero driver-side math, map-side-combined count per bucket.
+    """
+    ensure_session_determinism(spark)
+    li = load(spark, sf_dir, "lineitem")
+    c = li.select(F.expr(_EW_CENTS).alias("cents"))
+    bounds = c.agg(
+        F.min("cents").alias("lo"),
+        (F.max("cents") - F.min("cents") + 1).alias("span"),
+    )
+    bucket = F.expr(f"(cents - lo) * {_EW_BUCKETS} div span").cast("int")
+    return (
+        c.crossJoin(F.broadcast(bounds))
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            as_double(F.min("cents").cast("decimal(18,2)") / 100).alias(
+                "lo_price"
+            ),
+            as_double(F.max("cents").cast("decimal(18,2)") / 100).alias(
+                "hi_price"
+            ),
+        )
+    )
+
+
+_ED_BUCKETS = 8
+
+
+@query(
+    "q_hist_equidepth",
+    oracle=f"""
+    WITH c AS (
+      SELECT {_EW_CENTS} AS cents, l_orderkey, l_linenumber FROM lineitem
+    ),
+    t AS (
+      SELECT cents,
+             ntile({_ED_BUCKETS}) OVER (
+               ORDER BY cents ASC, l_orderkey ASC, l_linenumber ASC
+             ) AS bucket
+      FROM c
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(CAST(min(cents) AS DECIMAL(18,2)) / 100 AS DOUBLE) AS lo_price,
+           CAST(CAST(max(cents) AS DECIMAL(18,2)) / 100 AS DOUBLE) AS hi_price
+    FROM t GROUP BY bucket
+    """,
+)
+def q_hist_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (quantile) histogram: 8 equal-count buckets over the
+    total order (cents, orderkey, linenumber). Global ntile WITHOUT a
+    global sort: range-repartition on the sort key, per-partition local
+    row_number, broadcast per-partition offsets (the q_win_ntile
+    rewrite — the only unpartitioned window runs over the ≤ n_parts
+    histogram rows), then ntile becomes arithmetic on the global row
+    number and the per-bucket aggregate is an ordinary groupBy.
+    """
+    ensure_session_determinism(spark)
+    cache.scope(f"q_hist_equidepth:{sf_dir}")
+    c = load(spark, sf_dir, "lineitem").select(
+        F.expr(_EW_CENTS).alias("cents"), "l_orderkey", "l_linenumber"
+    )
+    order = [
+        F.col("cents").asc(),
+        F.col("l_orderkey").asc(),
+        F.col("l_linenumber").asc(),
+    ]
+    n_parts = spark.sparkContext.defaultParallelism
+    part = cache.persist_scoped(
+        c.repartitionByRange(n_parts, *order).withColumn(
+            "pid", F.spark_partition_id()
+        )
+    )
+    hist = part.groupBy("pid").agg(F.count(F.lit(1)).alias("cnt"))
+    w_off = Window.orderBy("pid").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow - 1
+    )
+    w_all = Window.orderBy("pid").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    offsets = hist.select(
+        "pid",
+        F.coalesce(F.sum("cnt").over(w_off), F.lit(0)).alias("off"),
+        F.sum("cnt").over(w_all).alias("n"),
+    )
+    w_local = Window.partitionBy("pid").orderBy(*order)
+    ranked = part.withColumn("lrn", F.row_number().over(w_local)).join(
+        F.broadcast(offsets), "pid"
+    )
+    rn, n = F.col("off") + F.col("lrn"), F.col("n")
+    b = F.lit(_ED_BUCKETS)
+    base, rem = F.floor(n / b), n % b
+    big = rem * (base + 1)
+    bucket = F.when(rn <= big, F.floor((rn - 1) / (base + 1)) + 1).otherwise(
+        rem + F.floor((rn - big - 1) / F.greatest(base, F.lit(1))) + 1
+    )
+    return (
+        ranked.select("cents", bucket.cast("bigint").alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            as_double(F.min("cents").cast("decimal(18,2)") / 100).alias(
+                "lo_price"
+            ),
+            as_double(F.max("cents").cast("decimal(18,2)") / 100).alias(
+                "hi_price"
+            ),
+        )
+    )
