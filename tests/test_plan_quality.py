@@ -215,3 +215,52 @@ def test_partition_prune_reads_one_directory(spark, sf_dir):
     pf = [ln for ln in p.splitlines() if "PartitionFilters" in ln][0]
     assert "event_date" in pf and "=" in pf, pf
     assert "dynamicpruning" in pf or "event_date" in pf
+
+
+def test_bloom_probe_filters_before_join(spark, sf_dir):
+    """q_join_bloom's whole point: the bitmap membership predicate runs
+    in the probe side's scan stage (xxhash64 + bitwise AND visible in a
+    Filter over the lineitem scan), the residual exact join broadcasts,
+    and nothing nested-loops."""
+    p = plan(q("q_join_bloom", spark, sf_dir))
+    assert "xxhash64" in p.lower(), p
+    assert "BroadcastHashJoin" in p, p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    # the membership predicate must run in a Filter condition (fused
+    # with the probe scan, below the join) — formatted mode puts node
+    # names and conditions on separate lines
+    cond_lines = [
+        ln
+        for ln in p.splitlines()
+        if "Condition" in ln and "element_at" in ln
+    ]
+    assert cond_lines, p
+
+
+def test_equidepth_never_single_reducer_sorts(spark, sf_dir):
+    """Same invariant as q_win_ntile: the lineitem data flows through
+    RangePartitioning + pid-partitioned windows; no unpartitioned
+    data-bearing window/sort."""
+    p = plan(q("q_hist_equidepth", spark, sf_dir))
+    assert "rangepartitioning" in p.lower(), p
+    assert "spark_partition_id" in p.lower(), p
+    for ln in p.splitlines():
+        if "Window" in ln and "cents" in ln:
+            assert "pid" in ln or "spark_partition_id" in ln, ln
+
+
+def test_equiwidth_broadcasts_bounds(spark, sf_dir):
+    """The 1-row min/max aggregate joins in as a broadcast (never a
+    shuffled join), and the per-bucket aggregate is partial+final."""
+    p = plan(q("q_hist_equiwidth", spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p, p
+    assert p.count("HashAggregate") >= 2, p
+
+
+def test_cooccur_broadcasts_vocab(spark, sf_dir):
+    """The df-pruned vocabulary joins into the token stream as a
+    broadcast; the only wide shuffle is the pair aggregate."""
+    p = plan(q("q_text_cooccur", spark, sf_dir))
+    assert "BroadcastHashJoin" in p, p
+    assert "CartesianProduct" not in p
