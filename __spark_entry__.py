@@ -42,6 +42,9 @@ _PRIORITY = [
     "q_hist_equidepth",
     "q_text_inverted_index",
     "q_text_cooccur",
+    "q_ts_rollup",
+    "q_scd2_intervals",
+    "q_outlier_robust",
     # (a) r3-red, repaired: naive-timestamp oracle via make_timestamp
     "q_ts_resample",
     "q_ts_interpolate",

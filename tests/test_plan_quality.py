@@ -264,3 +264,27 @@ def test_cooccur_broadcasts_vocab(spark, sf_dir):
     p = plan(q("q_text_cooccur", spark, sf_dir))
     assert "BroadcastHashJoin" in p, p
     assert "CartesianProduct" not in p
+
+
+def test_ts_rollup_single_expand_pass(spark, sf_dir):
+    """Grouping sets = ONE scan + Expand + partial/final aggregate —
+    not three scans unioned."""
+    p = plan(q("q_ts_rollup", spark, sf_dir))
+    # formatted mode prints each node in the tree AND as a "(n) Node"
+    # detail header — count the detail headers
+    scans = [
+        ln
+        for ln in p.splitlines()
+        if ln.strip().startswith("(") and "Scan parquet" in ln
+    ]
+    assert len(scans) == 1, p
+    assert "Expand" in p, p
+    assert p.count("HashAggregate") >= 4, p  # partial+final, 2 spots each
+
+
+def test_outlier_stats_broadcast_back(spark, sf_dir):
+    """Per-type median/MAD stats join back into the event scan as a
+    broadcast — the big side never shuffles for the scoring pass."""
+    p = plan(q("q_outlier_robust", spark, sf_dir))
+    assert "BroadcastHashJoin" in p, p
+    assert "CartesianProduct" not in p

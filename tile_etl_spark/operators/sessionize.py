@@ -348,3 +348,184 @@ def q_ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         fill_kind.alias("fill_kind"),
     )
+
+
+@query(
+    "q_ts_rollup",
+    oracle="""
+    SELECT CAST(CASE WHEN grouping(h) = 0 THEN 'hour'
+                WHEN grouping(d) = 0 THEN 'day'
+                ELSE 'month' END AS VARCHAR) AS grain,
+           coalesce(h, d, m) AS bucket,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM (
+      SELECT date_trunc('hour', ts) AS h,
+             date_trunc('day', ts) AS d,
+             date_trunc('month', ts) AS m,
+             event_type, value
+      FROM events
+    )
+    GROUP BY GROUPING SETS ((h, event_type), (d, event_type),
+                            (m, event_type))
+    """,
+)
+def q_ts_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYPERTABLE ROLLUP — the continuous-aggregate hierarchy a
+    time-series store maintains (TimescaleDB continuous aggregates,
+    Druid granularity rollup): hour, day and month aggregates of the
+    event stream computed in ONE pass via GROUPING SETS over the three
+    date_trunc grains, instead of three scans.
+
+    Spark expands grouping sets into a single Expand + hash aggregate:
+    one scan, one shuffle keyed on (grain, bucket, event_type), partial
+    aggregation before the exchange. At 100 TB this is the canonical
+    backfill shape; the streaming twin is s_tumbling feeding the hour
+    grain with day/month folding hourly partials (documented, same
+    arithmetic). DECIMAL sums keep the three grains' values exactly
+    consistent (hour rows sum to their day row bit-for-bit)."""
+    ensure_session_determinism(spark)
+    e = load(spark, sf_dir, "events").select(
+        F.date_trunc("hour", "ts").alias("h"),
+        F.date_trunc("day", "ts").alias("d"),
+        F.date_trunc("month", "ts").alias("m"),
+        "event_type",
+        "value",
+    )
+    rolled = e.groupingSets(
+        [["h", "event_type"], ["d", "event_type"], ["m", "event_type"]],
+        "h",
+        "d",
+        "m",
+        "event_type",
+    ).agg(
+        # grouping_id bits over (h,d,m,event_type): (h,e)=0b0110,
+        # (d,e)=0b1010, (m,e)=0b1100 — 0-bit = column grouped
+        F.grouping_id().alias("gid"),
+        F.count(F.lit(1)).alias("n"),
+        as_double(F.sum(F.col("value").cast("decimal(18,6)"))).alias(
+            "sum_value"
+        ),
+    )
+    grain = (
+        F.when(F.col("gid") == 6, "hour")
+        .when(F.col("gid") == 10, "day")
+        .otherwise("month")
+    )
+    return rolled.select(
+        grain.alias("grain"),
+        F.coalesce("h", "d", "m").alias("bucket"),
+        "event_type",
+        "n",
+        "sum_value",
+    )
+
+
+@query(
+    "q_scd2_intervals",
+    oracle="""
+    WITH chg AS (
+      SELECT user_id, event_id, ts, value,
+             lead(ts) OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS next_ts
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT user_id, event_id,
+           CAST(value AS DOUBLE) AS value,
+           ts AS valid_from,
+           next_ts AS valid_to,
+           CAST(next_ts IS NULL AS INT) AS is_current
+    FROM chg
+    """,
+)
+def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD TYPE-2 INTERVAL BUILD — turn a change log into validity
+    intervals: each change row becomes (valid_from = its ts,
+    valid_to = next change's ts for the same key, NULL = still
+    current). The complement of q_merge_upsert: that applies one delta
+    batch to a dimension, this reconstructs the full history table a
+    point-in-time join consumes.
+
+    One window keyed on the dimension key — single shuffle, and the
+    as-of lookup this table serves is q_join_asof's union+window
+    rewrite. The (ts, event_id) total-order tiebreak makes the
+    intervals deterministic under same-timestamp changes."""
+    ensure_session_determinism(spark)
+    e = load(spark, sf_dir, "events").where(
+        F.col("event_type") == "purchase"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "user_id",
+        "event_id",
+        F.col("value").cast("double").alias("value"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+        F.lead("ts").over(w).isNull().cast("int").alias("is_current"),
+    )
+
+
+@query(
+    "q_outlier_robust",
+    oracle="""
+    WITH med AS (
+      SELECT event_type,
+             median(value) AS med
+      FROM events GROUP BY event_type
+    ),
+    mad AS (
+      SELECT e.event_type, any_value(m.med) AS med,
+             median(abs(e.value - m.med)) AS mad
+      FROM events e JOIN med m USING (event_type)
+      GROUP BY e.event_type
+    )
+    SELECT e.event_id, e.event_type,
+           CAST(e.value AS DOUBLE) AS value,
+           round((e.value - m.med) / (1.4826 * m.mad), 6) AS robust_z,
+           CAST(abs(e.value - m.med) > 3.5 * 1.4826 * m.mad AS INT)
+             AS is_outlier
+    FROM events e JOIN mad m USING (event_type)
+    """,
+)
+def q_outlier_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROBUST OUTLIER DETECTION — median/MAD z-scores (the
+    training-data quality gate that survives heavy tails, unlike
+    mean/stddev): robust_z = (x − median) / (1.4826·MAD), flagged
+    beyond 3.5. Exact percentile(0.5) in both engines (same linear
+    interpolation on the same doubles — NOT percentile_approx, whose
+    sketch differs per engine).
+
+    Shape: two grouped exact medians (each one shuffle on event_type —
+    at 100 TB swap in approx_percentile + tolerance when sketch error
+    is acceptable, documented trade), then the tiny per-type stats
+    broadcast back into the scan for the scoring pass. Group
+    cardinality (3 event types) makes the medians' per-group sort the
+    bounded cost."""
+    ensure_session_determinism(spark)
+    e = load(spark, sf_dir, "events")
+    med = e.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    mad = (
+        e.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.any_value("med").alias("med"),
+            F.expr("percentile(abs(value - med), 0.5)").alias("mad"),
+        )
+    )
+    return e.join(F.broadcast(mad), "event_type").select(
+        "event_id",
+        "event_type",
+        F.col("value").cast("double").alias("value"),
+        F.round(
+            (F.col("value") - F.col("med")) / (1.4826 * F.col("mad")), 6
+        ).alias("robust_z"),
+        (
+            F.abs(F.col("value") - F.col("med"))
+            > 3.5 * 1.4826 * F.col("mad")
+        )
+        .cast("int")
+        .alias("is_outlier"),
+    )
