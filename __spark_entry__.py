@@ -45,6 +45,7 @@ _PRIORITY = [
     "q_ts_rollup",
     "q_scd2_intervals",
     "q_outlier_robust",
+    "s_foreachbatch",
     # (a) r3-red, repaired: naive-timestamp oracle via make_timestamp
     "q_ts_resample",
     "q_ts_interpolate",

@@ -13,13 +13,20 @@ vs Kafka) differs.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from tile_etl_spark.io import as_double
 from tile_etl_spark.registry import query
 from tile_etl_spark.session import ensure_session_determinism
-from tile_etl_spark.streaming.replay import read_stream, replay_dir, run_to_table
+from tile_etl_spark.streaming.replay import (
+    _art_root,
+    read_stream,
+    replay_dir,
+    run_to_table,
+)
 
 
 @query("s_tumbling")
@@ -232,3 +239,97 @@ def s_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = run_to_table(counted, "update")
     # final state per user = the max running total emitted
     return rows.groupBy("user_id").agg(F.max("n_events").alias("n_events"))
+
+
+@query(
+    "s_foreachbatch",
+    oracle="""
+    SELECT user_id, CAST(value AS DOUBLE) AS last_value,
+           ts AS last_ts, event_id AS last_event_id
+    FROM (
+      SELECT user_id, value, ts, event_id,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def s_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch EXACTLY-ONCE UPSERT sink — the pattern for merging
+    a stream into a keyed table when the sink has no native streaming
+    writer: each micro-batch reduces to latest-per-user, full-outer
+    merges with the current table state, and OVERWRITES a
+    batch-versioned directory. Idempotence = retrying epoch N rewrites
+    the same v{N} path, so replayed batches can't double-apply — the
+    standard exactly-once contract Structured Streaming asks of a
+    foreachBatch sink.
+
+    The final table state is H-checked against DuckDB's latest-row-
+    per-user — the streaming upsert chain must reproduce the batch
+    answer exactly, across all micro-batch boundaries. At scale the
+    full-outer merge is one co-partitioned shuffle per batch (or a
+    MERGE INTO on a table format); state stays columnar on disk, never
+    on the driver."""
+    ensure_session_determinism(spark)
+    import glob as _glob
+    import uuid as _uuid
+
+    base = os.path.join(
+        _art_root(), "febatch", _uuid.uuid4().hex[:12]
+    )
+    os.makedirs(base, exist_ok=True)
+    key = F.struct("ts", "event_id")
+
+    def latest(df: DataFrame) -> DataFrame:
+        return df.groupBy("user_id").agg(
+            F.max_by("value", key).alias("last_value"),
+            F.max("ts").alias("last_ts"),
+            F.max_by("event_id", key).alias("last_event_id"),
+        )
+
+    def versions() -> list[str]:
+        return sorted(_glob.glob(os.path.join(base, "v*")))
+
+    def upsert(batch_df: DataFrame, epoch_id: int) -> None:
+        b = latest(batch_df)
+        vs = versions()
+        if vs:
+            cur = spark.read.parquet(vs[-1])
+            newer = F.struct(b["last_ts"], b["last_event_id"]) > F.struct(
+                cur["last_ts"], cur["last_event_id"]
+            )
+            merged = (
+                cur.alias("c")
+                .join(b.alias("b"), "user_id", "full_outer")
+                .select(
+                    "user_id",
+                    *[
+                        F.when(
+                            F.col("b.last_ts").isNotNull()
+                            & (F.col("c.last_ts").isNull() | newer),
+                            F.col(f"b.{c}"),
+                        )
+                        .otherwise(F.col(f"c.{c}"))
+                        .alias(c)
+                        for c in ("last_value", "last_ts", "last_event_id")
+                    ],
+                )
+            )
+        else:
+            merged = b
+        # idempotent: epoch N always lands at v{N:05d}, overwrite mode
+        merged.write.mode("overwrite").parquet(
+            os.path.join(base, f"v{int(epoch_id):05d}")
+        )
+
+    stream = read_stream(spark, replay_dir(spark, sf_dir))
+    ckpt = os.path.join(_art_root(), "checkpoints", os.path.basename(base))
+    q = (
+        stream.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    final = versions()[-1]
+    return spark.read.parquet(final)
