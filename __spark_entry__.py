@@ -46,6 +46,7 @@ _PRIORITY = [
     "q_scd2_intervals",
     "q_outlier_robust",
     "s_foreachbatch",
+    "q_dedup_contain",
     # (a) r3-red, repaired: naive-timestamp oracle via make_timestamp
     "q_ts_resample",
     "q_ts_interpolate",

@@ -600,3 +600,81 @@ def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("gi", "gj")
         .applyInPandas(gemm_block_pair, "v1 BIGINT, v2 BIGINT, cos_sim DOUBLE")
     )
+
+
+@query(
+    "q_dedup_contain",
+    oracle=f"""
+    WITH {NGRAM_PAIRS_CTES.replace("njpairs", "njp_unused")}
+    SELECT d1, d2,
+           round(CAST(i AS DOUBLE) / least(na.n, nb.n), 6) AS containment,
+           round(CAST(i AS DOUBLE) / (na.n + nb.n - i), 6) AS jaccard
+    FROM inter
+    JOIN sizes na ON d1 = na.doc_id
+    JOIN sizes nb ON d2 = nb.doc_id
+    WHERE CAST(i AS DOUBLE) / least(na.n, nb.n) >= 0.5
+    """,
+)
+def q_dedup_contain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTAINMENT near-dup tier — C(A,B) = |A∩B| / min(|A|,|B|): the
+    asymmetric measure that catches SUB-DOCUMENT duplication (a short
+    doc quoted wholesale inside a long one), which symmetric Jaccard
+    structurally misses — J = i/(na+nb−i) stays low when nb >> na even
+    at full containment C = 1. The standard third tier of a real dedup
+    stack (exact -> MinHash/Jaccard -> containment for quote/boilerplate
+    mining).
+
+    Same plan skeleton as ngram_jaccard_pairs (shared-shingle
+    equi-join, df>=2 prune, hash-narrowed keys, one pair aggregate) —
+    at 100 TB it rides the same LSH-candidate front end; only the
+    scoring expression differs. Emits both containment and jaccard so
+    downstream policy can distinguish subset-dups from near-identity."""
+    ensure_session_determinism(spark)
+    _scope(f"q_dedup_contain:{sf_dir}")
+    d = _parallelize_docs(load(spark, sf_dir, "documents"))
+    sh = _persist(
+        shingles_df(d).select("doc_id", F.xxhash64("shingle").alias("shingle"))
+    )
+    shared = sh.join(
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") >= 2)
+        .select("shingle"),
+        "shingle",
+    )
+    a, b = shared.alias("a"), shared.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    scored = (
+        inter.join(
+            sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("n", "n1"),
+            "d1",
+        )
+        .join(
+            sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("n", "n2"),
+            "d2",
+        )
+        .withColumn(
+            "containment",
+            F.col("i").cast("double") / F.least("n1", "n2"),
+        )
+        .withColumn(
+            "jaccard",
+            F.col("i").cast("double")
+            / (F.col("n1") + F.col("n2") - F.col("i")),
+        )
+    )
+    return scored.where(F.col("containment") >= 0.5).select(
+        "d1",
+        "d2",
+        F.round("containment", 6).alias("containment"),
+        F.round("jaccard", 6).alias("jaccard"),
+    )
