@@ -268,3 +268,86 @@ def q_hist_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_HH_K = 10  # report keys with frequency > n/K
+
+# Deterministically manufactured skew (the fixtures are uniform): 70 %
+# of lineitem rows collapse onto one hot key, the rest keep a per-part
+# cold key — same expression in both dialects, mirroring
+# q_join_skew_salted's generator (operators/workloads.py).
+_HH_KEY = (
+    "CASE WHEN l_orderkey % 10 < 7 THEN 'HOT' "
+    "ELSE concat('cold_', CAST(l_partkey AS STRING)) END"
+)
+
+
+@query(
+    "q_topk_heavy_hitters",
+    oracle=f"""
+    WITH keyed AS (SELECT {_HH_KEY} AS k FROM lineitem),
+    n AS (SELECT count(*) AS n FROM keyed)
+    SELECT k, CAST(count(*) AS BIGINT) AS freq,
+           round(CAST(count(*) AS DOUBLE) / any_value(n.n), 6) AS share
+    FROM keyed, n
+    GROUP BY k HAVING count(*) > any_value(n.n) / {_HH_K}
+    """,
+)
+def q_topk_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distributed HEAVY HITTERS (frequency > n/k) via the
+    classic two-phase algorithm: (1) per-partition Misra-Gries with
+    2k counters inside one Arrow pass — any key exceeding n/k
+    globally is guaranteed to survive some partition's summary, so the
+    candidate union (≤ 2k · partitions keys, broadcast-sized) is a
+    superset of the answer; (2) one exact count restricted to the
+    candidates (broadcast semi-join) prunes false candidates.
+
+    Why not plain groupBy(key)? At 100 TB the full key cardinality can
+    be billions — two narrow passes shuffle only candidate keys
+    (thousands), never the distinct-key universe. The result is EXACT
+    (phase 2 verifies), so it H-checks against DuckDB's HAVING —
+    independent of partitioning, which only affects candidate-set
+    slack.
+    """
+    ensure_session_determinism(spark)
+    import pandas as pd
+
+    li = load(spark, sf_dir, "lineitem")
+    keyed = li.select(F.expr(_HH_KEY).alias("k"))
+
+    m = 2 * _HH_K  # Misra-Gries counters per partition
+
+    def mg(iterator):
+        from collections import Counter
+
+        counters: Counter = Counter()
+        for pdf in iterator:
+            for key in pdf["k"]:
+                if key in counters or len(counters) < m:
+                    counters[key] += 1
+                else:
+                    # decrement-all step, drop zeros
+                    for c in list(counters):
+                        counters[c] -= 1
+                        if counters[c] == 0:
+                            del counters[c]
+        yield pd.DataFrame({"k": list(counters.keys())})
+
+    candidates = keyed.mapInPandas(mg, "k string").distinct()
+    n_row = keyed.agg(F.count(F.lit(1)).alias("n"))
+    exact = (
+        keyed.join(F.broadcast(candidates), "k", "left_semi")
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    return (
+        exact.crossJoin(F.broadcast(n_row))
+        .where(F.col("freq") > F.col("n") / _HH_K)
+        .select(
+            "k",
+            "freq",
+            F.round(F.col("freq").cast("double") / F.col("n"), 6).alias(
+                "share"
+            ),
+        )
+    )

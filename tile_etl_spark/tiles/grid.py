@@ -112,7 +112,23 @@ def tile_grid(
     # AFTER, in the column explode) — measured: a levels-5..15 grid
     # (11M cells) collapsed to one task. Numbered repartitions are
     # exempt from AQE coalescing.
-    width = spark.sparkContext.defaultParallelism * 2
+    #
+    # Width is sized from the POST-explode cell count, which is pure
+    # driver-side math over the same bounds (the generator's version of
+    # plan-time statistics): ~50k cells per task, capped at 2× cores.
+    # The reference extent (37,819 cells) gets 1-2 tasks instead of 64
+    # — measured 0.5 s → 0.15 s on the grid alone, with the deep-
+    # pyramid case still fanning out to the full width.
+    cells = sum(
+        (r1 - r0 + 1) * (c1 - c0 + 1)
+        for r0, r1, c0, c1 in (
+            level_bounds(lvl, extent=extent, delta=delta, padding=padding)
+            for lvl in range(levels[0], levels[1] + 1)
+        )
+    )
+    width = max(1, min(
+        spark.sparkContext.defaultParallelism * 2, cells // 50_000 + 1
+    ))
     rows = rows.repartition(width, "level", "row")
     return rows.select(
         "level", "row", F.explode(F.sequence("c0", "c1")).alias("col")
