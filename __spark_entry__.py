@@ -47,6 +47,8 @@ _PRIORITY = [
     "q_outlier_robust",
     "s_foreachbatch",
     "q_dedup_contain",
+    "q_topk_heavy_hitters",
+    "q_tile_point_lookup",
     # (a) r3-red, repaired: naive-timestamp oracle via make_timestamp
     "q_ts_resample",
     "q_ts_interpolate",

@@ -396,3 +396,82 @@ def q_tile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "distinct_hashes"
         ),
     )
+
+
+def _point_cols():
+    """Deterministic synthetic Web-Mercator points from order keys —
+    Knuth multiplicative hashing into [0,1) with EXACT integer
+    arithmetic (no engine-specific hash function), then scaled into
+    the reference extent. Identical expression text in both dialects
+    => identical doubles => identical trunc results."""
+    minx, miny, maxx, maxy = EXTENT
+    u1 = "CAST(o_orderkey * 2654435761 % 1000003 AS DOUBLE) / 1000003"
+    u2 = "CAST(o_orderkey * 2246822519 % 999983 AS DOUBLE) / 999983"
+    x = f"({minx} + ({u1}) * ({maxx} - ({minx})))"
+    y = f"({miny} + ({u2}) * ({maxy} - ({miny})))"
+    return x, y
+
+
+@query(
+    "q_tile_point_lookup",
+    oracle=(
+        lambda x, y: f"""
+    WITH pts AS (
+      SELECT o_orderkey, {x} AS x, {y} AS y FROM orders
+    ),
+    lv AS (SELECT unnest(generate_series({LEVELS[0]}, {LEVELS[1]})) AS level),
+    looked AS (
+      SELECT o_orderkey, level,
+             CAST(trunc(({WEB_MERCATOR_DELTA} - y)
+                  / ({WEB_MERCATOR_DELTA} * power(2, 1 - level))) AS INT)
+               AS "row",
+             CAST(trunc((x + {WEB_MERCATOR_DELTA})
+                  / ({WEB_MERCATOR_DELTA} * power(2, 1 - level))) AS INT)
+               AS col
+      FROM pts, lv
+    )
+    SELECT CAST(level AS INT) AS level, "row", col,
+           CAST(count(*) AS BIGINT) AS n_points
+    FROM looked GROUP BY 1, 2, 3
+    """
+    )(*_point_cols()),
+)
+def q_tile_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POINT -> TILE-KEY lookup — the inverse of the grid walk and the
+    operation every map client / spatial-partitioning step performs:
+    for each point, the containing tile (level, row, col) at every
+    pyramid level, aggregated to per-tile point counts (the density
+    surface a tile-render scheduler prioritizes by).
+
+    Same trunc math as the reference's extent derivation (P:74-81),
+    per point instead of per extent corner. Pure narrow expressions +
+    one aggregate: at 100 TB this is scan -> explode(7 levels) ->
+    map-side-combined count keyed (level,row,col) — the natural
+    spatial-bucketing shuffle, skew-bounded because hot tiles cap at
+    one key each."""
+    ensure_session_determinism(spark)
+    from tile_etl_spark.io import load
+
+    x, y = _point_cols()
+    o = load(spark, sf_dir, "orders")
+    pts = o.select(
+        "o_orderkey", F.expr(x).alias("x"), F.expr(y).alias("y")
+    )
+    lv = F.explode(
+        F.sequence(F.lit(LEVELS[0]), F.lit(LEVELS[1]))
+    ).alias("level")
+    ts = F.lit(WEB_MERCATOR_DELTA) * F.pow(2.0, 1 - F.col("level"))
+    return (
+        pts.select("o_orderkey", "x", "y", lv)
+        .select(
+            "level",
+            ((F.lit(WEB_MERCATOR_DELTA) - F.col("y")) / ts)
+            .cast("int")
+            .alias("row"),
+            ((F.col("x") + F.lit(WEB_MERCATOR_DELTA)) / ts)
+            .cast("int")
+            .alias("col"),
+        )
+        .groupBy("level", "row", "col")
+        .agg(F.count(F.lit(1)).alias("n_points"))
+    )
