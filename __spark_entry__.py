@@ -49,6 +49,8 @@ _PRIORITY = [
     "q_dedup_contain",
     "q_topk_heavy_hitters",
     "q_tile_point_lookup",
+    "q_embed_centroids",
+    "q_join_fuzzy",
     # (a) r3-red, repaired: naive-timestamp oracle via make_timestamp
     "q_ts_resample",
     "q_ts_interpolate",

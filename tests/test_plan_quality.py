@@ -288,3 +288,12 @@ def test_outlier_stats_broadcast_back(spark, sf_dir):
     p = plan(q("q_outlier_robust", spark, sf_dir))
     assert "BroadcastHashJoin" in p, p
     assert "CartesianProduct" not in p
+
+
+def test_fuzzy_join_blocks_on_brand(spark, sf_dir):
+    """The levenshtein residual must ride a HASH join on the blocking
+    key — an unblocked fuzzy join would be a cartesian scan."""
+    p = plan(q("q_join_fuzzy", spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "levenshtein" in p.lower(), p

@@ -521,3 +521,67 @@ def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rank").cast("bigint").alias("rank"),
         )
     )
+
+
+@query(
+    "q_embed_centroids",
+    oracle="""
+    WITH flat AS (
+      SELECT label,
+             unnest(generate_series(1, len(embedding))) AS dim,
+             CAST(floor(CAST(embedding[unnest(generate_series(1,
+               len(embedding)))] AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
+               AS micro
+      FROM embeddings
+    )
+    SELECT CAST(label AS INT) AS label, CAST(dim AS INT) AS dim,
+           CAST(count(*) AS BIGINT) AS n,
+           round(CAST(sum(micro) AS DOUBLE) / (count(*) * 1000000), 6)
+             AS centroid
+    FROM flat GROUP BY label, dim
+    """,
+)
+def q_embed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-LABEL CENTROIDS (class prototypes) of the embedding column —
+    the mean vector per label that few-shot classifiers, cluster
+    seeding and drift monitors consume. Emitted as (label, dim,
+    centroid) rows — scalar columns, driver-hashable.
+
+    Float-sum order is engine- and partition-dependent, so the mean is
+    computed in EXACT integer micro-units: each component is floored to
+    µ-resolution int64 (float32→double widening, multiply and floor
+    all deterministic per IEEE), summed exactly (map-side combined),
+    divided once in double space. 384-dim float32 at 1e-6 resolution
+    sums ~1e8 per thousand rows — 10 orders below int64 overflow at
+    100 TB row counts per (label, dim) group.
+
+    Shape: posexplode → one hash aggregate keyed (label, dim) — the
+    transpose-free distributed mean; no vector ever materializes on
+    the driver."""
+    ensure_session_determinism(spark)
+    em = load(spark, sf_dir, "embeddings")
+    flat = em.select(
+        "label",
+        F.posexplode(
+            F.transform(
+                "embedding",
+                lambda x: F.floor(x.cast("double") * 1000000 + 0.5).cast(
+                    "bigint"
+                ),
+            )
+        ).alias("pos", "micro"),
+    )
+    return (
+        flat.groupBy(
+            F.col("label").cast("int").alias("label"),
+            (F.col("pos") + 1).cast("int").alias("dim"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum("micro").cast("double")
+                / (F.count(F.lit(1)) * 1000000),
+                6,
+            ).alias("centroid"),
+        )
+    )

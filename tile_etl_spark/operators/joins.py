@@ -423,3 +423,49 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "ts", F.col("event_id").alias("__right_id")
     )
     return asof_join(errors, clicks, on="user_id")
+
+
+@query(
+    "q_join_fuzzy",
+    oracle="""
+    SELECT a.p_partkey AS k1, b.p_partkey AS k2,
+           CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
+    FROM part a JOIN part b
+      ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 4
+    """,
+)
+def q_join_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FUZZY (edit-distance) JOIN — the entity-resolution primitive:
+    near-identical part names within a brand, levenshtein ≤ 4.
+    Levenshtein is a well-defined integer metric, so the H-check is
+    exact across engines.
+
+    The brand equi-component is the BANDING key: Catalyst plans a hash
+    join on p_brand with the distance as a residual filter, so the
+    quadratic edit-distance work is confined to same-brand blocks —
+    the classic blocking strategy of record linkage. At 100 TB the
+    blocking key graduates to (brand, length-band, first-k-chars
+    prefix) exactly like the interval join's band columns; an
+    unblocked fuzzy join would be a cartesian scan, which the plan
+    test forbids."""
+    ensure_session_determinism(spark)
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_name")
+    a, b = p.alias("a"), p.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.p_brand") == F.col("b.p_brand"))
+            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+        )
+        .where(
+            F.levenshtein(F.col("a.p_name"), F.col("b.p_name")) <= 4
+        )
+        .select(
+            F.col("a.p_partkey").alias("k1"),
+            F.col("b.p_partkey").alias("k2"),
+            F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+            .cast("int")
+            .alias("dist"),
+        )
+    )
