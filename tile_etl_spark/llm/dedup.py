@@ -244,18 +244,25 @@ def lsh_candidate_pairs(
 
 def exact_jaccard(docs: DataFrame, pairs: DataFrame) -> DataFrame:
     """Exact shingle-set Jaccard for the given pairs: intersection via
-    shingle join restricted to candidates, union by sizes."""
+    shingle join restricted to candidates, union by sizes.
+
+    The shingle equality is part of the second JOIN KEY, not a
+    post-join filter — the intermediate is the intersection itself,
+    never the |A|x|B| cross of each pair's shingle sets. (A semi-join
+    prune of docs to candidate ids before shingling was measured
+    SLOWER at sf0.1 — it serializes the LSH and verify stages behind a
+    barrier; at 100 TB, where the explode dominates scheduling, the
+    prune belongs back. Documented trade, not an oversight.)"""
     sh = _persist(shingles_df(docs))  # two consumers: inter + sizes
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     inter = (
-        pairs.join(sh.withColumnRenamed("doc_id", "d1"), "d1")
-        .join(
-            sh.withColumnRenamed("doc_id", "d2").withColumnRenamed(
-                "shingle", "shingle2"
-            ),
-            "d2",
+        pairs.join(
+            sh.select(F.col("doc_id").alias("d1"), "shingle"), "d1"
         )
-        .where(F.col("shingle") == F.col("shingle2"))
+        .join(
+            sh.select(F.col("doc_id").alias("d2"), "shingle"),
+            ["d2", "shingle"],
+        )
         .groupBy("d1", "d2")
         .agg(F.count(F.lit(1)).alias("i"))
     )
