@@ -51,6 +51,8 @@ _PRIORITY = [
     "q_tile_point_lookup",
     "q_embed_centroids",
     "q_join_fuzzy",
+    "q_sql_api",
+    "q_agg_mode",
     # (a) r3-red, repaired: naive-timestamp oracle via make_timestamp
     "q_ts_resample",
     "q_ts_interpolate",

@@ -566,3 +566,86 @@ def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(disc)
         .unionByName(nn)
     )
+
+
+_SQL_API_TEXT = """
+    WITH monthly AS (
+      SELECT o_orderpriority,
+             date_trunc('month', o_orderdate) AS month,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l_discount AS DECIMAL(18,2))))
+                  AS DOUBLE) AS revenue
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT o_orderpriority, month, revenue,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY revenue DESC, month ASC) AS rk
+      FROM monthly
+    )
+    SELECT o_orderpriority, month, revenue, CAST(rk AS INT) AS rk
+    FROM ranked WHERE rk <= 2
+"""
+
+
+@query("q_sql_api", oracle=_SQL_API_TEXT)
+def q_sql_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL-TEXT entry point: the identical ANSI query string runs
+    through ``spark.sql`` over registered temp views AND through DuckDB
+    as its own oracle — pinning that the engine's SQL surface (CTEs,
+    join, DECIMAL aggregation, window + QUALIFY-style filter) is
+    dialect-portable, not just the DataFrame builders. Catalyst plans
+    SQL text and DataFrame calls into the same logical plan space, so
+    every plan-quality property (broadcast dims, partial aggs, window
+    group limits) holds identically."""
+    ensure_session_determinism(spark)
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_SQL_API_TEXT)
+
+
+@query(
+    "q_agg_mode",
+    oracle="""
+    WITH b AS (
+      SELECT event_type, CAST(floor(value) AS BIGINT) AS bucket,
+             count(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT event_type, bucket, n,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY n DESC, bucket ASC) AS rk
+      FROM b
+    )
+    SELECT event_type, bucket AS mode_bucket, CAST(n AS BIGINT) AS n
+    FROM r WHERE rk = 1
+    """,
+)
+def q_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MODE aggregate with a DETERMINISTIC tiebreak — built-in mode()
+    breaks frequency ties arbitrarily in both engines, so the engine
+    spells it as count + windowed argmax ordered (n DESC, bucket ASC):
+    cross-engine stable by construction. Two map-side-combined
+    aggregates + a 3-row window — the first groupBy collapses the data
+    to (type, bucket) cardinality before any window sees it."""
+    ensure_session_determinism(spark)
+    e = load(spark, sf_dir, "events")
+    b = (
+        e.select(
+            "event_type", F.floor("value").cast("bigint").alias("bucket")
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("n").desc(), F.col("bucket").asc()
+    )
+    return (
+        b.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("event_type", F.col("bucket").alias("mode_bucket"), "n")
+    )
