@@ -53,6 +53,8 @@ _PRIORITY = [
     "q_join_fuzzy",
     "q_sql_api",
     "q_agg_mode",
+    "q_win_islands",
+    "q_agg_stringagg",
     # (a) r3-red, repaired: naive-timestamp oracle via make_timestamp
     "q_ts_resample",
     "q_ts_interpolate",

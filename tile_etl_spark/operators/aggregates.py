@@ -398,3 +398,37 @@ def q_agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("ok_uniq"),
         F.col("exact_uniq").cast("bigint").alias("exact_uniq"),
     )
+
+
+@query(
+    "q_agg_stringagg",
+    oracle="""
+    SELECT o_orderstatus,
+           string_agg(CAST(o_orderkey AS VARCHAR), ','
+                      ORDER BY o_orderkey) AS keys_csv,
+           CAST(count(*) AS BIGINT) AS n
+    FROM (SELECT * FROM orders WHERE o_custkey % 97 = 0)
+    GROUP BY o_orderstatus
+    """,
+)
+def q_agg_stringagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered STRING_AGG / LISTAGG — the report-friendly collection
+    aggregate: per status, the comma-joined ordered key list. Spark
+    spells it array_sort(collect_list) + array_join; the explicit sort
+    makes the concatenation order total, so the strings hash-match
+    DuckDB's ORDER BY string_agg. Output stays a scalar STRING (the
+    q_agg_collect lesson). Grouped lists are bounded here by the
+    filter; unbounded LISTAGG at 100 TB belongs in the inverted-index
+    shape (df-capped) instead."""
+    ensure_session_determinism(spark)
+    o = load(spark, sf_dir, "orders").where(F.col("o_custkey") % 97 == 0)
+    return o.groupBy("o_orderstatus").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list("o_orderkey")),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("keys_csv"),
+        F.count(F.lit(1)).alias("n"),
+    )

@@ -261,3 +261,56 @@ def q_win_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         (as_double(total) / n).alias("avg_value_10m"),
     )
+
+
+@query(
+    "q_win_islands",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type, ts, event_id,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts, event_id) AS rn_t
+      FROM events
+    )
+    SELECT user_id, event_type,
+           CAST(rn - rn_t AS BIGINT) AS island_key,
+           CAST(count(*) AS BIGINT) AS run_len,
+           min(ts) AS run_start,
+           max(ts) AS run_end
+    FROM seq
+    GROUP BY user_id, event_type, rn - rn_t
+    """,
+)
+def q_win_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GAPS-AND-ISLANDS: maximal runs of consecutive same-type events
+    per user, via the classic two-row_number difference — rn (global
+    per user) minus rn_t (per user+type) is constant exactly within a
+    run, so one groupBy over the difference key recovers every island
+    with its length and time span. The streak/run primitive behind
+    session quality, bot detection and repetition features.
+
+    Both windows share the user_id partition (one shuffle, two sorts
+    over the same partition); the aggregate is map-side combined. The
+    (ts, event_id) total order makes runs deterministic under equal
+    timestamps."""
+    ensure_session_determinism(spark)
+    e = load(spark, sf_dir, "events")
+    order = [F.col("ts").asc(), F.col("event_id").asc()]
+    w_u = Window.partitionBy("user_id").orderBy(*order)
+    w_ut = Window.partitionBy("user_id", "event_type").orderBy(*order)
+    seq = e.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        (F.row_number().over(w_u) - F.row_number().over(w_ut)).alias(
+            "island_key"
+        ),
+    )
+    return seq.groupBy("user_id", "event_type", "island_key").agg(
+        F.count(F.lit(1)).alias("run_len"),
+        F.min("ts").alias("run_start"),
+        F.max("ts").alias("run_end"),
+    )
