@@ -55,6 +55,7 @@ _PRIORITY = [
     "q_agg_mode",
     "q_win_islands",
     "q_agg_stringagg",
+    "q_winsorize",
     # (a) r3-red, repaired: naive-timestamp oracle via make_timestamp
     "q_ts_resample",
     "q_ts_interpolate",

@@ -529,3 +529,51 @@ def q_outlier_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("is_outlier"),
     )
+
+
+@query(
+    "q_winsorize",
+    oracle="""
+    WITH pct AS (
+      SELECT event_type,
+             quantile_cont(value, 0.05) AS p05,
+             quantile_cont(value, 0.95) AS p95
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type,
+           CAST(e.value AS DOUBLE) AS value,
+           round(least(greatest(e.value, p.p05), p.p95), 6)
+             AS value_winsor,
+           CAST(e.value < p.p05 OR e.value > p.p95 AS INT) AS clipped
+    FROM events e JOIN pct p USING (event_type)
+    """,
+)
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WINSORIZATION — clip each value into its group's [p5, p95] band:
+    the standard heavy-tail tamer for features and reward signals
+    (complement of q_outlier_robust, which flags; this repairs). Exact
+    linearly-interpolated percentiles in both engines (percentile ≡
+    quantile_cont — same formula on the same doubles; NOT the
+    approx sketch), per-type bounds broadcast back into the scan.
+
+    Shape: one grouped percentile (per-group sort, bounded by group
+    count), tiny stats broadcast, then a pure map — the big side never
+    shuffles. At 100 TB swap percentile for approx_percentile and a
+    tolerance when sketch error is acceptable."""
+    ensure_session_determinism(spark)
+    e = load(spark, sf_dir, "events")
+    pct = e.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.05)").alias("p05"),
+        F.expr("percentile(value, 0.95)").alias("p95"),
+    )
+    return e.join(F.broadcast(pct), "event_type").select(
+        "event_id",
+        "event_type",
+        F.col("value").cast("double").alias("value"),
+        F.round(
+            F.least(F.greatest("value", F.col("p05")), F.col("p95")), 6
+        ).alias("value_winsor"),
+        ((F.col("value") < F.col("p05")) | (F.col("value") > F.col("p95")))
+        .cast("int")
+        .alias("clipped"),
+    )
