@@ -452,6 +452,14 @@ def q_join_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_session_determinism(spark)
     p = load(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_name")
     a, b = p.alias("a"), p.alias("b")
+    # |len(a)-len(b)| <= 4 is IMPLIED by levenshtein <= 4 (each edit
+    # changes length by at most 1) — a free pre-filter that short-
+    # circuits the O(len²) distance on length-incompatible pairs
+    # (measured 14.8 s → 5.4 s at sf0.1); result set unchanged.
+    len_ok = (
+        F.abs(F.length(F.col("a.p_name")) - F.length(F.col("b.p_name")))
+        <= 4
+    )
     return (
         a.join(
             b,
@@ -459,7 +467,8 @@ def q_join_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.p_partkey") < F.col("b.p_partkey")),
         )
         .where(
-            F.levenshtein(F.col("a.p_name"), F.col("b.p_name")) <= 4
+            len_ok
+            & (F.levenshtein(F.col("a.p_name"), F.col("b.p_name")) <= 4)
         )
         .select(
             F.col("a.p_partkey").alias("k1"),

@@ -306,10 +306,17 @@ def q_ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("bucket")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # "Next observation" via a running `last` over the REVERSED order,
+    # not `first` over a (currentRow, unboundedFollowing) frame: Spark's
+    # WindowExec evaluates growing-from-current forward frames by
+    # re-scanning ahead per row — O(rows²) per partition, measured 199 s
+    # at sf0.1 (4.2 M grid rows) vs 4 s for this form. A running last
+    # over unboundedPreceding..currentRow is streaming O(rows) in both
+    # directions; results are identical.
     w_next = (
         Window.partitionBy("user_id")
-        .orderBy("bucket")
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        .orderBy(F.col("bucket").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     obs_idx = F.when(F.col("value").isNotNull(), F.col("idx"))
     withw = joined.select(
@@ -319,8 +326,8 @@ def q_ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "idx",
         F.last("value", ignorenulls=True).over(w_prev).alias("pv"),
         F.last(obs_idx, ignorenulls=True).over(w_prev).alias("pi"),
-        F.first("value", ignorenulls=True).over(w_next).alias("nv"),
-        F.first(obs_idx, ignorenulls=True).over(w_next).alias("ni"),
+        F.last("value", ignorenulls=True).over(w_next).alias("nv"),
+        F.last(obs_idx, ignorenulls=True).over(w_next).alias("ni"),
     )
     interp = F.col("pv") + (F.col("nv") - F.col("pv")) * (
         (F.col("idx") - F.col("pi")).cast("double")
