@@ -60,6 +60,27 @@ def force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+# Round-4 additions, timed separately so the headline total stays
+# comparable across rounds (same 24-query set since r1). Spark + DuckDB
+# twins both recorded; merged into the same ratios dict.
+EXTRA = [
+    "q_join_bloom",
+    "q_hist_equiwidth",
+    "q_hist_equidepth",
+    "q_topk_heavy_hitters",
+    "q_ts_rollup",
+    "q_ts_resample",
+    "q_ts_interpolate",
+    "q_text_inverted_index",
+    "q_text_cooccur",
+    "q_dedup_contain",
+    "q_embed_centroids",
+    "q_win_islands",
+    "q_tile_point_lookup",
+    "s_foreachbatch",
+]
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -67,6 +88,7 @@ def main() -> None:
 
     registry.load_all()
     qids = [q for q in HEADLINE if q in registry.QUERIES]
+    extra_qids = [q for q in EXTRA if q in registry.QUERIES]
 
     spark = get_spark(app_name="tile-etl-spark-bench")
     # Warm the JVM + parquet footers once so per-query times measure the
@@ -79,7 +101,7 @@ def main() -> None:
     # landing inside the timed window inflates q_tile_stats /
     # sink_objectstore by 2-3×. The warm pass pays all one-time builds
     # (plus whole-stage-codegen compile) before any clock starts.
-    for qid in qids:
+    for qid in qids + extra_qids:
         try:
             force(registry.QUERIES[qid](spark, sf_dir))
         except Exception as ex:  # keep the bench runnable every round
@@ -91,14 +113,15 @@ def main() -> None:
     # harness ticks); with 3 runs at least one lands clean.
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     times: dict[str, float] = {}
-    for qid in qids:
+    extra_times: dict[str, float] = {}
+    for qid in qids + extra_qids:
         fn = registry.QUERIES[qid]
         best = float("inf")
         for _ in range(runs):
             t0 = time.perf_counter()
             force(fn(spark, sf_dir))
             best = min(best, time.perf_counter() - t0)
-        times[qid] = round(best, 4)
+        (times if qid in qids else extra_times)[qid] = round(best, 4)
 
     # DuckDB side of the BASELINE gate (Spark ≤ 2× DuckDB per qid):
     # time each headline qid's oracle twin on the same parquet so the
@@ -118,7 +141,7 @@ def main() -> None:
                 con.execute(
                     f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
                 )
-        for qid in qids:
+        for qid in qids + extra_qids:
             sql = registry.ORACLES.get(qid)
             if not sql:
                 continue  # B/R qid: no SQL twin; ratio omitted by design
@@ -133,10 +156,11 @@ def main() -> None:
         print(f"DUCK ERROR: {str(ex)[:160]}", file=sys.stderr)
 
     total = round(sum(times.values()), 4)
+    all_times = {**times, **extra_times}
     ratios = {
-        q: round(times[q] / max(d, 1e-6), 2)
+        q: round(all_times[q] / max(d, 1e-6), 2)
         for q, d in duck_times.items()
-        if q in times
+        if q in all_times
     }
     print(
         json.dumps(
@@ -145,6 +169,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": times,
+                "extra_queries": extra_times,
                 "duck_queries": duck_times,
                 "ratios": ratios,
                 "sf": sf,
