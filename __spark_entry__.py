@@ -56,6 +56,7 @@ _PRIORITY = [
     "q_win_islands",
     "q_agg_stringagg",
     "q_winsorize",
+    "q_retention_cohorts",
     # (a) r3-red, repaired: naive-timestamp oracle via make_timestamp
     "q_ts_resample",
     "q_ts_interpolate",

@@ -233,3 +233,20 @@ def test_hll_sketch_union_matches_direct(spark, sf_dir):
     assert direct.keys() == sharded.keys()
     for k in direct:
         assert abs(direct[k] - sharded[k]) / direct[k] < 0.05, k
+
+
+def test_bloom_filter_has_no_false_negatives(spark):
+    """Every key inserted at build time must pass the probe predicate —
+    the bloom contract that makes q_join_bloom's pre-filter safe (false
+    positives are removed by the exact join; a false negative would
+    silently drop matches)."""
+    from tile_etl_spark.operators.analytics import (
+        bloom_build,
+        bloom_might_contain,
+    )
+    from pyspark.sql import functions as F
+
+    keys = spark.range(1, 2000, 37).select(F.col("id").alias("k"))
+    bitmap = bloom_build(keys, "k")
+    survivors = keys.where(bloom_might_contain(bitmap, "k")).count()
+    assert survivors == keys.count()

@@ -649,3 +649,79 @@ def q_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") == 1)
         .select("event_type", F.col("bucket").alias("mode_bucket"), "n")
     )
+
+
+@query(
+    "q_retention_cohorts",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, min(date_trunc('week', ts)) AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT e.user_id, f.cohort_week,
+             CAST(datediff('week', f.cohort_week,
+                           date_trunc('week', e.ts)) AS INT) AS week_n
+      FROM events e JOIN firsts f USING (user_id)
+    ),
+    sizes AS (
+      SELECT cohort_week, count(*) AS cohort_size FROM firsts
+      GROUP BY cohort_week
+    )
+    SELECT a.cohort_week, a.week_n,
+           CAST(count(*) AS BIGINT) AS active_users,
+           CAST(any_value(s.cohort_size) AS BIGINT) AS cohort_size,
+           round(CAST(count(*) AS DOUBLE) / any_value(s.cohort_size), 6)
+             AS retention
+    FROM activity a JOIN sizes s USING (cohort_week)
+    GROUP BY a.cohort_week, a.week_n
+    """,
+)
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COHORT RETENTION — the canonical product-analytics triangle:
+    users grouped by first-seen week, retention(k) = share of the
+    cohort active in week k. Three aggregates, all keyed on bounded
+    cardinalities (users, then (cohort, week)): the first-seen min is
+    map-side combined per user, the activity distinct collapses
+    (user, week) duplicates before counting, and cohort sizes broadcast
+    back. Retention is an exact integer ratio — no float-order risk.
+
+    At 100 TB the user-keyed aggregates are the only wide shuffles and
+    they reuse one hash partitioning; the final triangle is tiny."""
+    ensure_session_determinism(spark)
+    e = load(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.min(F.date_trunc("week", "ts")).alias("cohort_week")
+    )
+    activity = (
+        e.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            F.floor(
+                F.datediff(F.date_trunc("week", "ts"), F.col("cohort_week"))
+                / 7
+            )
+            .cast("int")
+            .alias("week_n"),
+        )
+        .distinct()
+    )
+    sizes = firsts.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    return (
+        activity.groupBy("cohort_week", "week_n")
+        .agg(F.count(F.lit(1)).alias("active_users"))
+        .join(F.broadcast(sizes), "cohort_week")
+        .select(
+            "cohort_week",
+            "week_n",
+            "active_users",
+            "cohort_size",
+            F.round(
+                F.col("active_users").cast("double") / F.col("cohort_size"),
+                6,
+            ).alias("retention"),
+        )
+    )
