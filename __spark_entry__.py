@@ -57,6 +57,7 @@ _PRIORITY = [
     "q_agg_stringagg",
     "q_winsorize",
     "q_retention_cohorts",
+    "q_abtest_ztest",
     # (a) r3-red, repaired: naive-timestamp oracle via make_timestamp
     "q_ts_resample",
     "q_ts_interpolate",

@@ -725,3 +725,72 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("retention"),
         )
     )
+
+
+@query(
+    "q_abtest_ztest",
+    oracle="""
+    WITH arms AS (
+      SELECT o_orderpriority AS arm,
+             count(*) AS n,
+             sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS conv
+      FROM orders GROUP BY o_orderpriority
+    ),
+    control AS (SELECT n AS n0, conv AS c0 FROM arms
+                WHERE arm = '1-URGENT')
+    SELECT arm,
+           CAST(n AS BIGINT) AS n,
+           CAST(conv AS BIGINT) AS conversions,
+           round(CAST(conv AS DOUBLE) / n, 6) AS rate,
+           round(
+             (CAST(conv AS DOUBLE) / n - CAST(c0 AS DOUBLE) / n0)
+             / sqrt((CAST(conv + c0 AS DOUBLE) / (n + n0))
+                    * (1 - CAST(conv + c0 AS DOUBLE) / (n + n0))
+                    * (1.0 / n + 1.0 / n0)),
+             6) AS z_score
+    FROM arms, control WHERE arm <> '1-URGENT'
+    """,
+)
+def q_abtest_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO-PROPORTION Z-TEST — experiment-analysis primitive: each
+    order-priority arm's completion rate vs the control arm, scored
+    with the pooled-variance z statistic. All inputs are exact integer
+    counts; the divisions and sqrt are IEEE-correctly-rounded in both
+    engines (sqrt is exactly rounded per IEEE-754, unlike log/exp), so
+    the 6-dp statistics hash-match.
+
+    Shape: one map-side-combined aggregate to per-arm counts (arm
+    cardinality rows), the 1-row control broadcast, pure arithmetic —
+    the experiment-analysis query at 100 TB is exactly this aggregate
+    plus scalar math."""
+    ensure_session_determinism(spark)
+    o = load(spark, sf_dir, "orders")
+    arms = o.groupBy(F.col("o_orderpriority").alias("arm")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)
+        ).alias("conv"),
+    )
+    control = (
+        arms.where(F.col("arm") == "1-URGENT")
+        .select(F.col("n").alias("n0"), F.col("conv").alias("c0"))
+    )
+    p = F.col("conv").cast("double") / F.col("n")
+    p0 = F.col("c0").cast("double") / F.col("n0")
+    pool = (F.col("conv") + F.col("c0")).cast("double") / (
+        F.col("n") + F.col("n0")
+    )
+    z = (p - p0) / F.sqrt(
+        pool * (1 - pool) * (1.0 / F.col("n") + 1.0 / F.col("n0"))
+    )
+    return (
+        arms.crossJoin(F.broadcast(control))
+        .where(F.col("arm") != "1-URGENT")
+        .select(
+            "arm",
+            "n",
+            F.col("conv").alias("conversions"),
+            F.round(p, 6).alias("rate"),
+            F.round(z, 6).alias("z_score"),
+        )
+    )
