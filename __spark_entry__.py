@@ -58,6 +58,7 @@ _PRIORITY = [
     "q_winsorize",
     "q_retention_cohorts",
     "q_abtest_ztest",
+    "q_tpch_q18",
     # (a) r3-red, repaired: naive-timestamp oracle via make_timestamp
     "q_ts_resample",
     "q_ts_interpolate",

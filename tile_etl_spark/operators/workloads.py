@@ -794,3 +794,65 @@ def q_abtest_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(z, 6).alias("z_score"),
         )
     )
+
+
+Q18_QTY = 300
+
+
+@query(
+    "q_tpch_q18",
+    oracle=f"""
+    SELECT c_custkey, o_orderkey, o_orderdate,
+           CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_qty
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey
+      HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > {Q18_QTY}
+    )
+    GROUP BY c_custkey, o_orderkey, o_orderdate, o_totalprice
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 100
+    """,
+)
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large-volume customers): orders whose total quantity
+    exceeds the threshold, with customer attribution — the classic
+    AGGREGATE-DRIVEN SEMI-JOIN shape: a grouped HAVING over the fact
+    table produces the qualifying key set, which then semi-joins back
+    into the same fact. The heavy aggregate runs ONCE (keyed on
+    l_orderkey), its small output broadcasts as the semi-join filter,
+    and the final top-100 is TakeOrderedAndProject with a total order.
+
+    DECIMAL quantity sums keep the HAVING boundary exact — a double
+    sum could flip orders sitting exactly on the threshold."""
+    ensure_session_determinism(spark)
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(dec("l_quantity")).alias("qty"))
+        .where(F.col("qty") > Q18_QTY)
+        .select("l_orderkey")
+    )
+    return (
+        li.join(F.broadcast(big), "l_orderkey", "left_semi")
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(as_double(F.sum(dec("l_quantity"))).alias("total_qty"))
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+            "total_qty",
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(100)
+    )
