@@ -297,3 +297,13 @@ def test_fuzzy_join_blocks_on_brand(spark, sf_dir):
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
     assert "levenshtein" in p.lower(), p
+
+
+def test_tpch_q18_semi_join_and_topk(spark, sf_dir):
+    """The HAVING key set must come back as a semi-join (never a
+    re-aggregation per probe row) and the top-100 must be
+    TakeOrderedAndProject, not a global sort."""
+    p = plan(q("q_tpch_q18", spark, sf_dir))
+    assert "LeftSemi" in p, p
+    assert "TakeOrderedAndProject" in p, p
+    assert "CartesianProduct" not in p
