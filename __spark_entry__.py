@@ -59,6 +59,7 @@ _PRIORITY = [
     "q_retention_cohorts",
     "q_abtest_ztest",
     "q_tpch_q18",
+    "q_ts_moving_median",
     # (a) r3-red, repaired: naive-timestamp oracle via make_timestamp
     "q_ts_resample",
     "q_ts_interpolate",

@@ -584,3 +584,48 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("clipped"),
     )
+
+
+@query(
+    "q_ts_moving_median",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(value AS DOUBLE) AS value,
+           round(median(value) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING), 6)
+             AS smooth_med,
+           CAST(count(*) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS INT)
+             AS frame_n
+    FROM events
+    """,
+)
+def q_ts_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOVING MEDIAN smoother — the robust alternative to a moving
+    average (one spike can't drag it): exact median over a 5-row
+    centered frame per user's time order. Exact percentile as a WINDOW
+    aggregate in both engines (median ≡ percentile 0.5, same linear
+    interpolation over an at-most-5-element frame — order-insensitive
+    by definition, so no float-summation risk); frame_n exposes the
+    shrunken edge frames.
+
+    One user-keyed shuffle + in-partition sort; the bounded ROWS frame
+    keeps per-row state at 5 values regardless of scale."""
+    ensure_session_determinism(spark)
+    e = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, 2)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.col("value").cast("double").alias("value"),
+        F.round(F.expr("percentile(value, 0.5)").over(w), 6).alias(
+            "smooth_med"
+        ),
+        F.count(F.lit(1)).over(w).cast("int").alias("frame_n"),
+    )
