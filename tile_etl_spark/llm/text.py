@@ -10,6 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from tile_etl_spark.cache import persist_scoped, scope
 from tile_etl_spark.io import load
 from tile_etl_spark.registry import query
 from tile_etl_spark.session import ensure_session_determinism
@@ -517,8 +518,11 @@ def q_text_cooccur(spark, sf_dir: str):
     100 TB the vocabulary table is the small side of a broadcast join
     and the pair aggregate is the only wide shuffle."""
     ensure_session_determinism(spark)
+    scope(f"q_text_cooccur:{sf_dir}")
     d = load(spark, sf_dir, "documents")
-    toks = (
+    # three consumers (vocab, both self-join sides) — persist instead
+    # of re-running the explode+distinct per plan branch
+    toks = persist_scoped(
         d.where(F.length("text") > 0)
         .select("doc_id", F.explode(F.split("text", " ")).alias("term"))
         .distinct()
