@@ -60,6 +60,7 @@ _PRIORITY = [
     "q_abtest_ztest",
     "q_tpch_q18",
     "q_ts_moving_median",
+    "q_event_transitions",
     # (a) r3-red, repaired: naive-timestamp oracle via make_timestamp
     "q_ts_resample",
     "q_ts_interpolate",

@@ -856,3 +856,62 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
         .limit(100)
     )
+
+
+@query(
+    "q_event_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events
+    ),
+    pairs AS (
+      SELECT event_type, next_type, count(*) AS n
+      FROM seq WHERE next_type IS NOT NULL
+      GROUP BY event_type, next_type
+    ),
+    totals AS (
+      SELECT event_type, sum(n) AS row_total FROM pairs GROUP BY event_type
+    )
+    SELECT p.event_type AS from_type, p.next_type AS to_type,
+           CAST(p.n AS BIGINT) AS n,
+           round(CAST(p.n AS DOUBLE) / t.row_total, 6) AS p_transition
+    FROM pairs p JOIN totals t USING (event_type)
+    """,
+)
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EVENT TRANSITION MATRIX — first-order Markov behavior model:
+    P(next event type | current) from each user's time-ordered
+    sequence. One lead() window per user (single shuffle), a pair
+    count, and an exact integer-ratio normalization — the
+    session-flow / funnel-discovery primitive behind "what do users
+    do after X".
+
+    The (ts, event_id) total order pins the sequences; transition
+    probabilities are single double divisions of exact counts — no
+    float-order risk. At 100 TB the window's user partitioning is the
+    only wide shuffle; the matrix itself is |types|² rows."""
+    ensure_session_determinism(spark)
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).where(F.col("next_type").isNotNull())
+    pairs = seq.groupBy("event_type", "next_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    totals = pairs.groupBy("event_type").agg(
+        F.sum("n").alias("row_total")
+    )
+    return pairs.join(F.broadcast(totals), "event_type").select(
+        F.col("event_type").alias("from_type"),
+        F.col("next_type").alias("to_type"),
+        "n",
+        F.round(F.col("n").cast("double") / F.col("row_total"), 6).alias(
+            "p_transition"
+        ),
+    )
