@@ -61,6 +61,9 @@ _PRIORITY = [
     "q_tpch_q18",
     "q_ts_moving_median",
     "q_event_transitions",
+    "q_text_bigram_lm",
+    "q_agg_filtered",
+    "q_win_share",
     # (a) r3-red, repaired: naive-timestamp oracle via make_timestamp
     "q_ts_resample",
     "q_ts_interpolate",

@@ -563,3 +563,75 @@ def q_text_cooccur(spark, sf_dir: str):
             6,
         ).alias("lift"),
     )
+
+
+@query(
+    "q_text_bigram_lm",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      WHERE length(text) > 0
+    ),
+    bigrams AS (
+      SELECT w[i] AS w1, w[i+1] AS w2
+      FROM words, unnest(generate_series(1, len(w) - 1)) AS t(i)
+    ),
+    pair_counts AS (
+      SELECT w1, w2, count(*) AS n FROM bigrams GROUP BY w1, w2
+    ),
+    ctx AS (
+      SELECT w1, sum(n) AS ctx_n, count(*) AS fanout
+      FROM pair_counts GROUP BY w1
+    )
+    SELECT p.w1, p.w2, CAST(p.n AS BIGINT) AS n,
+           round(CAST(p.n AS DOUBLE) / c.ctx_n, 6) AS p_mle,
+           round(CAST(p.n + 1 AS DOUBLE) / (c.ctx_n + c.fanout), 6)
+             AS p_smooth
+    FROM pair_counts p JOIN ctx c USING (w1)
+    WHERE p.n >= 5
+    """,
+)
+def q_text_bigram_lm(spark, sf_dir: str):
+    """BIGRAM LANGUAGE-MODEL TABLE — the count-based LM behind
+    perplexity-style quality filters: P(w2|w1) as maximum-likelihood
+    and add-one-smoothed estimates (smoothing over the OBSERVED
+    fan-out, the standard practical variant) from exact corpus counts.
+    All probabilities are single divisions of exact int64 counts —
+    hash-stable; no log, so no libm drift (downstream perplexity
+    sums logs locally where cross-engine equality is not needed).
+
+    Shape: in-doc adjacent-pair explode (posexplode + self-align, no
+    join), one pair aggregate, one context aggregate broadcast back.
+    The n >= 5 floor caps the table the way real LM tables prune
+    hapax bigrams; at 100 TB the pair aggregate is the one wide
+    shuffle, map-side combined."""
+    ensure_session_determinism(spark)
+    d = load(spark, sf_dir, "documents").where(F.length("text") > 0)
+    words = d.select(F.split("text", " ").alias("w"))
+    bigrams = words.select(
+        F.posexplode(F.slice("w", 1, F.size("w") - 1)).alias("i", "w1"),
+        "w",
+    ).select("w1", F.expr("w[i + 1]").alias("w2"))
+    pair_counts = bigrams.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    ctx = pair_counts.groupBy("w1").agg(
+        F.sum("n").alias("ctx_n"), F.count(F.lit(1)).alias("fanout")
+    )
+    return (
+        pair_counts.join(F.broadcast(ctx), "w1")
+        .where(F.col("n") >= 5)
+        .select(
+            "w1",
+            "w2",
+            "n",
+            F.round(F.col("n").cast("double") / F.col("ctx_n"), 6).alias(
+                "p_mle"
+            ),
+            F.round(
+                (F.col("n") + 1).cast("double")
+                / (F.col("ctx_n") + F.col("fanout")),
+                6,
+            ).alias("p_smooth"),
+        )
+    )

@@ -432,3 +432,46 @@ def q_agg_stringagg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("keys_csv"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@query(
+    "q_agg_filtered",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_all,
+           CAST(count(*) FILTER (WHERE l_quantity > 25) AS BIGINT)
+             AS n_bigqty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+                FILTER (WHERE l_discount > 0.05) AS DOUBLE)
+             AS rev_discounted,
+           CAST(count(DISTINCT l_partkey)
+                FILTER (WHERE l_shipdate >= '1997-06-01') AS BIGINT)
+             AS parts_recent
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_agg_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED AGGREGATES (SQL FILTER clause): several differently-
+    predicated aggregates over ONE scan — the idiom that replaces N
+    self-joins in reporting queries. Spark spells FILTER as
+    when()-wrapped inputs (count counts non-nulls; sum skips nulls;
+    count distinct ignores nulls), which compiles to the same single
+    partial+final hash aggregate."""
+    ensure_session_determinism(spark)
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_all"),
+        F.count(F.when(F.col("l_quantity") > 25, 1)).alias("n_bigqty"),
+        as_double(
+            F.sum(
+                F.when(
+                    F.col("l_discount") > 0.05, dec("l_extendedprice")
+                )
+            )
+        ).alias("rev_discounted"),
+        F.countDistinct(
+            F.when(
+                F.col("l_shipdate") >= "1997-06-01", F.col("l_partkey")
+            )
+        ).alias("parts_recent"),
+    )

@@ -314,3 +314,55 @@ def q_win_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts").alias("run_start"),
         F.max("ts").alias("run_end"),
     )
+
+
+@query(
+    "q_win_share",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+           round(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE)
+                 / CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                        OVER (PARTITION BY o_custkey) AS DOUBLE), 6)
+             AS share_of_customer,
+           round(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE)
+                 / CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                        OVER () AS DOUBLE), 6) AS share_of_total
+    FROM orders
+    """,
+)
+def q_win_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHARE-OF-TOTAL windows — each order's fraction of its customer's
+    spend and of global spend, the BI percent-of-total idiom. DECIMAL
+    window sums keep both denominators exact (order-insensitive), so
+    the shares hash-match.
+
+    The global denominator is NOT an unpartitioned window over the
+    data (single-reducer trap): it's a 1-row exact aggregate broadcast
+    back — same result as ``sum() OVER ()``, scale-safe shape. The
+    per-customer window is an ordinary partitioned frame."""
+    ensure_session_determinism(spark)
+    o = load(spark, sf_dir, "orders")
+    w_cust = Window.partitionBy("o_custkey")
+    total = o.agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("g")
+    )
+    price_d = F.col("o_totalprice").cast("decimal(18,2)").cast("double")
+    return (
+        o.crossJoin(F.broadcast(total))
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+            F.round(
+                price_d
+                / F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                .over(w_cust)
+                .cast("double"),
+                6,
+            ).alias("share_of_customer"),
+            F.round(price_d / F.col("g").cast("double"), 6).alias(
+                "share_of_total"
+            ),
+        )
+    )
