@@ -351,3 +351,126 @@ def q_topk_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "q_skyline",
+    oracle="""
+    WITH pts AS (
+      SELECT CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+             o_orderdate AS odate, count(*) AS n_orders
+      FROM orders GROUP BY 1, 2
+    ),
+    w AS (
+      SELECT price, odate, n_orders,
+             min(odate) OVER (ORDER BY price DESC, odate ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_min
+      FROM pts
+    )
+    SELECT CAST(price AS DOUBLE) AS price, odate AS o_orderdate,
+           CAST(n_orders AS BIGINT) AS n_orders
+    FROM w WHERE prev_min IS NULL OR prev_min > odate
+    """,
+)
+def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SKYLINE (Pareto frontier): the orders no other order dominates —
+    here "higher price AND earlier date" (maximize o_totalprice,
+    minimize o_orderdate; strict in at least one axis). The classic
+    multi-criteria shortlist query (Börzsönyi et al., ICDE'01): every
+    frontier point is the best trade-off at its price level.
+
+    2-D skylines reduce to ONE sorted window pass: over distinct
+    (price, odate) points sorted (price DESC, odate ASC), a point is on
+    the frontier iff its date is strictly earlier than the running
+    MIN(date) of every strictly-better-or-equal-priced predecessor —
+    dominance collapses into a prefix minimum, O(n log n) not the
+    textbook O(n²) self-join. Grouping to distinct points first makes
+    the sort key total (no same-(price,date) tie rows), so both engines
+    walk the identical order.
+
+    Scale: dominance is decomposable — a locally-dominated point can
+    never be globally frontier. Pass 1 runs the same prefix-min window
+    PER INPUT PARTITION (spark_partition_id key, no shuffle) and
+    discards local non-frontier points; only the few survivors reach
+    the single global sort. At 100 TB the global window sees ~frontier-
+    sized input (thousands of points), not the table.
+    """
+    ensure_session_determinism(spark)
+    o = load(spark, sf_dir, "orders")
+    pts = o.groupBy(
+        dec("o_totalprice").alias("price"),
+        F.col("o_orderdate").alias("odate"),
+    ).agg(F.count(F.lit(1)).alias("n_orders"))
+
+    def frontier(df: DataFrame, *part) -> DataFrame:
+        w = (
+            Window.partitionBy(*part)
+            .orderBy(F.col("price").desc(), F.col("odate").asc())
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        prev_min = F.min("odate").over(w)
+        return df.withColumn("prev_min", prev_min).where(
+            F.col("prev_min").isNull() | (F.col("prev_min") > F.col("odate"))
+        ).drop("prev_min")
+
+    local = frontier(pts.withColumn("pid", F.spark_partition_id()), "pid")
+    return frontier(local.drop("pid")).select(
+        F.col("price").cast("double").alias("price"),
+        F.col("odate").alias("o_orderdate"),
+        "n_orders",
+    )
+
+
+@query(
+    "q_agg_entropy",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_type, count(*) AS cnt
+      FROM events GROUP BY 1, 2
+    ),
+    t AS (
+      SELECT user_id, cnt,
+             CAST(cnt AS DOUBLE)
+               / sum(cnt) OVER (PARTITION BY user_id) AS p
+      FROM c
+    )
+    SELECT user_id,
+           CAST(sum(cnt) AS BIGINT) AS n_events,
+           CAST(count(*) AS BIGINT) AS n_types,
+           round(-sum(p * log2(p)), 6) AS entropy,
+           round(1.0 - sum(pow(p, 2)), 6) AS gini
+    FROM t GROUP BY user_id
+    """,
+)
+def q_agg_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTRIBUTION-SHAPE AGGREGATES per user: Shannon entropy and Gini
+    impurity of each user's event-type mix — the standard diversity /
+    concentration features (a user with one event type scores 0; a
+    uniform mix scores log2(k)). Data-mixture monitoring computes the
+    same statistic over domain shares.
+
+    Shape: one (user, type) count aggregate, then a second aggregate to
+    user grain — the second shuffle's keys are a prefix of the first's,
+    so AQE/co-partitioning makes it a cheap local fold at scale. The
+    -Σ p·log2 p sum runs over ≤ |event types| (single digits) doubles;
+    6-dp rounding absorbs cross-engine addition-order ulp drift.
+    """
+    ensure_session_determinism(spark)
+    e = load(spark, sf_dir, "events")
+    c = e.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    p = F.col("cnt").cast("double") / F.sum("cnt").over(
+        Window.partitionBy("user_id")
+    )
+    return (
+        c.withColumn("p", p)
+        .groupBy("user_id")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_events"),
+            F.count(F.lit(1)).cast("bigint").alias("n_types"),
+            F.round(-F.sum(F.col("p") * F.log2("p")), 6).alias("entropy"),
+            F.round(F.lit(1.0) - F.sum(F.pow("p", 2)), 6).alias("gini"),
+        )
+    )

@@ -629,3 +629,67 @@ def q_ts_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count(F.lit(1)).over(w).cast("int").alias("frame_n"),
     )
+
+
+# EWMA: 8-term truncated exponential weights (1-a)^i, a = 0.25. Each
+# power of 0.75 = 3/4 is EXACTLY representable in binary64 (3^7 < 2^53),
+# so the literal weight table is bit-identical in both engines.
+EWMA_W = [0.75**i for i in range(8)]
+
+
+def _ewma_oracle() -> str:
+    num = " + ".join(
+        f"coalesce(lag(value, {i}) OVER w, 0) * {w!r}"
+        for i, w in enumerate(EWMA_W)
+    )
+    den = " + ".join(
+        f"(CASE WHEN lag(value, {i}) OVER w IS NOT NULL"
+        f" THEN {w!r} ELSE 0 END)"
+        for i, w in enumerate(EWMA_W)
+    )
+    return f"""
+    SELECT user_id, event_id, ts, value,
+           round(({num}) / ({den}), 6) AS ewma
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """
+
+
+@query("q_ts_ewma", oracle=_ewma_oracle())
+def q_ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA (exponentially-weighted moving average) of ``value`` per
+    user over the (ts, event_id)-ordered stream — the standard decayed
+    feature / trend smoother. True EWMA is a recurrence; this is the
+    8-term truncated form: weights (1-a)^i (a = 0.25) over the last 8
+    observations, normalized by the weights actually present so the
+    head of each series is exact, not zero-padded. The 8th weight is
+    0.13; truncation error is bounded by ~13% of a stale observation
+    and vanishes as the window fills — the standard production
+    trade-off that keeps the operator a fixed-size window expression
+    instead of a sequential scan.
+
+    Determinism: each weight is a power of 3/4 — exactly representable
+    in binary64 — and the weighted sum is written as the SAME
+    left-associated addition chain in both dialects, so the arithmetic
+    is bit-identical before the 6-dp round. Shape: ONE user-partitioned
+    window, 8 lags evaluated in a single WindowExec pass over the
+    in-partition sort — no shuffle beyond the user_id hash, O(1) state
+    per row at 100 TB.
+    """
+    ensure_session_determinism(spark)
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    num = F.lit(0.0)
+    den = F.lit(0.0)
+    # left-fold in ascending i, mirroring the oracle's chain order
+    for i, wt in enumerate(EWMA_W):
+        xi = F.lag("value", i).over(w)
+        num = num + F.coalesce(xi, F.lit(0.0)) * F.lit(wt)
+        den = den + F.when(xi.isNotNull(), F.lit(wt)).otherwise(F.lit(0.0))
+    return e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        F.round(num / den, 6).alias("ewma"),
+    )
