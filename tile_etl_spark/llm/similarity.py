@@ -585,3 +585,254 @@ def q_embed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("centroid"),
         )
     )
+
+
+KNN_K = 3
+_KNN_BLOCKS = 8  # same √corpus-scaled grid width as q_dedup_embed
+
+
+@query(
+    "q_embed_knn_graph",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ),
+    s AS (
+      SELECT a.vec_id AS src, b.vec_id AS dst,
+             list_dot_product(a.e, b.e)
+               / (sqrt(list_dot_product(a.e, a.e))
+                  * sqrt(list_dot_product(b.e, b.e))) AS cos_raw
+      FROM v a JOIN v b ON a.vec_id <> b.vec_id
+    ),
+    r AS (
+      SELECT src, dst, cos_raw,
+             row_number() OVER (PARTITION BY src
+               ORDER BY cos_raw DESC, dst ASC) AS rank
+      FROM s
+    )
+    SELECT src, dst, round(cos_raw, 6) AS cos_sim,
+           CAST(rank AS BIGINT) AS rank
+    FROM r WHERE rank <= {KNN_K}
+    """,
+)
+def q_embed_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN GRAPH over the whole embedding corpus: each vector's top-k
+    cosine neighbors (k={KNN_K}, (cos desc, vec_id) total order) — the
+    substrate for graph-based curation (SemDeDup-style cluster pruning,
+    label propagation, connected-component semantic dedup all consume
+    exactly this edge list).
+
+    Distributed block GEMM, same grid as q_dedup_embed: vectors hash to
+    B blocks, the B(B+1)/2 unordered block pairs form the task grid,
+    each task BLAS-multiplies its two blocks. The kNN twist: a task
+    emits each of its nodes' LOCAL top-k against the opposite block
+    (both directions of an off-diagonal cell), so per-task output is
+    O(block_rows · k) and the global per-src window sees ≤ B·k
+    candidates per node instead of n — the cut is exact because the
+    local ranking uses the same (cos desc, vec_id asc) total order as
+    the final window. Nothing is ever collected; B grows with √corpus.
+
+    At 100 TB the exact grid is the verification tier; the scale path
+    prunes the grid to IVF-cell neighbor pairs first (q_sim_ann_ivf's
+    layout), which this operator's output itself helps validate."""
+    ensure_session_determinism(spark)
+    import numpy as np
+
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    B = _KNN_BLOCKS
+    b = F.pmod(F.col("vec_id"), F.lit(B)).cast("int")
+    other = F.explode(F.sequence(F.lit(0), F.lit(B - 1))).alias("ob")
+    tagged = e.select("vec_id", "embedding", b.alias("b"), other)
+    left = tagged.where(F.col("b") <= F.col("ob")).select(
+        F.col("b").alias("gi"), F.col("ob").alias("gj"),
+        F.lit(0).alias("side"), "vec_id", "embedding",
+    )
+    right = tagged.where(F.col("ob") < F.col("b")).select(
+        F.col("ob").alias("gi"), F.col("b").alias("gj"),
+        F.lit(1).alias("side"), "vec_id", "embedding",
+    )
+
+    def local_topk(ids_from, ids_to, cos, k):
+        """Per-row top-k of ``cos`` (rows = ids_from, cols = ids_to) in
+        (cos desc, id asc) order; returns (src, dst, cos_raw) arrays."""
+        kk = min(k, cos.shape[1])
+        src, dst, val = [], [], []
+        for i in range(cos.shape[0]):
+            order = np.lexsort((ids_to, -cos[i]))[:kk]
+            keep = order[np.isfinite(cos[i][order])]
+            src.append(np.full(len(keep), ids_from[i]))
+            dst.append(ids_to[keep])
+            val.append(cos[i][keep])
+        if not src:
+            return (np.array([], dtype=np.int64),) * 2 + (np.array([]),)
+        return np.concatenate(src), np.concatenate(dst), np.concatenate(val)
+
+    def knn_block_pair(key, pdf):
+        import pandas as pd
+
+        gi, gj = int(key[0]), int(key[1])
+        lp = pdf[pdf["side"] == 0]
+        rp = lp if gi == gj else pdf[pdf["side"] == 1]
+        empty = pd.DataFrame(
+            {"src": [], "dst": [], "cos_raw": []}
+        ).astype({"src": "int64", "dst": "int64", "cos_raw": "float64"})
+        if len(lp) == 0 or len(rp) == 0:
+            return empty
+        lids = np.asarray(lp["vec_id"], dtype=np.int64)
+        rids = np.asarray(rp["vec_id"], dtype=np.int64)
+        lm = np.asarray([np.asarray(v, np.float64) for v in lp["embedding"]])
+        rm = np.asarray([np.asarray(v, np.float64) for v in rp["embedding"]])
+        lm = lm / np.linalg.norm(lm, axis=1, keepdims=True)
+        rm = rm / np.linalg.norm(rm, axis=1, keepdims=True)
+        cos = lm @ rm.T
+        cos[lids[:, None] == rids[None, :]] = -np.inf  # self-pairs
+        s1, d1, c1 = local_topk(lids, rids, cos, KNN_K)
+        if gi == gj:
+            src, dst, val = s1, d1, c1
+        else:
+            s2, d2, c2 = local_topk(rids, lids, cos.T, KNN_K)
+            src = np.concatenate([s1, s2])
+            dst = np.concatenate([d1, d2])
+            val = np.concatenate([c1, c2])
+        return pd.DataFrame({"src": src, "dst": dst, "cos_raw": val})
+
+    cand = (
+        left.unionByName(right)
+        .groupBy("gi", "gj")
+        .applyInPandas(knn_block_pair, "src BIGINT, dst BIGINT, cos_raw DOUBLE")
+    )
+    w = Window.partitionBy("src").orderBy(
+        F.col("cos_raw").desc(), F.col("dst").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= KNN_K)
+        .select(
+            "src",
+            "dst",
+            F.round("cos_raw", 6).alias("cos_sim"),
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )
+
+
+PROTO_FAR_K = 20  # farthest members reported per label
+
+
+@query(
+    "q_embed_prototype",
+    oracle=f"""
+    WITH flat AS (
+      SELECT vec_id, label,
+             unnest(generate_series(1, len(embedding))) AS dim,
+             CAST(floor(CAST(embedding[unnest(generate_series(1,
+               len(embedding)))] AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
+               AS micro
+      FROM embeddings
+    ),
+    cent AS (
+      SELECT label, dim,
+             CAST(floor(CAST(sum(micro) AS DOUBLE) / count(*)) AS BIGINT)
+               AS cmicro
+      FROM flat GROUP BY label, dim
+    ),
+    pv AS (
+      SELECT f.vec_id, f.label,
+             CAST(sum(f.micro * c.cmicro) AS BIGINT) AS dot,
+             CAST(sum(f.micro * f.micro) AS BIGINT) AS nm
+      FROM flat f JOIN cent c ON f.label = c.label AND f.dim = c.dim
+      GROUP BY 1, 2
+    ),
+    cn AS (
+      SELECT label, CAST(sum(cmicro * cmicro) AS BIGINT) AS nc
+      FROM cent GROUP BY label
+    ),
+    scored AS (
+      SELECT pv.vec_id, pv.label,
+             CAST(dot AS DOUBLE)
+               / (sqrt(CAST(nm AS DOUBLE)) * sqrt(CAST(nc AS DOUBLE)))
+               AS cosr
+      FROM pv JOIN cn ON pv.label = cn.label
+    ),
+    ranked AS (
+      SELECT vec_id, CAST(label AS INT) AS label,
+             round(cosr, 6) AS cos_centroid,
+             CAST(row_number() OVER (PARTITION BY label
+               ORDER BY cosr ASC, vec_id ASC) AS BIGINT) AS rank_far
+      FROM scored
+    )
+    SELECT * FROM ranked WHERE rank_far <= {PROTO_FAR_K}
+    """,
+)
+def q_embed_prototype(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PROTOTYPE-DISTANCE PRUNING (SemDeDup / prototype-outlier shape):
+    per label, the mean-vector prototype, then every member's cosine to
+    its prototype, reporting the {PROTO_FAR_K} FARTHEST members per
+    label — the mislabel/outlier candidates a curation pass reviews or
+    drops. (The same scored frame, filtered from the other end, is the
+    near-centroid redundancy prune of SemDeDup.)
+
+    EXACT ARITHMETIC end to end: components quantize to µ-int64
+    (deterministic), the prototype is the floored integer mean
+    (exact — sums < 2^53 survive the double division bit-exactly), and
+    dot/norms are INTEGER sums (≤ 384·10¹² < 2^53), so the single
+    double division + sqrt at the end is bit-identical in both engines
+    regardless of partitioning or summation order — no float-
+    accumulation hazard anywhere, the same technique as
+    q_embed_centroids.
+
+    Shape: posexplode → (label, dim) hash agg for the prototype (tiny:
+    labels × dims rows, broadcast back), one broadcast equi-join on
+    (label, dim), one (vec_id) hash agg, one per-label top-k window.
+    Corpus rows never collect; everything scales as one explode + two
+    map-side-combined aggregates at 100 TB."""
+    ensure_session_determinism(spark)
+    em = load(spark, sf_dir, "embeddings")
+    micro = F.floor(
+        F.col("comp").cast("double") * 1000000 + 0.5
+    ).cast("bigint")
+    flat = em.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("pos", "comp"),
+    ).select("vec_id", "label", "pos", micro.alias("micro"))
+    cent = (
+        flat.groupBy("label", "pos")
+        .agg(F.sum("micro").alias("sm"), F.count(F.lit(1)).alias("n"))
+        .select(
+            "label",
+            "pos",
+            F.floor(F.col("sm").cast("double") / F.col("n"))
+            .cast("bigint")
+            .alias("cmicro"),
+        )
+    )
+    pv = (
+        flat.join(F.broadcast(cent), ["label", "pos"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sum(F.col("micro") * F.col("cmicro")).alias("dot"),
+            F.sum(F.col("micro") * F.col("micro")).alias("nm"),
+        )
+    )
+    cn = cent.groupBy("label").agg(
+        F.sum(F.col("cmicro") * F.col("cmicro")).alias("nc")
+    )
+    cosr = F.col("dot").cast("double") / (
+        F.sqrt(F.col("nm").cast("double")) * F.sqrt(F.col("nc").cast("double"))
+    )
+    w = Window.partitionBy("label").orderBy(
+        F.col("cosr").asc(), F.col("vec_id").asc()
+    )
+    return (
+        pv.join(F.broadcast(cn), "label")
+        .withColumn("cosr", cosr)
+        .withColumn("rank_far", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank_far") <= PROTO_FAR_K)
+        .select(
+            "vec_id",
+            F.col("label").cast("int").alias("label"),
+            F.round("cosr", 6).alias("cos_centroid"),
+            "rank_far",
+        )
+    )
