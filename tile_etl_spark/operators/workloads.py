@@ -915,3 +915,77 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p_transition"
         ),
     )
+
+
+@query(
+    "q_graph_triangles",
+    oracle="""
+    WITH ue AS (
+      SELECT DISTINCT least(o_custkey % 100, o_orderkey % 100) AS a,
+             greatest(o_custkey % 100, o_orderkey % 100) AS b
+      FROM orders WHERE o_custkey % 100 <> o_orderkey % 100
+    ),
+    tri AS (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM ue e1
+      JOIN ue e2 ON e2.a = e1.b
+      JOIN ue e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    pernode AS (
+      SELECT x AS node FROM tri
+      UNION ALL SELECT y FROM tri
+      UNION ALL SELECT z FROM tri
+    )
+    SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+    FROM pernode GROUP BY node
+    """,
+)
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRIANGLE COUNTING per node — the clustering-coefficient
+    numerator and the workhorse of community/spam structure mining —
+    over the same deterministic 100-node entity-link graph as
+    q_graph_pagerank (custkey→orderkey mod 100, undirected).
+
+    Node-iterator with total-order orientation: every undirected edge
+    is stored once as (a < b), and a triangle {x,y,z} with x<y<z is
+    enumerated EXACTLY once as the wedge (x,y)-(y,z) closed by (x,z) —
+    two self-equi-joins, no dedup pass, integer keys end to end (zero
+    float risk). Per-node counts fan each triangle to its 3 corners.
+
+    Scale: wedge count is Σ deg(v)², the known hot spot. The orientation
+    above already directs every edge from the LOWER id, and the
+    production refinement (orient by (degree, id) instead, so wedges
+    pivot on low-degree vertices — O(m^{3/2}) total work) drops in by
+    swapping the (a,b) ordering key; both joins stay hash-partitioned
+    equi-joins with map-side-combined count aggregation, and the small
+    hot side broadcasts."""
+    ensure_session_determinism(spark)
+    o = load(spark, sf_dir, "orders")
+    s, d = F.col("o_custkey") % 100, F.col("o_orderkey") % 100
+    ue = (
+        o.where(s != d)
+        .select(F.least(s, d).alias("a"), F.greatest(s, d).alias("b"))
+        .distinct()
+    )
+    e1, e2, e3 = ue.alias("e1"), ue.alias("e2"), ue.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.a") == F.col("e1.b"))
+        .join(
+            e3,
+            (F.col("e3.a") == F.col("e1.a"))
+            & (F.col("e3.b") == F.col("e2.b")),
+        )
+        .select(
+            F.col("e1.a").alias("x"),
+            F.col("e1.b").alias("y"),
+            F.col("e2.b").alias("z"),
+        )
+    )
+    pernode = (
+        tri.select(F.col("x").alias("node"))
+        .unionAll(tri.select(F.col("y").alias("node")))
+        .unionAll(tri.select(F.col("z").alias("node")))
+    )
+    return pernode.groupBy("node").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_triangles")
+    )
