@@ -475,3 +475,150 @@ def q_agg_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("parts_recent"),
     )
+
+
+@query(
+    "q_agg_bitmap_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT DISTINCT COUNT via BITMAP AGGREGATION — the warehouse
+    pattern (ClickHouse groupBitmap, Doris bitmap_union) for dense
+    integer keys: map each key to (word, bit), OR the masks per
+    (group, word) — a map-side-combinable integer aggregate — then sum
+    popcounts per group. The oracle is plain COUNT(DISTINCT), so the
+    hash match PROVES the bitmap construction exact.
+
+    Why it matters at 100 TB: COUNT(DISTINCT key) shuffles every
+    distinct (group, key) pair; the bitmap shuffles one int64 per
+    (group, 32-key word) — a 32× row reduction that gets BETTER as
+    duplication grows, and the per-word bitmaps are mergeable state an
+    incremental pipeline can store and union later (same property
+    q_agg_hll_sketch exploits approximately, exact here because part
+    keys are dense integers). 32-bit words in a BIGINT container keep
+    every mask positive — no sign-bit/overflow divergence between
+    engines.
+    """
+    ensure_session_determinism(spark)
+    li = load(spark, sf_dir, "lineitem")
+    words = (
+        li.select(
+            "l_returnflag",
+            (F.col("l_partkey") / 32).cast("bigint").alias("word"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT),"
+                " CAST(pmod(l_partkey, 32) AS INT))"
+            ).alias("mask"),
+        )
+        .groupBy("l_returnflag", "word")
+        .agg(F.expr("bit_or(mask)").alias("bits"))
+    )
+    return words.groupBy("l_returnflag").agg(
+        F.sum(F.bit_count("bits")).cast("bigint").alias("n_parts")
+    )
+
+
+@query(
+    "q_calendar_fill",
+    oracle="""
+    WITH span AS (
+      SELECT min(o_orderdate) AS lo, max(o_orderdate) AS hi FROM orders
+    ),
+    cal AS (
+      SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE)
+               AS d
+      FROM span
+    ),
+    daily AS (
+      SELECT o_orderdate AS d, count(*) AS n,
+             sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      FROM orders GROUP BY 1
+    )
+    SELECT cal.d, CAST(coalesce(daily.n, 0) AS BIGINT) AS n_orders,
+           CAST(coalesce(daily.rev, 0) AS DOUBLE) AS revenue
+    FROM cal LEFT JOIN daily ON cal.d = daily.d
+    """,
+)
+def q_calendar_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DENSE CALENDAR ROLLUP: daily order count + revenue over EVERY
+    day in the data's span, zero-filled — the gaps-included reporting
+    grain that charting, anomaly baselines and forecasting consume
+    (a day with no orders must appear as 0, which a plain GROUP BY
+    never emits). The date dimension is GENERATED (explode of a date
+    sequence from the 1-row global span), not stored — the same
+    generator-as-dimension pattern as the tile grid.
+
+    Shape: 1-row span agg (map-side combined), sequence-explode to
+    ~2,400 calendar rows, broadcast hash left-join of calendar against
+    the daily pre-aggregate. The big side is aggregated BEFORE the
+    join, so the join input is days, not orders — at 100 TB the fill
+    join costs nothing regardless of table size. DECIMAL revenue sums;
+    zero-fill happens after the cast so both engines emit exact 0.0."""
+    ensure_session_determinism(spark)
+    o = load(spark, sf_dir, "orders")
+    span = o.agg(
+        F.min("o_orderdate").alias("lo"), F.max("o_orderdate").alias("hi")
+    )
+    cal = span.select(
+        F.explode(F.sequence("lo", "hi")).alias("d")
+    )
+    daily = o.groupBy(F.col("o_orderdate").alias("d")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec("o_totalprice")).alias("rev"),
+    )
+    return cal.join(daily, "d", "left").select(
+        "d",
+        F.coalesce("n", F.lit(0)).cast("bigint").alias("n_orders"),
+        F.coalesce(F.col("rev").cast("double"), F.lit(0.0)).alias("revenue"),
+    )
+
+
+@query(
+    "q_agg_incremental",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS revenue
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def q_agg_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL AGGREGATE MAINTENANCE: the base-95% partial state
+    merged with a late-arriving 5% delta partition (split by
+    o_orderkey % 20) must equal the full recompute — which is exactly
+    what the oracle computes, so the hash match proves the merge
+    algebra. COUNT merges by SUM, DECIMAL SUM by SUM; the same
+    mergeable-state property behind every materialized-view refresh,
+    watermark-late update and two-phase distributed aggregate.
+
+    At 100 TB this is THE pattern that avoids reprocessing: partial
+    states are one row per (partition, group) — storing and re-merging
+    them costs group-cardinality, not table-cardinality. (Non-mergeable
+    aggregates — exact medians, count-distinct without a bitmap/HLL
+    state — are what make incremental pipelines hard; see
+    q_agg_bitmap_distinct and q_agg_hll_sketch for the mergeable
+    distinct-count states.)"""
+    ensure_session_determinism(spark)
+    o = load(spark, sf_dir, "orders")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec("o_totalprice")).alias("rev"),
+        )
+
+    base = partial(o.where(F.col("o_orderkey") % 20 != 0))
+    delta = partial(o.where(F.col("o_orderkey") % 20 == 0))
+    return (
+        base.unionByName(delta)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_orders"),
+            F.sum("rev").cast("double").alias("revenue"),
+        )
+    )
