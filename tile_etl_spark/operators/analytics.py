@@ -474,3 +474,89 @@ def q_agg_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.lit(1.0) - F.sum(F.pow("p", 2)), 6).alias("gini"),
         )
     )
+
+
+ATTR_WINDOW_US = 30 * 60 * 1_000_000  # 30-minute attribution lookback
+
+
+@query(
+    "q_attribution",
+    oracle=f"""
+    WITH e AS (
+      SELECT event_id, user_id, event_type, epoch_us(ts) AS us,
+             CASE WHEN event_type IN ('click', 'view') THEN
+               printf('%016d|%010d|%s', epoch_us(ts), event_id, event_type)
+             END AS touch
+      FROM events
+    ),
+    w AS (
+      SELECT event_id, user_id, event_type,
+             min(touch) OVER lb AS first_t,
+             max(touch) OVER lb AS last_t,
+             count(touch) OVER lb AS n_touches
+      FROM e
+      WINDOW lb AS (PARTITION BY user_id ORDER BY us
+               RANGE BETWEEN {ATTR_WINDOW_US} PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_id, user_id,
+           CASE WHEN first_t IS NULL THEN 'organic'
+                ELSE split_part(first_t, '|', 3) END AS first_channel,
+           CASE WHEN last_t IS NULL THEN 'organic'
+                ELSE split_part(last_t, '|', 3) END AS last_channel,
+           CAST(n_touches AS BIGINT) AS n_touches
+    FROM w WHERE event_type = 'purchase'
+    """,
+)
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MARKETING ATTRIBUTION: for every purchase, the FIRST-touch and
+    LAST-touch channel (click/view) of the same user within the
+    preceding 30 minutes, plus the touch count — the multi-touch
+    attribution primitive every growth pipeline computes. Purchases
+    with no recent touch are labeled 'organic' (spelled as an explicit
+    CASE in both dialects: DuckDB's split_part maps the NULL no-touch
+    marker to '', Spark to NULL — the label unifies them).
+
+    One user-partitioned RANGE window (epoch-µs ordered, bounded
+    lookback) computes all three aggregates in a single pass — the
+    bounded-frame twin of the as-of join, with NO self-join: at 100 TB
+    the event stream shuffles once by user and streams in ts order.
+    Touches travel as one zero-padded sortable string
+    (us|event_id|type) so MIN/MAX give the (ts, event_id)-total-order
+    first/last — the same encoding trick in both engines, no struct
+    comparison semantics to align.
+    """
+    ensure_session_determinism(spark)
+    e = load(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    touch = F.when(
+        F.col("event_type").isin("click", "view"),
+        F.format_string(
+            "%016d|%010d|%s", us, F.col("event_id"), F.col("event_type")
+        ),
+    )
+    lb = (
+        Window.partitionBy("user_id")
+        .orderBy(us)
+        .rangeBetween(-ATTR_WINDOW_US, 0)
+    )
+    tagged = e.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.min(touch).over(lb).alias("first_t"),
+        F.max(touch).over(lb).alias("last_t"),
+        F.count(touch).over(lb).alias("n_touches"),
+    )
+    return tagged.where(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        F.coalesce(
+            F.split_part(F.col("first_t"), F.lit("|"), F.lit(3)),
+            F.lit("organic"),
+        ).alias("first_channel"),
+        F.coalesce(
+            F.split_part(F.col("last_t"), F.lit("|"), F.lit(3)),
+            F.lit("organic"),
+        ).alias("last_channel"),
+        F.col("n_touches").cast("bigint").alias("n_touches"),
+    )
