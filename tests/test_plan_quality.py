@@ -307,3 +307,47 @@ def test_tpch_q18_semi_join_and_topk(spark, sf_dir):
     assert "LeftSemi" in p, p
     assert "TakeOrderedAndProject" in p, p
     assert "CartesianProduct" not in p
+
+
+def test_dpp_prunes_fact_scan(spark, sf_dir):
+    """q_join_dpp's whole point: with the selective filter on the DIM
+    side only, the fact scan's PartitionFilters must carry a
+    dynamicpruning subquery (runtime partition pruning), and the dim
+    must broadcast — no static filter exists that could prune the scan
+    at plan time."""
+    p = plan(q("q_join_dpp", spark, sf_dir))
+    pf = [ln for ln in p.splitlines() if "PartitionFilters" in ln][0]
+    assert "dynamicpruning" in pf, pf
+    assert "BroadcastExchange" in p
+
+
+def test_skyline_local_prefilter_before_global_sort(spark, sf_dir):
+    """Two window passes: the partition-local frontier (keyed by
+    spark_partition_id, no shuffle) must appear BELOW the global
+    single-partition window, so the global sort only sees local
+    survivors."""
+    p = plan(q("q_skyline", spark, sf_dir))
+    assert p.count("windowspecdefinition") >= 2, p
+    # the local pass partitions by the pid column; the global pass has
+    # an empty partition spec
+    assert "windowspecdefinition(pid" in p, p
+
+
+def test_knn_graph_single_shuffle_then_topk_window(spark, sf_dir):
+    """Block-grid kNN: one hash partitioning on (gi, gj) feeds the
+    Arrow kernel; no CartesianProduct / nested loop anywhere; the final
+    per-src window ranks bounded candidates."""
+    p = plan(q("q_embed_knn_graph", spark, sf_dir))
+    assert "CartesianProduct" not in p and "NestedLoop" not in p
+    assert "FlatMapGroupsInPandas" in p or "ApplyInPandas" in p, p
+
+
+def test_calendar_fill_joins_aggregates_not_rows(spark, sf_dir):
+    """The fill join's right side must be the pre-aggregated daily
+    frame (HashAggregate below the join), never raw orders."""
+    p = plan(q("q_calendar_fill", spark, sf_dir))
+    import re
+
+    join_line = re.search(r"\(\d+\) (\w*Join\w*)", p)
+    assert join_line, p
+    assert "HashAggregate" in p

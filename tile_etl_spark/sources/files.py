@@ -280,6 +280,28 @@ def src_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _events_partitioned(spark: SparkSession, sf_dir: str) -> str:
+    """Hive-partitioned (by event_date) copy of ``events`` — the
+    canonical lake layout, built once per source fingerprint and shared
+    by the static (q_partition_prune) and dynamic (q_join_dpp) pruning
+    qids."""
+    e = load(spark, sf_dir, "events")
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    out = _art(f"events_by_date_{tag}")
+    marker = os.path.join(out, "_DONE")
+    fpr = source_fingerprint(os.path.join(sf_dir, "events.parquet"))
+    if not marker_current(marker, fpr):
+        (
+            e.withColumn("event_date", F.col("ts").cast("date"))
+            .repartition("event_date")
+            .write.mode("overwrite")
+            .partitionBy("event_date")
+            .parquet(out)
+        )
+        write_marker(marker, fpr)
+    return out
+
+
 @query(
     "q_partition_prune",
     oracle="""
@@ -310,20 +332,7 @@ def q_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     directory)."""
     ensure_session_determinism(spark)
     e = load(spark, sf_dir, "events")
-    tag = os.path.basename(os.path.normpath(sf_dir))
-    out = _art(f"events_by_date_{tag}")
-    marker = os.path.join(out, "_DONE")
-    fpr = source_fingerprint(os.path.join(sf_dir, "events.parquet"))
-    if not marker_current(marker, fpr):
-        (
-            e.withColumn("event_date", F.col("ts").cast("date"))
-            .repartition("event_date")
-            .write.mode("overwrite")
-            .partitionBy("event_date")
-            .parquet(out)
-        )
-        write_marker(marker, fpr)
-    part = spark.read.parquet(out)
+    part = spark.read.parquet(_events_partitioned(spark, sf_dir))
     min_date = e.agg(F.min(F.col("ts").cast("date"))).first()[0]
     return (
         part.where(F.col("event_date") == F.lit(min_date))
@@ -335,4 +344,102 @@ def q_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .select("event_date", "event_type", "n", "sum_value")
+    )
+
+
+@query(
+    "q_join_dpp",
+    oracle="""
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events
+    WHERE day(CAST(ts AS DATE)) <= 5
+    GROUP BY event_type
+    """,
+)
+def q_join_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC PARTITION PRUNING: the hive-partitioned events fact is
+    joined to a small date dimension filtered to campaign days
+    (day-of-month ≤ 5). The filter lives on the DIM side, so no static
+    PartitionFilter exists at plan time — instead Catalyst injects a
+    dynamicpruning#N subquery into the fact scan: the dim's surviving
+    event_date keys are broadcast FIRST and the fact table lists/reads
+    ONLY those partitions. q_partition_prune pins the static half of
+    lake pruning; this pins the runtime half — at 100 TB it is what
+    keeps "join facts to this month's campaign calendar" from scanning
+    three years of directories. The plan test asserts the
+    dynamicpruning expression is present in the fact scan.
+
+    The dim is a REAL separate parquet artifact (dates + day-of-month,
+    rebuilt per source fingerprint): DPP only engages for a genuine
+    scan-side build relation, not a LocalRelation."""
+    ensure_session_determinism(spark)
+    fact = spark.read.parquet(_events_partitioned(spark, sf_dir))
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    dim_dir = _art(f"date_dim_{tag}")
+    marker = os.path.join(dim_dir, "_DONE")
+    fpr = source_fingerprint(os.path.join(sf_dir, "events.parquet"))
+    if not marker_current(marker, fpr):
+        (
+            load(spark, sf_dir, "events")
+            .select(F.col("ts").cast("date").alias("event_date"))
+            .distinct()
+            .withColumn("dom", F.dayofmonth("event_date"))
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(dim_dir)
+        )
+        write_marker(marker, fpr)
+    dim = spark.read.parquet(dim_dir).where(F.col("dom") <= 5)
+    return (
+        fact.join(F.broadcast(dim), "event_date")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            as_double(
+                F.sum(F.col("value").cast("decimal(18,6)"))
+            ).alias("sum_value"),
+        )
+    )
+
+
+@query(
+    "src_text",
+    oracle="""
+    SELECT doc_id,
+           regexp_replace(text, '[\n\r\t]', ' ', 'g') AS text_rt
+    FROM documents
+    """,
+)
+def src_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINE-DELIMITED TEXT round trip — the rawest ingest format a text
+    pipeline meets (one document per line, tab-separated id prefix).
+    Documents are sanitized (newlines/tabs → space — the standard
+    flatten for line-oriented corpora), written with ``df.write.text``,
+    read back with ``spark.read.text`` (distributed line source,
+    whole-stage codegen scan), and re-parsed by splitting at the first
+    tab. Losslessness after sanitization makes the oracle the sanitized
+    source table itself, H-checked — proving codec + escaping fidelity,
+    the property that matters when a 100 TB corpus round-trips through
+    plain-text interchange."""
+    ensure_session_determinism(spark)
+    d = load(spark, sf_dir, "documents")
+    out = _art("documents_txt")
+    clean = F.regexp_replace("text", "[\\n\\r\\t]", " ")
+    (
+        d.select(
+            F.concat_ws(
+                "\t", F.col("doc_id").cast("string"), clean
+            ).alias("value")
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .text(out)
+    )
+    lines = spark.read.text(out)
+    return lines.select(
+        F.split_part(F.col("value"), F.lit("\t"), F.lit(1))
+        .cast("bigint")
+        .alias("doc_id"),
+        F.split_part(F.col("value"), F.lit("\t"), F.lit(2)).alias("text_rt"),
     )
