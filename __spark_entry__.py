@@ -36,7 +36,20 @@ FLAGSHIP = "q_agg_group"
 # implementation is unchanged — this orders only the exported dict
 # views.
 _PRIORITY = [
-    # (a0) NEW this round — need their first-ever driver rows
+    # (a00) NEW in round 5 — need their first-ever driver rows
+    "q_skyline",
+    "q_agg_entropy",
+    "q_ts_ewma",
+    "q_embed_knn_graph",
+    "q_embed_prototype",
+    "q_graph_triangles",
+    "q_agg_bitmap_distinct",
+    "q_calendar_fill",
+    "q_agg_incremental",
+    "q_attribution",
+    "q_join_dpp",
+    "src_text",
+    # (a0) NEW in round 4 — need their first-ever driver rows
     "q_join_bloom",
     "q_hist_equiwidth",
     "q_hist_equidepth",

@@ -78,6 +78,12 @@ EXTRA = [
     "q_win_islands",
     "q_tile_point_lookup",
     "s_foreachbatch",
+    # round-5 additions
+    "q_embed_knn_graph",
+    "q_attribution",
+    "q_agg_bitmap_distinct",
+    "q_skyline",
+    "q_calendar_fill",
 ]
 
 
