@@ -140,7 +140,11 @@ def _perm_params(n: int = N_PERM) -> list[tuple[int, int]]:
     return params
 
 
-def minhash_signatures(docs: DataFrame, n_perm: int = N_PERM) -> DataFrame:
+def minhash_signatures(
+    docs: DataFrame,
+    n_perm: int = N_PERM,
+    shingles: DataFrame | None = None,
+) -> DataFrame:
     """(doc_id, sig ARRAY<BIGINT>[n_perm]) MinHash signatures.
 
     h_p(s) = (a_p · xxhash64(s) + b_p mod 2^64) >>> 32 over 3-word
@@ -161,7 +165,7 @@ def minhash_signatures(docs: DataFrame, n_perm: int = N_PERM) -> DataFrame:
     signature row — they can never near-dup-match anyway.
     """
     params = _perm_params(n_perm)
-    sh = shingles_df(docs)
+    sh = shingles_df(docs) if shingles is None else shingles
     hashed = sh.select("doc_id", F.xxhash64("shingle").alias("h"))
 
     def perm_col(a: int, b: int):
@@ -242,7 +246,11 @@ def lsh_candidate_pairs(
     )
 
 
-def exact_jaccard(docs: DataFrame, pairs: DataFrame) -> DataFrame:
+def exact_jaccard(
+    docs: DataFrame,
+    pairs: DataFrame,
+    shingles: DataFrame | None = None,
+) -> DataFrame:
     """Exact shingle-set Jaccard for the given pairs: intersection via
     shingle join restricted to candidates, union by sizes.
 
@@ -253,7 +261,9 @@ def exact_jaccard(docs: DataFrame, pairs: DataFrame) -> DataFrame:
     SLOWER at sf0.1 — it serializes the LSH and verify stages behind a
     barrier; at 100 TB, where the explode dominates scheduling, the
     prune belongs back. Documented trade, not an oversight.)"""
-    sh = _persist(shingles_df(docs))  # two consumers: inter + sizes
+    sh = (
+        _persist(shingles_df(docs)) if shingles is None else shingles
+    )  # consumers: inter (×2 sides) + sizes
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     inter = (
         pairs.join(
@@ -291,9 +301,13 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_session_determinism(spark)
     _scope(f"q_dedup_near:{sf_dir}")
     d = _parallelize_docs(load(spark, sf_dir, "documents"))
-    sigs = minhash_signatures(d)
+    # ONE persisted shingle explode feeds both the signature build and
+    # the exact-Jaccard verify tier — the explode (interpreted HOF over
+    # every doc) was previously computed twice, once per stage.
+    sh = _persist(shingles_df(d))
+    sigs = minhash_signatures(d, shingles=sh)
     cand = _persist(lsh_candidate_pairs(sigs))
-    j = exact_jaccard(d, cand)
+    j = exact_jaccard(d, cand, shingles=sh)
     return j.where(F.col("jaccard") >= 0.8).select(
         "d1", "d2", F.round("jaccard", 6).alias("jaccard")
     )

@@ -635,3 +635,140 @@ def q_text_bigram_lm(spark, sf_dir: str):
             ).alias("p_smooth"),
         )
     )
+
+
+# Portable hex→int: both engines spell nibble(c) = ascii digit/letter
+# math, so feature buckets agree without any engine-native hash.
+_FH_BUCKETS = 256
+
+
+def _nibble_sql(c: str) -> str:
+    return (
+        f"(CASE WHEN ascii({c}) BETWEEN 48 AND 57 THEN ascii({c}) - 48"
+        f" ELSE ascii({c}) - 87 END)"
+    )
+
+
+def _fh_oracle() -> str:
+    n1 = _nibble_sql("substring(h, 1, 1)")
+    n2 = _nibble_sql("substring(h, 2, 1)")
+    n3 = _nibble_sql("substring(h, 3, 1)")
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+    ),
+    hashed AS (
+      SELECT doc_id, md5(t) AS h FROM tok WHERE t <> ''
+    ),
+    feat AS (
+      SELECT doc_id,
+             CAST(({n1} * 256 + {n2} * 16 + {n3}) % {_FH_BUCKETS} AS INT)
+               AS feature_idx,
+             CASE WHEN {_nibble_sql("substring(h, 4, 1)")} < 8
+                  THEN 1 ELSE -1 END AS sgn
+      FROM hashed
+    )
+    SELECT doc_id, feature_idx,
+           CAST(sum(sgn) AS BIGINT) AS val
+    FROM feat GROUP BY doc_id, feature_idx
+    """
+
+
+@query("q_feature_hash", oracle=_fh_oracle())
+def q_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HASHING-TRICK FEATURIZATION (Weinberger et al. '09 — the
+    vocabulary-free sparse featurizer behind Vowpal Wabbit / sklearn's
+    HashingVectorizer): every token hashes straight to one of
+    {_FH_BUCKETS} feature buckets, with a second hash bit supplying the
+    ±1 sign that keeps collision noise zero-mean. No vocabulary build,
+    no dictionary broadcast, no OOV problem — the property that matters
+    at 100 TB, where a vocab pass is a full extra corpus scan and the
+    vocab itself may not fit a broadcast.
+
+    Output is the sparse COO triple (doc_id, feature_idx, signed
+    count). Buckets come from md5 — available in BOTH engines — parsed
+    as 3 leading nibbles (Spark: conv(hex,16,10); oracle: explicit
+    ascii nibble math), so the H-check pins the exact feature layout.
+    Shape: split → explode → one (doc, bucket) hash aggregate; one
+    shuffle, map-side combined, no HOFs."""
+    ensure_session_determinism(spark)
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("t")
+    ).where(F.col("t") != "")
+    h = F.md5(F.col("t").cast("binary"))
+    feature_idx = (
+        F.conv(F.substring(h, 1, 3), 16, 10).cast("int") % _FH_BUCKETS
+    )
+    sgn = F.when(
+        F.conv(F.substring(h, 4, 1), 16, 10).cast("int") < 8, 1
+    ).otherwise(-1)
+    return (
+        tok.select("doc_id", feature_idx.alias("feature_idx"), sgn.alias("sgn"))
+        .groupBy("doc_id", "feature_idx")
+        .agg(F.sum("sgn").cast("bigint").alias("val"))
+    )
+
+
+_BP_DF = 3  # a sentence appearing in >= 3 docs is boilerplate
+
+
+@query(
+    "q_text_boilerplate",
+    oracle=f"""
+    WITH sent AS (
+      SELECT DISTINCT doc_id, unnest(string_split(text, '. ')) AS s
+      FROM documents
+    ),
+    clean AS (SELECT doc_id, s FROM sent WHERE s <> ''),
+    sdf AS (
+      SELECT s, count(DISTINCT doc_id) AS df FROM clean GROUP BY s
+    )
+    SELECT c.doc_id,
+           CAST(count(*) AS BIGINT) AS n_sentences,
+           CAST(sum(CASE WHEN sdf.df >= {_BP_DF} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_boilerplate,
+           round(CAST(sum(CASE WHEN sdf.df >= {_BP_DF} THEN 1 ELSE 0 END)
+                      AS DOUBLE) / count(*), 6) AS boilerplate_ratio
+    FROM clean c JOIN sdf ON c.s = sdf.s
+    GROUP BY c.doc_id
+    """,
+)
+def q_text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOILERPLATE DETECTION by corpus sentence frequency — the C4 /
+    RefinedWeb curation step that strips nav bars, cookie banners and
+    license footers: a sentence occurring in ≥ {_BP_DF} distinct
+    documents is boilerplate, and each document reports its sentence
+    count, boilerplate count and ratio (the gate a quality filter
+    thresholds on).
+
+    Shape: sentence-split → DISTINCT (doc, sentence) → sentence
+    document-frequency aggregate → join back → per-doc aggregate —
+    exactly tf-idf's two-level shape, one shuffle per level, all
+    map-side combined. At 100 TB the df table is the only wide state
+    and it shrinks with deduplication; the join back is a
+    hash-partitioned equi-join on the sentence key."""
+    ensure_session_determinism(spark)
+    scope(f"q_text_boilerplate:{sf_dir}")
+    d = load(spark, sf_dir, "documents")
+    sent = (
+        d.select(
+            "doc_id", F.explode(F.split("text", "\\. ")).alias("s")
+        )
+        .where(F.col("s") != "")
+        .distinct()
+    )
+    sent = persist_scoped(sent)  # two consumers: df build + join back
+    sdf = sent.groupBy("s").agg(F.countDistinct("doc_id").alias("df"))
+    bp = F.when(F.col("df") >= _BP_DF, 1).otherwise(0)
+    return (
+        sent.join(sdf, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sentences"),
+            F.sum(bp).cast("bigint").alias("n_boilerplate"),
+            F.round(
+                F.sum(bp).cast("double") / F.count(F.lit(1)), 6
+            ).alias("boilerplate_ratio"),
+        )
+    )
