@@ -772,3 +772,113 @@ def q_text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("boilerplate_ratio"),
         )
     )
+
+
+# BM25 constants — Robertson/Sparck-Jones defaults; 3-term query over
+# the corpus vocabulary.
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TERMS = ("hash", "join", "vector")
+_BM25_TOPK = 20
+
+
+def _bm25_oracle() -> str:
+    terms = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+    ),
+    lens AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+    stats AS (
+      SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+      FROM lens
+    ),
+    tf AS (
+      SELECT doc_id, t, count(*) AS tf FROM tok
+      WHERE t IN ({terms}) GROUP BY doc_id, t
+    ),
+    df AS (SELECT t, count(DISTINCT doc_id) AS df FROM tf GROUP BY t),
+    scored AS (
+      SELECT tf.doc_id,
+             sum(ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+                 * tf.tf * ({_BM25_K1} + 1)
+                 / (tf.tf + {_BM25_K1} * (1 - {_BM25_B}
+                    + {_BM25_B} * lens.dl / stats.avgdl))) AS score_raw
+      FROM tf
+      JOIN df ON tf.t = df.t
+      JOIN lens ON tf.doc_id = lens.doc_id
+      CROSS JOIN stats
+      GROUP BY tf.doc_id
+    ),
+    ranked AS (
+      SELECT doc_id, score_raw,
+             row_number() OVER (ORDER BY score_raw DESC, doc_id ASC)
+               AS rank
+      FROM scored
+    )
+    SELECT doc_id, round(score_raw, 6) AS score,
+           CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= {_BM25_TOPK}
+    """
+
+
+@query("q_bm25", oracle=_bm25_oracle())
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 RANKED RETRIEVAL — the canonical lexical scorer (Robertson
+    et al., TREC-3): idf · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))
+    summed over the query terms, top-20 by (score, doc_id). tf-idf
+    (q_text_tfidf) weights terms; BM25 adds tf saturation (k1) and
+    document-length normalization (b) — the form search engines
+    actually ship, and the lexical half of hybrid (BM25 + embedding)
+    retrieval next to q_sim_cosine_topk.
+
+    Shape: token explode → per-doc length aggregate; the query-term tf
+    table is tiny (terms are a literal IN-list pruned AT THE SCAN);
+    df and the (N, avgdl) stats are 1-row/3-row broadcasts. The only
+    per-doc state that exists at 100 TB is lens — co-keyed with tf on
+    doc_id, one co-partitioned join, then a bounded top-k. Ranking
+    compares RAW doubles (identical int/double inputs ⇒ identical
+    engine arithmetic) with doc_id tiebreak; only the emitted score is
+    rounded."""
+    ensure_session_determinism(spark)
+    scope(f"q_bm25:{sf_dir}")
+    d = load(spark, sf_dir, "documents")
+    tok = persist_scoped(
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("t"))
+    )  # two consumers: lens + tf
+    lens = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = lens.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    tf = (
+        tok.where(F.col("t").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "t")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_t = tf.groupBy("t").agg(F.countDistinct("doc_id").alias("df"))
+    idf = F.log(
+        F.lit(1)
+        + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    per_term = idf * F.col("tf") * (_BM25_K1 + 1) / (
+        F.col("tf")
+        + _BM25_K1
+        * (1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+    )
+    scored = (
+        tf.join(F.broadcast(df_t), "t")
+        .join(lens, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", per_term.alias("s"))
+        .groupBy("doc_id")
+        .agg(F.sum("s").alias("score_raw"))
+    )
+    w = Window.orderBy(F.col("score_raw").desc(), F.col("doc_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= _BM25_TOPK)
+        .select(
+            "doc_id", F.round("score_raw", 6).alias("score"), "rank"
+        )
+    )

@@ -475,3 +475,48 @@ def q_tile_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("level", "row", "col")
         .agg(F.count(F.lit(1)).alias("n_points"))
     )
+
+
+@query(
+    "q_tile_pyramid",
+    oracle=_grid_oracle_cte()
+    + """
+    SELECT CAST(level - 1 AS INT) AS level,
+           CAST("row" // 2 AS INT) AS row,
+           CAST(col // 2 AS INT) AS col,
+           CAST(count(*) AS BIGINT) AS n_children
+    FROM grid WHERE level > 5
+    GROUP BY 1, 2, 3
+    """,
+)
+def q_tile_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PYRAMID ROLLUP — one quadtree step: every tile at level L > 5
+    aggregates to its parent (L-1, row÷2, col÷2), counting children.
+    This is the primitive that builds overview zoom levels (density
+    maps, heatmap downsampling, raster overviews): apply it per level
+    from the deepest up and any per-tile statistic rolls to every zoom.
+    Because the extent window is padded per level (P:30-31, ±6 tiles at
+    EVERY level rather than inherited), edge parents legitimately hold
+    fewer than 4 children — the count exposes exactly that coverage
+    structure, which the oracle recomputes from the same bounds.
+
+    Shape: pure integer projection (div 2) + one map-side-combined hash
+    aggregate keyed (level, row÷2, col÷2) — child tiles of one parent
+    are CONTIGUOUS in the grid generator's output, so partial
+    aggregation collapses nearly all rows before the shuffle. At 100 TB
+    (a deep pyramid with per-tile stats) the rollup is one shuffle per
+    zoom step over already-parent-grouped partials."""
+    ensure_session_determinism(spark)
+    g = tile_grid(spark)
+    return (
+        g.where(F.col("level") > 5)
+        .select(
+            (F.col("level") - 1).cast("int").alias("level"),
+            # floor division, matching DuckDB's `//` on (potentially)
+            # negative padded indices — a plain cast truncates toward 0
+            F.floor(F.col("row") / 2).cast("int").alias("row"),
+            F.floor(F.col("col") / 2).cast("int").alias("col"),
+        )
+        .groupBy("level", "row", "col")
+        .agg(F.count(F.lit(1)).alias("n_children"))
+    )
