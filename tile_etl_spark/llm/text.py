@@ -882,3 +882,87 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", F.round("score_raw", 6).alias("score"), "rank"
         )
     )
+
+
+@query(
+    "q_lm_doc_score",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      WHERE length(text) > 0
+    ),
+    bigrams AS (
+      SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+      FROM words, unnest(generate_series(1, len(w) - 1)) AS t(i)
+    ),
+    pair_counts AS (
+      SELECT w1, w2, count(*) AS n FROM bigrams GROUP BY w1, w2
+    ),
+    ctx AS (
+      SELECT w1, sum(n) AS ctx_n, count(*) AS fanout
+      FROM pair_counts GROUP BY w1
+    ),
+    lm AS (
+      SELECT p.w1, p.w2,
+             CAST(p.n + 1 AS DOUBLE) / (c.ctx_n + c.fanout) AS p
+      FROM pair_counts p JOIN ctx c USING (w1)
+    )
+    SELECT b.doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(sum(-log2(lm.p)) / count(*), 6) AS bits_per_bigram
+    FROM bigrams b JOIN lm ON b.w1 = lm.w1 AND b.w2 = lm.w2
+    GROUP BY b.doc_id
+    """,
+)
+def q_lm_doc_score(spark, sf_dir: str):
+    """LM PERPLEXITY SCORING — the CCNet / KenLM quality-filter step:
+    every document is scored by its average surprisal (bits per bigram)
+    under the CORPUS bigram LM with add-one smoothing; fluent,
+    in-distribution text scores low, vocabulary soup and boilerplate
+    outliers score high, and a curation gate thresholds the score.
+    Self-scoring against the corpus LM means no OOV path is needed
+    (every bigram is in the table); a held-out LM drops in by swapping
+    the pair_counts source.
+
+    Determinism: each probability is ONE division of exact int64
+    counts — bit-identical across engines BEFORE the log; the per-doc
+    mean of ≤ doc-length logs tolerates addition-order ulp drift well
+    inside the 6-dp round. Shape: the LM build is q_text_bigram_lm's
+    two aggregates; scoring is one hash join of doc-bigrams against
+    the LM on (w1, w2) — co-partitioned with the pair aggregate at
+    100 TB — and one per-doc aggregate."""
+    ensure_session_determinism(spark)
+    scope(f"q_lm_doc_score:{sf_dir}")
+    d = load(spark, sf_dir, "documents").where(F.length("text") > 0)
+    words = d.select("doc_id", F.split("text", " ").alias("w"))
+    bigrams = persist_scoped(
+        words.select(
+            "doc_id",
+            F.posexplode(F.slice("w", 1, F.size("w") - 1)).alias("i", "w1"),
+            "w",
+        ).select("doc_id", "w1", F.expr("w[i + 1]").alias("w2"))
+    )  # two consumers: LM build + scoring join
+    pair_counts = bigrams.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    ctx = pair_counts.groupBy("w1").agg(
+        F.sum("n").alias("ctx_n"), F.count(F.lit(1)).alias("fanout")
+    )
+    lm = pair_counts.join(F.broadcast(ctx), "w1").select(
+        "w1",
+        "w2",
+        (
+            (F.col("n") + 1).cast("double")
+            / (F.col("ctx_n") + F.col("fanout"))
+        ).alias("p"),
+    )
+    return (
+        bigrams.join(lm, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.round(
+                F.sum(-F.log2("p")) / F.count(F.lit(1)), 6
+            ).alias("bits_per_bigram"),
+        )
+    )

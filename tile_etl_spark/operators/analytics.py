@@ -560,3 +560,67 @@ def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("last_channel"),
         F.col("n_touches").cast("bigint").alias("n_touches"),
     )
+
+
+@query(
+    "q_rfm_segments",
+    oracle="""
+    WITH cust AS (
+      SELECT o_custkey AS custkey,
+             max(o_orderdate) AS last_order,
+             count(*) AS frequency,
+             sum(CAST(o_totalprice AS DECIMAL(18,2))) AS monetary
+      FROM orders GROUP BY o_custkey
+    ),
+    scored AS (
+      SELECT custkey, last_order, frequency,
+             CAST(monetary AS DOUBLE) AS monetary,
+             ntile(4) OVER (ORDER BY last_order DESC, custkey ASC) AS r,
+             ntile(4) OVER (ORDER BY frequency DESC, custkey ASC) AS f,
+             ntile(4) OVER (ORDER BY monetary DESC, custkey ASC) AS m
+      FROM cust
+    )
+    SELECT custkey, last_order, CAST(frequency AS BIGINT) AS frequency,
+           monetary,
+           CAST(r AS INT) AS r, CAST(f AS INT) AS f, CAST(m AS INT) AS m,
+           CAST(r * 100 + f * 10 + m AS INT) AS segment
+    FROM scored
+    """,
+)
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM SEGMENTATION — the classic customer-value model: quartile
+    scores for Recency (latest order first), Frequency and Monetary
+    value, combined into the 111..444 segment code that lifecycle
+    campaigns target. Every ntile runs over a TOTAL order (custkey
+    tiebreak), so quartile boundaries are deterministic in both
+    engines even where metric values tie.
+
+    Shape: orders collapse to ONE row per customer first (map-side-
+    combined aggregate), so the three global ntile sorts run over
+    customer-cardinality, not order-cardinality — at 100 TB that frame
+    is ~10⁻³ of the input, and if even that outgrows one reducer the
+    two-pass range-partition ntile rewrite (operators/windows.py
+    q_win_ntile) drops in per metric unchanged."""
+    ensure_session_determinism(spark)
+    o = load(spark, sf_dir, "orders")
+    cust = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(dec("o_totalprice")).alias("monetary"),
+    )
+    w_r = Window.orderBy(F.col("last_order").desc(), F.col("custkey").asc())
+    w_f = Window.orderBy(F.col("frequency").desc(), F.col("custkey").asc())
+    w_m = Window.orderBy(F.col("monetary").desc(), F.col("custkey").asc())
+    scored = cust.select(
+        "custkey",
+        "last_order",
+        F.col("frequency").cast("bigint").alias("frequency"),
+        F.col("monetary").cast("double").alias("monetary"),
+        F.ntile(4).over(w_r).cast("int").alias("r"),
+        F.ntile(4).over(w_f).cast("int").alias("f"),
+        F.ntile(4).over(w_m).cast("int").alias("m"),
+    )
+    return scored.withColumn(
+        "segment",
+        (F.col("r") * 100 + F.col("f") * 10 + F.col("m")).cast("int"),
+    )

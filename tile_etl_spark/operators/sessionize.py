@@ -693,3 +693,97 @@ def q_ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         F.round(num / den, 6).alias("ewma"),
     )
+
+
+PATH_LEN = 3
+PATH_TOPK = 10
+
+
+@query(
+    "q_session_paths",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+      FROM events
+    ),
+    flagged AS (
+      SELECT *,
+             CASE WHEN lag(us) OVER w IS NULL
+                       OR us - lag(us) OVER w > {{gap}}
+                  THEN 1 ELSE 0 END AS is_new
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+    ),
+    sessions AS (
+      SELECT *,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    ),
+    ranked AS (
+      SELECT user_id, session_id, event_type,
+             row_number() OVER (PARTITION BY user_id, session_id
+                                ORDER BY us, event_id) AS rn
+      FROM sessions
+    ),
+    paths AS (
+      SELECT user_id, session_id,
+             string_agg(event_type, '>' ORDER BY rn) AS path
+      FROM ranked WHERE rn <= {PATH_LEN}
+      GROUP BY user_id, session_id
+    ),
+    counted AS (
+      SELECT path, count(*) AS n_sessions FROM paths GROUP BY path
+    )
+    SELECT path, CAST(n_sessions AS BIGINT) AS n_sessions,
+           CAST(row_number() OVER (ORDER BY n_sessions DESC, path ASC)
+                AS BIGINT) AS rank
+    FROM counted
+    ORDER BY rank LIMIT {PATH_TOPK}
+    """.replace("{gap}", str(GAP_US)),
+)
+def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JOURNEY MINING: the top-{PATH_TOPK} most common session-opening
+    paths — the first {PATH_LEN} event types of each 30-minute-gap
+    session joined as 'a>b>c'. The product-analytics staple ("what do
+    users do first?") and the batch twin of funnel discovery:
+    q_funnel checks ONE hypothesized path, this surfaces the paths
+    worth checking.
+
+    Shape: sessionize (one user-keyed shuffle + in-partition sort),
+    per-session row_number to keep the first {PATH_LEN} events, an
+    ORDERED collect per session (array_sort over (rn, type) structs —
+    deterministic, never bare collect_list), then a path-count
+    aggregate and a bounded top-k. At 100 TB the per-session state is
+    {PATH_LEN} rows and the path-count table is tiny (|event types|^
+    {PATH_LEN} ceiling)."""
+    ensure_session_determinism(spark)
+    s = sessionize(load(spark, sf_dir, "events"))
+    w = Window.partitionBy("user_id", "session_id").orderBy(
+        "__us", "event_id"
+    )
+    first_k = (
+        s.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= PATH_LEN)
+    )
+    paths = (
+        first_k.groupBy("user_id", "session_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("rn", "event_type"))
+                    ),
+                    lambda x: x["event_type"],
+                ),
+                ">",
+            ).alias("path")
+        )
+    )
+    counted = paths.groupBy("path").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sessions")
+    )
+    wr = Window.orderBy(F.col("n_sessions").desc(), F.col("path").asc())
+    return (
+        counted.withColumn("rank", F.row_number().over(wr).cast("bigint"))
+        .where(F.col("rank") <= PATH_TOPK)
+    )
