@@ -37,6 +37,13 @@ FLAGSHIP = "q_agg_group"
 # views.
 _PRIORITY = [
     # (a00) NEW in round 5 — need their first-ever driver rows
+    "q_feature_hash",
+    "q_text_boilerplate",
+    "q_tile_pyramid",
+    "q_bm25",
+    "q_lm_doc_score",
+    "q_rfm_segments",
+    "q_session_paths",
     "q_skyline",
     "q_agg_entropy",
     "q_ts_ewma",

@@ -84,6 +84,11 @@ EXTRA = [
     "q_agg_bitmap_distinct",
     "q_skyline",
     "q_calendar_fill",
+    "q_bm25",
+    "q_lm_doc_score",
+    "q_text_boilerplate",
+    "q_feature_hash",
+    "q_session_paths",
 ]
 
 
