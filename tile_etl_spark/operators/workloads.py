@@ -989,3 +989,239 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pernode.groupBy("node").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_triangles")
     )
+
+
+@query(
+    "q_tpch_q7",
+    oracle="""
+    WITH vol AS (
+      SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+             year(l.l_shipdate) AS l_year,
+             CAST(l.l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l.l_discount AS DECIMAL(18,2))) AS volume
+      FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+      WHERE (ns.n_name = 'NATION_1' AND nc.n_name = 'NATION_2')
+         OR (ns.n_name = 'NATION_2' AND nc.n_name = 'NATION_1')
+    )
+    SELECT supp_nation, cust_nation, CAST(l_year AS INT) AS l_year,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(volume) AS DOUBLE) AS revenue
+    FROM vol GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 (volume shipping): revenue flowing between two nations
+    per direction per year — the 6-table snowflake with a SYMMETRIC
+    pair predicate, the classic case where the filter sits across TWO
+    dimension arms and the optimizer must still broadcast both arms
+    and keep the fact table streaming. supplier/customer/nation are
+    dimension-sized (broadcast); lineitem→orders is the only big join,
+    hash-partitioned on orderkey; the DECIMAL revenue aggregate is
+    map-side combined. (Fixture adaptation: nation names are
+    NATION_<k>; the reference pair FRANCE/GERMANY becomes
+    NATION_1/NATION_2; no view layer — the CTE is the view.)"""
+    ensure_session_determinism(spark)
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    ns = n.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    nc = n.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1")
+        & (F.col("cust_nation") == "NATION_2")
+    ) | (
+        (F.col("supp_nation") == "NATION_2")
+        & (F.col("cust_nation") == "NATION_1")
+    )
+    vol = (
+        li.join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("s_nk"))
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(nc), F.col("c_nationkey") == F.col("c_nk"))
+        .where(pair)
+        .select(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+            (dec("l_extendedprice") * (1 - dec("l_discount"))).alias(
+                "volume"
+            ),
+        )
+    )
+    return vol.groupBy("supp_nation", "cust_nation", "l_year").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        as_double(F.sum("volume")).alias("revenue"),
+    )
+
+
+@query(
+    "q_tpch_q12",
+    oracle="""
+    SELECT l.l_returnflag,
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate >= DATE '1996-01-01'
+      AND l.l_shipdate < DATE '1997-01-01'
+    GROUP BY l.l_returnflag
+    """,
+)
+def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 (priority shipping audit, fixture-adapted: the
+    grouping key is l_returnflag since the reduced schema carries no
+    l_shipmode): per flag, how many 1996-shipped lines belong to
+    high-priority vs other orders. The pattern being pinned is the
+    conditional-count split (SUM of CASE — one pass, no two-scan
+    UNION) on top of the date-pruned fact⋈orders join: the shipdate
+    range reaches the parquet scan as a pushed filter, and both counts
+    come out of ONE map-side-combined aggregate."""
+    ensure_session_determinism(spark)
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+        )
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0))
+            .cast("bigint")
+            .alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0))
+            .cast("bigint")
+            .alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "q_tpch_q14",
+    oracle="""
+    SELECT CAST(date_trunc('month', l.l_shipdate) AS DATE) AS ship_month,
+           round(100.0 * CAST(sum(CASE WHEN p.p_type = 'PROMO' THEN
+                  CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,2)))
+                ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+                / CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE),
+             6) AS promo_revenue_pct
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= DATE '1997-01-01'
+      AND l.l_shipdate < DATE '1998-01-01'
+    GROUP BY 1
+    """,
+)
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 (promotion effect), extended to a monthly series: the
+    share of revenue from PROMO-type parts per ship month of 1997.
+    Pins the ratio-of-conditional-aggregates shape — both numerator
+    and denominator from ONE pass (never two scans joined), DECIMAL
+    all the way so the ratio is a single exact-over-exact double
+    division. part is the broadcast dim; the date window is a pushed
+    scan filter."""
+    ensure_session_determinism(spark)
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    rev = dec("l_extendedprice") * (1 - dec("l_discount"))
+    promo_rev = F.when(F.col("p_type") == "PROMO", rev).otherwise(
+        F.lit(0).cast("decimal(18,2)")
+    )
+    return (
+        li.where(
+            (F.col("l_shipdate") >= "1997-01-01")
+            & (F.col("l_shipdate") < "1998-01-01")
+        )
+        .join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy(
+            F.date_trunc("month", "l_shipdate")
+            .cast("date")
+            .alias("ship_month")
+        )
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(promo_rev).cast("double")
+                / F.sum(rev).cast("double"),
+                6,
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+@query(
+    "q_tpch_q19",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,2))))
+             AS DOUBLE) AS revenue
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 5
+           AND l.l_quantity >= 1 AND l.l_quantity <= 11)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity >= 10 AND l.l_quantity <= 20)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity >= 20 AND l.l_quantity <= 30)
+    """,
+)
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 (discounted revenue, disjunctive predicates): an
+    OR-of-ANDs condition spanning BOTH join sides — the canonical
+    stress test for predicate handling. The single-side conjuncts that
+    CAN be separated are derivable (p_size >= 1 across all branches,
+    l_quantity between 1 and 30 overall), and Catalyst pushes those
+    residuals to each scan while the full disjunction evaluates after
+    the broadcast join — one pass, no UNION-of-three-scans rewrite
+    needed. (Fixture adaptation: no p_container column, so the branch
+    predicates pair brand with size bands instead.)"""
+    ensure_session_determinism(spark)
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    q = F.col("l_quantity")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 5)
+            & (q >= 1)
+            & (q <= 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(1, 10)
+            & (q >= 10)
+            & (q <= 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 15)
+            & (q >= 20)
+            & (q <= 30)
+        )
+    )
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .where(cond)
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            as_double(
+                F.sum(dec("l_extendedprice") * (1 - dec("l_discount")))
+            ).alias("revenue"),
+        )
+    )
