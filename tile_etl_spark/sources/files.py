@@ -443,3 +443,87 @@ def src_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("doc_id"),
         F.split_part(F.col("value"), F.lit("\t"), F.lit(2)).alias("text_rt"),
     )
+
+
+# Deterministic "previous run" manifest, shared with the oracle: a
+# different md5-char predicate picks which tiles existed last run, and
+# every 7th (by another md5 char) records a stale hash — simulating
+# content drift between ETL runs with zero stored state.
+_PREV_PRESENT_SQL = "substring(md5(src_path), 2, 1) NOT IN ('0','1','2')"
+_PREV_STALE_SQL = "ascii(substring(md5(src_path), 5, 1)) % 7 = 0"
+
+
+@query(
+    "q_tile_sync_delta",
+    oracle=_GRID5_ORACLE
+    + f"""
+    , cur AS (
+      SELECT src_path, md5(repeat(md5(src_path), {_K_SQL})) AS h
+      FROM paths WHERE {_PRESENT_SQL}
+    ),
+    prev AS (
+      SELECT src_path,
+             CASE WHEN {_PREV_STALE_SQL} THEN 'stale'
+                  ELSE md5(repeat(md5(src_path), {_K_SQL})) END AS h
+      FROM paths WHERE {_PREV_PRESENT_SQL}
+    )
+    SELECT coalesce(cur.src_path, prev.src_path) AS src_path,
+           CASE WHEN prev.src_path IS NULL THEN 'put_new'
+                WHEN cur.src_path IS NULL THEN 'delete'
+                WHEN cur.h <> prev.h THEN 'put_changed'
+                ELSE 'skip' END AS action
+    FROM cur FULL OUTER JOIN prev ON cur.src_path = prev.src_path
+    """,
+)
+def q_tile_sync_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL TILE SYNC PLAN — the diff the reference never
+    computes (src/Program.cs:117 re-PUTs every tile, every run): full
+    outer join of the CURRENT tile set (path + content hash) against
+    the PREVIOUS run's manifest, classifying each key as put_new /
+    put_changed / skip / delete. Feeding only put_* rows to
+    sink_objectstore turns the reference's full re-upload into an
+    incremental sync — at 100 TB (billions of objects) the delta is
+    the difference between a nightly job and an impossible one; the
+    delete set is what keeps the bucket from accumulating orphans.
+
+    Shape: one hash-partitioned full outer join on the object key —
+    both sides are (key, hash) manifests, so the join input is
+    metadata-sized regardless of tile payload bytes; content hashes
+    come from the tile content itself (md5 over the same deterministic
+    fixture recipe as src_binary, recomputable by the oracle)."""
+    ensure_session_determinism(spark)
+    g = _tile_files_df(spark)
+    cur = g.select(
+        "src_path", F.md5(F.col("content_str").cast("binary")).alias("h")
+    )
+    grid_all = (
+        tile_grid(spark)
+        .where(F.col("level") <= 5)
+        .withColumn("src_path", src_path_col())
+    )
+    prev = grid_all.where(F.expr(_PREV_PRESENT_SQL)).select(
+        "src_path",
+        F.when(F.expr(_PREV_STALE_SQL), F.lit("stale"))
+        .otherwise(
+            F.md5(
+                F.repeat(
+                    F.md5(F.col("src_path").cast("binary")),
+                    F.expr(_K_SQL),
+                ).cast("binary")
+            )
+        )
+        .alias("h"),
+    )
+    c, p = cur.alias("c"), prev.alias("p")
+    action = (
+        F.when(F.col("p.src_path").isNull(), "put_new")
+        .when(F.col("c.src_path").isNull(), "delete")
+        .when(F.col("c.h") != F.col("p.h"), "put_changed")
+        .otherwise("skip")
+    )
+    return c.join(
+        p, F.col("c.src_path") == F.col("p.src_path"), "full_outer"
+    ).select(
+        F.coalesce("c.src_path", "p.src_path").alias("src_path"),
+        action.alias("action"),
+    )
