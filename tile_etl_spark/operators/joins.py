@@ -350,18 +350,23 @@ def asof_join(
     on: str,
     left_ts: str = "ts",
     right_ts: str = "ts",
+    direction: str = "backward",
 ) -> DataFrame:
     """As-of join builder (SURVEY §4.3): for every left row, the most
-    recent right row with ``right.ts <= left.ts`` on the same key.
+    recent right row with ``right.ts <= left.ts`` on the same key
+    (``direction='backward'``), or the EARLIEST right row with
+    ``right.ts >= left.ts`` (``direction='forward'``).
 
     Implemented as union-tag + running ``last(..., ignorenulls)`` window
     — a single sort-per-key shuffle instead of an O(n·m) inequality
-    join. Right rows order before left rows at equal timestamps (a
-    same-instant right row counts as 'prior'); ties inside the right
-    stream resolve to the highest right_id.
+    join; the forward variant is the same scan over the REVERSED
+    (ts desc) order, not a second algorithm. Right rows order before
+    left rows at equal timestamps (a same-instant right row counts);
+    ties inside the right stream resolve to the highest right_id
+    backward, the lowest forward — both total orders.
 
     Returns the left rows plus ``asof_id`` / ``asof_ts`` of the match
-    (NULL where no prior right row exists).
+    (NULL where no right row exists on the relevant side).
     """
     from pyspark.sql import Window
 
@@ -382,9 +387,15 @@ def asof_join(
         F.col(right_ts).alias("__rts"),
         F.lit(None).cast(l.schema["__payload"].dataType).alias("__payload"),
     )
+    if direction == "forward":
+        order = [F.col("__ts").desc(), F.col("__is_left").asc(),
+                 F.col("__rid").desc()]
+    else:
+        order = [F.col("__ts").asc(), F.col("__is_left").asc(),
+                 F.col("__rid").asc()]
     w = (
         Window.partitionBy("__k")
-        .orderBy("__ts", "__is_left", "__rid")
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     u = l.unionByName(r)
@@ -478,3 +489,37 @@ def q_join_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("dist"),
         )
     )
+
+
+@query(
+    "q_join_asof_fwd",
+    oracle="""
+    SELECT e.event_id, e.user_id, e.ts,
+           (SELECT c.event_id FROM events c
+             WHERE c.user_id = e.user_id AND c.event_type = 'signup'
+               AND c.ts >= e.ts
+             ORDER BY c.ts ASC, c.event_id ASC LIMIT 1) AS asof_id,
+           (SELECT c.ts FROM events c
+             WHERE c.user_id = e.user_id AND c.event_type = 'signup'
+               AND c.ts >= e.ts
+             ORDER BY c.ts ASC, c.event_id ASC LIMIT 1) AS asof_ts
+    FROM events e
+    WHERE e.event_type = 'error'
+    """,
+)
+def q_join_asof_fwd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of: each 'error' event → the NEXT same-or-later
+    'signup' of the same user ("did the user recover after the
+    failure?" — the look-ahead twin of q_join_asof's look-back).
+    Same union-tag + running-last rewrite over the reversed (ts DESC)
+    order — still ONE user-keyed shuffle, no inequality join; the
+    oracle is the correlated ascending top-1 subquery."""
+    ensure_session_determinism(spark)
+    e = load(spark, sf_dir, "events")
+    errors = e.where(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    signups = e.where(F.col("event_type") == "signup").select(
+        "user_id", "ts", F.col("event_id").alias("__right_id")
+    )
+    return asof_join(errors, signups, on="user_id", direction="forward")
