@@ -37,6 +37,12 @@ FLAGSHIP = "q_agg_group"
 # views.
 _PRIORITY = [
     # (a00) NEW in round 5 — need their first-ever driver rows
+    "q_tpch_q7",
+    "q_tpch_q12",
+    "q_tpch_q14",
+    "q_tpch_q19",
+    "q_tile_sync_delta",
+    "q_join_asof_fwd",
     "q_feature_hash",
     "q_text_boilerplate",
     "q_tile_pyramid",
