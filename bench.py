@@ -89,6 +89,14 @@ EXTRA = [
     "q_text_boilerplate",
     "q_feature_hash",
     "q_session_paths",
+    "q_tpch_q7",
+    "q_tpch_q12",
+    "q_tpch_q14",
+    "q_tpch_q19",
+    "q_join_asof_fwd",
+    "q_rfm_segments",
+    "q_tile_sync_delta",
+    "q_tile_pyramid",
 ]
 
 

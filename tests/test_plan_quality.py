@@ -351,3 +351,65 @@ def test_calendar_fill_joins_aggregates_not_rows(spark, sf_dir):
     join_line = re.search(r"\(\d+\) (\w*Join\w*)", p)
     assert join_line, p
     assert "HashAggregate" in p
+
+
+def test_tpch_q7_broadcasts_all_dims(spark, sf_dir):
+    """Q7's three dimension arms (supplier, customer, nation×2) must
+    broadcast; the only shuffled join is lineitem⋈orders; nothing
+    nested-loops."""
+    p = plan(q("q_tpch_q7", spark, sf_dir))
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p and "NestedLoop" not in p
+
+
+def test_tpch_q19_pushes_residual_predicates(spark, sf_dir):
+    """The OR-of-ANDs disjunction must not block scan-level pushdown of
+    the derivable single-side conjuncts: the lineitem scan carries a
+    pushed quantity filter, and the join broadcasts."""
+    p = plan(q("q_tpch_q19", spark, sf_dir))
+    pushed = [ln for ln in p.splitlines() if "PushedFilters" in ln]
+    assert any("l_quantity" in ln for ln in pushed), pushed
+    assert "BroadcastHashJoin" in p
+
+
+def test_bm25_stats_broadcast_fact_single_sort(spark, sf_dir):
+    """BM25: df and corpus stats broadcast; the scoring join on doc_id
+    is hash/broadcast (no nested loop); the top-k is one bounded
+    window, not a global sort of the corpus."""
+    p = plan(q("q_bm25", spark, sf_dir))
+    assert "BroadcastExchange" in p
+    assert "CartesianProduct" not in p
+    # the ONLY nested-loop allowed is the broadcast of the 1-row
+    # (N, avgdl) stats frame — the same scalar-join shape as tf-idf's
+    # corpus-size N; anything more means a real pair blowup
+    assert p.count("BroadcastNestedLoopJoin") <= 1, p
+
+
+def test_feature_hash_single_shuffle(spark, sf_dir):
+    """Hashing-trick featurization must be explode → ONE hash aggregate
+    (map-side combined): exactly one shuffle exchange, no join."""
+    import re
+
+    p = plan(q("q_feature_hash", spark, sf_dir))
+    exchanges = re.findall(r"^\(\d+\) Exchange", p, flags=re.M)
+    assert len(exchanges) == 1, exchanges
+    assert "Join" not in p
+
+
+def test_sync_delta_single_fullouter_join(spark, sf_dir):
+    """The manifest diff is ONE full-outer sort-merge/hash join on the
+    key — no repeated grid generation fan-in beyond the two sides."""
+    import re
+
+    p = plan(q("q_tile_sync_delta", spark, sf_dir))
+    joins = re.findall(r"^\(\d+\) \w*Join\w*", p, flags=re.M)
+    assert len(joins) == 1, joins
+    assert "FullOuter" in p
+
+
+def test_asof_fwd_no_inequality_join(spark, sf_dir):
+    """Forward as-of must be the union+window rewrite: no join operator
+    at all in the plan, one user-keyed window."""
+    p = plan(q("q_join_asof_fwd", spark, sf_dir))
+    assert "Join" not in p, p
+    assert "windowspecdefinition" in p
