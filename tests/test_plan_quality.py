@@ -382,7 +382,10 @@ def test_bm25_stats_broadcast_fact_single_sort(spark, sf_dir):
     # the ONLY nested-loop allowed is the broadcast of the 1-row
     # (N, avgdl) stats frame — the same scalar-join shape as tf-idf's
     # corpus-size N; anything more means a real pair blowup
-    assert p.count("BroadcastNestedLoopJoin") <= 1, p
+    import re
+
+    bnlj = re.findall(r"^\(\d+\) BroadcastNestedLoopJoin", p, flags=re.M)
+    assert len(bnlj) <= 1, p
 
 
 def test_feature_hash_single_shuffle(spark, sf_dir):
