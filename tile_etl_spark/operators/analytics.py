@@ -624,3 +624,68 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         "segment",
         (F.col("r") * 100 + F.col("f") * 10 + F.col("m")).cast("int"),
     )
+
+
+@query(
+    "q_dq_partition_stats",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS event_date, count(*) AS n
+      FROM events GROUP BY 1
+    ),
+    w AS (
+      SELECT event_date, n,
+             avg(CAST(n AS DOUBLE)) OVER t AS trail_avg,
+             stddev_samp(CAST(n AS DOUBLE)) OVER t AS trail_sd,
+             count(*) OVER t AS trail_n
+      FROM daily
+      WINDOW t AS (ORDER BY event_date
+                   ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_date, CAST(n AS BIGINT) AS n,
+           round(trail_avg, 6) AS trail_avg,
+           CAST(CASE WHEN trail_n >= 3 AND trail_sd > 0
+                 AND abs(n - trail_avg) > 2 * trail_sd
+                THEN 1 ELSE 0 END AS INT) AS volume_alert
+    FROM w
+    """,
+)
+def q_dq_partition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARTITION-VOLUME MONITORING — the data-ops check every 100 TB
+    lake runs nightly: per ingestion day, row volume vs the trailing
+    7-day window; a day deviating > 2σ from its trailing mean raises a
+    volume alert (upstream outage, duplicate backfill, schema-drift
+    row explosion). q_dq_checks audits VALUES; this audits ARRIVAL —
+    the partition-grain freshness/volume half of a Deequ/dbt-style
+    suite.
+
+    Shape: the fact table collapses to one row per day FIRST (map-side
+    combined count), so the trailing window runs over days, not rows —
+    at any scale the windowed frame is calendar-sized. The alert needs
+    ≥ 3 trailing days and σ > 0 (both spelled identically in the
+    oracle) so cold starts and constant weeks never divide by zero."""
+    ensure_session_determinism(spark)
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(F.col("ts").cast("date").alias("event_date")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    t = Window.orderBy("event_date").rowsBetween(-7, -1)
+    nn = F.col("n").cast("double")
+    w = daily.select(
+        "event_date",
+        F.col("n").cast("bigint").alias("n"),
+        F.avg(nn).over(t).alias("trail_avg"),
+        F.stddev_samp(nn).over(t).alias("trail_sd"),
+        F.count(F.lit(1)).over(t).alias("trail_n"),
+    )
+    alert = (
+        (F.col("trail_n") >= 3)
+        & (F.col("trail_sd") > 0)
+        & (F.abs(F.col("n") - F.col("trail_avg")) > 2 * F.col("trail_sd"))
+    )
+    return w.select(
+        "event_date",
+        "n",
+        F.round("trail_avg", 6).alias("trail_avg"),
+        alert.cast("int").alias("volume_alert"),
+    )
