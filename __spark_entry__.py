@@ -26,13 +26,12 @@ registry.load_all()
 _SMOKE_SF_DIR = "/root/testdata/sf0.001"
 FLAGSHIP = "q_agg_group"
 
-# Round-4 verification priority. The driver records ~50 CORRECTNESS
-# rows per round. Round 4 front-loads (a) the 2 qids red in r3
-# (TIMESTAMPTZ oracle schema mismatch, fixed via make_timestamp), (b)
-# every events-based qid — the driver regenerated fixtures after r3
-# (events.ts TIMESTAMP(NANOS)→µs) and io.py's loader changed to
-# match, so their r3 green is stale — then (c) the qids whose last
-# driver row is r1/r2, oldest signal first. Registration/
+# Round-5 verification priority. The driver records ~50 CORRECTNESS
+# rows per round. Round 5 front-loads (a00) the 35 brand-new round-5
+# qids (first-ever driver rows), then (a0) the round-4 additions that
+# r3's 50-row budget already covered — kept for regression cover in
+# case the budget allows — then (a/b/c) the repaired ts pair, the
+# events-coupled qids, and the oldest-signal refreshes. Registration/
 # implementation is unchanged — this orders only the exported dict
 # views.
 _PRIORITY = [
