@@ -16,7 +16,7 @@ regardless of executor summation order.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from tile_etl_spark.io import as_double, dec, load
@@ -1224,4 +1224,136 @@ def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(dec("l_extendedprice") * (1 - dec("l_discount")))
             ).alias("revenue"),
         )
+    )
+
+
+@query(
+    "q_cohort_ltv",
+    oracle="""
+    WITH firsts AS (
+      SELECT o_custkey, min(date_trunc('month', o_orderdate)) AS cohort
+      FROM orders GROUP BY o_custkey
+    ),
+    monthly AS (
+      SELECT f.cohort,
+             CAST(datediff('month', f.cohort,
+                           date_trunc('month', o.o_orderdate)) AS INT)
+               AS month_n,
+             sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS rev
+      FROM orders o JOIN firsts f ON o.o_custkey = f.o_custkey
+      GROUP BY 1, 2
+    ),
+    sizes AS (
+      SELECT cohort, count(*) AS n_customers FROM firsts GROUP BY cohort
+    )
+    SELECT m.cohort, m.month_n,
+           CAST(sum(m.rev) OVER (PARTITION BY m.cohort ORDER BY m.month_n
+                ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cum_revenue,
+           round(CAST(sum(m.rev) OVER (PARTITION BY m.cohort
+                  ORDER BY m.month_n ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+                 / s.n_customers, 6) AS ltv_per_customer,
+           CAST(s.n_customers AS BIGINT) AS n_customers
+    FROM monthly m JOIN sizes s ON m.cohort = s.cohort
+    """,
+)
+def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COHORT LTV CURVES — cumulative revenue per acquisition cohort by
+    months-since-first-order, normalized per customer: the lifetime-
+    value trajectory that payback-period and CAC decisions read off.
+    The retention triangle (q_retention_cohorts) counts PRESENCE; this
+    accumulates VALUE over the same cohort axes.
+
+    Determinism: monthly revenue sums are DECIMAL (exact, any
+    partitioning); the running total is a window over exact decimals
+    cast to double only at emission; the per-customer ratio divides by
+    an exact integer. Shape: customer-keyed first-order aggregate, one
+    (cohort, month) aggregate, cohort sizes broadcast back, and a
+    cumulative window over the TINY (cohort × month) frame — at 100 TB
+    every wide stage is map-side combined on the same customer hash."""
+    ensure_session_determinism(spark)
+    o = load(spark, sf_dir, "orders")
+    firsts = o.groupBy("o_custkey").agg(
+        F.min(F.date_trunc("month", "o_orderdate")).alias("cohort")
+    )
+    monthly = (
+        o.join(firsts, "o_custkey")
+        .groupBy(
+            "cohort",
+            (
+                F.floor(
+                    F.months_between(
+                        F.date_trunc("month", "o_orderdate"), F.col("cohort")
+                    )
+                )
+            )
+            .cast("int")
+            .alias("month_n"),
+        )
+        .agg(F.sum(dec("o_totalprice")).alias("rev"))
+    )
+    sizes = firsts.groupBy("cohort").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+    wc = (
+        Window.partitionBy("cohort")
+        .orderBy("month_n")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        monthly.join(F.broadcast(sizes), "cohort")
+        .select(
+            "cohort",
+            "month_n",
+            F.sum("rev").over(wc).cast("double").alias("cum_revenue"),
+            F.round(
+                F.sum("rev").over(wc).cast("double") / F.col("n_customers"),
+                6,
+            ).alias("ltv_per_customer"),
+            F.col("n_customers").cast("bigint").alias("n_customers"),
+        )
+    )
+
+
+@query(
+    "q_graph_degree_dist",
+    oracle="""
+    WITH ue AS (
+      SELECT DISTINCT least(o_custkey % 100, o_orderkey % 100) AS a,
+             greatest(o_custkey % 100, o_orderkey % 100) AS b
+      FROM orders WHERE o_custkey % 100 <> o_orderkey % 100
+    ),
+    deg AS (
+      SELECT node, count(*) AS degree FROM (
+        SELECT a AS node FROM ue UNION ALL SELECT b FROM ue
+      ) GROUP BY node
+    )
+    SELECT CAST(degree AS BIGINT) AS degree,
+           CAST(count(*) AS BIGINT) AS n_nodes
+    FROM deg GROUP BY degree
+    """,
+)
+def q_graph_degree_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEGREE DISTRIBUTION of the entity-link graph (same deterministic
+    edge derivation as q_graph_pagerank / q_graph_triangles): node
+    degree histogram — the first diagnostic run on any graph (skew,
+    hubs, power-law shape) and the statistic that DECIDES the triangle
+    orientation and join-salting strategies the other graph operators
+    document. Two integer aggregates over the edge endpoints; entirely
+    map-side-combinable."""
+    ensure_session_determinism(spark)
+    o = load(spark, sf_dir, "orders")
+    s, d = F.col("o_custkey") % 100, F.col("o_orderkey") % 100
+    ue = (
+        o.where(s != d)
+        .select(F.least(s, d).alias("a"), F.greatest(s, d).alias("b"))
+        .distinct()
+    )
+    deg = (
+        ue.select(F.col("a").alias("node"))
+        .unionAll(ue.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    return deg.groupBy(F.col("degree").cast("bigint").alias("degree")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes")
     )
