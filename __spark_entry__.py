@@ -36,6 +36,8 @@ FLAGSHIP = "q_agg_group"
 # views.
 _PRIORITY = [
     # (a00) NEW in round 5 — need their first-ever driver rows
+    "q_cohort_ltv",
+    "q_graph_degree_dist",
     "q_dq_partition_stats",
     "q_hof_funcs",
     "q_tpch_q7",
