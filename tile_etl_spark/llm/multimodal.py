@@ -169,3 +169,75 @@ def q_multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.select("doc_id", "content").mapInPandas(
         sample_batches, "doc_id BIGINT, frame_no INT, frame_hash STRING"
     )
+
+
+AUDIO_FRAME = 64  # samples per analysis frame
+
+
+@query(
+    "q_multimodal_audio",
+    oracle=f"""
+    WITH chars AS (
+      SELECT doc_id, CAST((i - 1) // {AUDIO_FRAME} AS INT) AS frame_no,
+             ascii(substring(text, i, 1)) AS v
+      FROM documents, unnest(generate_series(1, length(text))) AS t(i)
+    )
+    SELECT doc_id, frame_no,
+           CAST(count(*) AS INT) AS n_samples,
+           floor(sqrt(CAST(sum((v - 128) * (v - 128)) AS DOUBLE)
+                      / count(*)) * 1000000 + 0.5) / 1000000 AS rms
+    FROM chars GROUP BY doc_id, frame_no
+    """,
+)
+def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio feature extraction plumbing: each payload's body is
+    treated as 8-bit PCM and reduced to per-frame RMS energy
+    ({AUDIO_FRAME}-sample frames) — the 1:N windowed-DSP shape of a
+    real soundfile/librosa feature stage (swap the byte view for a
+    codec decode and the frame loop for an FFT and nothing else
+    changes). Unlike the image/video stubs this one is H-CHECKED: the
+    'decode' is deterministic byte arithmetic (exact integer
+    sum-of-squares per frame, one sqrt at the end), so DuckDB
+    recomputes the identical features from the text bytes the payload
+    wraps.
+
+    Shape: Arrow mapInPandas over (doc_id, content) binary batches,
+    numpy vectorized per batch, fixed output schema, zero driver
+    involvement — per-task output is rows = ceil(bytes/{AUDIO_FRAME}),
+    streaming-friendly at any corpus size."""
+    ensure_session_determinism(spark)
+    d = load(spark, sf_dir, "documents")
+    p = payloads_df(d)
+
+    def rms_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+
+        import numpy as np
+
+        for pdf in it:
+            rows = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["content"]):
+                body = bytes(blob)[16:]  # strip fake header
+                v = np.frombuffer(body, dtype=np.uint8).astype(np.int64)
+                for fno in range(0, (len(v) + AUDIO_FRAME - 1) // AUDIO_FRAME):
+                    seg = v[fno * AUDIO_FRAME : (fno + 1) * AUDIO_FRAME]
+                    ss = int(((seg - 128) ** 2).sum())  # exact int
+                    rows.append(
+                        (
+                            int(doc_id),
+                            fno,
+                            len(seg),
+                            math.floor(
+                                math.sqrt(ss / len(seg)) * 1000000 + 0.5
+                            )
+                            / 1000000,
+                        )
+                    )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_no", "n_samples", "rms"]
+            )
+
+    return p.select("doc_id", "content").mapInPandas(
+        rms_batches,
+        "doc_id BIGINT, frame_no INT, n_samples INT, rms DOUBLE",
+    )
