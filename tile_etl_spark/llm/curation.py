@@ -1218,3 +1218,80 @@ def q_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(counter("quality_ok", quality_ok))
         .unionByName(per_split)
     )
+
+
+@query(
+    "q_dedup_cluster_stats",
+    oracle=f"""
+    WITH RECURSIVE {NGRAM_PAIRS_CTES},
+    edges AS (
+      SELECT d1 AS a, d2 AS b FROM njpairs
+      UNION ALL
+      SELECT d2, d1 FROM njpairs
+    ),
+    reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    rep AS (
+      SELECT a AS doc_id, least(a, min(b)) AS cluster_rep
+      FROM reach GROUP BY a
+    ),
+    assign AS (
+      SELECT d.doc_id,
+             coalesce(r.cluster_rep, d.doc_id) AS cluster_rep
+      FROM documents d LEFT JOIN rep r ON d.doc_id = r.doc_id
+    ),
+    csize AS (
+      SELECT cluster_rep, count(*) AS n FROM assign GROUP BY cluster_rep
+    ),
+    corpus AS (SELECT count(*) AS total FROM documents)
+    SELECT CAST(csize.n AS BIGINT) AS cluster_size,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(count(*) * csize.n AS BIGINT) AS n_docs,
+           round(CAST(count(*) * csize.n AS DOUBLE) / corpus.total, 6)
+             AS corpus_share
+    FROM csize CROSS JOIN corpus
+    GROUP BY csize.n, corpus.total
+    """,
+)
+def q_dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEDUP AUDIT REPORT — the cluster-size distribution: how many
+    near-dup clusters exist at each size, how many documents they bind,
+    and what share of the corpus that is. The first chart in every
+    dedup run report (singletons = unique docs; the heavy tail = the
+    template/boilerplate families worth inspecting), and the number
+    that decides whether near-dup removal is worth its cost on a new
+    corpus. Built ON TOP of q_dedup_cluster's connected components —
+    operators composing operators, same edge set by construction.
+
+    Shape: the component assignment's (rep → size) aggregate collapses
+    to a size histogram (integer keys, map-side combined) with the
+    corpus total broadcast as a 1-row frame. All exact integers plus
+    one exact-ratio round."""
+    ensure_session_determinism(spark)
+    assign = q_dedup_cluster(spark, sf_dir)
+    csize = assign.groupBy("cluster_rep").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    total = load(spark, sf_dir, "documents").agg(
+        F.count(F.lit(1)).alias("total")
+    )
+    return (
+        csize.crossJoin(F.broadcast(total))
+        .groupBy(F.col("n").cast("bigint").alias("cluster_size"), "total")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_clusters"))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            (F.col("n_clusters") * F.col("cluster_size"))
+            .cast("bigint")
+            .alias("n_docs"),
+            F.round(
+                (F.col("n_clusters") * F.col("cluster_size")).cast("double")
+                / F.col("total"),
+                6,
+            ).alias("corpus_share"),
+        )
+    )
