@@ -94,3 +94,46 @@ def test_cloud_connector_conf_shapes():
 
     with pytest.raises(ValueError):
         cloud_connector_conf("azure")
+
+
+def test_zorder_write_clusters_key_ranges(spark, tmp_path):
+    """The POINT of q_tile_zorder: writing tiles sorted by the Morton
+    key yields files whose key ranges are narrow and non-overlapping —
+    so a 2-D bounding-box query prunes to a few contiguous files via
+    parquet min/max stats. Write the level-8 grid sorted by morton with
+    a small per-file cap, then read each file's actual min/max back
+    with pyarrow and assert the ranges tile the keyspace without
+    overlap."""
+    import pyarrow.parquet as pq
+
+    from tile_etl_spark import registry
+
+    z = registry.QUERIES["q_tile_zorder"](spark, "unused").where(
+        "level = 8"
+    )
+    out = str(tmp_path / "z8")
+    (
+        z.coalesce(1)
+        .sortWithinPartitions("morton")
+        .write.option("maxRecordsPerFile", 400)
+        .mode("overwrite")
+        .parquet(out)
+    )
+    import glob
+
+    ranges = []
+    for f in sorted(glob.glob(out + "/*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        col_idx = [
+            md.schema.column(i).name for i in range(md.num_columns)
+        ].index("morton")
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(col_idx).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        ranges.append((min(mins), max(maxs)))
+    assert len(ranges) >= 3, ranges  # the cap actually split files
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, (ranges, "file key ranges overlap")
