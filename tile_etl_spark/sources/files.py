@@ -527,3 +527,139 @@ def q_tile_sync_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("c.src_path", "p.src_path").alias("src_path"),
         action.alias("action"),
     )
+
+
+@query(
+    "q_schema_evolution",
+    oracle="""
+    WITH v1 AS (
+      SELECT o_orderkey, o_totalprice, NULL AS o_orderpriority
+      FROM orders WHERE o_orderkey % 2 = 0
+    ),
+    v2 AS (
+      SELECT o_orderkey, o_totalprice, o_orderpriority
+      FROM orders WHERE o_orderkey % 2 = 1
+    ),
+    unioned AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+    SELECT coalesce(o_orderpriority, '<pre-evolution>') AS priority,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS revenue
+    FROM unioned GROUP BY 1
+    """,
+)
+def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCHEMA EVOLUTION read — the lake reality that tables grow
+    columns over time: generation 1 of the dataset was written WITHOUT
+    o_orderpriority, generation 2 WITH it, into the same directory
+    tree. ``mergeSchema`` unifies them at read: old files surface the
+    new column as NULL (reported here under '<pre-evolution>'), new
+    files carry real values, and aggregates run over the union without
+    rewriting history — at 100 TB, rewriting generation-1 files to add
+    a column is exactly the job nobody can afford.
+
+    The two generations are deterministic halves of orders (orderkey
+    parity), so the oracle recomputes the identical union from the
+    source table. Artifacts rebuild per source fingerprint."""
+    ensure_session_determinism(spark)
+    o = load(spark, sf_dir, "orders")
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    base = _art(f"orders_evolving_{tag}")
+    marker = os.path.join(base, "_DONE")
+    fpr = source_fingerprint(os.path.join(sf_dir, "orders.parquet"))
+    if not marker_current(marker, fpr):
+        (
+            o.where(F.col("o_orderkey") % 2 == 0)
+            .select("o_orderkey", "o_totalprice")
+            .write.mode("overwrite")
+            .parquet(os.path.join(base, "gen=1"))
+        )
+        (
+            o.where(F.col("o_orderkey") % 2 == 1)
+            .select("o_orderkey", "o_totalprice", "o_orderpriority")
+            .write.mode("overwrite")
+            .parquet(os.path.join(base, "gen=2"))
+        )
+        write_marker(marker, fpr)
+    merged = (
+        spark.read.option("mergeSchema", True)
+        .option("recursiveFileLookup", True)
+        .parquet(base)
+    )
+    return merged.groupBy(
+        F.coalesce("o_orderpriority", F.lit("<pre-evolution>")).alias(
+            "priority"
+        )
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        as_double(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))).alias(
+            "revenue"
+        ),
+    )
+
+
+@query(
+    "src_csv_badrecords",
+    oracle="""
+    WITH src AS (
+      SELECT n_nationkey,
+             CASE WHEN n_nationkey % 5 = 0 THEN NULL ELSE n_regionkey END
+               AS n_regionkey,
+             (n_nationkey % 5 = 0) AS is_bad
+      FROM nation
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN is_bad THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_corrupt,
+           CAST(sum(CASE WHEN NOT is_bad THEN n_regionkey ELSE 0 END)
+                AS BIGINT) AS regionkey_sum
+    FROM src
+    """,
+)
+def src_csv_badrecords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MALFORMED-RECORD INGESTION: a CSV where every 5th row carries a
+    non-numeric value in an INT column, read in PERMISSIVE mode with a
+    ``_corrupt_record`` rescue column — the production posture for
+    ingesting files you don't control: bad rows are counted and
+    quarantined (the dead-letter pattern at the parser level, cf.
+    sink_objectstore's write-side twin), good rows flow through, and
+    the job never dies on row one. The corruption rule is
+    deterministic (nationkey % 5), so the oracle recomputes the
+    expected good/bad split and the checksum over surviving values
+    from the clean table."""
+    ensure_session_determinism(spark)
+    n = load(spark, sf_dir, "nation")
+    csv_dir = _art("nation_csv_bad")
+    line = F.concat_ws(
+        ",",
+        F.col("n_nationkey").cast("string"),
+        F.when(F.col("n_nationkey") % 5 == 0, F.lit("NOT_A_NUMBER"))
+        .otherwise(F.col("n_regionkey").cast("string")),
+    )
+    n.select(line.alias("value")).coalesce(1).write.mode(
+        "overwrite"
+    ).text(csv_dir)
+    schema = (
+        "n_nationkey INT, n_regionkey INT, _corrupt_record STRING"
+    )
+    parsed = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(csv_dir)
+    )
+    return parsed.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(
+            F.col("_corrupt_record").isNotNull().cast("int")
+        )
+        .cast("bigint")
+        .alias("n_corrupt"),
+        F.sum(
+            F.when(
+                F.col("_corrupt_record").isNull(), F.col("n_regionkey")
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("regionkey_sum"),
+    )
