@@ -250,3 +250,98 @@ def test_bloom_filter_has_no_false_negatives(spark):
     bitmap = bloom_build(keys, "k")
     survivors = keys.where(bloom_might_contain(bitmap, "k")).count()
     assert survivors == keys.count()
+
+
+@given(
+    row=st.integers(min_value=0, max_value=4095),
+    col=st.integers(min_value=0, max_value=4095),
+)
+@settings(max_examples=200, deadline=None)
+def test_morton_interleave_is_bijective(row, col):
+    """The Z-order key must be decodable back to (row, col) — bit i of
+    row landed at bit 2i, bit i of col at bit 2i+1 — i.e. the SQL
+    expression implements a true interleave, not a lossy mix."""
+    sql = G._morton_sql("r", "c")
+    # evaluate the SQL arithmetic in pure Python (same shifts/masks)
+    morton = sum(
+        (((row >> i) & 1) << (2 * i)) + (((col >> i) & 1) << (2 * i + 1))
+        for i in range(12)
+    )
+    # the generated SQL must equal the reference formula term-for-term
+    env = {"r": row, "c": col}
+    assert eval(  # noqa: S307 - test-only, fixed expression text
+        sql.replace("CAST(r AS BIGINT)", "r")
+        .replace("CAST(c AS BIGINT)", "c")
+        .replace("&", "&").replace("<<", "<<"),
+        {"__builtins__": {}},
+        env,
+    ) == morton
+    back_row = sum((((morton >> (2 * i)) & 1) << i) for i in range(12))
+    back_col = sum((((morton >> (2 * i + 1)) & 1) << i) for i in range(12))
+    assert (back_row, back_col) == (row, col)
+
+
+def test_skyline_output_is_exact_pareto_frontier(spark, sf_dir):
+    """Brute-force dominance check: every emitted skyline point must be
+    non-dominated in the FULL input point set, and every non-emitted
+    point must be dominated by some emitted point — the two directions
+    that make the window rewrite exactly the textbook O(n²) definition."""
+    pts = (
+        registry.QUERIES["q_skyline"](spark, sf_dir)
+        .select("price", "o_orderdate")
+        .collect()
+    )
+    sky = {(float(r["price"]), r["o_orderdate"]) for r in pts}
+    import duckdb as d
+
+    allpts = d.sql(
+        f"""SELECT DISTINCT CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE),
+                   o_orderdate
+            FROM '{sf_dir}/orders.parquet'"""
+    ).fetchall()
+
+    def dominated(p, q):
+        return (q[0] >= p[0] and q[1] <= p[1]) and (
+            q[0] > p[0] or q[1] < p[1]
+        )
+
+    for p in allpts:
+        is_dom = any(dominated(p, q) for q in allpts if q != p)
+        if tuple(p) in sky:
+            assert not is_dom, f"skyline point {p} is dominated"
+        else:
+            assert any(
+                dominated(p, q) for q in sky
+            ), f"non-skyline point {p} not dominated by any frontier point"
+
+
+def test_ewma_weights_match_recurrence_on_full_windows(spark, sf_dir):
+    """On rows with a full 8-observation history the truncated-weight
+    form must equal the classic recurrence y_t = a·x_t + (1-a)·y_{t-1}
+    unrolled to 8 terms and renormalized — i.e. the weights really are
+    (1-a)^i and the normalization is the partial geometric sum."""
+    from tile_etl_spark.operators import sessionize as S
+
+    rows = (
+        registry.QUERIES["q_ts_ewma"](spark, sf_dir)
+        .orderBy("user_id", "ts", "event_id")
+        .collect()
+    )
+    by_user: dict = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    checked = 0
+    for seq in by_user.values():
+        for i in range(7, len(seq)):
+            window = [seq[i - j]["value"] for j in range(8)]
+            num = sum(v * w for v, w in zip(window, S.EWMA_W))
+            den = sum(S.EWMA_W)
+            expect = round(num / den, 6)
+            assert abs(seq[i]["ewma"] - expect) <= 1e-6, (
+                seq[i],
+                expect,
+            )
+            checked += 1
+            if checked >= 50:
+                return
+    assert checked > 0
