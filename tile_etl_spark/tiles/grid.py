@@ -578,3 +578,93 @@ def q_tile_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         g.select("level", "row", "col", morton.alias("morton"))
         .withColumn("zrank", F.row_number().over(w).cast("bigint"))
     )
+
+
+@query(
+    "q_tile_neighbors",
+    oracle=_grid_oracle_cte()
+    + f"""
+    , paths AS (
+      SELECT level, "row", col,
+             printf('L%02d/R%s/C%s.jpg', level,
+                    {_HEX8_DUCK.format(c='"row"')},
+                    {_HEX8_DUCK.format(c='col')}) AS src_path
+      FROM grid WHERE level <= 7
+    ),
+    present AS (
+      SELECT level, "row", col FROM paths WHERE {_PRESENT_SQL}
+    ),
+    offsets(dr, dc) AS (VALUES (-1,-1), (-1,0), (-1,1), (0,-1),
+                               (0,1), (1,-1), (1,0), (1,1)),
+    probes AS (
+      SELECT p.level, p."row", p.col,
+             p."row" + o.dr AS nr, p.col + o.dc AS nc
+      FROM present p CROSS JOIN offsets o
+    )
+    SELECT pr.level, pr."row" AS row, pr.col,
+           CAST(count(n."row") AS INT) AS n_neighbors,
+           CAST(CASE WHEN count(n."row") = 8 THEN 1 ELSE 0 END AS INT)
+             AS interior
+    FROM probes pr
+    LEFT JOIN present n
+      ON pr.level = n.level AND pr.nr = n."row" AND pr.nc = n.col
+    GROUP BY pr.level, pr."row", pr.col
+    """,
+)
+def q_tile_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPATIAL NEIGHBORHOOD JOIN: for every present tile, how many of
+    its 8 grid neighbors are also present — the morphology primitive
+    (erosion/interior detection, coverage-hole finding, edge-of-data
+    masking) that raster pipelines run before smoothing or mosaic
+    blending. ``interior`` = fully surrounded; the complement is the
+    coverage boundary the reference's extent padding exists to protect.
+
+    Shape: each present tile fans out to its 8 neighbor keys (a literal
+    8-row offsets dimension — generated, broadcast), then ONE
+    hash-partitioned equi-join back against the same present set on the
+    composite (level, row, col) key, then a per-tile count. This is the
+    canonical grid-adjacency rewrite: geometry becomes key arithmetic,
+    the join is exact equi (no theta/band residual), and at a 100 TB
+    pyramid both sides hash on the same key so the join co-partitions.
+    Levels ≤ 7 keep the qid's cell count driver-friendly; the shape is
+    level-count-invariant."""
+    ensure_session_determinism(spark)
+    present = (
+        tile_grid(spark)
+        .where(F.col("level") <= 7)
+        .withColumn("src_path", src_path_col())
+        .where(F.expr(_PRESENT_SQL))
+        .select("level", "row", "col")
+    )
+    offsets = present.sparkSession.createDataFrame(
+        [(dr, dc) for dr in (-1, 0, 1) for dc in (-1, 0, 1)
+         if (dr, dc) != (0, 0)],
+        "dr INT, dc INT",
+    )
+    probes = present.crossJoin(F.broadcast(offsets)).select(
+        "level",
+        "row",
+        "col",
+        (F.col("row") + F.col("dr")).alias("nr"),
+        (F.col("col") + F.col("dc")).alias("nc"),
+    )
+    n = present.select(
+        F.col("level").alias("nl"),
+        F.col("row").alias("nrow"),
+        F.col("col").alias("ncol"),
+    )
+    joined = probes.join(
+        n,
+        (F.col("level") == F.col("nl"))
+        & (F.col("nr") == F.col("nrow"))
+        & (F.col("nc") == F.col("ncol")),
+        "left",
+    )
+    return (
+        joined.groupBy("level", "row", "col")
+        .agg(F.count("nrow").cast("int").alias("n_neighbors"))
+        .withColumn(
+            "interior",
+            (F.col("n_neighbors") == 8).cast("int"),
+        )
+    )
