@@ -689,3 +689,230 @@ def q_dq_partition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("trail_avg", 6).alias("trail_avg"),
         alert.cast("int").alias("volume_alert"),
     )
+
+
+@query(
+    "q_rel_division",
+    oracle="""
+    WITH brand_parts AS (
+      SELECT p_partkey FROM part WHERE p_brand = 'Brand#1'
+    ),
+    supply AS (
+      SELECT DISTINCT l_suppkey, l_partkey FROM lineitem
+      WHERE l_partkey IN (SELECT p_partkey FROM brand_parts)
+    ),
+    need AS (SELECT count(*) AS n FROM brand_parts)
+    SELECT s.l_suppkey AS suppkey,
+           CAST(count(*) AS BIGINT) AS n_brand_parts
+    FROM supply s CROSS JOIN need
+    GROUP BY s.l_suppkey, need.n
+    HAVING count(*) = need.n
+    """,
+)
+def q_rel_division(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RELATIONAL DIVISION — "suppliers who ship EVERY part of
+    Brand#1": the universal-quantifier query (FOR ALL) that plain
+    joins cannot express. Spelled as the standard count-match rewrite:
+    distinct (supplier, part) pairs restricted to the divisor set,
+    grouped per supplier, kept iff the count equals the divisor
+    cardinality — set containment becomes integer equality, with the
+    divisor size broadcast as a 1-row aggregate. The double-NOT-EXISTS
+    formulation is semantically identical but plans as two correlated
+    anti-joins; the count-match form is one aggregate over an already-
+    reduced pair set — the shape that survives 100 TB.
+    """
+    ensure_session_determinism(spark)
+    part = load(spark, sf_dir, "part")
+    li = load(spark, sf_dir, "lineitem")
+    brand = part.where(F.col("p_brand") == "Brand#1").select("p_partkey")
+    supply = (
+        li.join(F.broadcast(brand), li["l_partkey"] == brand["p_partkey"])
+        .select("l_suppkey", "l_partkey")
+        .distinct()
+    )
+    need = brand.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        supply.crossJoin(F.broadcast(need))
+        .groupBy("l_suppkey", "n")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") == F.col("n"))
+        .select(
+            F.col("l_suppkey").alias("suppkey"),
+            F.col("cnt").cast("bigint").alias("n_brand_parts"),
+        )
+    )
+
+
+@query(
+    "q_cumulative_uniques",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, min(CAST(ts AS DATE)) AS first_day
+      FROM events GROUP BY user_id
+    ),
+    daily_new AS (
+      SELECT first_day AS d, count(*) AS new_users
+      FROM firsts GROUP BY first_day
+    )
+    SELECT d, CAST(new_users AS BIGINT) AS new_users,
+           CAST(sum(new_users) OVER (ORDER BY d
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_uniques
+    FROM daily_new
+    """,
+)
+def q_cumulative_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUMULATIVE UNIQUE USERS per day — the growth curve every
+    dashboard opens with, and a classic scale trap: the naive form
+    (COUNT(DISTINCT user) over an expanding window) re-deduplicates
+    the ENTIRE history per day — O(days × users) state in one window.
+    The rewrite: distinct collapses to each user's FIRST day (one
+    map-side-combined aggregate), daily new-user counts, and a running
+    sum over the tiny calendar frame — cumulative-distinct becomes
+    cumulative-sum-of-first-appearances, mathematically identical and
+    linear at 100 TB. (HLL sketches — q_agg_hll_sketch — are the
+    approximate mergeable variant when per-segment curves multiply.)"""
+    ensure_session_determinism(spark)
+    e = load(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("first_day")
+    )
+    daily = firsts.groupBy(F.col("first_day").alias("d")).agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        "d",
+        F.col("new_users").cast("bigint").alias("new_users"),
+        F.sum("new_users").over(w).cast("bigint").alias("cum_uniques"),
+    )
+
+
+@query(
+    "q_peak_concurrency",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, event_id, ts, epoch_us(ts) AS us FROM events
+    ),
+    flagged AS (
+      SELECT *,
+             CASE WHEN lag(us) OVER w IS NULL
+                       OR us - lag(us) OVER w > {{gap}}
+                  THEN 1 ELSE 0 END AS is_new
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+    ),
+    sessions AS (
+      SELECT user_id,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_id,
+             us
+      FROM flagged
+    ),
+    spans AS (
+      SELECT user_id, session_id, min(us) AS s, max(us) AS t
+      FROM sessions GROUP BY user_id, session_id
+    ),
+    deltas AS (
+      SELECT s AS us, 1 AS delta FROM spans
+      UNION ALL
+      SELECT t + 1, -1 FROM spans
+    ),
+    sweep AS (
+      SELECT us,
+             sum(delta) OVER (ORDER BY us, delta
+                              ROWS UNBOUNDED PRECEDING) AS live
+      FROM deltas
+    )
+    SELECT CAST(max(live) AS BIGINT) AS peak_concurrent,
+           CAST(count(*) AS BIGINT) AS n_boundary_events
+    FROM sweep
+    """.replace("{gap}", str(1800000000)),
+)
+def q_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PEAK CONCURRENCY — the sweep-line pattern: how many 30-minute
+    sessions were ever live at once (capacity planning's first
+    number). Sessions become ±1 boundary events; a running sum over
+    the time-ordered boundary stream is the live-session count and its
+    max is the peak. The sweep order (us, delta ASC) is total up to
+    interchangeable equal-delta rows (whose running-sum max is
+    order-invariant), and at a shared boundary instant the −1 sorts
+    first — back-to-back sessions hand over without inflating the
+    peak, identically in both engines.
+
+    Scale shape: sessionization is the usual user-keyed sort; the
+    sweep's global running sum is ordered by time over BOUNDARY rows
+    (2 per session, ≪ events), and the two-level pattern (per-shard
+    partial sweeps + offset merge, the q_win_ntile rewrite) drops in
+    when even boundaries outgrow one reducer."""
+    ensure_session_determinism(spark)
+    from tile_etl_spark.operators.sessionize import sessionize
+
+    s = sessionize(load(spark, sf_dir, "events"))
+    spans = s.groupBy("user_id", "session_id").agg(
+        F.min("__us").alias("s"), F.max("__us").alias("t")
+    )
+    deltas = spans.select(
+        F.col("s").alias("us"), F.lit(1).alias("delta")
+    ).unionByName(
+        spans.select((F.col("t") + 1).alias("us"), F.lit(-1).alias("delta"))
+    )
+    w = Window.orderBy("us", "delta").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    sweep = deltas.select(F.sum("delta").over(w).alias("live"))
+    return sweep.agg(
+        F.max("live").cast("bigint").alias("peak_concurrent"),
+        F.count(F.lit(1)).cast("bigint").alias("n_boundary_events"),
+    )
+
+
+@query(
+    "q_seasonality_dow",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, dayofweek(CAST(ts AS DATE)) + 1 AS dow,
+             count(*) AS n,
+             sum(CAST(value AS DECIMAL(18,6))) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    totals AS (
+      SELECT event_type, sum(n) AS tn, sum(v) AS tv
+      FROM daily GROUP BY event_type
+    )
+    SELECT d.event_type, CAST(d.dow AS INT) AS dow,
+           CAST(d.n AS BIGINT) AS n,
+           round(CAST(d.n AS DOUBLE) / t.tn * 7, 6) AS volume_index,
+           CAST(d.v AS DOUBLE) AS sum_value
+    FROM daily d JOIN totals t ON d.event_type = t.event_type
+    """,
+)
+def q_seasonality_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAY-OF-WEEK SEASONALITY PROFILE: per event type, each weekday's
+    share of volume indexed to a flat week (1.0 = no seasonality) —
+    the profile that capacity planning, anomaly baselines
+    (q_dq_partition_stats' trailing window assumes one) and forecast
+    de-seasonalization all consume. Counts are exact integers, values
+    exact decimals; the index is one exact-ratio double round. dow is
+    Spark's convention (1 = Sunday); the oracle shifts DuckDB's
+    0-based dayofweek to match.
+    Two map-side-combined aggregates, the second over 7×|types| rows."""
+    ensure_session_determinism(spark)
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type",
+        F.dayofweek(F.col("ts").cast("date")).cast("int").alias("dow"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("v"),
+    )
+    totals = daily.groupBy("event_type").agg(
+        F.sum("n").alias("tn"), F.sum("v").alias("tv")
+    )
+    return daily.join(F.broadcast(totals), "event_type").select(
+        "event_type",
+        "dow",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(F.col("n").cast("double") / F.col("tn") * 7, 6).alias(
+            "volume_index"
+        ),
+        F.col("v").cast("double").alias("sum_value"),
+    )
