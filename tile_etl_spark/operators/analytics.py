@@ -916,3 +916,166 @@ def q_seasonality_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.col("v").cast("double").alias("sum_value"),
     )
+
+
+@query(
+    "q_funnel_ttc",
+    oracle="""
+    WITH clicks AS (
+      SELECT user_id, event_id, ts, epoch_us(ts) AS us FROM events
+      WHERE event_type = 'click'
+    ),
+    conv AS (
+      SELECT c.user_id, c.event_id,
+             (SELECT min(epoch_us(p.ts)) FROM events p
+               WHERE p.user_id = c.user_id AND p.event_type = 'purchase'
+                 AND p.ts >= c.ts) - c.us AS delta_us
+      FROM clicks c
+    ),
+    conv2 AS (SELECT * FROM conv WHERE delta_us IS NOT NULL)
+    SELECT CAST(count(*) AS BIGINT) AS n_converted,
+           CAST((SELECT count(*) FROM clicks) AS BIGINT) AS n_clicks,
+           round(CAST(count(*) AS DOUBLE)
+                 / (SELECT count(*) FROM clicks), 6) AS conversion_rate,
+           round(quantile_cont(CAST(delta_us AS DOUBLE), 0.5) / 1e6, 6)
+             AS median_ttc_sec,
+           round(quantile_cont(CAST(delta_us AS DOUBLE), 0.9) / 1e6, 6)
+             AS p90_ttc_sec
+    FROM conv2
+    """,
+)
+def q_funnel_ttc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-TO-CONVERT: for every click, the delay to the user's next
+    same-or-later purchase (forward as-of), summarized as conversion
+    rate + median/p90 latency — the funnel's missing time axis
+    (q_funnel counts WHO converts; this measures HOW FAST). Exact
+    interpolated percentiles over integer-µs deltas — the same
+    determinism argument as q_agg_percentile.
+
+    Shape: the forward as-of is q_join_asof_fwd's union-tag +
+    reversed running-min rewrite (ONE user-keyed shuffle — the
+    correlated-subquery oracle is the O(n·m) semantics statement, not
+    the plan), then a single global summary row."""
+    ensure_session_determinism(spark)
+    from tile_etl_spark.operators.joins import asof_join
+
+    e = load(spark, sf_dir, "events")
+    clicks = e.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("__right_id")
+    )
+    matched = asof_join(clicks, purchases, on="user_id", direction="forward")
+    delta = (
+        F.unix_micros("asof_ts") - F.unix_micros("ts")
+    ).alias("delta_us")
+    conv = matched.where(F.col("asof_ts").isNotNull()).select(delta)
+    n_clicks = clicks.agg(F.count(F.lit(1)).alias("n_clicks"))
+    return (
+        conv.agg(
+            F.count(F.lit(1)).alias("n_converted"),
+            F.expr("percentile(CAST(delta_us AS DOUBLE), 0.5)").alias("p50"),
+            F.expr("percentile(CAST(delta_us AS DOUBLE), 0.9)").alias("p90"),
+        )
+        .crossJoin(F.broadcast(n_clicks))
+        .select(
+            F.col("n_converted").cast("bigint").alias("n_converted"),
+            F.col("n_clicks").cast("bigint").alias("n_clicks"),
+            F.round(
+                F.col("n_converted").cast("double") / F.col("n_clicks"), 6
+            ).alias("conversion_rate"),
+            F.round(F.col("p50") / 1e6, 6).alias("median_ttc_sec"),
+            F.round(F.col("p90") / 1e6, 6).alias("p90_ttc_sec"),
+        )
+    )
+
+
+@query(
+    "q_basket_pairs",
+    oracle="""
+    WITH baskets AS (
+      SELECT DISTINCT l.l_orderkey, p.p_brand
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    n_orders AS (SELECT count(DISTINCT l_orderkey) AS n FROM baskets),
+    brand_n AS (
+      SELECT p_brand, count(*) AS n FROM baskets GROUP BY p_brand
+    ),
+    pairs AS (
+      SELECT a.p_brand AS b1, b.p_brand AS b2, count(*) AS together
+      FROM baskets a JOIN baskets b
+        ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+      GROUP BY 1, 2
+    )
+    SELECT pairs.b1, pairs.b2,
+           CAST(pairs.together AS BIGINT) AS together,
+           round(CAST(pairs.together AS DOUBLE) * n_orders.n
+                 / (na.n * nb.n), 6) AS lift
+    FROM pairs
+    JOIN brand_n na ON pairs.b1 = na.p_brand
+    JOIN brand_n nb ON pairs.b2 = nb.p_brand
+    CROSS JOIN n_orders
+    WHERE pairs.together >= 5
+    """,
+)
+def q_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MARKET-BASKET PAIR MINING: brand pairs bought together in one
+    order, with lift = P(A,B)/(P(A)·P(B)) — the association-rule
+    primitive (Apriori's first level) behind recommendations and
+    cross-sell. q_text_cooccur mines token pairs in documents; this is
+    the transactional twin on (order, brand) baskets with the same
+    count-then-join shape: distinct basket items, a self-join keyed on
+    the basket id restricted to ordered pairs (each unordered pair
+    once), marginal counts broadcast back, one exact-ratio lift. At
+    100 TB the basket self-join is the only wide stage and it
+    co-partitions on the basket key; hot baskets are bounded by
+    items-per-order, not corpus size."""
+    ensure_session_determinism(spark)
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    baskets = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    baskets = cache.persist_scoped(baskets, tag="q_basket_pairs")
+    n_orders = baskets.agg(
+        F.countDistinct("l_orderkey").alias("n")
+    )
+    brand_n = baskets.groupBy("p_brand").agg(F.count(F.lit(1)).alias("n"))
+    a, b = baskets.alias("a"), baskets.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.p_brand") < F.col("b.p_brand")),
+        )
+        .groupBy(
+            F.col("a.p_brand").alias("b1"), F.col("b.p_brand").alias("b2")
+        )
+        .agg(F.count(F.lit(1)).alias("together"))
+        .where(F.col("together") >= 5)
+    )
+    na = brand_n.select(
+        F.col("p_brand").alias("b1"), F.col("n").alias("na")
+    )
+    nb = brand_n.select(
+        F.col("p_brand").alias("b2"), F.col("n").alias("nb")
+    )
+    return (
+        pairs.join(F.broadcast(na), "b1")
+        .join(F.broadcast(nb), "b2")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "b1",
+            "b2",
+            F.col("together").cast("bigint").alias("together"),
+            F.round(
+                F.col("together").cast("double")
+                * F.col("n")
+                / (F.col("na") * F.col("nb")),
+                6,
+            ).alias("lift"),
+        )
+    )
