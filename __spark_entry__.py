@@ -27,7 +27,7 @@ _SMOKE_SF_DIR = "/root/testdata/sf0.001"
 FLAGSHIP = "q_agg_group"
 
 # Round-5 verification priority. The driver records ~50 CORRECTNESS
-# rows per round. Round 5 front-loads (a00) the 39 brand-new round-5
+# rows per round. Round 5 front-loads (a00) the 41 brand-new round-5
 # qids (first-ever driver rows), then (a0) the round-4 additions that
 # r3's 50-row budget already covered — kept for regression cover in
 # case the budget allows — then (a/b/c) the repaired ts pair, the
@@ -36,6 +36,8 @@ FLAGSHIP = "q_agg_group"
 # views.
 _PRIORITY = [
     # (a00) NEW in round 5 — need their first-ever driver rows
+    "q_funnel_ttc",
+    "q_basket_pairs",
     "q_rel_division",
     "q_cumulative_uniques",
     "q_peak_concurrency",
