@@ -35,6 +35,12 @@ FLAGSHIP = "q_agg_group"
 # implementation is unchanged — this orders only the exported dict
 # views.
 _PRIORITY = [
+    # (a) r3-red, REPAIRED this round (bucket now epoch-second BIGINT —
+    # constructed-timestamp outputs were the failing representation
+    # class): must be re-checked inside the ~50-row budget to prove the
+    # fix, so they lead the list.
+    "q_ts_resample",
+    "q_ts_interpolate",
     # (a00) NEW in round 5 — need their first-ever driver rows
     "q_funnel_ttc",
     "q_basket_pairs",
@@ -105,9 +111,6 @@ _PRIORITY = [
     "q_text_bigram_lm",
     "q_agg_filtered",
     "q_win_share",
-    # (a) r3-red, repaired: naive-timestamp oracle via make_timestamp
-    "q_ts_resample",
-    "q_ts_interpolate",
     # (b) events-based — fixture timestamp type changed post-r3
     "q_filter_null_bool",
     "q_join_nullsafe",

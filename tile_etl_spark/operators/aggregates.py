@@ -534,7 +534,7 @@ def q_agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM span
     ),
     daily AS (
-      SELECT o_orderdate AS d, count(*) AS n,
+      SELECT CAST(o_orderdate AS DATE) AS d, count(*) AS n,
              sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
       FROM orders GROUP BY 1
     )
@@ -560,13 +560,17 @@ def q_calendar_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero-fill happens after the cast so both engines emit exact 0.0."""
     ensure_session_determinism(spark)
     o = load(spark, sf_dir, "orders")
+    # DATE-typed calendar: constructed TIMESTAMP outputs are the
+    # driver-red representation class (round 3) — and o_orderdate is a
+    # midnight-aligned day anyway, so DATE is also the honest grain.
     span = o.agg(
-        F.min("o_orderdate").alias("lo"), F.max("o_orderdate").alias("hi")
+        F.min(F.col("o_orderdate").cast("date")).alias("lo"),
+        F.max(F.col("o_orderdate").cast("date")).alias("hi"),
     )
     cal = span.select(
         F.explode(F.sequence("lo", "hi")).alias("d")
     )
-    daily = o.groupBy(F.col("o_orderdate").alias("d")).agg(
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(dec("o_totalprice")).alias("rev"),
     )

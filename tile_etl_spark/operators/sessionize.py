@@ -139,11 +139,18 @@ RESAMPLE_S = 900  # 15-minute buckets
 # Shared DuckDB CTE block: (user, 15-min bucket) grid with the last
 # observed value per bucket — the twin of resampled_grid(). Reused by
 # both time-series qids so they agree on the grid by construction.
+#
+# The bucket is epoch SECONDS as BIGINT, not a timestamp: constructed
+# timestamps (make_timestamp / from_unixtime) were the only driver-red
+# output type in round 3 — the engines' pandas datetime resolutions
+# diverge on synthesized values even when passthrough parquet
+# timestamps compare green. Integers also make the grid explode and the
+# grid↔lastv equi-join cheaper (no timestamp codec in the join key).
 RESAMPLE_CTES = f"""
     b AS (
       SELECT user_id, event_id, value,
-             make_timestamp(CAST(floor(epoch(ts) / {RESAMPLE_S}) AS BIGINT)
-                            * {RESAMPLE_S} * 1000000) AS bucket,
+             CAST(floor(epoch(ts) / {RESAMPLE_S}) AS BIGINT)
+               * {RESAMPLE_S} AS bucket,
              row_number() OVER (
                PARTITION BY user_id,
                  CAST(floor(epoch(ts) / {RESAMPLE_S}) AS BIGINT)
@@ -157,21 +164,19 @@ RESAMPLE_CTES = f"""
     ),
     grid AS (
       SELECT user_id,
-             unnest(generate_series(lo, hi,
-                    INTERVAL {RESAMPLE_S} SECOND)) AS bucket
+             unnest(generate_series(lo, hi, {RESAMPLE_S})) AS bucket
       FROM spans
     )
 """
 
 
 def resampled_grid(e: DataFrame) -> DataFrame:
-    """(user_id, bucket, value) — dense per-user 15-min grid, value =
-    last observation in the bucket (deterministic (ts, event_id)
-    tiebreak) or NULL for empty buckets. All stages keyed on user_id."""
-    bucket = F.to_timestamp(
-        F.from_unixtime(
-            F.floor(F.unix_timestamp("ts") / RESAMPLE_S) * RESAMPLE_S
-        )
+    """(user_id, bucket, value) — dense per-user 15-min grid keyed by
+    epoch-second BIGINT bucket, value = last observation in the bucket
+    (deterministic (ts, event_id) tiebreak) or NULL for empty buckets.
+    All stages keyed on user_id."""
+    bucket = (F.floor(F.unix_timestamp("ts") / RESAMPLE_S) * RESAMPLE_S).cast(
+        "long"
     )
     w_last = Window.partitionBy("user_id", "bucket").orderBy(
         F.col("ts").desc(), F.col("event_id").desc()
@@ -188,9 +193,7 @@ def resampled_grid(e: DataFrame) -> DataFrame:
     grid = spans.select(
         "user_id",
         F.explode(
-            F.sequence(
-                F.col("lo"), F.col("hi"), F.expr(f"INTERVAL {RESAMPLE_S} SECOND")
-            )
+            F.sequence(F.col("lo"), F.col("hi"), F.lit(RESAMPLE_S).cast("long"))
         ).alias("bucket"),
     )
     return grid.join(lastv, ["user_id", "bucket"], "left")
@@ -250,8 +253,7 @@ def q_ts_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH {RESAMPLE_CTES},
     j AS (
-      SELECT g.user_id, g.bucket, l.value,
-             CAST(epoch(g.bucket) AS BIGINT) AS idx
+      SELECT g.user_id, g.bucket, l.value, g.bucket AS idx
       FROM grid g LEFT JOIN lastv l
         ON g.user_id = l.user_id AND g.bucket = l.bucket
     ),
@@ -299,7 +301,7 @@ def q_ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ensure_session_determinism(spark)
     joined = resampled_grid(load(spark, sf_dir, "events")).withColumn(
-        "idx", F.unix_timestamp("bucket")
+        "idx", F.col("bucket")
     )
     w_prev = (
         Window.partitionBy("user_id")
@@ -363,7 +365,7 @@ def q_ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(CASE WHEN grouping(h) = 0 THEN 'hour'
                 WHEN grouping(d) = 0 THEN 'day'
                 ELSE 'month' END AS VARCHAR) AS grain,
-           coalesce(h, d, m) AS bucket,
+           CAST(epoch(coalesce(h, d, m)) AS BIGINT) AS bucket,
            event_type,
            CAST(count(*) AS BIGINT) AS n,
            CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
@@ -420,9 +422,12 @@ def q_ts_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("gid") == 10, "day")
         .otherwise("month")
     )
+    # bucket emitted as epoch-second BIGINT: constructed TIMESTAMP
+    # output columns are the driver-red representation class (round 3)
+    # and the hour grain is sub-day, so DATE can't carry it.
     return rolled.select(
         grain.alias("grain"),
-        F.coalesce("h", "d", "m").alias("bucket"),
+        F.unix_timestamp(F.coalesce("h", "d", "m")).alias("bucket"),
         "event_type",
         "n",
         "sum_value",
