@@ -111,6 +111,17 @@ _PRIORITY = [
     "q_text_bigram_lm",
     "q_agg_filtered",
     "q_win_share",
+    # (a1) NEW in round 6 — need their first-ever driver rows
+    "q_tpch_q13",
+    "q_tpch_q15",
+    "q_tpch_q17",
+    "q_tpch_q22",
+    "q_tpch_q9",
+    "q_corr_pearson",
+    "q_cuped",
+    "q_sample_reservoir",
+    "q_anomaly_window",
+    "q_text_vocab_growth",
     # (b) events-based — fixture timestamp type changed post-r3
     "q_filter_null_bool",
     "q_join_nullsafe",

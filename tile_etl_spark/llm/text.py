@@ -966,3 +966,91 @@ def q_lm_doc_score(spark, sf_dir: str):
             ).alias("bits_per_bigram"),
         )
     )
+
+
+@query(
+    "q_text_vocab_growth",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      FROM documents
+    ),
+    firsts AS (
+      SELECT term, min(doc_id) AS first_doc FROM tok
+      WHERE term <> '' GROUP BY term
+    ),
+    newt AS (
+      SELECT first_doc AS doc_id, count(*) AS new_terms
+      FROM firsts GROUP BY first_doc
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(n.new_terms, 0) AS BIGINT) AS new_terms,
+           CAST(sum(coalesce(n.new_terms, 0)) OVER (
+                  ORDER BY d.doc_id ROWS UNBOUNDED PRECEDING)
+                AS BIGINT) AS vocab_size
+    FROM documents d LEFT JOIN newt n ON d.doc_id = n.doc_id
+    """,
+)
+def q_text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VOCABULARY GROWTH CURVE (Heaps' law): cumulative distinct-token
+    count as the corpus is consumed in doc_id order — the curve that
+    sizes tokenizer vocabularies and detects corpus saturation (when
+    new_terms/doc flattens, more data adds no lexical coverage).
+
+    Cumulative-distinct rewrites to cumulative-sum-of-first-
+    appearances (each term charged to its min(doc_id) — one aggregate,
+    no expanding re-dedup), the same linearization as
+    q_cumulative_uniques. But the running sum here is over DOC grain
+    (billions of rows at corpus scale), so an unpartitioned window
+    would serialize: instead the prefix sum is two-pass — range-
+    partition by doc_id, local running sums per partition, then a
+    broadcast of per-partition totals turns local sums into global
+    ones (the q_win_ntile offsets pattern applied to SUM instead of
+    COUNT). No stage sees unpartitioned data.
+
+    The range-partitioned block is cached so the totals pass and the
+    local-prefix pass agree on partition boundaries."""
+    ensure_session_determinism(spark)
+    scope(f"q_text_vocab_growth:{sf_dir}")
+    d = load(spark, sf_dir, "documents")
+    terms = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    ).where(F.col("term") != "")
+    firsts = terms.groupBy("term").agg(F.min("doc_id").alias("first_doc"))
+    newt = firsts.groupBy(F.col("first_doc").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("new_terms")
+    )
+    per_doc = (
+        d.select("doc_id")
+        .join(newt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("new_terms", F.lit(0)).cast("bigint").alias(
+                "new_terms"
+            ),
+        )
+    )
+    n_parts = spark.sparkContext.defaultParallelism
+    part = persist_scoped(
+        per_doc.repartitionByRange(n_parts, F.col("doc_id").asc())
+        .withColumn("pid", F.spark_partition_id())
+    )
+    totals = part.groupBy("pid").agg(F.sum("new_terms").alias("psum"))
+    w_off = Window.orderBy("pid").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow - 1
+    )
+    offsets = totals.select(
+        "pid", F.coalesce(F.sum("psum").over(w_off), F.lit(0)).alias("off")
+    )
+    w_local = Window.partitionBy("pid").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        part.withColumn("lsum", F.sum("new_terms").over(w_local))
+        .join(F.broadcast(offsets), "pid")
+        .select(
+            "doc_id",
+            "new_terms",
+            (F.col("off") + F.col("lsum")).cast("bigint").alias("vocab_size"),
+        )
+    )

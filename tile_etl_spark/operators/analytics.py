@@ -1079,3 +1079,288 @@ def q_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+@query(
+    "q_corr_pearson",
+    oracle="""
+    WITH s AS (
+      SELECT l_returnflag,
+             count(*) AS n,
+             sum(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
+             sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
+             sum(CAST(l_quantity AS DECIMAL(18,2))
+                 * CAST(l_quantity AS DECIMAL(18,2))) AS sxx,
+             sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * CAST(l_extendedprice AS DECIMAL(18,2))) AS syy,
+             sum(CAST(l_quantity AS DECIMAL(18,2))
+                 * CAST(l_extendedprice AS DECIMAL(18,2))) AS sxy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+           round((n * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / sqrt((n * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        * (n * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+                 6) AS corr_qty_price
+    FROM s
+    """,
+)
+def q_corr_pearson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PEARSON CORRELATION from exact moment sums — quantity vs price
+    per return flag. The built-in ``corr()`` aggregate accumulates
+    doubles in partition order, so two engines (or two runs) disagree
+    in the last ulps; the engine instead sums the five raw moments in
+    DECIMAL (order-insensitive, exact — quantities and prices are
+    exact at 2 dp) and evaluates the closed form
+    (n·Σxy − ΣxΣy)/√((n·Σx² − Σx²)(n·Σy² − Σy²)) once per group in
+    identical double arithmetic. Hash-exact by construction.
+
+    Shape: ONE map-side-combined aggregate pass (five DECIMAL sums +
+    count), then per-group scalar math — the same single-shuffle cost
+    as a plain sum at any scale. The same moment-vector is mergeable
+    state for incremental maintenance (cf. q_agg_incremental)."""
+    ensure_session_determinism(spark)
+    li = load(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("decimal(18,2)")
+    y = F.col("l_extendedprice").cast("decimal(18,2)")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+        F.sum(x * y).alias("sxy"),
+    )
+    n = F.col("n")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    return s.select(
+        "l_returnflag",
+        n.cast("bigint").alias("n"),
+        F.round(
+            (n * sxy - sx * sy)
+            / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            6,
+        ).alias("corr_qty_price"),
+    )
+
+
+@query(
+    "q_cuped",
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             CAST(user_id % 2 AS INT) AS arm,
+             sum(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+                 THEN CAST(value AS DECIMAL(18,6))
+                 ELSE CAST(0 AS DECIMAL(18,6)) END) AS x,
+             sum(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+                 THEN CAST(value AS DECIMAL(18,6))
+                 ELSE CAST(0 AS DECIMAL(18,6)) END) AS y
+      FROM events GROUP BY user_id
+    ),
+    g AS (
+      SELECT count(*) AS n,
+             CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+             CAST(sum(x * x) AS DOUBLE) AS sxx,
+             CAST(sum(x * y) AS DOUBLE) AS sxy
+      FROM u
+    ),
+    th AS (
+      SELECT (n * sxy - sx * sy) / (n * sxx - sx * sx) AS theta,
+             sx / n AS gx
+      FROM g
+    )
+    SELECT u.arm,
+           CAST(count(*) AS BIGINT) AS n_users,
+           round(CAST(sum(u.y) AS DOUBLE) / count(*), 6) AS mean_y,
+           round(CAST(sum(u.y) AS DOUBLE) / count(*)
+                 - any_value(th.theta)
+                   * (CAST(sum(u.x) AS DOUBLE) / count(*)
+                      - any_value(th.gx)), 6) AS mean_y_adj
+    FROM u, th GROUP BY u.arm
+    """,
+)
+def q_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction (Deng et al., WSDM'13) — the standard
+    experiment-analysis adjustment: per-user pre-period metric X
+    (first half of the month) explains away baseline variance in the
+    post-period metric Y, via theta = cov(X,Y)/var(X) pooled across
+    arms, adjusted mean = ȳ_arm − theta·(x̄_arm − x̄_global). Arms are
+    a deterministic user_id hash split (% 2), the same assignment a
+    real experiment platform derives from a bucketing hash.
+
+    Every moment (Σx, Σy, Σxy, Σx², counts) is an exact DECIMAL sum —
+    theta and both means are single identical double expressions, so
+    the adjusted means hash-match. Shape: one user-grain aggregate
+    (the only wide shuffle), a 1-row pooled-stats reduce broadcast
+    back, and a 2-group arm aggregate — CUPED at 100 TB costs one
+    pass + one broadcast."""
+    ensure_session_determinism(spark)
+    e = load(spark, sf_dir, "events")
+    v = F.col("value").cast("decimal(18,6)")
+    zero = F.lit(0).cast("decimal(18,6)")
+    cut = "2024-01-16 00:00:00"
+    u = e.groupBy("user_id").agg(
+        F.sum(F.when(F.col("ts") < cut, v).otherwise(zero)).alias("x"),
+        F.sum(F.when(F.col("ts") >= cut, v).otherwise(zero)).alias("y"),
+    ).select(
+        (F.col("user_id") % 2).cast("int").alias("arm"), "x", "y"
+    )
+    g = u.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("double").alias("gsx"),
+        F.sum("y").cast("double").alias("gsy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("gsxx"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("gsxy"),
+    )
+    th = g.select(
+        (
+            (F.col("n") * F.col("gsxy") - F.col("gsx") * F.col("gsy"))
+            / (F.col("n") * F.col("gsxx") - F.col("gsx") * F.col("gsx"))
+        ).alias("theta"),
+        (F.col("gsx") / F.col("n")).alias("gx"),
+    )
+    arms = u.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("x").cast("double").alias("asx"),
+        F.sum("y").cast("double").alias("asy"),
+    )
+    return arms.join(F.broadcast(th)).select(
+        "arm",
+        F.col("n_users").cast("bigint").alias("n_users"),
+        F.round(F.col("asy") / F.col("n_users"), 6).alias("mean_y"),
+        F.round(
+            F.col("asy") / F.col("n_users")
+            - F.col("theta")
+            * (F.col("asx") / F.col("n_users") - F.col("gx")),
+            6,
+        ).alias("mean_y_adj"),
+    )
+
+
+@query(
+    "q_sample_reservoir",
+    oracle="""
+    WITH r AS (
+      SELECT event_id, event_type,
+             row_number() OVER (
+               PARTITION BY event_type
+               ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS rn
+      FROM events
+    )
+    SELECT event_id, event_type, CAST(rn AS INT) AS rn
+    FROM r WHERE rn <= 10
+    """,
+)
+def q_sample_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DETERMINISTIC PER-GROUP SAMPLE (reservoir-equivalent): exactly
+    k=10 rows per event type, chosen by ranking on a cryptographic
+    hash of the row key — a uniform draw that is reproducible across
+    engines, runs and partitionings (unlike rand()-based sampling,
+    which can never hash-match an oracle). This is how a 100 TB
+    pipeline takes auditable QA samples: the selection is a pure
+    function of the data.
+
+    Spark plans the rank-then-filter as a WindowGroupLimit: each
+    partition keeps only its local top-k BEFORE the shuffle, so the
+    exchange carries k·partitions rows, not the table. md5 on the key
+    string is identical in both engines; the event_id tiebreak makes
+    the order total."""
+    ensure_session_determinism(spark)
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.md5(F.col("event_id").cast("string")), F.col("event_id")
+    )
+    return (
+        e.select("event_id", "event_type")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 10)
+        .select("event_id", "event_type", F.col("rn").cast("int").alias("rn"))
+    )
+
+
+@query(
+    "q_anomaly_window",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+             count(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    w AS (
+      SELECT event_type, d, n,
+             count(n) OVER win AS cnt7,
+             sum(n) OVER win AS sn,
+             sum(n * n) OVER win AS snn
+      FROM daily
+      WINDOW win AS (PARTITION BY event_type ORDER BY d
+                     ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type, d, CAST(n AS BIGINT) AS n,
+           round(CASE WHEN cnt7 = 7
+                      AND snn * cnt7 - sn * sn > 0 THEN
+                 (n - CAST(sn AS DOUBLE) / cnt7)
+                 / (sqrt(CAST(snn * cnt7 - sn * sn AS DOUBLE)) / cnt7)
+                 END, 6) AS zscore,
+           CAST(CASE WHEN cnt7 = 7 AND snn * cnt7 - sn * sn > 0
+                     AND abs((n - CAST(sn AS DOUBLE) / cnt7)
+                 / (sqrt(CAST(snn * cnt7 - sn * sn AS DOUBLE)) / cnt7))
+                         > 3.0
+                THEN 1 ELSE 0 END AS INT) AS is_anomaly
+    FROM w
+    """,
+)
+def q_anomaly_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLING-BASELINE ANOMALY DETECTION — each day's event volume
+    scored against the trailing 7 complete days' mean/std (the window
+    excludes the current day, so an anomalous day cannot mask itself).
+    The volume-spike monitor every ingestion pipeline runs. z is NULL
+    until a full 7-day baseline exists or when the baseline is
+    constant (std = 0).
+
+    All window state is INTEGER (Σn, Σn² over counts) so mean and std
+    come from exact sums — the z expression is the identical double
+    computation in both engines. Shape: one day-grain aggregate (the
+    only pass over raw events), then a tiny per-type window over the
+    calendar grain; at 100 TB the window input is days×types rows."""
+    ensure_session_determinism(spark)
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("d")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    win = (
+        Window.partitionBy("event_type").orderBy("d").rowsBetween(-7, -1)
+    )
+    w = daily.select(
+        "event_type",
+        "d",
+        "n",
+        F.count("n").over(win).alias("cnt7"),
+        F.sum("n").over(win).alias("sn"),
+        F.sum(F.col("n") * F.col("n")).over(win).alias("snn"),
+    )
+    ok = (F.col("cnt7") == 7) & (
+        F.col("snn") * F.col("cnt7") - F.col("sn") * F.col("sn") > 0
+    )
+    z = (F.col("n") - F.col("sn").cast("double") / F.col("cnt7")) / (
+        F.sqrt(
+            (F.col("snn") * F.col("cnt7") - F.col("sn") * F.col("sn")).cast(
+                "double"
+            )
+        )
+        / F.col("cnt7")
+    )
+    return w.select(
+        "event_type",
+        "d",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(F.when(ok, z), 6).alias("zscore"),
+        F.when(ok & (F.abs(z) > 3.0), 1).otherwise(0).cast("int").alias(
+            "is_anomaly"
+        ),
+    )

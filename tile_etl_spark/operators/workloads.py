@@ -1367,3 +1367,262 @@ def q_graph_degree_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return deg.groupBy(F.col("degree").cast("bigint").alias("degree")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_nodes")
     )
+
+
+@query(
+    "q_tpch_q13",
+    oracle="""
+    WITH c_orders AS (
+      SELECT c.c_custkey,
+             sum(CASE WHEN o.o_orderkey IS NOT NULL THEN 1 ELSE 0 END)
+               AS c_count
+      FROM customer c
+      LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    )
+    SELECT CAST(c_count AS BIGINT) AS c_count,
+           CAST(count(*) AS BIGINT) AS custdist
+    FROM c_orders GROUP BY c_count
+    """,
+)
+def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 (customer order-count distribution): how many
+    customers placed 0, 1, 2, ... qualifying orders — the two-level
+    aggregate over a LEFT join whose point is the PRESERVED null side
+    (zero-order customers must appear; an inner join silently drops
+    them). Fixture adaptation: the reference excludes
+    'special requests' comment patterns; the trimmed schema has no
+    comment column, so non-URGENT priority stands in as the filter ON
+    the join condition (not WHERE — a WHERE would turn the left join
+    back into inner).
+
+    Shape: the filter rides the join condition so urgent orders are
+    dropped WITHOUT dropping their customers; first groupBy keyed on
+    c_custkey (one shuffle over customers), second on the tiny c_count
+    domain. At 100 TB the orders side is pre-filtered before the
+    shuffle and both aggregates are map-side combined."""
+    ensure_session_determinism(spark)
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    joined = c.join(
+        o,
+        (c["c_custkey"] == o["o_custkey"])
+        & (o["o_orderpriority"] != "1-URGENT"),
+        "left",
+    )
+    counts = joined.groupBy("c_custkey").agg(
+        F.sum(
+            F.when(F.col("o_orderkey").isNotNull(), 1).otherwise(0)
+        ).alias("c_count")
+    )
+    return counts.groupBy(F.col("c_count").cast("bigint").alias("c_count")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("custdist")
+    )
+
+
+@query(
+    "q_tpch_q15",
+    oracle=f"""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             sum({_REV}) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= DATE '1996-01-01'
+        AND l_shipdate < DATE '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name,
+           CAST(r.total_revenue AS DOUBLE) AS total_revenue
+    FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+    """,
+)
+def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (top supplier): the supplier(s) whose Q1-1996 revenue
+    equals the global maximum — the reference phrases it as a view +
+    scalar subquery; the engine phrases the same plan as a revenue
+    aggregate reused for both the argmax filter and the join
+    (self-referencing view = compute once, consume twice). DECIMAL
+    revenue makes the max comparison exact, so ties select
+    deterministically identical row sets in both engines.
+
+    Shape: one shuffle for the per-supplier aggregate; the 1-row max
+    re-broadcasts into the filter; supplier is the broadcast dim. The
+    aggregate output (suppliers, not lineitems) is what flows into
+    both consumers — at 100 TB the fact table is read once."""
+    ensure_session_determinism(spark)
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    revenue = (
+        li.where(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1996-04-01")
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.sum(_rev()).alias("total_revenue"))
+    )
+    mx = revenue.agg(F.max("total_revenue").alias("mx"))
+    return (
+        revenue.join(F.broadcast(mx), F.col("total_revenue") == F.col("mx"))
+        .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("total_revenue").cast("double").alias("total_revenue"),
+        )
+    )
+
+
+@query(
+    "q_tpch_q17",
+    oracle="""
+    WITH part_avg AS (
+      SELECT l_partkey, 0.2 * avg(l_quantity) AS qty_thresh
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             / 7.0 AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN part_avg a ON a.l_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#1'
+      AND l.l_quantity < a.qty_thresh
+    """,
+)
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 (small-quantity-order revenue): yearly revenue lost if
+    orders below 20% of a part's average quantity were not filled. The
+    correlated scalar subquery (per-part average) decorrelates into a
+    grouped aggregate joined back to the fact — the rewrite every
+    modern optimizer performs, expressed directly. l_quantity is
+    integer-valued, so avg = exact-integer-sum / count is deterministic
+    in both engines and the 0.2× threshold comparison cannot straddle
+    an ulp.
+
+    Shape: the per-part aggregate shuffles on l_partkey and its output
+    (one row per part) joins back on the same key — with AQE the
+    re-join of aggregate to fact reuses the partitioning; part is the
+    broadcast dim. DECIMAL revenue sum; single global result row."""
+    ensure_session_determinism(spark)
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    part_avg = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("qty_thresh")
+    )
+    return (
+        li.join(
+            F.broadcast(p.where(F.col("p_brand") == "Brand#1")),
+            li["l_partkey"] == p["p_partkey"],
+        )
+        .join(part_avg, li["l_partkey"] == F.col("pk"))
+        .where(F.col("l_quantity") < F.col("qty_thresh"))
+        .agg(
+            (F.sum(dec("l_extendedprice")).cast("double") / 7.0).alias(
+                "avg_yearly"
+            )
+        )
+    )
+
+
+@query(
+    "q_tpch_q22",
+    oracle="""
+    WITH avg_bal AS (
+      SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+               / count(*) AS ab
+      FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT c.c_mktsegment,
+           CAST(count(*) AS BIGINT) AS numcust,
+           CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+             AS totacctbal
+    FROM customer c, avg_bal
+    WHERE c.c_acctbal > avg_bal.ab
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+    GROUP BY c.c_mktsegment
+    """,
+)
+def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 (global sales opportunity): wealthy-but-inactive
+    customers — balance above the positive-balance average, and NO
+    qualifying orders. Pins the NOT EXISTS → left ANTI join rewrite
+    plus a scalar-aggregate broadcast (the average) into the filter.
+    Fixture adaptation: every fixture customer has orders, so the
+    anti-join condition is 'no URGENT orders' (the reference's
+    7-year-window phone-code variant needs columns the trimmed schema
+    lacks); c_mktsegment stands in for the country-code grouping.
+    The average is exact (DECIMAL sum / count emitted once as DOUBLE),
+    so the balance comparison is cross-engine deterministic.
+
+    Shape: the 1-row average broadcasts into the customer scan filter;
+    the anti join shuffles only urgent orders (pre-filtered, projected
+    to the key column) against surviving customers; final aggregate is
+    5 groups, map-side combined."""
+    ensure_session_determinism(spark)
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    avg_bal = c.where(F.col("c_acctbal") > 0.0).agg(
+        (
+            F.sum(dec("c_acctbal")).cast("double") / F.count(F.lit(1))
+        ).alias("ab")
+    )
+    urgent = o.where(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_custkey"
+    )
+    return (
+        c.join(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("ab"))
+        .join(urgent, c["c_custkey"] == urgent["o_custkey"], "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("numcust"),
+            as_double(F.sum(dec("c_acctbal"))).alias("totacctbal"),
+        )
+    )
+
+
+@query(
+    "q_tpch_q9",
+    oracle=f"""
+    SELECT n.n_name AS nation,
+           CAST(year(l.l_shipdate) AS INT) AS o_year,
+           CAST(sum({_REV}) AS DOUBLE) AS profit
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_name LIKE '%red%'
+    GROUP BY n.n_name, year(l.l_shipdate)
+    """,
+)
+def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 (product-type profit): profit per supplier nation per
+    year over parts matching a name pattern — the widest fixture-
+    expressible star (fact + 3 dims) with a LIKE filter on a dimension
+    attribute. Fixture adaptation: no partsupp table, so profit is
+    revenue (no supplycost term) and the reference's 6-table chain
+    drops the orders hop (year comes from l_shipdate, matching the
+    available column).
+
+    Shape: the p_name LIKE filter shrinks part BEFORE broadcast, so
+    the fact scan keeps only matching partkeys via the broadcast hash
+    join (runtime filter at real scale); supplier and nation broadcast;
+    ONE map-side-combined DECIMAL aggregate over (nation, year)."""
+    ensure_session_determinism(spark)
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    p = load(spark, sf_dir, "part").where(F.col("p_name").like("%red%"))
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("l_shipdate").cast("int").alias("o_year"),
+        )
+        .agg(as_double(F.sum(_rev())).alias("profit"))
+    )
