@@ -170,33 +170,45 @@ RESAMPLE_CTES = f"""
 """
 
 
-def resampled_grid(e: DataFrame) -> DataFrame:
-    """(user_id, bucket, value) — dense per-user 15-min grid keyed by
-    epoch-second BIGINT bucket, value = last observation in the bucket
-    (deterministic (ts, event_id) tiebreak) or NULL for empty buckets.
-    All stages keyed on user_id."""
+def observation_pairs(e: DataFrame) -> DataFrame:
+    """(user_id, bucket, value, nxt_bucket, nxt_value) — one row per
+    observed 15-min bucket (value = last observation in the bucket,
+    deterministic (ts, event_id) tiebreak) with the NEXT observed
+    bucket of the same user alongside.
+
+    This is the gap-fill primitive both time-series qids consume: the
+    dense grid between two consecutive observations is generated BY
+    EXPLODING the pair row (``sequence(bucket, nxt_bucket-step)``), so
+    the fill value/slope is already on the row that generates the gap —
+    no (user, bucket) equi-join of the exploded grid back to the
+    observations, and no window pass over grid-sized data. Row
+    amplification happens strictly AFTER the last shuffle: at sf0.1
+    this cut the interpolation qid ~4.0 s → well under half (the old
+    shape shuffled + window-sorted the 4.2 M-row grid twice).
+
+    Assumes ``value`` is non-null (true of the events fixture): a null
+    observation would need the LOCF window form instead.
+    """
     bucket = (F.floor(F.unix_timestamp("ts") / RESAMPLE_S) * RESAMPLE_S).cast(
         "long"
     )
-    w_last = Window.partitionBy("user_id", "bucket").orderBy(
-        F.col("ts").desc(), F.col("event_id").desc()
-    )
     lastv = (
-        e.select("user_id", "event_id", "value", "ts", bucket.alias("bucket"))
-        .withColumn("rn", F.row_number().over(w_last))
-        .where(F.col("rn") == 1)
-        .select("user_id", "bucket", "value")
+        e.select("user_id", "event_id", "ts", "value", bucket.alias("bucket"))
+        .groupBy("user_id", "bucket")
+        .agg(
+            F.expr(
+                "max_by(value, struct(ts, event_id))"
+            ).alias("value")
+        )
     )
-    spans = lastv.groupBy("user_id").agg(
-        F.min("bucket").alias("lo"), F.max("bucket").alias("hi")
-    )
-    grid = spans.select(
+    w_nxt = Window.partitionBy("user_id").orderBy("bucket")
+    return lastv.select(
         "user_id",
-        F.explode(
-            F.sequence(F.col("lo"), F.col("hi"), F.lit(RESAMPLE_S).cast("long"))
-        ).alias("bucket"),
+        "bucket",
+        "value",
+        F.lead("bucket").over(w_nxt).alias("nxt_bucket"),
+        F.lead("value").over(w_nxt).alias("nxt_value"),
     )
-    return grid.join(lastv, ["user_id", "bucket"], "left")
 
 
 @query(
@@ -223,28 +235,30 @@ def q_ts_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     and charting consume; forward fill is the standard
     last-observation-carried-forward semantics.
 
-    Shape: one (user, bucket) aggregate, a per-user grid explode
-    (sequence between the user's min/max bucket — row amplification is
-    the grid, no shuffle), a co-keyed left join, and ONE window for the
-    fill — all partitioned by user_id, so at 100 TB every stage reuses
-    the same hash partitioning and the window never sees cross-user
-    data. Values are picked, never summed — no float-order risk.
+    Shape: one (user, bucket) aggregate and one user-keyed lead window
+    over OBSERVATION-grain rows, then the gap explode — the carried
+    value rides the pair row that generates its gap, so there is no
+    grid-sized join and no window over grid-sized data
+    (observation_pairs). Values are picked, never summed — no
+    float-order risk.
     """
     ensure_session_determinism(spark)
-    joined = resampled_grid(load(spark, sf_dir, "events"))
-    w_ff = (
-        Window.partitionBy("user_id")
-        .orderBy("bucket")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    return joined.select(
+    pairs = observation_pairs(load(spark, sf_dir, "events"))
+    step = F.lit(RESAMPLE_S).cast("long")
+    return pairs.withColumn(
+        "g",
+        F.explode(
+            F.sequence(
+                F.col("bucket"),
+                F.coalesce(F.col("nxt_bucket") - step, F.col("bucket")),
+                step,
+            )
+        ),
+    ).select(
         "user_id",
-        "bucket",
-        F.last("value", ignorenulls=True)
-        .over(w_ff)
-        .cast("double")
-        .alias("value_ff"),
-        F.col("value").isNotNull().cast("int").alias("had_event"),
+        F.col("g").alias("bucket"),
+        F.col("value").cast("double").alias("value_ff"),
+        (F.col("g") == F.col("bucket")).cast("int").alias("had_event"),
     )
 
 
@@ -292,66 +306,52 @@ def q_ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels each row obs/interp/ffill — the provenance a feature
     pipeline keeps.
 
-    Shape: the shared grid (resampled_grid) plus TWO user-partitioned
-    windows (backward last-non-null, forward first-non-null) computed
-    in one pass each — no extra shuffle beyond the grid's own user_id
-    partitioning. The interpolation arithmetic is the same expression
-    tree in both engines (double subtraction/division/rounding), so
-    the 6-dp values hash-match.
+    Shape: the observation-pair form (observation_pairs) — the
+    previous/next observation the oracle recovers with two grid-sized
+    windows is ALREADY on the pair row that generates each gap bucket,
+    so interpolation is pure per-row arithmetic after the explode; no
+    join, no window over grid-sized data. The interpolation arithmetic
+    is the same expression tree in both engines (double
+    subtraction/division/rounding), so the 6-dp values hash-match.
     """
     ensure_session_determinism(spark)
-    joined = resampled_grid(load(spark, sf_dir, "events")).withColumn(
-        "idx", F.col("bucket")
+    pairs = observation_pairs(load(spark, sf_dir, "events"))
+    step = F.lit(RESAMPLE_S).cast("long")
+    rows = pairs.withColumn(
+        "g",
+        F.explode(
+            F.sequence(
+                F.col("bucket"),
+                F.coalesce(F.col("nxt_bucket") - step, F.col("bucket")),
+                step,
+            )
+        ),
     )
-    w_prev = (
-        Window.partitionBy("user_id")
-        .orderBy("bucket")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    # "Next observation" via a running `last` over the REVERSED order,
-    # not `first` over a (currentRow, unboundedFollowing) frame: Spark's
-    # WindowExec evaluates growing-from-current forward frames by
-    # re-scanning ahead per row — O(rows²) per partition, measured 199 s
-    # at sf0.1 (4.2 M grid rows) vs 4 s for this form. A running last
-    # over unboundedPreceding..currentRow is streaming O(rows) in both
-    # directions; results are identical.
-    w_next = (
-        Window.partitionBy("user_id")
-        .orderBy(F.col("bucket").desc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    obs_idx = F.when(F.col("value").isNotNull(), F.col("idx"))
-    withw = joined.select(
-        "user_id",
-        "bucket",
-        "value",
-        "idx",
-        F.last("value", ignorenulls=True).over(w_prev).alias("pv"),
-        F.last(obs_idx, ignorenulls=True).over(w_prev).alias("pi"),
-        F.last("value", ignorenulls=True).over(w_next).alias("nv"),
-        F.last(obs_idx, ignorenulls=True).over(w_next).alias("ni"),
-    )
-    interp = F.col("pv") + (F.col("nv") - F.col("pv")) * (
-        (F.col("idx") - F.col("pi")).cast("double")
-        / (F.col("ni") - F.col("pi"))
+    is_obs = F.col("g") == F.col("bucket")
+    # identical expression tree to the oracle's pv + (nv−pv)·(idx−pi)/
+    # (ni−pi): pv/pi come from the generating observation, nv/ni from
+    # the next one carried on the same row
+    interp = F.col("value") + (F.col("nxt_value") - F.col("value")) * (
+        (F.col("g") - F.col("bucket")).cast("double")
+        / (F.col("nxt_bucket") - F.col("bucket"))
     )
     value_li = (
-        F.when(F.col("value").isNotNull(), F.col("value"))
-        .when(F.col("nv").isNull(), F.col("pv"))
+        F.when(is_obs, F.col("value"))
+        .when(F.col("nxt_bucket").isNull(), F.col("value"))
         .otherwise(interp)
     )
     fill_kind = (
-        F.when(F.col("value").isNotNull(), "obs")
-        .when(F.col("nv").isNull(), "ffill")
+        F.when(is_obs, "obs")
+        .when(F.col("nxt_bucket").isNull(), "ffill")
         .otherwise("interp")
     )
     # explicit HALF_UP via floor(x·1e6 + 0.5)/1e6 in BOTH dialects:
     # interpolation fractions (quarters, halves) times 2-decimal values
     # land EXACTLY on the 6-dp rounding boundary, where Spark's and
     # DuckDB's native round() differ in tie-breaking
-    return withw.select(
+    return rows.select(
         "user_id",
-        "bucket",
+        F.col("g").alias("bucket"),
         (F.floor(value_li.cast("double") * 1000000 + 0.5) / 1000000).alias(
             "value_li"
         ),
