@@ -122,6 +122,13 @@ _PRIORITY = [
     "q_sample_reservoir",
     "q_anomaly_window",
     "q_text_vocab_growth",
+    "q_tpch_q2",
+    "q_tpch_q4",
+    "q_tpch_q6",
+    "q_tpch_q8",
+    "q_tpch_q11",
+    "q_tpch_q16",
+    "q_tpch_q20",
     # (b) events-based — fixture timestamp type changed post-r3
     "q_filter_null_bool",
     "q_join_nullsafe",

@@ -97,6 +97,24 @@ EXTRA = [
     "q_rfm_segments",
     "q_tile_sync_delta",
     "q_tile_pyramid",
+    # round-6 additions
+    "q_tpch_q9",
+    "q_tpch_q13",
+    "q_tpch_q15",
+    "q_tpch_q17",
+    "q_tpch_q22",
+    "q_corr_pearson",
+    "q_cuped",
+    "q_sample_reservoir",
+    "q_anomaly_window",
+    "q_text_vocab_growth",
+    "q_tpch_q2",
+    "q_tpch_q4",
+    "q_tpch_q6",
+    "q_tpch_q8",
+    "q_tpch_q11",
+    "q_tpch_q16",
+    "q_tpch_q20",
 ]
 
 

@@ -1626,3 +1626,390 @@ def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(as_double(F.sum(_rev())).alias("profit"))
     )
+
+
+@query(
+    "q_tpch_q2",
+    oracle="""
+    WITH ps AS (
+      SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+    ),
+    ranked AS (
+      SELECT ps.l_partkey, s.s_suppkey, s.s_name, s.s_acctbal,
+             row_number() OVER (PARTITION BY ps.l_partkey
+                                ORDER BY s.s_acctbal ASC, s.s_suppkey ASC)
+               AS rn
+      FROM ps JOIN supplier s ON ps.l_suppkey = s.s_suppkey
+    )
+    SELECT p.p_partkey, p.p_name, r.s_suppkey, r.s_name,
+           CAST(r.s_acctbal AS DOUBLE) AS s_acctbal
+    FROM ranked r JOIN part p ON p.p_partkey = r.l_partkey
+    WHERE r.rn = 1 AND p.p_size <= 10
+    """,
+)
+def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 (minimum-cost supplier): for each small part, the
+    single cheapest supplier that has actually supplied it — the
+    correlated-min-subquery pattern, decorrelated into a per-part
+    argmin window over the part↔supplier relationship. Fixture
+    adaptation: no partsupp table, so the relationship is the DISTINCT
+    (partkey, suppkey) pairs observed in lineitem and s_acctbal stands
+    in for ps_supplycost; no region/nation arm (Q9 covers that
+    traversal). The (acctbal, suppkey) tiebreak makes the argmin total.
+
+    Shape: pair-distinct is one shuffle on the composite key; supplier
+    broadcasts into the pairs; the argmin window runs partitioned by
+    partkey (WindowGroupLimit keeps only local minima before the
+    shuffle); part broadcasts with the size filter pre-applied."""
+    ensure_session_determinism(spark)
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    p = load(spark, sf_dir, "part").where(F.col("p_size") <= 10)
+    ps = li.select("l_partkey", "l_suppkey").distinct()
+    w = Window.partitionBy("l_partkey").orderBy(
+        F.col("s_acctbal").asc(), F.col("s_suppkey").asc()
+    )
+    ranked = (
+        ps.join(F.broadcast(s), ps["l_suppkey"] == s["s_suppkey"])
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+    )
+    return ranked.join(
+        F.broadcast(p), ranked["l_partkey"] == p["p_partkey"]
+    ).select(
+        "p_partkey",
+        "p_name",
+        "s_suppkey",
+        "s_name",
+        F.col("s_acctbal").cast("double").alias("s_acctbal"),
+    )
+
+
+@query(
+    "q_tpch_q4",
+    oracle="""
+    SELECT o.o_orderpriority,
+           CAST(count(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= DATE '1996-01-01'
+      AND o.o_orderdate < DATE '1996-04-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND CAST(l.l_shipdate AS DATE)
+              > CAST(o.o_orderdate AS DATE) + 60)
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 (order priority checking): per priority, how many
+    Q1-1996 orders had at least one line shipped more than 60 days
+    after ordering. Pins EXISTS-with-correlated-predicate → LEFT SEMI
+    join where the correlation involves BOTH tables' columns (shipdate
+    vs orderdate), so the semi join carries a non-equi residual on top
+    of the orderkey equi key. Fixture adaptation: no l_commitdate /
+    l_receiptdate, so 'late' is shipdate 60+ days past order date.
+
+    Shape: the date window prunes orders at the scan; the semi join
+    hashes on l_orderkey and evaluates the residual per match,
+    stopping at the first hit (semi semantics — no fan-out); final
+    aggregate is 5 groups, map-side combined."""
+    ensure_session_determinism(spark)
+    o = load(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1996-04-01")
+    )
+    li = load(spark, sf_dir, "lineitem")
+    cond = (F.col("l_orderkey") == F.col("o_orderkey")) & (
+        F.col("l_shipdate").cast("date")
+        > F.date_add(F.col("o_orderdate").cast("date"), 60)
+    )
+    return (
+        o.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("order_count"))
+    )
+
+
+@query(
+    "q_tpch_q6",
+    oracle="""
+    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
+             AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= DATE '1997-01-01'
+      AND l_shipdate < DATE '1998-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (forecasting revenue change) — the pure scan-filter-
+    aggregate: no join, one global DECIMAL sum under three pushed
+    predicates. This is the query that measures raw scan + predicate
+    throughput; every filter reaches the parquet reader (date range,
+    discount band, quantity cap all pushable), and the aggregate is a
+    single partial+final sum. The discount literals compare against
+    the same stored doubles in both engines, so the band edges select
+    identical rows."""
+    ensure_session_determinism(spark)
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= "1997-01-01")
+            & (F.col("l_shipdate") < "1998-01-01")
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            as_double(
+                F.sum(dec("l_extendedprice") * dec("l_discount"))
+            ).alias("revenue")
+        )
+    )
+
+
+@query(
+    "q_tpch_q8",
+    oracle=f"""
+    WITH vol AS (
+      SELECT year(l.l_shipdate) AS o_year,
+             {_REV} AS volume,
+             ns.n_name AS supp_nation
+      FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+      JOIN region r ON nc.n_regionkey = r.r_regionkey
+      WHERE r.r_name = 'ASIA'
+    )
+    SELECT CAST(o_year AS INT) AS o_year,
+           round(CAST(sum(CASE WHEN supp_nation = 'NATION_1'
+                          THEN volume ELSE CAST(0 AS DECIMAL(18,2)) END)
+                      AS DOUBLE)
+                 / CAST(sum(volume) AS DOUBLE), 6) AS mkt_share
+    FROM vol GROUP BY o_year
+    """,
+)
+def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 (national market share): NATION_1 suppliers' share of
+    revenue sold into ASIA-region customers, per year — the deepest
+    fixture-expressible snowflake (fact + 5 dimension hops, one
+    traversed twice) with the conditional-share aggregate on top.
+    Fixture adaptation: no p_type filter arm (part carries the Q9/Q14
+    coverage) and the year range is the data's own span.
+
+    Shape: every dimension (supplier, customer, nation×2, region)
+    broadcasts; lineitem→orders is the only shuffled join; numerator
+    and denominator come from ONE DECIMAL aggregate pass (CASE inside
+    SUM), so the share is exact-over-exact in both engines."""
+    ensure_session_determinism(spark)
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    ns = n.select(
+        F.col("n_nationkey").alias("s_nk"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    nc = n.select(
+        F.col("n_nationkey").alias("c_nk"),
+        F.col("n_regionkey").alias("c_rk"),
+    )
+    vol = (
+        li.join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("s_nk"))
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(nc), F.col("c_nationkey") == F.col("c_nk"))
+        .join(F.broadcast(r), F.col("c_rk") == F.col("r_regionkey"))
+        .select(
+            F.year("l_shipdate").cast("int").alias("o_year"),
+            _rev().alias("volume"),
+            "supp_nation",
+        )
+    )
+    zero = F.lit(0).cast("decimal(18,2)")
+    return vol.groupBy("o_year").agg(
+        F.round(
+            F.sum(
+                F.when(F.col("supp_nation") == "NATION_1", F.col("volume"))
+                .otherwise(zero)
+            ).cast("double")
+            / F.sum("volume").cast("double"),
+            6,
+        ).alias("mkt_share")
+    )
+
+
+@query(
+    "q_tpch_q11",
+    oracle="""
+    WITH pv AS (
+      SELECT l.l_partkey,
+             sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS val
+      FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      WHERE n.n_name = 'NATION_1'
+      GROUP BY l.l_partkey
+    ),
+    tot AS (SELECT sum(val) AS t FROM pv)
+    SELECT pv.l_partkey, CAST(pv.val AS DOUBLE) AS value
+    FROM pv, tot
+    WHERE CAST(pv.val AS DOUBLE) > 0.001 * CAST(tot.t AS DOUBLE)
+    """,
+)
+def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 (important stock identification): parts whose value
+    supplied through NATION_1 suppliers exceeds 0.1% of that nation's
+    total — the grouped-aggregate-vs-scalar-aggregate HAVING pattern,
+    where the threshold is itself an aggregate over the same derived
+    table. Fixture adaptation: no partsupp, so value is lineitem
+    extendedprice through the nation's suppliers.
+
+    Shape: the per-part aggregate is computed ONCE and consumed twice
+    (group rows + 1-row total) — the total broadcasts back into the
+    filter, exactly like Q15's argmax. Both sides of the threshold
+    comparison are exact DECIMAL sums cast to double through the same
+    expression, so the cut selects identical parts."""
+    ensure_session_determinism(spark)
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_1")
+    pv = (
+        li.join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(dec("l_extendedprice")).alias("val"))
+    )
+    tot = pv.agg(F.sum("val").alias("t"))
+    return (
+        pv.join(F.broadcast(tot))
+        .where(
+            F.col("val").cast("double") > 0.001 * F.col("t").cast("double")
+        )
+        .select("l_partkey", F.col("val").cast("double").alias("value"))
+    )
+
+
+@query(
+    "q_tpch_q16",
+    oracle="""
+    SELECT p.p_brand, p.p_type, p.p_size,
+           CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_size IN (1, 5, 9, 13)
+      AND p.p_brand <> 'Brand#1'
+      AND l.l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    """,
+)
+def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 (parts/supplier relationship): how many distinct
+    eligible suppliers serve each (brand, type, size) slice — the
+    COUNT(DISTINCT) over a join with a NOT IN exclusion subquery.
+    Fixture adaptation: the supplier relationship comes from lineitem
+    (no partsupp) and negative account balance stands in for the
+    complaints blacklist.
+
+    Shape: NOT IN over a provably non-null key column plans as a LEFT
+    ANTI join (broadcast — the blacklist is tiny); part is the filtered
+    broadcast dim; the distinct-count is a two-phase aggregate (dedup
+    on (group, suppkey), then count) — both phases map-side
+    combinable, no single-point distinct."""
+    ensure_session_determinism(spark)
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").where(
+        F.col("p_size").isin(1, 5, 9, 13) & (F.col("p_brand") != "Brand#1")
+    )
+    bad = (
+        load(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(
+            F.broadcast(bad),
+            li["l_suppkey"] == bad["s_suppkey"],
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(
+            F.countDistinct("l_suppkey").cast("bigint").alias("supplier_cnt")
+        )
+    )
+
+
+@query(
+    "q_tpch_q20",
+    oracle="""
+    WITH agg AS (
+      SELECT l_partkey, l_suppkey, sum(l_quantity) AS qty97
+      FROM lineitem
+      WHERE l_shipdate >= DATE '1997-01-01'
+        AND l_shipdate < DATE '1998-01-01'
+      GROUP BY l_partkey, l_suppkey
+    ),
+    ptot AS (
+      SELECT l_partkey, sum(qty97) AS tot FROM agg GROUP BY l_partkey
+    ),
+    dominant AS (
+      SELECT a.l_suppkey
+      FROM agg a
+      JOIN ptot t ON a.l_partkey = t.l_partkey
+      JOIN part p ON p.p_partkey = a.l_partkey
+      WHERE p.p_name LIKE '%red%' AND a.qty97 > 0.5 * t.tot
+    )
+    SELECT s.s_suppkey, s.s_name
+    FROM supplier s
+    WHERE s.s_suppkey IN (SELECT l_suppkey FROM dominant)
+    """,
+)
+def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 (potential part promotion): suppliers who DOMINATE
+    the 1997 supply of some red part (more than half that part's
+    shipped quantity) — the nested IN-chain query (supplier IN (...
+    part IN (...))), decorrelated into two stacked aggregates and a
+    semi join. Fixture adaptation: no partsupp availqty, so the
+    half-threshold compares a supplier's share against the part's
+    total shipped quantity.
+
+    Shape: both aggregates key on l_partkey (the second reuses the
+    first's partitioning under AQE); part broadcasts with the LIKE
+    pre-applied; the final IN is a LEFT SEMI against the small
+    dominant-supplier set. Quantities are integer-valued doubles —
+    sums are exact, so the 0.5× threshold is deterministic."""
+    ensure_session_determinism(spark)
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").where(F.col("p_name").like("%red%"))
+    s = load(spark, sf_dir, "supplier")
+    agg = (
+        li.where(
+            (F.col("l_shipdate") >= "1997-01-01")
+            & (F.col("l_shipdate") < "1998-01-01")
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty97"))
+    )
+    ptot = agg.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum("qty97").alias("tot")
+    )
+    dominant = (
+        agg.join(ptot, agg["l_partkey"] == ptot["pk"])
+        .join(F.broadcast(p), agg["l_partkey"] == p["p_partkey"])
+        .where(F.col("qty97") > 0.5 * F.col("tot"))
+        .select("l_suppkey")
+    )
+    return s.join(
+        dominant, s["s_suppkey"] == dominant["l_suppkey"], "left_semi"
+    ).select("s_suppkey", "s_name")
