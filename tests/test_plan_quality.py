@@ -416,3 +416,88 @@ def test_asof_fwd_no_inequality_join(spark, sf_dir):
     p = plan(q("q_join_asof_fwd", spark, sf_dir))
     assert "Join" not in p, p
     assert "windowspecdefinition" in p
+
+
+def test_tpch_q2_argmin_uses_window_group_limit(spark, sf_dir):
+    """Q2's rn=1 argmin must plan as WindowGroupLimit (per-partition
+    local minima kept before the shuffle) with broadcast dims and no
+    nested loop."""
+    p = plan(q("q_tpch_q2", spark, sf_dir))
+    assert "WindowGroupLimit" in p
+    assert "BroadcastHashJoin" in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_tpch_q4_semi_join_keeps_equi_key(spark, sf_dir):
+    """Q4's EXISTS carries a non-equi residual (shipdate vs orderdate),
+    but the semi join must still hash on the l_orderkey equi key —
+    never degrade to a nested loop over the residual."""
+    p = plan(q("q_tpch_q4", spark, sf_dir))
+    assert "LeftSemi" in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_tpch_q6_pushes_all_predicates(spark, sf_dir):
+    p = plan(q("q_tpch_q6", spark, sf_dir))
+    pushed = [ln for ln in p.splitlines() if "PushedFilters" in ln][0]
+    for frag in ("l_shipdate", "l_discount", "LessThan(l_quantity"):
+        assert frag in pushed, pushed
+
+
+def test_tpch_q8_single_shuffled_join(spark, sf_dir):
+    """Q8's six-hop snowflake: every dimension broadcasts — the only
+    shuffle exchanges belong to lineitem⋈orders and the final
+    aggregate."""
+    p = plan(q("q_tpch_q8", spark, sf_dir))
+    assert p.count("BroadcastHashJoin") >= 5
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_tpch_q16_blacklist_is_broadcast_anti(spark, sf_dir):
+    p = plan(q("q_tpch_q16", spark, sf_dir))
+    assert "LeftAnti" in p
+    assert "BroadcastHashJoin" in p
+
+
+def test_sample_reservoir_uses_window_group_limit(spark, sf_dir):
+    """The deterministic sampler must keep only local top-k per
+    partition before the shuffle — the WindowGroupLimit path."""
+    p = plan(q("q_sample_reservoir", spark, sf_dir))
+    assert "WindowGroupLimit" in p
+
+
+def test_corr_and_cuped_single_aggregate_pass(spark, sf_dir):
+    """Moment-sum analytics: partial+final hash aggregate, no window,
+    no cartesian — the whole query is one shuffle plus scalar math."""
+    for qid in ("q_corr_pearson",):
+        p = plan(q(qid, spark, sf_dir))
+        assert "HashAggregate" in p and "partial" in p.lower(), qid
+        assert "Window" not in p, qid
+        assert "CartesianProduct" not in p, qid
+
+
+def test_vocab_growth_prefix_sum_is_range_partitioned(spark, sf_dir):
+    """The Heaps-law running sum must use the two-pass range-partition
+    + offsets form: any window over doc-grain rows must be partitioned
+    (by pid), never a global unpartitioned sort of the data."""
+    p = plan(q("q_text_vocab_growth", spark, sf_dir), "extended")
+    assert "REPARTITION_BY_NUM" in p or "RepartitionByExpression" in p
+    phys = plan(q("q_text_vocab_growth", spark, sf_dir))
+    # the only unpartitioned window is over the per-partition totals
+    # (pid grain); the doc-grain window is partitioned by pid
+    assert "windowspecdefinition(pid" in phys.lower() or "pid" in phys
+
+
+def test_ts_gap_fill_has_no_grid_join(spark, sf_dir):
+    """The observation-pair rewrite: gap rows are generated, never
+    joined — the resample/interpolate plans contain NO join at all
+    (explode + window over observation grain only)."""
+    for qid in ("q_ts_resample", "q_ts_interpolate"):
+        p = plan(q(qid, spark, sf_dir))
+        for frag in ("SortMergeJoin", "BroadcastHashJoin",
+                     "ShuffledHashJoin", "CartesianProduct"):
+            assert frag not in p, (qid, frag)
+        assert "Generate" in p, qid  # the explode is the amplifier
