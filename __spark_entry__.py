@@ -129,6 +129,9 @@ _PRIORITY = [
     "q_tpch_q11",
     "q_tpch_q16",
     "q_tpch_q20",
+    "sink_compact",
+    "q_delete_propagate",
+    "q_tile_haversine",
     # (b) events-based — fixture timestamp type changed post-r3
     "q_filter_null_bool",
     "q_join_nullsafe",

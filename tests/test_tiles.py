@@ -137,3 +137,23 @@ def test_zorder_write_clusters_key_ranges(spark, tmp_path):
     ranges.sort()
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         assert hi1 <= lo2, (ranges, "file key ranges overlap")
+
+
+def test_sink_compact_reduces_file_count(spark, sf_dir):
+    """The compaction sink must actually shrink the file count: 64
+    splinters in, ≤4 range-clustered files out, with identical rows."""
+    import glob
+    import os
+
+    from tile_etl_spark.sources.files import ART_DIR, sink_compact
+
+    sink_compact(spark, sf_dir).collect()
+    frag = glob.glob(os.path.join(ART_DIR, "events_fragmented", "*.parquet"))
+    comp = glob.glob(os.path.join(ART_DIR, "events_compacted", "*.parquet"))
+    assert len(frag) == 64
+    assert 1 <= len(comp) <= 4
+    n_orig = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert (
+        spark.read.parquet(os.path.join(ART_DIR, "events_compacted")).count()
+        == n_orig
+    )

@@ -2013,3 +2013,63 @@ def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.join(
         dominant, s["s_suppkey"] == dominant["l_suppkey"], "left_semi"
     ).select("s_suppkey", "s_name")
+
+
+@query(
+    "q_delete_propagate",
+    oracle="""
+    WITH del AS (
+      SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0
+    ),
+    surv_orders AS (
+      SELECT o_orderkey FROM orders
+      WHERE o_custkey NOT IN (SELECT c_custkey FROM del)
+    )
+    SELECT 'customer' AS tbl, CAST(count(*) AS BIGINT) AS n_rows
+    FROM customer WHERE c_custkey NOT IN (SELECT c_custkey FROM del)
+    UNION ALL
+    SELECT 'orders', count(*) FROM surv_orders
+    UNION ALL
+    SELECT 'lineitem', count(*) FROM lineitem
+    WHERE l_orderkey IN (SELECT o_orderkey FROM surv_orders)
+    """,
+)
+def q_delete_propagate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ERASURE-REQUEST PROPAGATION (GDPR/CCPA delete cascade): a
+    deletion set of customers (deterministic key sample standing in
+    for the request table) must cascade through the foreign-key chain
+    customer → orders → lineitem, and the output is the surviving
+    row count per table — the audit a compliance job emits. The
+    cascade is anti join (direct key) then semi join (surviving
+    parents), never a NOT-IN-over-subquery per row.
+
+    Shape: the request set is tiny → broadcast anti join against
+    customer and orders (no shuffle of the big tables); lineitem keeps
+    rows via a semi join on surviving orderkeys — at 100 TB that semi
+    join is the only wide shuffle, and with a table format it becomes
+    MERGE DELETE using the same join plan."""
+    ensure_session_determinism(spark)
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    del_keys = c.where(F.col("c_custkey") % 97 == 0).select("c_custkey")
+    surv_c = c.join(F.broadcast(del_keys), "c_custkey", "left_anti")
+    surv_o = o.join(
+        F.broadcast(del_keys),
+        o["o_custkey"] == del_keys["c_custkey"],
+        "left_anti",
+    )
+    surv_li = li.join(
+        surv_o.select("o_orderkey"),
+        li["l_orderkey"] == F.col("o_orderkey"),
+        "left_semi",
+    )
+    count_of = lambda df, name: df.agg(  # noqa: E731
+        F.lit(name).alias("tbl"),
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+    )
+    return (
+        count_of(surv_c, "customer")
+        .unionAll(count_of(surv_o, "orders"))
+        .unionAll(count_of(surv_li, "lineitem"))
+    )

@@ -663,3 +663,48 @@ def src_csv_badrecords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("regionkey_sum"),
     )
+
+
+@query(
+    "sink_compact",
+    oracle="""
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY event_type
+    """,
+)
+def sink_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SMALL-FILE COMPACTION — the maintenance job every long-running
+    ingestion needs: a fragmented table (here: events deliberately
+    written as 64 splinter files, the shape streaming sinks and
+    per-hour batch appends produce) is rewritten into few large files,
+    range-clustered on event_id so each output file covers a tight key
+    range (zone-map friendly, like the io.py re-layout). The oracle
+    reads the ORIGINAL table — compaction must be content-lossless.
+
+    ``maxRecordsPerFile`` bounds file size; ``repartitionByRange`` on
+    the cluster key gives both the file-count reduction and the
+    clustering in ONE shuffle. At 100 TB this runs per-partition
+    (compact yesterday's directory, not the table) — the same plan
+    applies under a partition predicate."""
+    ensure_session_determinism(spark)
+    e = load(spark, sf_dir, "events")
+    frag = _art("events_fragmented")
+    compacted = _art("events_compacted")
+    # produce the small-file problem: 64 splinters
+    e.repartition(64).write.mode("overwrite").parquet(frag)
+    # the compaction job: few range-clustered files, bounded size
+    (
+        spark.read.parquet(frag)
+        .repartitionByRange(4, "event_id")
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", 2_000_000)
+        .parquet(compacted)
+    )
+    back = spark.read.parquet(compacted)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("sum_value"),
+    )

@@ -668,3 +668,98 @@ def q_tile_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_neighbors") == 8).cast("int"),
         )
     )
+
+
+# Haversine query constants: level-10 grid bounds precomputed by the
+# SAME level_bounds() that drives the tile generator, inlined into both
+# dialects so the grids agree by construction.
+_HAV_LEVEL = 10
+_HAV_R0, _HAV_R1, _HAV_C0, _HAV_C1 = level_bounds(_HAV_LEVEL)
+_EARTH_R = 6378137.0  # WGS84 / Web-Mercator sphere radius, meters
+_HAV_LAT0, _HAV_LON0 = 40.7608, -111.8910  # reference point (SLC)
+
+
+@query(
+    "q_tile_haversine",
+    oracle=f"""
+    WITH cells AS (
+      SELECT r.r AS row, c.c AS col
+      FROM (SELECT unnest(generate_series({_HAV_R0}, {_HAV_R1})) AS r) r,
+           (SELECT unnest(generate_series({_HAV_C0}, {_HAV_C1})) AS c) c
+    ),
+    geo AS (
+      SELECT row, col,
+             ((-{WEB_MERCATOR_DELTA}) + (col + 0.5)
+               * ({WEB_MERCATOR_DELTA} * power(2, 1 - {_HAV_LEVEL})))
+               / {_EARTH_R} AS lon_rad,
+             2 * atan(exp((({WEB_MERCATOR_DELTA} - (row + 0.5)
+               * ({WEB_MERCATOR_DELTA} * power(2, 1 - {_HAV_LEVEL})))
+               / {_EARTH_R}))) - pi() / 2 AS lat_rad
+      FROM cells
+    )
+    SELECT row, col,
+           round(2 * {_EARTH_R} * asin(sqrt(
+             pow(sin((lat_rad - radians({_HAV_LAT0})) / 2), 2)
+             + cos(radians({_HAV_LAT0})) * cos(lat_rad)
+               * pow(sin((lon_rad - radians({_HAV_LON0})) / 2), 2)
+           )), 3) AS dist_m,
+           CAST(floor(round(2 * {_EARTH_R} * asin(sqrt(
+             pow(sin((lat_rad - radians({_HAV_LAT0})) / 2), 2)
+             + cos(radians({_HAV_LAT0})) * cos(lat_rad)
+               * pow(sin((lon_rad - radians({_HAV_LON0})) / 2), 2)
+           )), 3) / 10000) AS INT) AS ring_10km
+    FROM geo
+    """,
+)
+def q_tile_haversine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GEO RADIUS / DISTANCE query over the tile grid: great-circle
+    distance from every level-10 tile CENTER to a reference point,
+    plus a 10 km ring index — the proximity primitive behind 'tiles
+    within N km', nearest-facility and cache-warmup-by-distance jobs.
+    Tile centers invert from Web-Mercator meters to lat/lon
+    (lon = x/R, lat = 2·atan(exp(y/R)) − π/2, the spherical inverse of
+    P:74-81's forward grid math), then the haversine formula — the
+    identical double expression tree in both engines, rounded to mm.
+
+    Shape: the grid is GENERATED (same two-explode generator as
+    q_tile_grid — no stored table), the reference point is a literal,
+    and everything after the explode is per-row math in whole-stage
+    codegen: embarrassingly parallel at any pyramid depth, no shuffle
+    at all."""
+    ensure_session_determinism(spark)
+    tile_size = F.lit(WEB_MERCATOR_DELTA * math.pow(2, 1 - _HAV_LEVEL))
+    cells = (
+        spark.range(_HAV_R0, _HAV_R1 + 1)
+        .select(F.col("id").cast("int").alias("row"))
+        .select(
+            "row",
+            F.explode(
+                F.sequence(F.lit(_HAV_C0), F.lit(_HAV_C1))
+            ).alias("col"),
+        )
+    )
+    x = F.lit(-WEB_MERCATOR_DELTA) + (F.col("col") + 0.5) * tile_size
+    y = F.lit(WEB_MERCATOR_DELTA) - (F.col("row") + 0.5) * tile_size
+    lon_rad = x / _EARTH_R
+    lat_rad = 2 * F.atan(F.exp(y / _EARTH_R)) - math.pi / 2
+    lat0 = F.radians(F.lit(_HAV_LAT0))
+    lon0 = F.radians(F.lit(_HAV_LON0))
+    dist = F.round(
+        2
+        * _EARTH_R
+        * F.asin(
+            F.sqrt(
+                F.pow(F.sin((lat_rad - lat0) / 2), 2)
+                + F.cos(lat0)
+                * F.cos(lat_rad)
+                * F.pow(F.sin((lon_rad - lon0) / 2), 2)
+            )
+        ),
+        3,
+    )
+    return cells.select(
+        "row",
+        "col",
+        dist.alias("dist_m"),
+        F.floor(dist / 10000).cast("int").alias("ring_10km"),
+    )
