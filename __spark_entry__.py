@@ -132,6 +132,10 @@ _PRIORITY = [
     "sink_compact",
     "q_delete_propagate",
     "q_tile_haversine",
+    "q_recursive_cte",
+    "q_lateral_topn",
+    "q_variant_funcs",
+    "src_python_ds",
     # (b) events-based — fixture timestamp type changed post-r3
     "q_filter_null_bool",
     "q_join_nullsafe",

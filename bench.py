@@ -115,6 +115,10 @@ EXTRA = [
     "q_tpch_q11",
     "q_tpch_q16",
     "q_tpch_q20",
+    "q_variant_funcs",
+    "q_delete_propagate",
+    "sink_compact",
+    "q_tile_haversine",
 ]
 
 

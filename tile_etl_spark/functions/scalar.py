@@ -500,3 +500,44 @@ def q_hof_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.element_at(w, F.size(w)),
         ).alias("first_last"),
     )
+
+
+@query(
+    "q_variant_funcs",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INT) AS k_int,
+           CAST(json_extract_string(props, '$.k') AS DOUBLE) AS k_dbl,
+           CAST(CAST(json_extract_string(props, '$.k') AS BIGINT)
+                * CAST(json_extract_string(props, '$.k') AS BIGINT)
+                AS BIGINT) AS k_sq,
+           CAST(CAST(json_extract_string(props, '$.k') AS INT) % 2 = 0
+                AS INT) AS k_even
+    FROM events
+    """,
+)
+def q_variant_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIANT semi-structured path (Spark 4): ``parse_json`` into the
+    binary VariantType once, then typed ``variant_get`` extractions —
+    the columnar-shredding-ready encoding that replaces
+    string-re-parsing ``get_json_object`` chains (q_json_funcs pins
+    those). At 100 TB the difference is structural: VARIANT parses
+    each document ONCE into a binary tree and every extraction is a
+    path walk, while the string functions re-tokenize the JSON per
+    expression. The DuckDB twin extracts the same typed values from
+    its native JSON type.
+
+    Outputs are plain scalars (INT/DOUBLE/BIGINT) — the variant stays
+    internal, per the §5.3 driver-hashable-output rule."""
+    ensure_session_determinism(spark)
+    e = load(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    k_int = F.try_variant_get(v, "$.k", "int")
+    k_big = F.try_variant_get(v, "$.k", "bigint")
+    return e.select(
+        "event_id",
+        k_int.alias("k_int"),
+        F.try_variant_get(v, "$.k", "double").alias("k_dbl"),
+        (k_big * k_big).cast("bigint").alias("k_sq"),
+        (k_int % 2 == 0).cast("int").alias("k_even"),
+    )

@@ -142,3 +142,71 @@ def q_subquery_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         """
     )
+
+
+_RECURSIVE_SQL = """
+    WITH RECURSIVE up AS (
+      SELECT CAST(n_nationkey AS INT) AS node,
+             CAST(n_nationkey AS INT) AS root,
+             CAST(0 AS INT) AS depth
+      FROM nation WHERE n_nationkey < 5
+      UNION ALL
+      SELECT CAST(n.n_nationkey AS INT), up.root,
+             CAST(up.depth + 1 AS INT)
+      FROM nation n JOIN up ON n.n_nationkey - 5 = up.node
+    )
+    SELECT node, root, depth FROM up
+"""
+
+
+@query("q_recursive_cte", oracle=_RECURSIVE_SQL)
+def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RECURSIVE CTE (Spark 4 WITH RECURSIVE): transitive closure of a
+    parent chain — each nation links to (key − 5), giving five
+    root-anchored chains; the recursion emits every node with its root
+    and depth. The hierarchy/reachability primitive (org rollups, BOM
+    explosion, referral trees) that previously needed a driver-side
+    iteration loop (cf. q_graph_pagerank's bounded iterations) is now
+    a single declarative statement the engine fixpoints.
+
+    The IDENTICAL SQL text runs in both engines (same portability
+    contract as q_sql_api). Spark executes each recursion step as a
+    join against the previous step's frontier — at scale the frontier
+    is partition-parallel and the fixpoint terminates when a step adds
+    no rows (here: depth 4)."""
+    ensure_session_determinism(spark)
+    load(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    return spark.sql(_RECURSIVE_SQL)
+
+
+_LATERAL_SQL = """
+    SELECT r.r_name, t.n_name, t.n_customers
+    FROM region r,
+    LATERAL (
+      SELECT n.n_name, CAST(count(c.c_custkey) AS BIGINT) AS n_customers
+      FROM nation n JOIN customer c ON c.c_nationkey = n.n_nationkey
+      WHERE n.n_regionkey = r.r_regionkey
+      GROUP BY n.n_name
+      ORDER BY n_customers DESC, n.n_name ASC
+      LIMIT 2
+    ) t
+"""
+
+
+@query("q_lateral_topn", oracle=_LATERAL_SQL)
+def q_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery with per-row LIMIT — top-2 nations
+    by customer count WITHIN each region, phrased the SQL-standard way
+    (the same result q_topk_per_group gets from a rank window; LATERAL
+    is the form ported SQL workloads arrive in). The identical text
+    runs in both engines.
+
+    Catalyst decorrelates the lateral into a join + per-group limit —
+    the plan-level point being pinned: a correlated LIMIT subquery
+    must not execute once per outer row at scale, it must become one
+    set-based plan."""
+    ensure_session_determinism(spark)
+    load(spark, sf_dir, "region").createOrReplaceTempView("region")
+    load(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    load(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(_LATERAL_SQL)

@@ -708,3 +708,79 @@ def sink_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("sum_value"),
     )
+
+
+def _manifest_oracle() -> str:
+    """SQL twin of the Python data source: same per-level bounds from
+    the same level_bounds(), inlined as literals."""
+    from tile_etl_spark.tiles.grid import level_bounds
+
+    parts = []
+    for lvl in range(5, 11):
+        r0, r1, c0, c1 = level_bounds(lvl)
+        parts.append(
+            f"SELECT {lvl} AS level, r.r AS row, c.c AS col "
+            f"FROM (SELECT unnest(generate_series({r0}, {r1})) AS r) r, "
+            f"(SELECT unnest(generate_series({c0}, {c1})) AS c) c"
+        )
+    return " UNION ALL ".join(parts)
+
+
+@query("src_python_ds", oracle=_manifest_oracle())
+def src_python_ds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSTOM PYTHON DATA SOURCE (Spark 4 DataSource API): the tile
+    manifest exposed as a first-class ``spark.read.format(...)`` source
+    with one InputPartition PER LEVEL, so Spark schedules each level's
+    generation as its own task — the connector pattern for any
+    generated or external feed (REST pages, queue shards, synthetic
+    benchmarks) when no JVM connector exists. The reader yields plain
+    tuples; Arrow batches them executor-side.
+
+    Scale note: partitions() is the parallelism contract — a deep
+    pyramid should split large levels into row-stripe partitions (the
+    same stripe split tile_grid does with its explicit repartition).
+    The H-check proves the Python source's output is bit-identical to
+    the declarative SQL twin."""
+    ensure_session_determinism(spark)
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        InputPartition,
+    )
+
+    from tile_etl_spark.tiles.grid import level_bounds
+
+    # Bounds are resolved on the DRIVER and travel inside the pickled
+    # reader: executor Python workers don't necessarily have this repo
+    # on sys.path (the driver may have loaded it by file path), so the
+    # reader must be self-contained — the general rule for shipping
+    # Python sources to a real cluster without a wheel deploy.
+    bounds = {lvl: level_bounds(lvl) for lvl in range(5, 11)}
+
+    class TileManifestReader(DataSourceReader):
+        def __init__(self, bounds_by_level):
+            self._bounds = bounds_by_level
+
+        def partitions(self):
+            return [InputPartition(lvl) for lvl in sorted(self._bounds)]
+
+        def read(self, partition):
+            lvl = partition.value
+            r0, r1, c0, c1 = self._bounds[lvl]
+            for r in range(r0, r1 + 1):
+                for c in range(c0, c1 + 1):
+                    yield (lvl, r, c)
+
+    class TileManifestDataSource(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "tile_manifest"
+
+        def schema(self) -> str:
+            return "level int, row int, col int"
+
+        def reader(self, schema):
+            return TileManifestReader(bounds)
+
+    spark.dataSource.register(TileManifestDataSource)
+    return spark.read.format("tile_manifest").load()
