@@ -345,3 +345,92 @@ def test_ewma_weights_match_recurrence_on_full_windows(spark, sf_dir):
             if checked >= 50:
                 return
     assert checked > 0
+
+
+def test_corr_pearson_matches_numpy(spark, sf_dir):
+    """The moment-sum closed form must agree with numpy's corrcoef to
+    float precision per group (values are exact-decimal-derived, so
+    1e-9 is generous)."""
+    import numpy as np
+    import pandas as pd
+
+    out = registry.QUERIES["q_corr_pearson"](spark, sf_dir).toPandas()
+    li = pd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    for _, row in out.iterrows():
+        g = li[li.l_returnflag == row.l_returnflag]
+        expect = np.corrcoef(g.l_quantity, g.l_extendedprice)[0, 1]
+        assert abs(row.corr_qty_price - expect) < 1e-6
+        assert -1.0 <= row.corr_qty_price <= 1.0
+
+
+def test_cuped_reduces_variance(spark, sf_dir):
+    """CUPED's point: Var(Y − θX) ≤ Var(Y) when θ = cov/var. Recompute
+    per-user metrics in pandas and assert the adjusted residual
+    variance is no larger, and that the engine's theta matches."""
+    import numpy as np
+    import pandas as pd
+
+    e = pd.read_parquet(os.path.join(sf_dir, "events.parquet"))
+    cut = pd.Timestamp("2024-01-16")
+    u = (
+        e.assign(
+            x=e.value.where(e.ts < cut, 0.0),
+            y=e.value.where(e.ts >= cut, 0.0),
+        )
+        .groupby("user_id")[["x", "y"]]
+        .sum()
+    )
+    theta = np.cov(u.x, u.y, ddof=0)[0, 1] / np.var(u.x)
+    assert np.var(u.y - theta * u.x) <= np.var(u.y) + 1e-12
+    out = registry.QUERIES["q_cuped"](spark, sf_dir).toPandas()
+    assert len(out) == 2
+    # engine's adjusted means reconstruct the same theta:
+    # mean_y - mean_y_adj = theta * (mean_x - gx) per arm
+    ux = u.copy()
+    ux["arm"] = (ux.index % 2).astype(int)
+    gx = ux.x.mean()
+    for _, r in out.iterrows():
+        arm = ux[ux.arm == r.arm]
+        expect_adj = arm.y.mean() - theta * (arm.x.mean() - gx)
+        assert abs(r.mean_y_adj - expect_adj) < 1e-4
+
+
+def test_reservoir_sample_is_stable_and_sized(spark, sf_dir):
+    """Exactly k per group; identical selection across two runs (the
+    whole point vs rand() sampling)."""
+    a = registry.QUERIES["q_sample_reservoir"](spark, sf_dir).toPandas()
+    b = registry.QUERIES["q_sample_reservoir"](spark, sf_dir).toPandas()
+    assert (a.groupby("event_type").size() == 10).all()
+    key = ["event_type", "rn", "event_id"]
+    assert a.sort_values(key).reset_index(drop=True).equals(
+        b.sort_values(key).reset_index(drop=True)
+    )
+
+
+def test_anomaly_window_warmup_is_null(spark, sf_dir):
+    """No z-score until a full 7-day trailing baseline exists: the
+    first 7 calendar rows of every event type are NULL and unflagged."""
+    out = registry.QUERIES["q_anomaly_window"](spark, sf_dir).toPandas()
+    for _, g in out.groupby("event_type"):
+        g = g.sort_values("d")
+        assert g.zscore.head(7).isna().all()
+        assert (g.is_anomaly.head(7) == 0).all()
+
+
+def test_recursive_cte_depth_is_closed_form(spark, sf_dir):
+    """Chain node k sits at depth floor(k/5) under root k%5 — the
+    fixpoint must reproduce the closed form for all 25 nations."""
+    out = registry.QUERIES["q_recursive_cte"](spark, sf_dir).toPandas()
+    assert len(out) == 25
+    for _, r in out.iterrows():
+        assert r.depth == r.node // 5
+        assert r.root == r.node % 5
+
+
+def test_haversine_rings_are_monotone_in_distance(spark, sf_dir):
+    """ring = floor(dist/10km) exactly, and distances are plausible
+    (non-negative, below half Earth circumference)."""
+    out = registry.QUERIES["q_tile_haversine"](spark, sf_dir).toPandas()
+    assert (out.dist_m >= 0).all()
+    assert (out.dist_m < 20_037_508).all()
+    assert (out.ring_10km == (out.dist_m // 10000).astype(int)).all()
