@@ -136,6 +136,7 @@ _PRIORITY = [
     "q_lateral_topn",
     "q_variant_funcs",
     "src_python_ds",
+    "q_cogroup_pandas",
     # (b) events-based — fixture timestamp type changed post-r3
     "q_filter_null_bool",
     "q_join_nullsafe",

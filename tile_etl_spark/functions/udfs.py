@@ -160,3 +160,65 @@ def q_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM docs_for_udtf d, LATERAL word_split(d.text) t
         """
     )
+
+
+@query(
+    "q_cogroup_pandas",
+    oracle="""
+    SELECT o.o_orderkey,
+           CAST(o.o_totalprice AS DOUBLE) AS o_totalprice,
+           CAST(count(l.l_orderkey) AS BIGINT) AS n_lines,
+           CAST(max(l.l_extendedprice) AS DOUBLE) AS max_line_price,
+           CAST(max(CASE WHEN l.l_discount > 0 THEN 1 ELSE 0 END) AS INT)
+             AS has_discount
+    FROM orders o LEFT JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey % 50 = 0
+    GROUP BY o.o_orderkey, o.o_totalprice
+    """,
+)
+def q_cogroup_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COGROUP + applyInPandas — the two-table keyed Arrow UDF surface:
+    both relations shuffle ONCE on the shared key and arrive at the
+    Python function as a pair of per-key pandas frames (here: an
+    order's header next to all its lines), the escape hatch for keyed
+    logic no join+agg can express (custom matching, per-key
+    reconciliation, sequence alignment). The demo logic is reconciling
+    order headers against their lines; the oracle is the equivalent
+    left join + aggregate, proving the cogroup path loses no keys
+    (orders with zero lines must survive).
+
+    All emitted stats are order-insensitive (count / max / any) so the
+    pandas-side arithmetic is exact regardless of row order within the
+    Arrow batches. The key filter keeps the checked output small; the
+    plan shape (2 shuffles in, 1 Python stage) is scale-ready — state
+    is bounded by the largest single key group."""
+    ensure_session_determinism(spark)
+    o = load(spark, sf_dir, "orders").where(F.col("o_orderkey") % 50 == 0)
+    li = load(spark, sf_dir, "lineitem").where(
+        F.col("l_orderkey") % 50 == 0
+    )
+
+    def reconcile(key, odf: pd.DataFrame, ldf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "o_orderkey": [int(key[0])],
+                "o_totalprice": [float(odf.o_totalprice.iloc[0])],
+                "n_lines": [int(len(ldf))],
+                "max_line_price": [
+                    float(ldf.l_extendedprice.max()) if len(ldf) else None
+                ],
+                "has_discount": [
+                    int((ldf.l_discount > 0).any()) if len(ldf) else 0
+                ],
+            }
+        )
+
+    return (
+        o.groupBy("o_orderkey")
+        .cogroup(li.groupBy("l_orderkey"))
+        .applyInPandas(
+            reconcile,
+            "o_orderkey bigint, o_totalprice double, n_lines bigint, "
+            "max_line_price double, has_discount int",
+        )
+    )
