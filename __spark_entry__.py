@@ -137,6 +137,7 @@ _PRIORITY = [
     "q_variant_funcs",
     "src_python_ds",
     "q_cogroup_pandas",
+    "q_embed_pca",
     # (b) events-based — fixture timestamp type changed post-r3
     "q_filter_null_bool",
     "q_join_nullsafe",

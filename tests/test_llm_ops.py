@@ -174,3 +174,32 @@ def test_ann_lsh_collision_and_recall(spark, sf_dir):
         if key in ex:
             assert abs(ex[key] - r["cos_sim"]) < 1e-9
     assert len(a) == N_PROBES * 5  # full top-k emitted per probe
+
+
+def test_embed_pca_matches_numpy(spark, sf_dir):
+    """The two-pass distributed PCA must reproduce numpy PCA on the
+    same vectors (after the largest-|loading|-positive sign pin)."""
+    import numpy as np
+    import pandas as pd
+
+    out = (
+        registry.QUERIES["q_embed_pca"](spark, sf_dir)
+        .toPandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    X = np.stack(emb.sort_values("vec_id").embedding.to_numpy()).astype(
+        np.float64
+    )
+    mu = X.mean(axis=0)
+    cov = np.cov(X.T, ddof=0)
+    vals, vecs = np.linalg.eigh(cov)
+    comp = vecs[:, np.argsort(vals)[::-1][:2]].T
+    for i in range(2):
+        if comp[i, np.abs(comp[i]).argmax()] < 0:
+            comp[i] = -comp[i]
+    P = (X - mu) @ comp.T
+    assert np.allclose(out[["pc1", "pc2"]].to_numpy(), P, atol=1e-6)
+    # projection onto orthonormal components preserves variance order
+    assert out.pc1.var() >= out.pc2.var()

@@ -836,3 +836,91 @@ def q_embed_prototype(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank_far",
         )
     )
+
+
+PCA_K = 2  # projected dimensions
+
+
+@query("q_embed_pca")
+def q_embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTRIBUTED PCA PROJECTION of the embedding corpus — the
+    dimensionality-reduction/whitening step training-data pipelines
+    run before clustering, visualization or cheap ANN: project every
+    vector onto the top-k principal components of the corpus
+    covariance. R-checked (eigendecomposition is not SQL-expressible);
+    tests/test_llm_ops.py asserts the projection matches numpy's PCA
+    on the same data bit-for-sign-convention.
+
+    Scale shape (two passes + driver d×d eigh):
+    1. moment pass: one mapInPandas emits per-batch partials
+       (Σxxᵀ as a d² vector, Σx, n) → groupBy-free reduce of
+       O(batches) tiny rows (d=64 → 4 KB each); covariance and its
+       eigenvectors are computed ONCE on the driver — d×d work,
+       independent of corpus size (the classic tall-skinny split:
+       data-sized work distributed, d-sized work centralized).
+    2. projection pass: components broadcast; one mapInPandas GEMM
+       maps each Arrow batch to its k coordinates. Nothing data-sized
+       ever reaches the driver.
+
+    Sign convention: each component is flipped so its
+    largest-|loading| element is positive — eigenvectors are
+    sign-ambiguous and this pins a deterministic output.
+    """
+    ensure_session_determinism(spark)
+    import numpy as np
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double_vec("embedding").alias("e")
+    )
+    d = 64
+
+    def moments(batches):
+        import pandas as _pd
+
+        for pdf in batches:
+            X = np.stack(pdf["e"].to_numpy())
+            yield _pd.DataFrame(
+                {
+                    "xtx": [(X.T @ X).ravel().tolist()],
+                    "sx": [X.sum(axis=0).tolist()],
+                    "n": [len(X)],
+                }
+            )
+
+    parts = emb.mapInPandas(
+        moments, "xtx array<double>, sx array<double>, n bigint"
+    ).collect()
+    xtx = np.zeros((d, d))
+    sx = np.zeros(d)
+    n = 0
+    # deterministic fold order for float addition
+    for r in sorted(parts, key=lambda r: (r["n"], tuple(r["sx"]))):
+        xtx += np.asarray(r["xtx"]).reshape(d, d)
+        sx += np.asarray(r["sx"])
+        n += r["n"]
+    mu = sx / n
+    cov = xtx / n - np.outer(mu, mu)
+    vals, vecs = np.linalg.eigh(cov)
+    comp = vecs[:, np.argsort(vals)[::-1][:PCA_K]].T  # (k, d)
+    for i in range(PCA_K):
+        if comp[i, np.abs(comp[i]).argmax()] < 0:
+            comp[i] = -comp[i]
+    sc = spark.sparkContext
+    comp_bc, mu_bc = sc.broadcast(comp), sc.broadcast(mu)
+
+    def project(batches):
+        import pandas as _pd
+
+        C, m = comp_bc.value, mu_bc.value
+        for pdf in batches:
+            X = np.stack(pdf["e"].to_numpy()) - m
+            P = X @ C.T
+            out = {"vec_id": pdf["vec_id"]}
+            for i in range(PCA_K):
+                out[f"pc{i + 1}"] = np.round(P[:, i], 9)
+            yield _pd.DataFrame(out)
+
+    schema = "vec_id bigint, " + ", ".join(
+        f"pc{i + 1} double" for i in range(PCA_K)
+    )
+    return emb.mapInPandas(project, schema)
