@@ -501,3 +501,47 @@ def test_ts_gap_fill_has_no_grid_join(spark, sf_dir):
                      "ShuffledHashJoin", "CartesianProduct"):
             assert frag not in p, (qid, frag)
         assert "Generate" in p, qid  # the explode is the amplifier
+
+
+# Benign BroadcastNestedLoopJoin users: either a DECLARED tiny cross
+# product (q_join_cross: 5×25) or the keyless broadcast of a 1-row
+# scalar aggregate (totals, thresholds, global stats) into a big side —
+# a 1-row nested loop is a map-side constant, not a scale risk.
+_BNLJ_OK = {
+    "q_abtest_ztest", "q_basket_pairs", "q_bm25", "q_cuped",
+    "q_dedup_cluster_stats", "q_funnel_ttc", "q_hist_equiwidth",
+    "q_join_cross", "q_mixture_weights", "q_rel_division",
+    "q_text_cooccur", "q_text_tfidf", "q_tile_neighbors",
+    "q_topk_heavy_hitters", "q_tpch_q11", "q_tpch_q22", "q_win_share",
+}
+# Python UDTFs execute via BatchEvalPythonUDTF — the API's execution
+# mode, declared once here; everything else must stay Arrow-vectorized.
+_ROW_PYTHON_OK = {"q_udtf"}
+# Builders with eager side effects (streaming runs, sink writes,
+# multi-job iterative drivers) — their plan shapes are pinned by their
+# own dedicated tests; re-running them here would re-execute the work.
+_SWEEP_SKIP_PREFIX = ("s_",)
+_SWEEP_SKIP = {
+    "sink_objectstore", "sink_parquet", "sink_compact", "q_tile_etl_e2e",
+}
+
+
+def test_registry_wide_plan_antipatterns(spark, sf_dir):
+    """EVERY registered batch qid is scanned for the two silent
+    scale-killers: CartesianProduct (nothing may plan one — even the
+    declared cross join broadcasts) and row-at-a-time Python
+    (BatchEvalPython outside the UDTF API). BroadcastNestedLoopJoin is
+    allowed only for the whitelisted 1-row-broadcast/declared-tiny
+    cases. A new operator that trips this must justify itself here."""
+    offenders = {}
+    for qid, fn in sorted(registry.QUERIES.items()):
+        if qid.startswith(_SWEEP_SKIP_PREFIX) or qid in _SWEEP_SKIP:
+            continue
+        p = plan(fn(spark, sf_dir))
+        if "CartesianProduct" in p:
+            offenders.setdefault("cartesian", []).append(qid)
+        if "BatchEvalPython" in p and qid not in _ROW_PYTHON_OK:
+            offenders.setdefault("row_python", []).append(qid)
+        if "BroadcastNestedLoopJoin" in p and qid not in _BNLJ_OK:
+            offenders.setdefault("bnlj", []).append(qid)
+    assert not offenders, offenders
