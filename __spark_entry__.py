@@ -138,6 +138,7 @@ _PRIORITY = [
     "src_python_ds",
     "q_cogroup_pandas",
     "q_embed_pca",
+    "s_ss_join_louter",
     # (b) events-based — fixture timestamp type changed post-r3
     "q_filter_null_bool",
     "q_join_nullsafe",

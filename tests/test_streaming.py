@@ -198,3 +198,52 @@ def test_s_ss_join_equals_batch(spark, sf_dir):
     )
     cols = ["user_id", "n_pairs", "n_clicks", "n_purchases"]
     assert rows_set(s, cols) == rows_set(b, cols)
+
+
+def test_s_ss_join_louter_equals_batch(spark, sf_dir):
+    """Stream-stream LEFT OUTER interval join ≡ batch left join: every
+    click appears exactly once per (user, click) with its converted
+    flag — unmatched clicks must surface via watermark expiry, matched
+    ones on arrival, and the union must be the batch answer."""
+    from tile_etl_spark.io import load
+
+    s = registry.QUERIES["s_ss_join_louter"](spark, sf_dir)
+    e = load(spark, sf_dir, "events")
+    c = e.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    p = e.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    b = (
+        c.join(
+            p,
+            (F.col("c_user") == F.col("p_user"))
+            & (F.col("purchase_ts") >= F.col("click_ts"))
+            & (
+                F.col("purchase_ts")
+                <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")
+            ),
+            "left_outer",
+        )
+        .groupBy(F.col("c_user").alias("user_id"), "click_id")
+        .agg(
+            F.max(F.col("purchase_id").isNotNull().cast("int")).alias(
+                "converted"
+            )
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_clicks"),
+            F.sum("converted").cast("bigint").alias("n_converted"),
+            (F.count(F.lit(1)) - F.sum("converted"))
+            .cast("bigint")
+            .alias("n_unconverted"),
+        )
+    )
+    cols = ["user_id", "n_clicks", "n_converted", "n_unconverted"]
+    assert rows_set(s, cols) == rows_set(b, cols)

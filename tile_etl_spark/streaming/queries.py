@@ -25,6 +25,7 @@ from tile_etl_spark.streaming.replay import (
     _art_root,
     read_stream,
     replay_dir,
+    replay_dir_with_flush,
     run_to_table,
 )
 
@@ -333,3 +334,72 @@ def s_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination()
     final = versions()[-1]
     return spark.read.parquet(final)
+
+
+@query("s_ss_join_louter")
+def s_ss_join_louter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM LEFT OUTER interval join — s_ss_join's inner
+    variant answers 'which clicks converted'; this one must ALSO emit
+    the clicks that never did, which is the semantically hard half:
+    an unmatched click can only be declared unmatched once the
+    purchase-side WATERMARK has passed its whole match window, so the
+    null-padded rows surface on watermark advance, not on arrival.
+    That makes the outer join a direct probe of state-eviction
+    correctness — rows emitted too early would be wrong, too late
+    would leak state.
+
+    availableNow drains the replay and a final watermark sweep flushes
+    the last unmatched clicks; the emitted set ≡ the batch left join
+    (asserted in tests against the batch twin). Output: per-user
+    converted vs unconverted click counts — the funnel numerator and
+    denominator from ONE join."""
+    ensure_session_determinism(spark)
+    base = replay_dir_with_flush(spark, sf_dir)
+    clicks = (
+        read_stream(spark, base)
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        read_stream(spark, base)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")
+        ),
+        "left_outer",
+    )
+    rows = run_to_table(
+        joined.select(
+            F.col("c_user").alias("user_id"), "click_id", "purchase_id"
+        ),
+        "append",
+    ).where(F.col("user_id") >= 0)
+    per_click = rows.groupBy("user_id", "click_id").agg(
+        F.max(F.col("purchase_id").isNotNull().cast("int")).alias(
+            "converted"
+        )
+    )
+    return per_click.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_clicks"),
+        F.sum("converted").cast("bigint").alias("n_converted"),
+        (F.count(F.lit(1)) - F.sum("converted"))
+        .cast("bigint")
+        .alias("n_unconverted"),
+    )

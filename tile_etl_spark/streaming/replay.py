@@ -103,3 +103,65 @@ def run_to_table(df: DataFrame, mode: str) -> DataFrame:
     q.awaitTermination()
     spark = df.sparkSession
     return spark.table(name)
+
+
+def replay_dir_with_flush(
+    spark: SparkSession, sf_dir: str, n_chunks: int = N_CHUNKS
+) -> str:
+    """Replay chunks plus a FINAL far-future sentinel chunk (one click
+    + one purchase for user_id = −1, 3 h past max event time).
+
+    Stream-stream OUTER joins need it: an unmatched left row is only
+    emitted once the JOINT watermark (min of both sides') passes its
+    whole match window, and after the last real file nothing advances
+    the watermarks — the tail's null-padded rows would sit in state
+    forever. The sentinel advances BOTH sides' watermarks past every
+    real window; consumers filter user_id < 0 back out. This mirrors
+    production reality: an outer-join stream only finalizes rows as
+    new data (or punctuation heartbeats) moves the watermark.
+    """
+    base = replay_dir(spark, sf_dir, n_chunks)
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    out = os.path.join(_art_root(), f"events_stream_flush_{tag}")
+    marker = os.path.join(out, "_DONE")
+    from tile_etl_spark.sources.files import (
+        marker_current,
+        source_fingerprint,
+        write_marker,
+    )
+
+    fpr = source_fingerprint(os.path.join(sf_dir, "events.parquet"))
+    if marker_current(marker, fpr):
+        return out
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+    chunks = sorted(
+        f for f in os.listdir(base) if f.endswith(".parquet")
+    )
+    for i, f in enumerate(chunks):
+        dst = os.path.join(out, f)
+        shutil.copy2(os.path.join(base, f), dst)
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+    e = load(spark, sf_dir, "events")
+    flush = e.agg(F.max("ts").alias("mx")).select(
+        F.explode(
+            F.array(F.lit("click"), F.lit("purchase"))
+        ).alias("event_type"),
+        (F.col("mx") + F.expr("INTERVAL 3 HOURS")).alias("ts"),
+    ).select(
+        F.lit(-1).cast("bigint").alias("event_id"),
+        "ts",
+        F.lit(-1).cast("bigint").alias("user_id"),
+        "event_type",
+        F.lit(0.0).alias("value"),
+        F.lit("{}").alias("props"),
+    )
+    tmp = os.path.join(out, "_tmp_flush")
+    flush.coalesce(1).write.mode("overwrite").parquet(tmp)
+    part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+    dst = os.path.join(out, f"chunk_{len(chunks):03d}.parquet")
+    shutil.move(os.path.join(tmp, part), dst)
+    shutil.rmtree(tmp)
+    os.utime(dst, (1_700_000_000 + len(chunks), 1_700_000_000 + len(chunks)))
+    write_marker(marker, fpr)
+    return out
