@@ -139,6 +139,7 @@ _PRIORITY = [
     "q_cogroup_pandas",
     "q_embed_pca",
     "s_ss_join_louter",
+    "q_ivm_join",
     # (b) events-based — fixture timestamp type changed post-r3
     "q_filter_null_bool",
     "q_join_nullsafe",

@@ -2073,3 +2073,59 @@ def q_delete_propagate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(count_of(surv_o, "orders"))
         .unionAll(count_of(surv_li, "lineitem"))
     )
+
+
+@query(
+    "q_ivm_join",
+    oracle="""
+    SELECT o.o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS revenue
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q_ivm_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL JOIN-VIEW MAINTENANCE — the delta algebra behind
+    every materialized join view refresh:
+    Δ(A⋈B) = ΔA⋈B₀ ∪ A₀⋈ΔB ∪ ΔA⋈ΔB. The engine splits both tables
+    into a base (95%) and a late-arriving delta partition (keys
+    ≡ 0 mod 20), computes the three delta joins, and the union of
+    base-join + deltas must equal the full recompute — which is
+    exactly what the oracle computes, so the hash match PROVES the
+    maintenance algebra (the same guarantee q_agg_incremental gives
+    for aggregate state, extended to the binary operator).
+
+    At 100 TB this is the nightly-refresh shape: each delta term joins
+    a small delta against a base (broadcast or partition-pruned), never
+    recomputing the full A⋈B; all four terms share the orderkey hash
+    partitioning, and the final aggregate is map-side combined over
+    the unioned deltas."""
+    ensure_session_determinism(spark)
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    # DIFFERENT delta predicates per table (keys ≡0 mod 20 vs mod 30,
+    # overlapping at mod 60) so all three delta terms are non-empty —
+    # same-key splits would make ΔA⋈B₀ and A₀⋈ΔB vacuously empty and
+    # prove nothing about the cross terms.
+    is_delta_o = F.col("o_orderkey") % 20 == 0
+    is_delta_l = F.col("l_orderkey") % 30 == 0
+    o0, do = o.where(~is_delta_o), o.where(is_delta_o)
+    l0, dl = li.where(~is_delta_l), li.where(is_delta_l)
+
+    def j(a, b):
+        return a.join(b, a["o_orderkey"] == b["l_orderkey"]).select(
+            "o_orderpriority", "l_extendedprice"
+        )
+
+    merged = (
+        j(o0, l0)       # the standing view
+        .unionAll(j(do, l0))  # ΔA ⋈ B₀
+        .unionAll(j(o0, dl))  # A₀ ⋈ ΔB
+        .unionAll(j(do, dl))  # ΔA ⋈ ΔB
+    )
+    return merged.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        as_double(F.sum(dec("l_extendedprice"))).alias("revenue"),
+    )
