@@ -691,8 +691,15 @@ def sink_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events")
     frag = _art("events_fragmented")
     compacted = _art("events_compacted")
-    # produce the small-file problem: 64 splinters
-    e.repartition(64).write.mode("overwrite").parquet(frag)
+    # produce the small-file problem once per fixture: 64 splinters.
+    # The fragmentation is test SETUP (a real pipeline inherits its
+    # fragments from the ingest), so it's fingerprint-cached; the
+    # compaction rewrite below is the operator and always runs.
+    marker = os.path.join(frag, "_DONE")
+    fpr = source_fingerprint(os.path.join(sf_dir, "events.parquet"))
+    if not marker_current(marker, fpr):
+        e.repartition(64).write.mode("overwrite").parquet(frag)
+        write_marker(marker, fpr)
     # the compaction job: few range-clustered files, bounded size
     (
         spark.read.parquet(frag)
