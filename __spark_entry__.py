@@ -140,6 +140,10 @@ _PRIORITY = [
     "q_embed_pca",
     "s_ss_join_louter",
     "q_ivm_join",
+    "q_union_by_name",
+    "q_regex_funcs",
+    "q_try_funcs",
+    "q_join_hints",
     # (b) events-based — fixture timestamp type changed post-r3
     "q_filter_null_bool",
     "q_join_nullsafe",

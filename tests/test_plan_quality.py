@@ -545,3 +545,11 @@ def test_registry_wide_plan_antipatterns(spark, sf_dir):
         if "BroadcastNestedLoopJoin" in p and qid not in _BNLJ_OK:
             offenders.setdefault("bnlj", []).append(qid)
     assert not offenders, offenders
+
+
+def test_join_hint_is_honored(spark, sf_dir):
+    """The SHUFFLE_HASH hint must override the default broadcast
+    choice — the plan contains ShuffledHashJoin, not BroadcastHashJoin."""
+    p = plan(q("q_join_hints", spark, sf_dir))
+    assert "ShuffledHashJoin" in p
+    assert "BroadcastHashJoin" not in p

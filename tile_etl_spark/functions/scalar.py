@@ -541,3 +541,92 @@ def q_variant_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         (k_big * k_big).cast("bigint").alias("k_sq"),
         (k_int % 2 == 0).cast("int").alias("k_even"),
     )
+
+
+@query(
+    "q_regex_funcs",
+    oracle="""
+    SELECT p_partkey,
+           regexp_extract(p_name, '([a-z]+)', 1) AS first_word,
+           array_to_string(regexp_extract_all(p_name, '[a-z]+'), ',')
+             AS all_words,
+           CAST(len(regexp_extract_all(p_name, '[aeiou]')) AS INT)
+             AS n_vowels,
+           regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
+           CAST(regexp_matches(p_name, '^[a-z]+ [a-z]+$') AS INT)
+             AS two_words
+    FROM part
+    """,
+)
+def q_regex_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REGEX function family: single extract, extract-all (serialized
+    to CSV per the array-output rule), match counting, global replace,
+    and full-string match. Patterns stay within the character-class /
+    anchor subset where Java regex (Spark) and RE2 (DuckDB) agree —
+    documented portability boundary: backreferences and lookarounds
+    are Java-only and deliberately out of the oracle-checked surface.
+    Regex is codegen'd JVM-side in Spark — no Python in the loop."""
+    ensure_session_determinism(spark)
+    p = load(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_name", "([a-z]+)", 1).alias("first_word"),
+        F.array_join(
+            F.expr("regexp_extract_all(p_name, '([a-z]+)', 1)"), ","
+        ).alias("all_words"),
+        F.size(F.expr("regexp_extract_all(p_name, '([aeiou])', 1)"))
+        .cast("int")
+        .alias("n_vowels"),
+        F.regexp_replace("p_name", "[aeiou]", "_").alias("devoweled"),
+        F.col("p_name")
+        .rlike("^[a-z]+ [a-z]+$")
+        .cast("int")
+        .alias("two_words"),
+    )
+
+
+@query(
+    "q_try_funcs",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(l_extendedprice / nullif(l_quantity, 0.0) AS DOUBLE)
+             AS unit_price,
+           TRY_CAST(l_returnflag AS INT) AS bad_cast,
+           TRY_CAST(CAST(l_quantity AS VARCHAR) AS DOUBLE) AS qty_rt,
+           CAST(CASE WHEN l_quantity = 0 THEN NULL
+                ELSE floor(l_extendedprice / l_quantity) END AS BIGINT)
+             AS unit_floor
+    FROM lineitem WHERE l_orderkey % 100 = 0
+    """,
+)
+def q_try_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ERROR-SAFE (try_*) function family — the NULL-on-failure
+    arithmetic a pipeline needs to survive dirty data without
+    task-killing exceptions: try_divide (NULL on zero divisor),
+    try_cast on an un-castable string, and a string→double round trip.
+    Under ANSI mode these are the ONLY safe spellings; the engine runs
+    non-ANSI for oracle parity but uses try_* so the same code is
+    correct under either conf — the portability rule the session
+    factory documents. DuckDB twins: TRY_CAST and nullif-guarded
+    division (its division returns NULL-on-null rather than erroring)."""
+    ensure_session_determinism(spark)
+    li = load(spark, sf_dir, "lineitem").where(
+        F.col("l_orderkey") % 100 == 0
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.expr("try_divide(l_extendedprice, nullif(l_quantity, 0.0d))")
+        .cast("double")
+        .alias("unit_price"),
+        F.expr("try_cast(l_returnflag AS INT)").alias("bad_cast"),
+        F.expr("try_cast(CAST(l_quantity AS STRING) AS DOUBLE)").alias(
+            "qty_rt"
+        ),
+        F.when(
+            F.col("l_quantity") == 0, F.lit(None)
+        )
+        .otherwise(F.floor(F.col("l_extendedprice") / F.col("l_quantity")))
+        .cast("bigint")
+        .alias("unit_floor"),
+    )

@@ -523,3 +523,39 @@ def q_join_asof_fwd(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "ts", F.col("event_id").alias("__right_id")
     )
     return asof_join(errors, signups, on="user_id", direction="forward")
+
+
+@query(
+    "q_join_hints",
+    oracle="""
+    SELECT n.n_name,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_bal
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def q_join_hints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JOIN-STRATEGY HINT surface: the same customer⋈nation join forced
+    through SHUFFLE_HASH (plan-pinned to ShuffledHashJoin) — the
+    override a tuner reaches for when the optimizer's default (here:
+    broadcast) is wrong for a specific shape, e.g. a 'small' side that
+    is small in bytes but explodes after codegen, or a broadcast that
+    OOMs the driver at 100 TB. Hints bound WHERE the optimizer may
+    choose, not WHAT the query means — results are hash-identical to
+    the unhinted plan, which is exactly what the oracle proves.
+    test_plan_quality pins that the hint is actually honored."""
+    ensure_session_determinism(spark)
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation").hint("shuffle_hash")
+    return (
+        c.join(n, c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_bal"),
+        )
+    )

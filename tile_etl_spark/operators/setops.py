@@ -204,3 +204,42 @@ def q_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     b = load(spark, sf_dir, "part").select(F.col("p_size").alias("v"))
     return a.intersectAll(b)
+
+
+@query(
+    "q_union_by_name",
+    oracle="""
+    SELECT key, CAST(price AS DOUBLE) AS price, CAST(size AS INT) AS size
+    FROM (
+      SELECT p_partkey AS key, p_retailprice AS price, p_size AS size
+      FROM part
+      UNION ALL BY NAME
+      SELECT s_acctbal AS price, s_suppkey + 1000000 AS key
+      FROM supplier
+    )
+    """,
+)
+def q_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION BY NAME with missing columns — the schema-drift union: two
+    feeds whose columns differ in ORDER and PRESENCE align by column
+    NAME (never position), and columns absent from one side null-fill.
+    This is how a pipeline appends a v2 feed that dropped or reordered
+    fields without silent positional corruption — the compute-side
+    complement of q_schema_evolution's mergeSchema read. Spark:
+    ``unionByName(allowMissingColumns=True)``; DuckDB: ``UNION ALL BY
+    NAME`` — both engines treat names, not positions, as the contract."""
+    ensure_session_determinism(spark)
+    p = load(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("key"),
+        F.col("p_retailprice").alias("price"),
+        F.col("p_size").alias("size"),
+    )
+    s = load(spark, sf_dir, "supplier").select(
+        F.col("s_acctbal").alias("price"),
+        (F.col("s_suppkey") + 1000000).alias("key"),
+    )
+    return p.unionByName(s, allowMissingColumns=True).select(
+        "key",
+        F.col("price").cast("double").alias("price"),
+        F.col("size").cast("int").alias("size"),
+    )
