@@ -2129,3 +2129,87 @@ def q_ivm_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_lines"),
         as_double(F.sum(dec("l_extendedprice"))).alias("revenue"),
     )
+
+
+@query(
+    "q_table_profile",
+    oracle="""
+    SELECT 'l_quantity' AS col,
+           CAST(min(l_quantity) AS DOUBLE) AS min_v,
+           CAST(max(l_quantity) AS DOUBLE) AS max_v,
+           CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_nulls,
+           CAST(count(DISTINCT l_quantity) AS BIGINT) AS ndv,
+           round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                 / count(*), 6) AS mean_v
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_extendedprice',
+           CAST(min(l_extendedprice) AS DOUBLE),
+           CAST(max(l_extendedprice) AS DOUBLE),
+           CAST(sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END)
+             AS BIGINT),
+           CAST(count(DISTINCT l_extendedprice) AS BIGINT),
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+                      AS DOUBLE) / count(*), 6)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_discount',
+           CAST(min(l_discount) AS DOUBLE),
+           CAST(max(l_discount) AS DOUBLE),
+           CAST(sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END)
+             AS BIGINT),
+           CAST(count(DISTINCT l_discount) AS BIGINT),
+           round(CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
+                 / count(*), 6)
+    FROM lineitem
+    """,
+)
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COLUMN PROFILER — the ANALYZE TABLE / data-catalog statistics
+    pass: min, max, null count, exact NDV and mean per numeric column,
+    in ONE scan (the oracle spells it as three scans; Spark computes
+    every column's stats in a single aggregate and unpivots — the
+    profiler shape that feeds CBO statistics, data catalogs and drift
+    monitors). Exact NDV is the honest tier here; q_agg_approx /
+    q_agg_hll_sketch pin the sketch tier a 100 TB profiler would swap
+    in per-column when exactness stops paying.
+
+    One full-scan aggregate (count-distinct expands each column, still
+    one shuffle round under AQE) + a 3-row unpivot — at scale the scan
+    cost dominates and is paid ONCE for all columns, which is the
+    point vs per-column ANALYZE statements."""
+    ensure_session_determinism(spark)
+    li = load(spark, sf_dir, "lineitem")
+
+    def stats(c):
+        return [
+            F.min(c).cast("double").alias(f"{c}__min"),
+            F.max(c).cast("double").alias(f"{c}__max"),
+            F.sum(F.col(c).isNull().cast("int"))
+            .cast("bigint")
+            .alias(f"{c}__nulls"),
+            F.countDistinct(c).cast("bigint").alias(f"{c}__ndv"),
+            F.round(
+                F.sum(F.col(c).cast("decimal(18,2)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias(f"{c}__mean"),
+        ]
+
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    one = li.agg(*[s for c in cols for s in stats(c)])
+    rows = [
+        F.struct(
+            F.lit(c).alias("col"),
+            F.col(f"{c}__min").alias("min_v"),
+            F.col(f"{c}__max").alias("max_v"),
+            F.col(f"{c}__nulls").alias("n_nulls"),
+            F.col(f"{c}__ndv").alias("ndv"),
+            F.col(f"{c}__mean").alias("mean_v"),
+        )
+        for c in cols
+    ]
+    return one.select(
+        F.explode(F.array(*rows)).alias("s")
+    ).select("s.col", "s.min_v", "s.max_v", "s.n_nulls", "s.ndv", "s.mean_v")
