@@ -119,6 +119,8 @@ EXTRA = [
     "q_delete_propagate",
     "sink_compact",
     "q_tile_haversine",
+    "q_ivm_join",
+    "q_table_profile",
 ]
 
 

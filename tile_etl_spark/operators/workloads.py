@@ -1500,22 +1500,30 @@ def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     in both engines and the 0.2× threshold comparison cannot straddle
     an ulp.
 
-    Shape: the per-part aggregate shuffles on l_partkey and its output
-    (one row per part) joins back on the same key — with AQE the
-    re-join of aggregate to fact reuses the partitioning; part is the
-    broadcast dim. DECIMAL revenue sum; single global result row."""
+    Shape: only Brand#1 parts' averages are ever consumed, so the
+    brand filter pushes THROUGH the aggregate — the fact table is
+    semi-joined down to the brand's partkeys (broadcast) BEFORE the
+    per-part average shuffles, cutting both shuffles to ~1/25 of the
+    rows while leaving every surviving part's average bit-identical
+    (it still aggregates ALL of that part's lineitems). The manual
+    form of the aggregate-pushdown rewrite optimizers can't always
+    prove. DECIMAL revenue sum; single global result row."""
     ensure_session_determinism(spark)
     li = load(spark, sf_dir, "lineitem")
-    p = load(spark, sf_dir, "part")
-    part_avg = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+    p1 = load(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#1")
+    li1 = li.join(
+        F.broadcast(p1.select("p_partkey")),
+        li["l_partkey"] == F.col("p_partkey"),
+        "left_semi",
+    )
+    part_avg = li1.groupBy(F.col("l_partkey").alias("pk")).agg(
         (F.lit(0.2) * F.avg("l_quantity")).alias("qty_thresh")
     )
     return (
-        li.join(
-            F.broadcast(p.where(F.col("p_brand") == "Brand#1")),
-            li["l_partkey"] == p["p_partkey"],
+        li1.join(
+            F.broadcast(p1), li1["l_partkey"] == F.col("p_partkey")
         )
-        .join(part_avg, li["l_partkey"] == F.col("pk"))
+        .join(part_avg, li1["l_partkey"] == F.col("pk"))
         .where(F.col("l_quantity") < F.col("qty_thresh"))
         .agg(
             (F.sum(dec("l_extendedprice")).cast("double") / 7.0).alias(
@@ -1665,7 +1673,17 @@ def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     s = load(spark, sf_dir, "supplier")
     p = load(spark, sf_dir, "part").where(F.col("p_size") <= 10)
-    ps = li.select("l_partkey", "l_suppkey").distinct()
+    # only small parts' argmins are consumed → semi-join the pair scan
+    # down to qualifying partkeys BEFORE the distinct shuffles
+    ps = (
+        li.join(
+            F.broadcast(p.select("p_partkey")),
+            li["l_partkey"] == F.col("p_partkey"),
+            "left_semi",
+        )
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
     w = Window.partitionBy("l_partkey").orderBy(
         F.col("s_acctbal").asc(), F.col("s_suppkey").asc()
     )
@@ -1993,10 +2011,18 @@ def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     p = load(spark, sf_dir, "part").where(F.col("p_name").like("%red%"))
     s = load(spark, sf_dir, "supplier")
+    # only red parts' totals are consumed → semi-join the fact down to
+    # red partkeys BEFORE both aggregates (per-part values unchanged;
+    # both shuffles shrink to the red slice)
     agg = (
         li.where(
             (F.col("l_shipdate") >= "1997-01-01")
             & (F.col("l_shipdate") < "1998-01-01")
+        )
+        .join(
+            F.broadcast(p.select("p_partkey")),
+            li["l_partkey"] == F.col("p_partkey"),
+            "left_semi",
         )
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.sum("l_quantity").alias("qty97"))
@@ -2006,7 +2032,6 @@ def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dominant = (
         agg.join(ptot, agg["l_partkey"] == ptot["pk"])
-        .join(F.broadcast(p), agg["l_partkey"] == p["p_partkey"])
         .where(F.col("qty97") > 0.5 * F.col("tot"))
         .select("l_suppkey")
     )
