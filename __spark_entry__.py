@@ -26,14 +26,15 @@ registry.load_all()
 _SMOKE_SF_DIR = "/root/testdata/sf0.001"
 FLAGSHIP = "q_agg_group"
 
-# Round-5 verification priority. The driver records ~50 CORRECTNESS
-# rows per round. Round 5 front-loads (a00) the 41 brand-new round-5
-# qids (first-ever driver rows), then (a0) the round-4 additions that
-# r3's 50-row budget already covered — kept for regression cover in
-# case the budget allows — then (a/b/c) the repaired ts pair, the
-# events-coupled qids, and the oldest-signal refreshes. Registration/
-# implementation is unchanged — this orders only the exported dict
-# views.
+# Verification priority. The driver records ~50 CORRECTNESS rows per
+# round, in this order. Front: (a) the two previously-red, now-repaired
+# time-series qids (must re-verify inside the budget), then (a00/a0/a1)
+# the never-driver-checked additions oldest-first, then (b/c) refresh
+# tiers for qids whose shared infrastructure changed. With ~100 unchecked
+# qids and ~50 rows/round, the backlog drains over the next 2 rounds;
+# rotate newly-checked qids out of the front as CORRECTNESS_r{N} files
+# confirm them. Registration/implementation is unchanged — this orders
+# only the exported dict views.
 _PRIORITY = [
     # (a) r3-red, REPAIRED this round (bucket now epoch-second BIGINT —
     # constructed-timestamp outputs were the failing representation
