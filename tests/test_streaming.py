@@ -247,3 +247,75 @@ def test_s_ss_join_louter_equals_batch(spark, sf_dir):
     )
     cols = ["user_id", "n_clicks", "n_converted", "n_unconverted"]
     assert rows_set(s, cols) == rows_set(b, cols)
+
+
+def test_checkpoint_recovery_resumes_exactly_once(spark, sf_dir, tmp_path):
+    """FAULT-TOLERANCE: a windowed aggregation processes half the
+    replay, terminates, and a SECOND query restarts from the same
+    checkpoint after more files arrive. The restored state must
+    continue exactly-once — the final complete-mode table equals the
+    batch aggregate over ALL events (no lost chunks, no double
+    counting of the pre-crash half)."""
+    import os
+    import shutil
+
+    from tile_etl_spark.io import as_double
+    from tile_etl_spark.streaming.replay import (
+        EVENTS_SCHEMA,
+        replay_dir,
+    )
+
+    base = replay_dir(spark, sf_dir)
+    chunks = sorted(f for f in os.listdir(base) if f.endswith(".parquet"))
+    staged = str(tmp_path / "staged")
+    os.makedirs(staged)
+    ckpt = str(tmp_path / "ckpt")
+
+    def run(name):
+        stream = (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(staged + "/chunk_*.parquet")
+        )
+        agg = (
+            stream.groupBy(
+                F.window("ts", "1 hour").alias("w"), "event_type"
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                as_double(
+                    F.sum(F.col("value").cast("decimal(18,6)"))
+                ).alias("sum_value"),
+            )
+            .select(
+                F.col("w.start").alias("window_start"),
+                "event_type",
+                "n",
+                "sum_value",
+            )
+        )
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.table(name)
+
+    half = len(chunks) // 2
+    for i, f in enumerate(chunks[:half]):
+        shutil.copy2(os.path.join(base, f), os.path.join(staged, f))
+        os.utime(os.path.join(staged, f), (1_700_000_000 + i,) * 2)
+    first = run("ckpt_stage1")
+    assert first.count() > 0  # pre-crash progress was real
+    for i, f in enumerate(chunks[half:], start=half):
+        shutil.copy2(os.path.join(base, f), os.path.join(staged, f))
+        os.utime(os.path.join(staged, f), (1_700_000_000 + i,) * 2)
+    resumed = run("ckpt_stage2")
+
+    batch = registry.QUERIES["q_window_tumbling"](spark, sf_dir)
+    cols = ["window_start", "event_type", "n", "sum_value"]
+    assert rows_set(resumed, cols) == rows_set(batch, cols)
