@@ -146,6 +146,7 @@ _PRIORITY = [
     "q_try_funcs",
     "q_join_hints",
     "q_table_profile",
+    "q_generator_funcs",
     # (b) events-based — fixture timestamp type changed post-r3
     "q_filter_null_bool",
     "q_join_nullsafe",

@@ -630,3 +630,51 @@ def q_try_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("unit_floor"),
     )
+
+
+@query(
+    "q_generator_funcs",
+    oracle="""
+    WITH base AS (
+      SELECT p_partkey,
+             CASE WHEN p_size > 40 THEN []
+                  ELSE string_split(p_name, ' ') END AS words
+      FROM part
+    )
+    SELECT b.p_partkey,
+           CAST(coalesce(t.pos - 1, -1) AS INT) AS pos,
+           coalesce(t.word, '<none>') AS word
+    FROM base b
+    LEFT JOIN LATERAL (
+      SELECT unnest(b.words) AS word,
+             unnest(generate_series(1, len(b.words))) AS pos
+    ) t ON true
+    """,
+)
+def q_generator_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GENERATOR family semantics: ``posexplode_outer`` — the
+    null/empty-PRESERVING positional explode. The subtlety being
+    pinned: a plain explode silently DROPS rows whose array is empty
+    or null (here: large parts get an empty word list), which corrupts
+    any downstream per-parent aggregate; the _outer variant keeps the
+    parent with a null element, exactly like the oracle's LEFT JOIN
+    LATERAL UNNEST WITH ORDINALITY. Positions are 0-based in Spark vs
+    1-based ordinality — normalized explicitly, with empties at -1 /
+    '<none>'. Generators run inside codegen; the explode is the only
+    row amplifier."""
+    ensure_session_determinism(spark)
+    p = load(spark, sf_dir, "part")
+    words = F.when(
+        F.col("p_size") > 40, F.array().cast("array<string>")
+    ).otherwise(F.split("p_name", " "))
+    return (
+        p.select("p_partkey", words.alias("words"))
+        .select(
+            "p_partkey", F.posexplode_outer("words").alias("pos", "word")
+        )
+        .select(
+            "p_partkey",
+            F.coalesce(F.col("pos"), F.lit(-1)).cast("int").alias("pos"),
+            F.coalesce(F.col("word"), F.lit("<none>")).alias("word"),
+        )
+    )
