@@ -147,6 +147,8 @@ _PRIORITY = [
     "q_join_hints",
     "q_table_profile",
     "q_generator_funcs",
+    "q_array_funcs2",
+    "q_bitwise_funcs",
     # (b) events-based — fixture timestamp type changed post-r3
     "q_filter_null_bool",
     "q_join_nullsafe",

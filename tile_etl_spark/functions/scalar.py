@@ -678,3 +678,85 @@ def q_generator_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("word"), F.lit("<none>")).alias("word"),
         )
     )
+
+
+@query(
+    "q_array_funcs2",
+    oracle="""
+    WITH t AS (
+      SELECT p_partkey,
+             string_split(p_name, ' ') AS a,
+             string_split(p_type, ' ') AS b
+    FROM part
+    )
+    SELECT p_partkey,
+           coalesce(array_to_string(list_sort(list_distinct(a || b)), ','),
+                    '') AS union_s,
+           coalesce(array_to_string(list_sort(list_intersect(a, b)), ','),
+                    '') AS intersect_s,
+           coalesce(array_to_string(list_sort(list_filter(a,
+             x -> NOT list_contains(b, x))), ','), '') AS except_s,
+           CAST(len(list_distinct(a || b)) AS INT) AS n_union
+    FROM t
+    """,
+)
+def q_array_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ARRAY SET-OPERATION family: union / intersect / except between
+    two token arrays, plus the union cardinality. Engines disagree on
+    ELEMENT ORDER inside set results (Spark keeps first-occurrence
+    order, DuckDB its own), so every array output is canonicalized
+    sort-then-join before comparison — the same serialize-for-the-
+    driver rule as q_array_funcs, extended with an explicit sort
+    because set ops (unlike split) have no cross-engine order
+    contract (dialect note: DuckDB's array_to_string of an empty set
+    result yields NULL where Spark's array_join yields '' — the
+    oracle coalesces). All JVM-side codegen."""
+    ensure_session_determinism(spark)
+    p = load(spark, sf_dir, "part")
+    a, b = F.split("p_name", " "), F.split("p_type", " ")
+    return p.select(
+        "p_partkey",
+        F.array_join(F.sort_array(F.array_union(a, b)), ",").alias(
+            "union_s"
+        ),
+        F.array_join(F.sort_array(F.array_intersect(a, b)), ",").alias(
+            "intersect_s"
+        ),
+        F.array_join(F.sort_array(F.array_except(a, b)), ",").alias(
+            "except_s"
+        ),
+        F.size(F.array_union(a, b)).cast("int").alias("n_union"),
+    )
+
+
+@query(
+    "q_bitwise_funcs",
+    oracle="""
+    SELECT p_partkey,
+           CAST(p_partkey & 255 AS BIGINT) AS low_byte,
+           CAST(p_partkey | 4096 AS BIGINT) AS with_flag,
+           CAST(xor(p_partkey, 21845) AS BIGINT) AS xored,
+           CAST(p_partkey << 3 AS BIGINT) AS shl,
+           CAST(p_partkey >> 2 AS BIGINT) AS shr,
+           CAST(bit_count(p_partkey) AS INT) AS popcount
+    FROM part
+    """,
+)
+def q_bitwise_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BITWISE function family — and/or/xor, shifts, popcount: the
+    integer plumbing behind bitmap indexes (q_agg_bitmap_distinct),
+    flag columns, Morton keys (q_tile_zorder) and hash mixing.
+    Integer-exact in both engines by definition — no tolerance or
+    canonicalization needed."""
+    ensure_session_determinism(spark)
+    p = load(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    return p.select(
+        "p_partkey",
+        k.bitwiseAND(255).cast("bigint").alias("low_byte"),
+        k.bitwiseOR(4096).cast("bigint").alias("with_flag"),
+        k.bitwiseXOR(21845).cast("bigint").alias("xored"),
+        F.shiftleft(k, 3).cast("bigint").alias("shl"),
+        F.shiftright(k, 2).cast("bigint").alias("shr"),
+        F.bit_count(k).cast("int").alias("popcount"),
+    )
