@@ -149,6 +149,8 @@ _PRIORITY = [
     "q_generator_funcs",
     "q_array_funcs2",
     "q_bitwise_funcs",
+    "q_feature_scale",
+    "q_onehot_encode",
     # (b) events-based — fixture timestamp type changed post-r3
     "q_filter_null_bool",
     "q_join_nullsafe",

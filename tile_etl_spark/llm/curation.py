@@ -1295,3 +1295,115 @@ def q_dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("corpus_share"),
         )
     )
+
+
+@query(
+    "q_feature_scale",
+    oracle="""
+    WITH stats AS (
+      SELECT l_returnflag,
+             count(*) AS n,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS sx,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * CAST(l_extendedprice AS DECIMAL(18,2)))
+                  AS DOUBLE) AS sxx,
+             CAST(min(l_extendedprice) AS DOUBLE) AS mn,
+             CAST(max(l_extendedprice) AS DOUBLE) AS mx
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag,
+           round((l.l_extendedprice - s.sx / s.n)
+                 / sqrt(s.sxx / s.n - (s.sx / s.n) * (s.sx / s.n)), 6)
+             AS zscore,
+           round((l.l_extendedprice - s.mn) / nullif(s.mx - s.mn, 0.0), 6)
+             AS minmax
+    FROM lineitem l JOIN stats s ON l.l_returnflag = s.l_returnflag
+    WHERE l.l_orderkey % 100 = 0
+    """,
+)
+def q_feature_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FEATURE SCALING — per-group z-score and min-max normalization,
+    the preprocessing every numeric feature gets before training. Group
+    statistics come from ONE exact-DECIMAL moment pass (population
+    variance via Σx²/n − μ², the same mergeable moment vector as
+    q_corr_pearson) broadcast back into the scoring scan — never a
+    per-row window over the full table. The z and min-max expressions
+    are identical double trees in both engines, rounded to 6 dp.
+
+    At 100 TB: stats aggregate is map-side combined to one row per
+    group; the scoring pass is a broadcast join + per-row codegen —
+    two scans total, no shuffle of the fact table."""
+    ensure_session_determinism(spark)
+    li = load(spark, sf_dir, "lineitem")
+    x = F.col("l_extendedprice").cast("decimal(18,2)")
+    stats = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.min("l_extendedprice").cast("double").alias("mn"),
+        F.max("l_extendedprice").cast("double").alias("mx"),
+    )
+    mu = F.col("sx") / F.col("n")
+    sd = F.sqrt(F.col("sxx") / F.col("n") - mu * mu)
+    return (
+        li.where(F.col("l_orderkey") % 100 == 0)
+        .join(F.broadcast(stats), "l_returnflag")
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_returnflag",
+            F.round((F.col("l_extendedprice") - mu) / sd, 6).alias(
+                "zscore"
+            ),
+            F.round(
+                (F.col("l_extendedprice") - F.col("mn"))
+                / F.nullif(F.col("mx") - F.col("mn"), F.lit(0.0)),
+                6,
+            ).alias("minmax"),
+        )
+    )
+
+
+@query(
+    "q_onehot_encode",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderpriority = '1-URGENT' AS INT) AS pri_urgent,
+           CAST(o_orderpriority = '2-HIGH' AS INT) AS pri_high,
+           CAST(o_orderpriority = '3-MEDIUM' AS INT) AS pri_medium,
+           CAST(o_orderpriority = '4-NOT SPECIFIED' AS INT)
+             AS pri_notspec,
+           CAST(o_orderpriority = '5-LOW' AS INT) AS pri_low,
+           CAST(o_orderstatus = 'F' AS INT) AS st_f,
+           CAST(o_orderstatus = 'O' AS INT) AS st_o,
+           CAST(o_orderstatus = 'P' AS INT) AS st_p
+    FROM orders
+    """,
+)
+def q_onehot_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE-HOT ENCODING of categorical columns into indicator ints —
+    the other half of ML feature prep (q_feature_hash covers the
+    hashing-trick alternative for unbounded vocabularies; explicit
+    one-hot is right when the category set is small and KNOWN, as
+    here: the encoding is part of the schema contract, so an unseen
+    category is a detectable upstream error rather than a silent hash
+    bucket). Pure per-row codegen, no shuffle, columns not rows — the
+    layout a feature store materializes."""
+    ensure_session_determinism(spark)
+    o = load(spark, sf_dir, "orders")
+
+    def ind(col, val, name):
+        return (F.col(col) == val).cast("int").alias(name)
+
+    return o.select(
+        "o_orderkey",
+        ind("o_orderpriority", "1-URGENT", "pri_urgent"),
+        ind("o_orderpriority", "2-HIGH", "pri_high"),
+        ind("o_orderpriority", "3-MEDIUM", "pri_medium"),
+        ind("o_orderpriority", "4-NOT SPECIFIED", "pri_notspec"),
+        ind("o_orderpriority", "5-LOW", "pri_low"),
+        ind("o_orderstatus", "F", "st_f"),
+        ind("o_orderstatus", "O", "st_o"),
+        ind("o_orderstatus", "P", "st_p"),
+    )
