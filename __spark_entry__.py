@@ -151,6 +151,7 @@ _PRIORITY = [
     "q_bitwise_funcs",
     "q_feature_scale",
     "q_onehot_encode",
+    "s_progress_metrics",
     # (b) events-based — fixture timestamp type changed post-r3
     "q_filter_null_bool",
     "q_join_nullsafe",

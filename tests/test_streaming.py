@@ -319,3 +319,15 @@ def test_checkpoint_recovery_resumes_exactly_once(spark, sf_dir, tmp_path):
     batch = registry.QUERIES["q_window_tumbling"](spark, sf_dir)
     cols = ["window_start", "event_type", "n", "sum_value"]
     assert rows_set(resumed, cols) == rows_set(batch, cols)
+
+
+def test_progress_metrics_conserve_input_rows(spark, sf_dir):
+    """Σ numInputRows across micro-batches must equal the replayed
+    event count exactly — the conservation law a lag monitor relies
+    on — and state rows must be populated for the stateful agg."""
+    from tile_etl_spark.io import load
+
+    prog = registry.QUERIES["s_progress_metrics"](spark, sf_dir).toPandas()
+    total = load(spark, sf_dir, "events").count()
+    assert prog.input_rows.sum() == total
+    assert (prog.state_rows > 0).any()

@@ -403,3 +403,56 @@ def s_ss_join_louter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_unconverted"),
     )
+
+
+@query("s_progress_metrics")
+def s_progress_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING OBSERVABILITY — the per-micro-batch progress feed
+    (StreamingQueryProgress): input rows, state-store rows, and
+    watermark presence per batch for a stateful windowed aggregation.
+    This is the A13 progress-reporting surface (SURVEY §2A) extended
+    to streams: the reference logs per-tile progress; a streaming
+    engine's equivalent is the query-progress stream that feeds lag
+    monitors, autoscalers and SLO alerts. The unit test asserts the
+    conservation law: Σ numInputRows over batches = the replayed
+    event count exactly (no batch lost or double-counted).
+
+    Emitted as a small driver-side DataFrame (one row per micro-batch
+    — O(batches), never data-sized)."""
+    ensure_session_determinism(spark)
+    import uuid as _uuid
+
+    stream = read_stream(spark, replay_dir(spark, sf_dir))
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    name = "s_prog_" + _uuid.uuid4().hex[:8]
+    ckpt = os.path.join(_art_root(), "checkpoints", name)
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = []
+    for p in q.recentProgress:
+        state = p.get("stateOperators") or []
+        rows.append(
+            (
+                int(p["batchId"]),
+                int(p["numInputRows"]),
+                int(state[0]["numRowsTotal"]) if state else 0,
+                int(state[0]["numRowsUpdated"]) if state else 0,
+                bool((p.get("eventTime") or {}).get("watermark")),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "batch_id INT, input_rows BIGINT, state_rows BIGINT, "
+        "state_updated BIGINT, has_watermark BOOLEAN",
+    )
