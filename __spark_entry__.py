@@ -152,6 +152,8 @@ _PRIORITY = [
     "q_feature_scale",
     "q_onehot_encode",
     "s_progress_metrics",
+    "q_udf_arrow",
+    "q_map_in_arrow",
     # (b) events-based — fixture timestamp type changed post-r3
     "q_filter_null_bool",
     "q_join_nullsafe",

@@ -222,3 +222,79 @@ def q_cogroup_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_line_price double, has_discount int",
         )
     )
+
+
+@query(
+    "q_udf_arrow",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_brand) || '/' || CAST(p_size * 2 AS VARCHAR)
+             AS brand_code
+    FROM part
+    """,
+)
+def q_udf_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ARROW-OPTIMIZED PYTHON UDF (Spark 4 ``useArrow=True``) — the
+    third Python tier: a per-value Python function whose INPUT/OUTPUT
+    transfer is Arrow-batched (vs pickle rows for classic UDFs), for
+    logic that is genuinely per-value and doesn't vectorize as a
+    pandas_udf. Still slower than JVM expressions (the oracle IS the
+    equivalent expression) — registered to pin the API and its plan
+    node (ArrowEvalPython), not as a recommended hot path; the rule
+    stays: built-ins > pandas_udf > arrow udf > pickled udf."""
+    ensure_session_determinism(spark)
+    from pyspark.sql.functions import udf
+
+    @udf(returnType="string", useArrow=True)
+    def brand_code(brand: str, size: int) -> str:
+        return f"{brand.upper()}/{size * 2}"
+
+    p = load(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey", brand_code("p_brand", "p_size").alias("brand_code")
+    )
+
+
+@query(
+    "q_map_in_arrow",
+    oracle="""
+    SELECT l_orderkey,
+           CAST(sum(l_quantity) AS DOUBLE) AS qty_sum,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem GROUP BY l_orderkey
+    """,
+)
+def q_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow — the LOWEST-level Arrow surface: the function
+    receives raw ``pyarrow.RecordBatch``es (no pandas conversion at
+    all), the right tier when the Python work is itself Arrow-native
+    (zero-copy handoff to DuckDB/Polars/numpy, custom columnar codecs,
+    the multimodal decoders). Here each batch computes per-order
+    partial sums with pyarrow's hash aggregation; the partials then
+    finish in a JVM hash aggregate — the same partial+final shape as
+    any distributed agg, so Arrow batches never need to see whole
+    groups. Quantities are integer-valued doubles: partial sums are
+    exact, so the split is hash-identical to the oracle's one-shot
+    aggregate."""
+    ensure_session_determinism(spark)
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+
+    def partial_sums(batches):
+        import pyarrow as pa
+
+        for batch in batches:
+            t = pa.Table.from_batches([batch])
+            g = t.group_by("l_orderkey").aggregate(
+                [("l_quantity", "sum"), ("l_quantity", "count")]
+            )
+            yield from g.rename_columns(
+                ["l_orderkey", "psum", "pcnt"]
+            ).to_batches()
+
+    partials = li.mapInArrow(
+        partial_sums, "l_orderkey bigint, psum double, pcnt bigint"
+    )
+    return partials.groupBy("l_orderkey").agg(
+        F.sum("psum").cast("double").alias("qty_sum"),
+        F.sum("pcnt").cast("bigint").alias("n"),
+    )
