@@ -42,6 +42,14 @@ _PRIORITY = [
     # fix, so they lead the list.
     "q_ts_resample",
     "q_ts_interpolate",
+    # (a-1) NEW in round 7 — need their first-ever driver rows
+    "src_xml",
+    "q_sql_udf",
+    "q_pipe_sql",
+    "q_param_sql",
+    "q_collation",
+    "q_tpch_q21",
+    "q_url_funcs",
     # (a00) NEW in round 5 — need their first-ever driver rows
     "q_funnel_ttc",
     "q_basket_pairs",

@@ -21,6 +21,7 @@ import tile_etl_spark.operators.joins  # noqa: F401
 import tile_etl_spark.operators.reshape  # noqa: F401
 import tile_etl_spark.operators.sessionize  # noqa: F401
 import tile_etl_spark.operators.setops  # noqa: F401
+import tile_etl_spark.operators.sqlsurface  # noqa: F401
 import tile_etl_spark.operators.windows  # noqa: F401
 import tile_etl_spark.operators.workloads  # noqa: F401
 

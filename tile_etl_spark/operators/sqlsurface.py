@@ -1,0 +1,334 @@
+"""Modern SQL-surface operators (Spark 4 native).
+
+The reference exposes no SQL at all (SURVEY §0 — it is a 2-file C#
+uploader); the ENGINE's declared surface is the full Spark SQL dialect,
+and this module pins the Spark-4-only entry points a user migrating a
+warehouse workload would reach for first:
+
+- SQL UDFs (``CREATE TEMPORARY FUNCTION … RETURN expr``) — logic shared
+  by every query without shipping Python to executors;
+- SQL pipe syntax (``|>``), the linear form of nested SELECTs;
+- parameterized SQL (named parameter markers) — injection-safe literals
+  the optimizer still constant-folds;
+- collation-aware grouping (``UTF8_LCASE``) — locale/case semantics in
+  the engine, not in ad-hoc ``lower()`` wrappers;
+- the TPC-H Q21 shape (double-correlated EXISTS / NOT EXISTS on the
+  same fact table), completing fixture-adapted TPC-H at 21 of 22.
+
+All five are H-checked: the DuckDB twin spells the same semantics in
+portable ANSI form (inlined UDF body, standard nested SELECT, literal
+parameters, ``lower()`` for the collation), so the hash-match proves
+the sugar desugars to exactly the portable query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tile_etl_spark.io import load
+from tile_etl_spark.registry import query
+from tile_etl_spark.session import ensure_session_determinism
+
+
+@query(
+    "q_sql_udf",
+    oracle="""
+    SELECT CASE WHEN l_quantity < 10 THEN 'low'
+                WHEN l_quantity < 30 THEN 'mid'
+                ELSE 'high' END AS tier,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    FROM lineitem
+    GROUP BY 1
+    """,
+)
+def q_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL UDFs (Spark 4 ``CREATE TEMPORARY FUNCTION``): a scalar
+    function body in pure SQL, registered once and reused across
+    queries. Unlike Python UDFs these stay ENTIRELY JVM-side — the
+    analyzer inlines the body into the plan, so codegen, predicate
+    pushdown and constant folding all see through the call (the
+    physical plan is identical to writing the CASE inline, which is
+    exactly what the DuckDB twin does — the hash match proves the
+    inlining is semantics-preserving). The 100 TB posture is therefore
+    the same as any expression: no serialization boundary, no Arrow
+    batches, no Python workers."""
+    ensure_session_determinism(spark)
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION qty_tier(q DOUBLE)
+        RETURNS STRING
+        RETURN CASE WHEN q < 10 THEN 'low'
+                    WHEN q < 30 THEN 'mid'
+                    ELSE 'high' END
+        """
+    )
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION disc_price(p DOUBLE, d DOUBLE)
+        RETURNS DECIMAL(18,4)
+        RETURN CAST(p * (1 - d) AS DECIMAL(18,4))
+        """
+    )
+    return spark.sql(
+        """
+        SELECT qty_tier(l_quantity) AS tier,
+               count(*) AS n,
+               CAST(sum(disc_price(l_extendedprice, l_discount)) AS DOUBLE)
+                 AS revenue
+        FROM lineitem
+        GROUP BY 1
+        """
+    )
+
+
+@query(
+    "q_pipe_sql",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= DATE '1995-01-01'
+    GROUP BY l_returnflag
+    """,
+)
+def q_pipe_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL PIPE syntax (Spark 4 ``|>``): the linear dataflow form of
+    SQL — each stage consumes the previous one top-to-bottom, the way
+    DataFrame chains and the engine's own builders read. Catalyst
+    desugars ``|> WHERE / EXTEND / AGGREGATE`` into the identical
+    logical plan as the nested-SELECT form (the DuckDB twin), so the
+    hash match pins that the sugar changes nothing: same pushdown, same
+    partial+final aggregate, same codegen. ``EXTEND`` is the projection
+    stage (money math into DECIMAL per §5.3), ``AGGREGATE … GROUP BY``
+    the one-shuffle aggregation."""
+    ensure_session_determinism(spark)
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        FROM lineitem
+        |> WHERE l_shipdate >= DATE '1995-01-01'
+        |> EXTEND CAST(l_extendedprice * (1 - l_discount)
+                       AS DECIMAL(18,4)) AS disc
+        |> AGGREGATE count(*) AS n,
+                     CAST(sum(disc) AS DOUBLE) AS revenue
+           GROUP BY l_returnflag
+        """
+    )
+
+
+@query(
+    "q_param_sql",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS total
+    FROM orders
+    WHERE o_orderdate >= DATE '1995-06-01'
+      AND o_orderstatus = 'O'
+    GROUP BY o_orderpriority
+    """,
+)
+def q_param_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARAMETERIZED SQL (named parameter markers): the template query
+    a service issues with user-supplied values bound server-side —
+    ``:cutoff`` / ``:status`` are typed AST literals, not string
+    splices, so injection is structurally impossible while Catalyst
+    still constant-folds and pushes them down like hand-written
+    literals (the scan's PushedFilters carries the bound date). The
+    oracle is the same query with the parameters inlined — hash match
+    proves binding ≡ literal substitution."""
+    ensure_session_determinism(spark)
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    import datetime as dt
+
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               count(*) AS n,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS total
+        FROM orders
+        WHERE o_orderdate >= :cutoff AND o_orderstatus = :status
+        GROUP BY o_orderpriority
+        """,
+        args={"cutoff": dt.date(1995, 6, 1), "status": "O"},
+    )
+
+
+@query(
+    "q_collation",
+    oracle="""
+    SELECT lower(CASE WHEN event_id % 2 = 0 THEN upper(event_type)
+                      ELSE event_type END) AS etype,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS users
+    FROM events
+    GROUP BY 1
+    """,
+)
+def q_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COLLATION-AWARE grouping (Spark 4 ``UTF8_LCASE``): the engine
+    treats 'CLICK' and 'click' as ONE group because equality itself is
+    collation-aware — hash partitioning, hash aggregation and
+    comparisons all use the collation key, so the case-insensitive
+    semantics hold across shuffles without rewriting every expression
+    in ``lower()``. The query uppercases a deterministic half of the
+    rows (event_id parity) to force real case skew, groups by the
+    collated column, and emits the canonical lowercase label; the twin
+    spells the same semantics with ``lower()`` — hash match pins
+    collated-equality ≡ normalize-then-compare for this collation."""
+    ensure_session_determinism(spark)
+    e = load(spark, sf_dir, "events")
+    mixed = F.when(
+        F.col("event_id") % 2 == 0, F.upper("event_type")
+    ).otherwise(F.col("event_type"))
+    return (
+        e.select(
+            F.collate(mixed, "UTF8_LCASE").alias("etype_ci"),
+            "event_id",
+            "user_id",
+        )
+        .groupBy("etype_ci")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("user_id").alias("users"),
+        )
+        .select(
+            F.lower(F.col("etype_ci").cast("string")).alias("etype"),
+            "n",
+            "users",
+        )
+    )
+
+
+# Q21 late-threshold stand-in: the fixture lineitem (TESTDATA.md) has no
+# l_commitdate/l_receiptdate, so "kept orders waiting" is re-keyed to
+# shipping more than 60 days after the order date — same join topology,
+# same correlated-quantifier structure, different late predicate.
+_Q21_LATE_DAYS = 60
+_Q21_NATION = "NATION_3"
+
+
+@query(
+    "q_tpch_q21",
+    oracle=f"""
+    WITH base AS (
+      SELECT l.l_orderkey, l.l_suppkey,
+             (l.l_shipdate > o.o_orderdate + INTERVAL {_Q21_LATE_DAYS} DAY)
+               AS late
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_orderstatus = 'F'
+    )
+    SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM base l1
+    JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE l1.late
+      AND n.n_name = '{_Q21_NATION}'
+      AND EXISTS (
+        SELECT 1 FROM base l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM base l3
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.late
+      )
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 100
+    """,
+)
+def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 (suppliers who kept orders waiting) — fixture-adapted:
+    the only supplier who shipped late on a multi-supplier F-status
+    order ('late' = shipped > 60 days after order date, standing in for
+    receipt>commit which the trimmed fixture lacks; the reference query
+    is Q21 in the TPC-H spec). This is the hardest TPC-H shape: a
+    DOUBLE correlated quantifier — EXISTS(another supplier on the same
+    order) AND NOT EXISTS(another LATE supplier on the same order) —
+    over the same fact table three times.
+
+    Spark plan: the shared ``base`` (lineitem⋈F-orders with the late
+    flag) is computed once; the quantifiers decorrelate to a LEFT SEMI
+    join (equi on l_orderkey + suppkey<>residual) and a LEFT ANTI join
+    of the same shape — no subquery re-evaluation per row, each
+    quantifier is one hash join on the order key. At 100 TB all three
+    base legs co-shuffle on l_orderkey (one exchange reused via AQE),
+    and the supplier/nation dims broadcast. Completes fixture-adapted
+    TPC-H at 21 of 22 (Q1≡q_agg_group; Q21 here; only the pure
+    date-arithmetic Q... none remain beyond the fixture's columns)."""
+    ensure_session_determinism(spark)
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    supp = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+
+    base = (
+        li.join(
+            orders.where(F.col("o_orderstatus") == "F").select(
+                "o_orderkey", "o_orderdate"
+            ),
+            li["l_orderkey"] == F.col("o_orderkey"),
+        )
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            (
+                F.col("l_shipdate")
+                > F.date_add(F.col("o_orderdate"), _Q21_LATE_DAYS)
+            ).alias("late"),
+        )
+    )
+    l1 = base.where("late").alias("l1")
+    l2 = base.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2")
+    ).alias("l2")
+    l3 = (
+        base.where("late")
+        .select(F.col("l_orderkey").alias("o3"), F.col("l_suppkey").alias("s3"))
+        .alias("l3")
+    )
+    waiting = (
+        l1.join(
+            l2,
+            (F.col("l1.l_orderkey") == F.col("o2"))
+            & (F.col("l1.l_suppkey") != F.col("s2")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l1.l_orderkey") == F.col("o3"))
+            & (F.col("l1.l_suppkey") != F.col("s3")),
+            "left_anti",
+        )
+    )
+    named = waiting.join(
+        F.broadcast(
+            supp.join(
+                F.broadcast(
+                    nation.where(F.col("n_name") == _Q21_NATION).select(
+                        "n_nationkey"
+                    )
+                ),
+                supp["s_nationkey"] == F.col("n_nationkey"),
+            ).select("s_suppkey", "s_name")
+        ),
+        waiting["l1.l_suppkey"] == F.col("s_suppkey"),
+    )
+    return (
+        named.groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(100)
+    )

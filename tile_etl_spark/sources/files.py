@@ -183,6 +183,44 @@ def src_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "src_xml",
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey FROM nation
+    """,
+)
+def src_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML ingest round trip (Spark 4 NATIVE ``format("xml")`` — the
+    former spark-xml package folded into core): write ``nation`` as
+    ``<row>`` elements, read back with an explicit DDL schema.
+    Losslessness makes the oracle the original table, same contract as
+    src_orc. XML matters for the enterprise feeds (SOAP exports, config
+    dumps, HL7/FpML-style documents) that never migrated to columnar
+    formats; the reader distributes by splitting on the row tag, so a
+    large export parallelizes like any text source. Scale note: XML is
+    an INGEST format here — the first hop lands it in Parquet
+    (sink_parquet), nothing downstream re-parses XML."""
+    ensure_session_determinism(spark)
+    n = load(spark, sf_dir, "nation")
+    xml_dir = _art("nation_xml")
+    (
+        n.coalesce(1)
+        .write.mode("overwrite")
+        .format("xml")
+        .option("rootTag", "nations")
+        .option("rowTag", "nation")
+        .save(xml_dir)
+    )
+    schema = "n_nationkey INT, n_name STRING, n_regionkey INT"
+    return (
+        spark.read.schema(schema)
+        .format("xml")
+        .option("rowTag", "nation")
+        .load(xml_dir)
+        .select("n_nationkey", "n_name", "n_regionkey")
+    )
+
+
 # Deterministic synthetic tile content shared with the DuckDB twin:
 # repeat md5(src_path) k times, k = ((ascii(4th md5 char) + 7) % 5) + 1.
 _K_SQL = "((ascii(substring(md5(src_path), 4, 1)) + 7) % 5) + 1"
