@@ -50,6 +50,9 @@ _PRIORITY = [
     "q_collation",
     "q_tpch_q21",
     "q_url_funcs",
+    "q_sample_weighted",
+    "q_observe_metrics",
+    "s_tile_ingest",
     # (a00) NEW in round 5 — need their first-ever driver rows
     "q_funnel_ttc",
     "q_basket_pairs",

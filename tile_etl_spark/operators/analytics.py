@@ -1364,3 +1364,91 @@ def q_anomaly_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_anomaly"
         ),
     )
+
+
+# Portable md5-hex → uint32: both dialects turn the first 8 hex chars of
+# md5(key) into the same integer; Spark has conv(), DuckDB gets the
+# positional-digit expansion (lexicographic strpos arithmetic — no
+# hex-parsing dialect dependence).
+_WS_SALT = "::wsample"
+
+
+def _duck_hex8_to_int(key_sql: str) -> str:
+    digit = (
+        "(strpos('0123456789abcdef', "
+        f"substr(md5({key_sql}), {{i}}, 1)) - 1)"
+    )
+    terms = " + ".join(
+        digit.format(i=i + 1) + f" * {16 ** (7 - i)}" for i in range(8)
+    )
+    return f"({terms})"
+
+
+@query(
+    "q_sample_weighted",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT lang, doc_id, n_chars,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY -ln(({_duck_hex8_to_int(
+                   "CAST(doc_id AS VARCHAR) || '" + _WS_SALT + "'")}
+                  + 0.5) / 4294967296.0) / n_chars,
+                 doc_id) AS rn
+      FROM documents
+    )
+    SELECT lang, doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(rn AS INT) AS rn
+    FROM keyed WHERE rn <= 20
+    """,
+)
+def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED sampling without replacement (Efraimidis–Spirakis):
+    k=20 docs per language with inclusion probability proportional to
+    ``n_chars`` — the length-weighted draw a training pipeline uses to
+    fill a token budget (sampling documents uniformly under-represents
+    long documents token-wise). Each row gets key = −ln(u)/w with u a
+    DETERMINISTIC uniform derived from md5(doc_id) (never rand() — the
+    draw must be reproducible across engines, retries and
+    partitionings; cf. q_sample_reservoir, q_data_split) and w =
+    n_chars; the k smallest keys per group are exactly an E–S weighted
+    sample.
+
+    Spark plans rank-then-filter as WindowGroupLimit: every partition
+    locally top-k's BEFORE the shuffle, so the exchange carries
+    k·partitions rows regardless of corpus size — the same scale shape
+    as q_sample_reservoir, plus one codegen'd ln() per row. The u
+    derivation (first 8 md5 hex chars as uint32, +0.5, /2^32) is
+    spelled digit-arithmetically in the oracle so no hex-parsing
+    dialect difference can bite."""
+    ensure_session_determinism(spark)
+    d = load(spark, sf_dir, "documents")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("doc_id").cast("string"), F.lit(_WS_SALT)
+                    ).cast("binary")
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        + F.lit(0.5)
+    ) / F.lit(4294967296.0)
+    key = -F.log(u) / F.col("n_chars")
+    w = Window.partitionBy("lang").orderBy(key, "doc_id")
+    return (
+        d.select("lang", "doc_id", "n_chars")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 20)
+        .select(
+            "lang",
+            "doc_id",
+            F.col("n_chars").cast("bigint").alias("n_chars"),
+            F.col("rn").cast("int").alias("rn"),
+        )
+    )

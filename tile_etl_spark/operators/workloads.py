@@ -2238,3 +2238,71 @@ def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return one.select(
         F.explode(F.array(*rows)).alias("s")
     ).select("s.col", "s.min_v", "s.max_v", "s.n_nulls", "s.ndv", "s.mean_v")
+
+
+@query(
+    "q_observe_metrics",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(CASE WHEN l_returnflag = 'R' THEN 1 END) AS BIGINT)
+             AS n_returned,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+           CAST(min(l_shipdate) AS DATE) AS first_ship,
+           CAST(max(l_shipdate) AS DATE) AS last_ship
+    FROM lineitem
+    """,
+)
+def q_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BATCH OBSERVABILITY via ``Dataset.observe``: named accumulator
+    metrics (row count, conditional count, revenue sum, ship-date
+    bounds) ride ON the pass the query was already making — zero extra
+    scans, zero extra shuffles, collected on the driver when the action
+    completes. This is the batch half of the A13 progress/telemetry
+    surface (SURVEY §2A; streaming half = s_progress_metrics): the
+    reference prints per-tile progress lines (src/Program.cs:120-127),
+    a Spark pipeline instead attaches observations to the frames it
+    writes and ships them to metrics sinks via QueryExecutionListener.
+
+    The observed metrics are REAL aggregates with exact semantics
+    (DECIMAL money math per §5.3), so the qid H-checks them against
+    DuckDB computing the same aggregates the explicit way — pinning
+    that piggy-backed observation ≡ a dedicated aggregation pass. At
+    100 TB the difference is one full scan saved per audit metric
+    family."""
+    ensure_session_determinism(spark)
+    from pyspark.sql import Observation
+
+    li = load(spark, sf_dir, "lineitem")
+    obs = Observation("q_observe_metrics")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(F.col("l_returnflag") == "R", 1)).alias("n_returned"),
+        as_double(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,4)"
+                )
+            )
+        ).alias("revenue"),
+        F.min("l_shipdate").alias("first_ship"),
+        F.max("l_shipdate").alias("last_ship"),
+    )
+    # The action the pipeline was running anyway; observation costs no
+    # extra pass. (A real job would .write here — count() stands in.)
+    observed.count()
+    m = obs.get
+    return spark.createDataFrame(
+        [
+            (
+                m["n_rows"],
+                m["n_returned"],
+                float(m["revenue"]),
+                m["first_ship"],
+                m["last_ship"],
+            )
+        ],
+        "n_rows BIGINT, n_returned BIGINT, revenue DOUBLE, "
+        "first_ship DATE, last_ship DATE",
+    )

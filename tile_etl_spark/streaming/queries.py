@@ -456,3 +456,104 @@ def s_progress_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "batch_id INT, input_rows BIGINT, state_rows BIGINT, "
         "state_updated BIGINT, has_watermark BOOLEAN",
     )
+
+
+@query(
+    "s_tile_ingest",
+    oracle="""
+    WITH bounds(level, r0, r1, c0, c1) AS (VALUES (5, 4, 20, -2, 14)),
+    rows_ AS (
+      SELECT level, unnest(generate_series(r0, r1)) AS "row", c0, c1
+      FROM bounds
+    ),
+    grid AS (
+      SELECT CAST(level AS INT) AS level,
+             CAST("row" AS INT) AS "row",
+             CAST(unnest(generate_series(c0, c1)) AS INT) AS col
+      FROM rows_
+    ),
+    tiles AS (
+      SELECT level, "row", col,
+             printf('L%02d/R%s/C%s.jpg', level,
+                    right(printf('%016x', CAST("row" AS BIGINT)), 8),
+                    right(printf('%016x', CAST(col AS BIGINT)), 8))
+               AS src_path
+      FROM grid
+    ),
+    present AS (
+      SELECT level, "row", col,
+             32 * (((ascii(substring(md5(src_path), 4, 1)) + 7) % 5) + 1)
+               AS length
+      FROM tiles
+      WHERE substring(md5(src_path), 1, 1) NOT IN ('0','1','2')
+    )
+    SELECT level, CAST(((col % 4) + 4) % 4 AS INT) AS col_bucket,
+           CAST(count(*) AS BIGINT) AS n_tiles,
+           CAST(sum(length) AS BIGINT) AS total_bytes,
+           CAST(count(DISTINCT "row") AS BIGINT) AS n_rows
+    FROM present
+    GROUP BY 1, 2
+    """,
+)
+def s_tile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING TILE INGEST — the reference pipeline run CONTINUOUSLY:
+    the reference (src/Program.cs:71-123) is a one-shot batch walk of
+    the exploded cache; a live map service keeps producing tiles, so
+    the engine also offers the same A5→A8 pipeline as a Structured
+    Streaming job over a binaryFile source — new files are discovered
+    per micro-batch (checkpointed listing state), parsed with the SAME
+    hex path codec (parse_src_path, tiles/grid.py), and aggregated per
+    (level, col-bucket). On a cluster the source would be cloud-store
+    notifications; semantics are identical.
+
+    H-checked (stronger than the B/R the other streaming qids get):
+    the tile cache content is the deterministic md5-repeat recipe
+    shared with src_binary, so DuckDB recomputes the per-bucket tile
+    counts, byte totals and distinct row counts from the closed-form
+    grid — the stream must land every tile exactly once, byte-for-byte,
+    to hash-match. availableNow drains the backlog; the groupBy runs in
+    complete mode over the drained replay."""
+    ensure_session_determinism(spark)
+    from tile_etl_spark.sources.files import materialize_tile_cache, _art
+    from tile_etl_spark.tiles.grid import parse_src_path
+
+    base = _art("tiles_cache")
+    materialize_tile_cache(spark, base)
+    schema = (
+        "path STRING, modificationTime TIMESTAMP, length BIGINT, "
+        "content BINARY"
+    )
+    stream = (
+        spark.readStream.format("binaryFile")
+        .schema(schema)
+        .option("pathGlobFilter", "*.jpg")
+        .option("recursiveFileLookup", "true")
+        .load(base)
+    )
+    rel = F.regexp_extract(
+        "path", r"(L\d{2}/R[0-9a-f]{8}/C[0-9a-f]{8}\.jpg)$", 1
+    )
+    lvl, row, col = parse_src_path(rel)
+    parsed = stream.select(
+        lvl.alias("level"),
+        row.alias("row"),
+        col.alias("col"),
+        F.length("content").alias("n_bytes"),
+    )
+    # Streaming disallows COUNT(DISTINCT): aggregate at (…, row) grain
+    # in the stream (mergeable state), roll the distinct-row count up
+    # batch-side from the drained table — the standard two-level shape.
+    agg = parsed.groupBy(
+        "level",
+        F.pmod(F.col("col"), F.lit(4)).cast("int").alias("col_bucket"),
+        "row",
+    ).agg(
+        F.count(F.lit(1)).alias("n_tiles"),
+        F.sum("n_bytes").alias("total_bytes"),
+    )
+    per_row = run_to_table(agg, "complete")
+    return per_row.groupBy("level", "col_bucket").agg(
+        F.sum("n_tiles").alias("n_tiles"),
+        F.sum("total_bytes").alias("total_bytes"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
