@@ -53,6 +53,7 @@ _PRIORITY = [
     "q_sample_weighted",
     "q_observe_metrics",
     "s_tile_ingest",
+    "q_graph_bfs",
     # (a00) NEW in round 5 — need their first-ever driver rows
     "q_funnel_ttc",
     "q_basket_pairs",

@@ -2306,3 +2306,89 @@ def q_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows BIGINT, n_returned BIGINT, revenue DOUBLE, "
         "first_ship DATE, last_ship DATE",
     )
+
+
+_BFS_SEED = 1  # part node; suppliers are encoded as negative ids
+_BFS_ROUNDS = 6
+_BFS_EDGE_FILTER = "l_quantity < 4 AND l_linenumber <= 2"
+
+
+@query(
+    "q_graph_bfs",
+    oracle=f"""
+    WITH RECURSIVE e AS (
+      SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem
+      WHERE {_BFS_EDGE_FILTER}
+    ),
+    g AS (
+      SELECT p AS src, -s AS dst FROM e
+      UNION ALL
+      SELECT -s AS src, p AS dst FROM e
+    ),
+    bfs(node, dist) AS (
+      SELECT CAST({_BFS_SEED} AS BIGINT) AS node, 0 AS dist
+      UNION
+      SELECT g.dst, bfs.dist + 1
+      FROM bfs JOIN g ON g.src = bfs.node
+      WHERE bfs.dist < {_BFS_ROUNDS}
+    )
+    SELECT node, CAST(min(dist) AS INT) AS dist
+    FROM bfs GROUP BY node
+    """,
+)
+def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SINGLE-SOURCE BFS shortest hops (bounded frontier expansion)
+    over the part↔supplier bipartite graph (sparse edge subset so the
+    fixture graph has real depth; suppliers ride as negative node ids).
+    Distances are INTEGER hops — exact, no float drift — making this
+    the H-checkable representative of the message-passing family next
+    to q_graph_pagerank (fixed-iteration float) and q_dedup_cluster
+    (label propagation to fixpoint).
+
+    Spark shape: classic frontier BFS — each round joins the CURRENT
+    FRONTIER (not the visited set) against the edge list, anti-joins
+    out already-visited nodes, unions into visited. Work per round is
+    O(frontier boundary), the distributed-BFS optimum; localCheckpoint
+    truncates the growing lineage so round N's plan doesn't replay
+    rounds 1..N-1 (the standard iterative-algorithm discipline, same
+    as q_graph_pagerank). The oracle spells it as a bounded recursive
+    CTE with UNION-dedup + min(dist) — semantics pinned: min over all
+    ≤6-hop walks ≡ BFS layering."""
+    ensure_session_determinism(spark)
+    li = load(spark, sf_dir, "lineitem")
+    e = (
+        li.where(_BFS_EDGE_FILTER)
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    g = (
+        e.select(
+            F.col("l_partkey").alias("src"),
+            (-F.col("l_suppkey")).cast("bigint").alias("dst"),
+        )
+        .unionAll(
+            e.select(
+                (-F.col("l_suppkey")).cast("bigint").alias("src"),
+                F.col("l_partkey").alias("dst"),
+            )
+        )
+        .localCheckpoint()
+    )
+    frontier = spark.createDataFrame(
+        [(_BFS_SEED, 0)], "node BIGINT, dist INT"
+    )
+    visited = frontier
+    for d in range(1, _BFS_ROUNDS + 1):
+        nxt = (
+            frontier.join(g, frontier["node"] == g["src"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited, "node", "left_anti")
+            .withColumn("dist", F.lit(d))
+            .localCheckpoint()
+        )
+        if not nxt.take(1):
+            break
+        visited = visited.unionAll(nxt)
+        frontier = nxt
+    return visited.select("node", F.col("dist").cast("int").alias("dist"))
