@@ -54,6 +54,7 @@ _PRIORITY = [
     "q_observe_metrics",
     "s_tile_ingest",
     "q_graph_bfs",
+    "src_python_ds_stream",
     # (a00) NEW in round 5 — need their first-ever driver rows
     "q_funnel_ttc",
     "q_basket_pairs",

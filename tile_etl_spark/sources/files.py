@@ -829,3 +829,91 @@ def src_python_ds(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     spark.dataSource.register(TileManifestDataSource)
     return spark.read.format("tile_manifest").load()
+
+
+@query("src_python_ds_stream", oracle=_manifest_oracle())
+def src_python_ds_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSTOM PYTHON STREAMING SOURCE (Spark 4 DataSourceStreamReader):
+    the same tile manifest as src_python_ds, but exposed as a
+    micro-batch STREAM — offsets are pyramid levels, so each
+    micro-batch delivers one level's manifest and the checkpoint
+    records how far the pyramid has been published. This is the
+    connector shape for any paginated/offset-addressable external feed
+    (queue shards, REST cursors, change feeds) when no JVM connector
+    exists: initialOffset/latestOffset define the backlog,
+    partitions(start, end) maps an offset range to parallel tasks,
+    commit() acknowledges durable progress.
+
+    H-checked against the same closed-form manifest oracle as the
+    batch source: draining the stream must reproduce the batch answer
+    row-for-row — offset bookkeeping can neither drop nor duplicate a
+    level."""
+    ensure_session_determinism(spark)
+    import uuid as _uuid
+
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceStreamReader,
+        InputPartition,
+    )
+
+    from tile_etl_spark.tiles.grid import level_bounds
+
+    # Driver-resolved bounds travel inside the pickled reader (executor
+    # workers may not have the repo on sys.path — cf. src_python_ds).
+    bounds = {lvl: level_bounds(lvl) for lvl in range(5, 11)}
+    lo, hi = min(bounds), max(bounds) + 1
+
+    class TileManifestStreamReader(DataSourceStreamReader):
+        def __init__(self, bounds_by_level, lo_, hi_):
+            self._bounds = bounds_by_level
+            self._lo, self._hi = lo_, hi_
+
+        def initialOffset(self):
+            return {"level": self._lo}
+
+        def latestOffset(self):
+            return {"level": self._hi}
+
+        def partitions(self, start, end):
+            return [
+                InputPartition(lvl)
+                for lvl in range(start["level"], end["level"])
+            ]
+
+        def read(self, partition):
+            lvl = partition.value
+            r0, r1, c0, c1 = self._bounds[lvl]
+            for r in range(r0, r1 + 1):
+                for c in range(c0, c1 + 1):
+                    yield (lvl, r, c)
+
+        def commit(self, end):
+            pass
+
+    class TileManifestStreamSource(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "tile_manifest_stream"
+
+        def schema(self) -> str:
+            return "level int, row int, col int"
+
+        def streamReader(self, schema):
+            return TileManifestStreamReader(bounds, lo, hi)
+
+    spark.dataSource.register(TileManifestStreamSource)
+    name = "pyds_" + _uuid.uuid4().hex[:8]
+    ckpt = _art(f"checkpoints_{name}")
+    q = (
+        spark.readStream.format("tile_manifest_stream")
+        .load()
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
