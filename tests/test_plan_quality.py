@@ -553,3 +553,49 @@ def test_join_hint_is_honored(spark, sf_dir):
     p = plan(q("q_join_hints", spark, sf_dir))
     assert "ShuffledHashJoin" in p
     assert "BroadcastHashJoin" not in p
+
+
+def test_pipe_sql_and_sql_udf_desugar_to_plain_plans(spark, sf_dir):
+    """The Spark-4 sugar surfaces (pipe syntax, SQL UDFs) must leave NO
+    runtime trace: their physical plans are ordinary scan→partial/final
+    hash-aggregate pipelines — no Python eval, no extra exchanges, and
+    the SQL-UDF call is inlined (no UDF node survives analysis)."""
+    for qid in ("q_pipe_sql", "q_sql_udf", "q_param_sql"):
+        p = plan(q(qid, spark, sf_dir))
+        assert "HashAggregate" in p, qid
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, qid
+        assert p.count("Exchange") <= 2, (qid, p.count("Exchange"))
+
+
+def test_param_sql_binds_push_down(spark, sf_dir):
+    """Bound named parameters must reach the parquet scan as pushed
+    filters, exactly like hand-written literals."""
+    p = plan(q("q_param_sql", spark, sf_dir))
+    pushed = [ln for ln in p.splitlines() if "PushedFilters" in ln][0]
+    assert "o_orderdate" in pushed and "o_orderstatus" in pushed, pushed
+
+
+def test_sample_weighted_uses_window_group_limit(spark, sf_dir):
+    """The E-S weighted sample must rank-prune per partition BEFORE the
+    shuffle (WindowGroupLimit), like q_sample_reservoir."""
+    p = plan(q("q_sample_weighted", spark, sf_dir))
+    assert "WindowGroupLimit" in p
+    assert "CartesianProduct" not in p
+
+
+def test_tpch_q21_quantifiers_are_semi_and_anti_joins(spark, sf_dir):
+    """Q21's double correlated quantifier must decorrelate into one
+    LeftSemi and one LeftAnti hash/sort join on the order key — never a
+    nested-loop re-evaluation."""
+    p = plan(q("q_tpch_q21", spark, sf_dir))
+    assert "LeftSemi" in p and "LeftAnti" in p, p[:2000]
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_url_funcs_single_scan_no_exchange(spark, sf_dir):
+    """URL parsing is a pure per-row projection: one scan, zero
+    exchanges, zero Python."""
+    p = plan(q("q_url_funcs", spark, sf_dir))
+    assert "Exchange" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
