@@ -55,6 +55,7 @@ _PRIORITY = [
     "s_tile_ingest",
     "q_graph_bfs",
     "src_python_ds_stream",
+    "q_ts_seasonal_decompose",
     # (a00) NEW in round 5 — need their first-ever driver rows
     "q_funnel_ttc",
     "q_basket_pairs",

@@ -792,3 +792,114 @@ def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         counted.withColumn("rank", F.row_number().over(wr).cast("bigint"))
         .where(F.col("rank") <= PATH_TOPK)
     )
+
+
+@query(
+    "q_ts_seasonal_decompose",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+             count(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    trend AS (
+      SELECT event_type, d, n,
+             count(*) OVER w7 AS cnt7,
+             sum(n) OVER w7 AS sum7
+      FROM daily
+      WINDOW w7 AS (PARTITION BY event_type ORDER BY d
+                    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ),
+    detr AS (
+      SELECT event_type, d, n,
+             CASE WHEN cnt7 = 7 THEN 7 * n - sum7 END AS detr7,
+             CASE WHEN cnt7 = 7 THEN sum7 END AS sum7,
+             dayofweek(d) AS dow
+      FROM trend
+    ),
+    seas AS (
+      SELECT event_type, dow,
+             CAST(sum(detr7) AS DOUBLE) / (7 * count(*)) AS seasonal
+      FROM detr WHERE detr7 IS NOT NULL
+      GROUP BY 1, 2
+    )
+    SELECT t.event_type, t.d, CAST(t.n AS BIGINT) AS n,
+           round(CAST(t.sum7 AS DOUBLE) / 7, 6) AS trend,
+           round(s.seasonal, 6) AS seasonal,
+           round(CAST(t.detr7 AS DOUBLE) / 7 - s.seasonal, 6) AS residual
+    FROM detr t JOIN seas s
+      ON t.event_type = s.event_type AND t.dow = s.dow
+    """,
+)
+def q_ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLASSICAL SEASONAL DECOMPOSITION (STL-lite, additive): daily
+    volume per event type splits into TREND (centered 7-day moving
+    average — exact integer sum / 7, only where the window is full),
+    SEASONAL (mean detrended value per day-of-week across the whole
+    series — the fixed weekly profile), and RESIDUAL (what anomaly
+    detection actually scores; cf. q_anomaly_window which thresholds a
+    rolling z instead). The additive identity n = trend + seasonal +
+    residual holds by construction on every emitted row.
+
+    Determinism discipline: every aggregate stays in INTEGER space —
+    the detrended value is carried ×7 (detr7 = 7n − Σ₇n, a BIGINT), so
+    the seasonal mean is an integer sum over an integer count and NO
+    float accumulation order exists anywhere; doubles appear only in
+    final fixed-denominator divisions. (A naive avg(n − trend) would
+    sum doubles in engine-dependent order — the cross-engine ulp class
+    §5.3 bans.)
+
+    Shape: one day-grain aggregate (the only data-sized shuffle), one
+    7-row window over day-grain rows, one 7-key-per-type seasonal
+    aggregate broadcast back into the day-grain rows. At 100 TB the
+    day-grain table is ~10^3 rows per type regardless of event volume:
+    everything after the first aggregate is metadata-sized."""
+    ensure_session_determinism(spark)
+    e = load(spark, sf_dir, "events")
+    daily = (
+        e.groupBy(
+            "event_type", F.date_trunc("day", "ts").cast("date").alias("d")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w7 = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(-3, 3)
+    )
+    trend = daily.select(
+        "event_type",
+        "d",
+        "n",
+        F.count(F.lit(1)).over(w7).alias("cnt7"),
+        F.sum("n").over(w7).alias("sum7_raw"),
+    )
+    full = F.col("cnt7") == 7
+    detr = trend.select(
+        "event_type",
+        "d",
+        "n",
+        F.when(full, 7 * F.col("n") - F.col("sum7_raw")).alias("detr7"),
+        F.when(full, F.col("sum7_raw")).alias("sum7"),
+        F.dayofweek("d").alias("dow"),
+    )
+    seas = (
+        detr.where(F.col("detr7").isNotNull())
+        .groupBy("event_type", "dow")
+        .agg(
+            (
+                F.sum("detr7").cast("double")
+                / (7 * F.count(F.lit(1)))
+            ).alias("seasonal")
+        )
+    )
+    return detr.join(F.broadcast(seas), ["event_type", "dow"]).select(
+        "event_type",
+        "d",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(F.col("sum7").cast("double") / 7, 6).alias("trend"),
+        F.round("seasonal", 6).alias("seasonal"),
+        F.round(
+            F.col("detr7").cast("double") / 7 - F.col("seasonal"), 6
+        ).alias("residual"),
+    )
