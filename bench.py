@@ -121,6 +121,17 @@ EXTRA = [
     "q_tile_haversine",
     "q_ivm_join",
     "q_table_profile",
+    # round-7 additions
+    "q_tpch_q21",
+    "q_sql_udf",
+    "q_pipe_sql",
+    "q_param_sql",
+    "q_collation",
+    "q_url_funcs",
+    "q_sample_weighted",
+    "q_graph_bfs",
+    "q_ts_seasonal_decompose",
+    "s_tile_ingest",
 ]
 
 
