@@ -56,6 +56,7 @@ _PRIORITY = [
     "q_graph_bfs",
     "src_python_ds_stream",
     "q_ts_seasonal_decompose",
+    "q_dedup_url",
     # (a00) NEW in round 5 — need their first-ever driver rows
     "q_funnel_ttc",
     "q_basket_pairs",

@@ -699,3 +699,93 @@ def q_dedup_contain(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("containment", 6).alias("containment"),
         F.round("jaccard", 6).alias("jaccard"),
     )
+
+
+@query(
+    "q_dedup_url",
+    oracle="""
+    WITH raw AS (
+      SELECT doc_id, n_chars,
+             'https://' ||
+             CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END ||
+             source || '.Example.org/' || lang || '/page-' ||
+             CAST(doc_id % 500 AS VARCHAR) ||
+             CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END ||
+             CASE WHEN doc_id % 2 = 0
+                  THEN '?utm_source=feed&utm_campaign=x' ELSE '' END ||
+             CASE WHEN doc_id % 7 = 0 THEN '#section-2' ELSE '' END
+               AS url
+      FROM documents
+    ),
+    canon AS (
+      SELECT doc_id, n_chars,
+             regexp_replace(regexp_replace(regexp_replace(lower(url),
+                     '[?#].*$', ''),
+                   '^https://www\\.', 'https://'), '/$', '') AS curl
+      FROM raw
+    )
+    SELECT curl,
+           CAST(count(*) AS BIGINT) AS n_dups,
+           CAST(min(doc_id) AS BIGINT) AS keep_doc,
+           CAST(sum(n_chars) AS BIGINT) AS chars_total
+    FROM canon
+    GROUP BY curl
+    HAVING count(*) > 1
+    """,
+)
+def q_dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-CANONICALIZATION dedup — the zeroth, cheapest dedup tier in
+    a web-corpus pipeline (before exact-hash, before MinHash): two
+    crawls of the same page differ only in URL NOISE — scheme case,
+    'www.' prefix, trailing slash, tracking query params, fragments —
+    so canonicalizing the URL (lowercase, strip www./query/fragment/
+    trailing slash) and grouping finds them with ONE map-side
+    expression and one aggregate, no content reads at all. The fixture
+    derives noisy URLs deterministically from doc columns (same recipe
+    both engines, noise keyed on doc_id residues; page identity is
+    doc_id % 500 so real collisions exist), and the operator reports
+    each duplicated canonical URL with its cluster size, kept
+    representative (min doc_id — the same deterministic-survivor rule
+    as q_dedup_exact) and reclaimable char volume.
+
+    Scale: one shuffle on the canonical-URL key; at 100 TB this tier
+    typically removes 30-50% of a raw crawl before any content-hash
+    tier runs — the ordering of tiers IS the cost model."""
+    ensure_session_determinism(spark)
+    d = load(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+        F.col("source"),
+        F.lit(".Example.org/"),
+        F.col("lang"),
+        F.lit("/page-"),
+        (F.col("doc_id") % 500).cast("string"),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.lit("?utm_source=feed&utm_campaign=x"),
+        ).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 7 == 0, F.lit("#section-2")).otherwise(
+            F.lit("")
+        ),
+    )
+    curl = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(url), r"[?#].*$", ""),
+            r"^https://www\.",
+            "https://",
+        ),
+        r"/$",
+        "",
+    )
+    return (
+        d.select(curl.alias("curl"), "doc_id", "n_chars")
+        .groupBy("curl")
+        .agg(
+            F.count(F.lit(1)).alias("n_dups"),
+            F.min("doc_id").alias("keep_doc"),
+            F.sum("n_chars").alias("chars_total"),
+        )
+        .where(F.col("n_dups") > 1)
+    )
