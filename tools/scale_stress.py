@@ -1,0 +1,142 @@
+#!/usr/bin/env python
+"""Scale-stress harness — the reproducible version of the deep-pyramid
+runs quoted in IMPLEMENTATION.md.
+
+Two stresses, both pure compute (no fixtures beyond lineitem), sized
+well past the bench's sf0.1 so plan pathologies that only appear under
+fan-out (AQE starvation, single-task explodes, lineage blowup) have
+room to show:
+
+1. TILE PYRAMID: generate a levels 5..N grid (N=15 → ~11.2 M cells,
+   ~300× the reference workload) and run the full A5→A8 pipeline over
+   it — path codec, md5 content hash, per-level stats — printing cells/s
+   and the task width actually used (the explicit-width repartition in
+   tile_grid is the thing under test: AQE would coalesce a bare
+   repartition to ONE task here).
+
+2. FACT AMPLIFICATION: explode lineitem ×K (default 16 → ~9.6 M rows at
+   sf0.1), then run the TPC-H Q1 aggregate and a broadcast dim join over
+   the amplified fact — the partial+final agg and broadcast shapes must
+   hold their throughput as volume grows, since at 100 TB these are the
+   dominant plans.
+
+Usage: python tools/scale_stress.py [--max-level 15] [--amplify 16]
+Prints ONE JSON line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from tile_etl_spark.session import get_spark  # noqa: E402
+from tile_etl_spark.tiles.grid import (  # noqa: E402
+    object_key_col,
+    src_path_col,
+    tile_grid,
+)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--max-level", type=int, default=15)
+    ap.add_argument("--amplify", type=int, default=16)
+    ap.add_argument(
+        "--sf-dir",
+        default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
+    )
+    args = ap.parse_args()
+
+    spark = get_spark(app_name="tile-etl-spark-scale-stress")
+    out: dict = {"metric": "scale_stress"}
+
+    # --- stress 1: deep tile pyramid ------------------------------------
+    t0 = time.monotonic()
+    grid = tile_grid(spark, levels=(5, args.max_level))
+    n_cells = grid.count()
+    out["grid_cells"] = n_cells
+    out["grid_gen_s"] = round(time.monotonic() - t0, 3)
+    out["grid_tasks"] = grid.rdd.getNumPartitions()
+
+    t0 = time.monotonic()
+    pipe = (
+        grid.withColumn("src_path", src_path_col())
+        .withColumn("object_key", object_key_col())
+        .withColumn("content_md5", F.md5(F.col("src_path").cast("binary")))
+        .groupBy("level")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.length("object_key")).alias("key_bytes"),
+            F.count_distinct(F.substring("content_md5", 1, 2)).alias(
+                "md5_prefixes"
+            ),
+        )
+    )
+    pipe.write.format("noop").mode("overwrite").save()
+    dt = time.monotonic() - t0
+    out["pipeline_s"] = round(dt, 3)
+    out["cells_per_s"] = int(n_cells / dt)
+
+    # --- stress 2: amplified fact table ---------------------------------
+    li = spark.read.parquet(os.path.join(args.sf_dir, "lineitem.parquet"))
+    # The fixture parquet is a single row group → a bare scan+explode
+    # runs in ONE task (the exact pitfall the io.py re-layout fixes for
+    # the qids). Numbered repartition BEFORE the amplifying explode so
+    # the ×K fan-out happens across the cluster — same discipline as
+    # tile_grid's explicit-width stripe repartition.
+    width = spark.sparkContext.defaultParallelism * 2
+    amp = li.repartition(width).withColumn(
+        "rep", F.explode(F.sequence(F.lit(1), F.lit(args.amplify)))
+    )
+    n_rows = li.count() * args.amplify
+    out["fact_rows"] = n_rows
+
+    t0 = time.monotonic()
+    q1 = amp.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty"),
+        F.sum(
+            (
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).cast("decimal(18,4)")
+        ).alias("sum_disc_price"),
+        F.avg("l_discount").alias("avg_disc"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    q1.write.format("noop").mode("overwrite").save()
+    dt = time.monotonic() - t0
+    out["q1_s"] = round(dt, 3)
+    out["q1_rows_per_s"] = int(n_rows / dt)
+
+    t0 = time.monotonic()
+    orders = spark.read.parquet(os.path.join(args.sf_dir, "orders.parquet"))
+    j = (
+        amp.join(
+            F.broadcast(
+                orders.where(F.col("o_orderstatus") == "O").select(
+                    "o_orderkey", "o_orderpriority"
+                )
+            ),
+            amp["l_orderkey"] == F.col("o_orderkey"),
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    j.write.format("noop").mode("overwrite").save()
+    dt = time.monotonic() - t0
+    out["bjoin_s"] = round(dt, 3)
+    out["bjoin_rows_per_s"] = int(n_rows / dt)
+
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
