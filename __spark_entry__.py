@@ -57,6 +57,9 @@ _PRIORITY = [
     "src_python_ds_stream",
     "q_ts_seasonal_decompose",
     "q_dedup_url",
+    "q_rolling_distinct",
+    "q_scd2_snapshot",
+    "q_cdc_apply",
     # (a00) NEW in round 5 — need their first-ever driver rows
     "q_funnel_ttc",
     "q_basket_pairs",

@@ -132,6 +132,12 @@ EXTRA = [
     "q_graph_bfs",
     "q_ts_seasonal_decompose",
     "s_tile_ingest",
+    "q_dedup_url",
+    "q_rolling_distinct",
+    "q_scd2_snapshot",
+    "q_cdc_apply",
+    "src_python_ds_stream",
+    "q_observe_metrics",
 ]
 
 

@@ -903,3 +903,168 @@ def q_ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("detr7").cast("double") / 7 - F.col("seasonal"), 6
         ).alias("residual"),
     )
+
+
+@query(
+    "q_rolling_distinct",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+      FROM events
+    ),
+    days AS (SELECT DISTINCT d FROM ud)
+    SELECT g.d,
+           CAST(count(DISTINCT u.user_id) AS BIGINT) AS active_7d
+    FROM days g JOIN ud u
+      ON u.d BETWEEN g.d - INTERVAL 6 DAY AND g.d
+    GROUP BY g.d
+    """,
+)
+def q_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLING 7-DAY DISTINCT USERS (the WAU curve) — the BI metric SQL
+    windows cannot express: COUNT(DISTINCT) OVER a RANGE frame is
+    unsupported in every engine's window runtime because distinct state
+    can't be incrementally evicted. The engine's rewrite: collapse to
+    DISTINCT (user, day) pairs first (the only data-sized shuffle —
+    events compress to at most users×days rows), then a banded
+    self-join replicates each pair into the ≤7 day-buckets it
+    contributes to and a plain COUNT(DISTINCT) per bucket finishes.
+    Replication happens on the COLLAPSED grain, so the amplification is
+    7×(users×days), independent of raw event volume.
+
+    At 100 TB the same shape holds: day-grain user pairs are ~10^6×
+    smaller than the event log; swap the exact distinct for HLL
+    sketches (q_agg_hll_sketch) when the pair table itself gets big —
+    documented tier, same topology. Cf. q_cumulative_uniques for the
+    unbounded (since-launch) variant via first-seen rewrite."""
+    ensure_session_determinism(spark)
+    e = load(spark, sf_dir, "events")
+    ud = e.select(
+        "user_id", F.date_trunc("day", "ts").cast("date").alias("d")
+    ).distinct()
+    days = ud.select("d").distinct().withColumnRenamed("d", "g")
+    return (
+        ud.join(
+            F.broadcast(days),
+            (F.col("d") <= F.col("g"))
+            & (F.col("d") >= F.date_sub(F.col("g"), 6)),
+        )
+        .groupBy("g")
+        .agg(F.countDistinct("user_id").alias("active_7d"))
+        .select(F.col("g").alias("d"), "active_7d")
+    )
+
+
+@query(
+    "q_scd2_snapshot",
+    oracle="""
+    WITH chg AS (
+      SELECT user_id, event_id, ts, value,
+             lead(ts) OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS next_ts
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT user_id, event_id,
+           CAST(value AS DOUBLE) AS value,
+           ts AS valid_from
+    FROM chg
+    WHERE ts <= TIMESTAMP '1995-07-01 00:00:00'
+      AND (next_ts IS NULL OR next_ts > TIMESTAMP '1995-07-01 00:00:00')
+    """,
+)
+def q_scd2_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POINT-IN-TIME SNAPSHOT over the SCD2 history (AS OF a constant
+    timestamp): reconstruct the dimension exactly as it stood at T —
+    the row whose validity interval [valid_from, valid_to) contains T,
+    per key. Completes the slowly-changing-dimension triple: build the
+    intervals (q_scd2_intervals), merge new changes (q_merge_upsert),
+    and READ any historical version (this) — the poor man's time
+    travel when the lake format has none.
+
+    Shape: the same single key-window as the interval build, then a
+    per-row filter — no join at all; the snapshot timestamp prunes
+    everything after T at the scan (pushed predicate on ts ≤ T). A
+    repeated-snapshot workload would materialize the intervals once
+    and serve every T from the same table."""
+    ensure_session_determinism(spark)
+    t = "1995-07-01 00:00:00"
+    e = load(spark, sf_dir, "events").where(
+        (F.col("event_type") == "purchase") & (F.col("ts") <= t)
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    iv = e.select(
+        "user_id",
+        "event_id",
+        F.col("value").cast("double").alias("value"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+    )
+    return iv.where(
+        F.col("valid_to").isNull() | (F.col("valid_to") > t)
+    ).select("user_id", "event_id", "value", "valid_from")
+
+
+@query(
+    "q_cdc_apply",
+    oracle="""
+    WITH log_ AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN event_type IN ('purchase', 'signup') THEN 'upsert'
+                  WHEN event_type = 'error' THEN 'delete' END AS op
+      FROM events
+      WHERE event_type IN ('purchase', 'signup', 'error')
+    ),
+    latest AS (
+      SELECT user_id, op, value, ts, event_id,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM log_
+    )
+    SELECT user_id, CAST(value AS DOUBLE) AS value, ts AS updated_at
+    FROM latest WHERE rn = 1 AND op = 'upsert'
+    """,
+)
+def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC LOG REPLAY — materialize the current table state from a
+    change-data-capture stream of upserts and DELETES (purchase/signup
+    rows upsert the user's value, error rows tombstone it): last
+    operation per key wins in strict (ts, event_id) log order, and a
+    key whose final operation is a delete is ABSENT from the result —
+    the semantics of applying a Debezium/binlog feed to a lake table.
+    Complements q_merge_upsert (single-batch MERGE with explicit
+    actions) and s_foreachbatch (the streaming upsert sink): this is
+    the full-log replay that bootstraps or audits those.
+
+    Shape: one window on the key — rank the log per key, keep rank 1,
+    filter tombstones. Spark plans the rank-then-filter as
+    WindowGroupLimit (per-partition top-1 before the shuffle), so the
+    exchange carries keys, not log volume. At 100 TB the log would be
+    partitioned by ingest date and the replay runs per partition with
+    a final latest-wins merge — same operator, one more level."""
+    ensure_session_determinism(spark)
+    e = load(spark, sf_dir, "events")
+    log = e.where(
+        F.col("event_type").isin("purchase", "signup", "error")
+    ).select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        F.when(
+            F.col("event_type").isin("purchase", "signup"), "upsert"
+        )
+        .otherwise("delete")
+        .alias("op"),
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        log.withColumn("rn", F.row_number().over(w))
+        .where((F.col("rn") == 1) & (F.col("op") == "upsert"))
+        .select(
+            "user_id",
+            F.col("value").cast("double").alias("value"),
+            F.col("ts").alias("updated_at"),
+        )
+    )
