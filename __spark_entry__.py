@@ -60,6 +60,9 @@ _PRIORITY = [
     "q_rolling_distinct",
     "q_scd2_snapshot",
     "q_cdc_apply",
+    "q_multimodal_pngmeta",
+    "sink_partition_overwrite",
+    "q_text_compress_ratio",
     # (a00) NEW in round 5 — need their first-ever driver rows
     "q_funnel_ttc",
     "q_basket_pairs",

@@ -138,6 +138,9 @@ EXTRA = [
     "q_cdc_apply",
     "src_python_ds_stream",
     "q_observe_metrics",
+    "q_multimodal_pngmeta",
+    "sink_partition_overwrite",
+    "q_text_compress_ratio",
 ]
 
 

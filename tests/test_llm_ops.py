@@ -203,3 +203,32 @@ def test_embed_pca_matches_numpy(spark, sf_dir):
     assert np.allclose(out[["pc1", "pc2"]].to_numpy(), P, atol=1e-6)
     # projection onto orthonormal components preserves variance order
     assert out.pc1.var() >= out.pc2.var()
+
+
+def test_compress_ratio_matches_python_recompute(spark, sf_dir):
+    """Every emitted zlib ratio must equal the in-process recompute
+    bit-for-bit (same zlib, same level, same rounding)."""
+    import zlib
+
+    import duckdb
+
+    from tile_etl_spark import registry
+
+    rows = registry.QUERIES["q_text_compress_ratio"](spark, sf_dir).collect()
+    assert rows
+    con = duckdb.connect()
+    texts = dict(
+        con.execute(
+            f"SELECT doc_id, text FROM read_parquet('{sf_dir}/documents.parquet')"
+        ).fetchall()
+    )
+    for r in rows:
+        raw = texts[r["doc_id"]].encode("utf-8")
+        want = round(len(zlib.compress(raw, 6)) / max(len(raw), 1), 6)
+        assert r["zlib_ratio"] == want, r["doc_id"]
+        band = (
+            "template" if want < 0.3
+            else "gibberish" if want > 0.9
+            else "prose"
+        )
+        assert r["verdict"] == band

@@ -241,3 +241,74 @@ def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
         rms_batches,
         "doc_id BIGINT, frame_no INT, n_samples INT, rms DOUBLE",
     )
+
+
+@query(
+    "q_multimodal_pngmeta",
+    oracle="""
+    SELECT doc_id,
+           CAST(16 + doc_id % 1024 AS INT) AS width,
+           CAST(16 + n_chars % 512 AS INT) AS height,
+           CAST(8 AS INT) AS bit_depth,
+           CAST(2 AS INT) AS color_type,
+           floor(CAST(16 + doc_id % 1024 AS DOUBLE)
+                 / (16 + n_chars % 512) * 1000000 + 0.5) / 1000000
+             AS aspect
+    FROM documents
+    """,
+)
+def q_multimodal_pngmeta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IMAGE HEADER METADATA EXTRACTION — build a REAL PNG byte layout
+    (8-byte signature + IHDR chunk: length, type, 4-byte big-endian
+    width/height, bit depth, color type) per document and parse the
+    dimensions BACK out of the binary column by offset arithmetic —
+    ``conv(hex(substring(content, 17, 4)), 16, 10)`` is exactly how a
+    production pipeline reads image dimensions WITHOUT decoding pixels
+    (the dimension/aspect filter runs at scan throughput; the expensive
+    codec decode tier — q_multimodal_decode — only sees survivors).
+    Unlike the stubbed pixel decoders, header parsing needs no codec
+    library, so the whole build→parse round trip is H-checked: the
+    oracle recomputes the dimensions from the source columns, pinning
+    signature offsets, chunk layout and big-endian byte order.
+
+    All JVM-side codegen expressions on BINARY — no Python, no UDFs;
+    at 100 TB this is a pure map over the blob store scan."""
+    ensure_session_determinism(spark)
+    d = load(spark, sf_dir, "documents")
+    width = (16 + F.col("doc_id") % 1024).cast("int")
+    height = (16 + F.col("n_chars") % 512).cast("int")
+    hex8 = lambda c: F.lpad(F.lower(F.hex(c)), 8, "0")  # noqa: E731
+    png = F.unhex(
+        F.concat(
+            F.lit("89504e470d0a1a0a"),  # PNG signature
+            F.lit("0000000d"),  # IHDR length = 13
+            F.lit("49484452"),  # "IHDR"
+            hex8(width),
+            hex8(height),
+            F.lit("08"),  # bit depth
+            F.lit("02"),  # color type (truecolor)
+            F.lit("000000"),  # compression/filter/interlace
+        )
+    )
+    blobs = d.select("doc_id", png.alias("content"))
+    parse4 = lambda pos: F.conv(  # noqa: E731
+        F.hex(F.expr(f"substring(content, {pos}, 4)")), 16, 10
+    ).cast("int")
+    parse1 = lambda pos: F.conv(  # noqa: E731
+        F.hex(F.expr(f"substring(content, {pos}, 1)")), 16, 10
+    ).cast("int")
+    parsed = blobs.select(
+        "doc_id",
+        parse4(17).alias("width"),
+        parse4(21).alias("height"),
+        parse1(25).alias("bit_depth"),
+        parse1(26).alias("color_type"),
+    )
+    return parsed.withColumn(
+        "aspect",
+        F.floor(
+            F.col("width").cast("double") / F.col("height") * 1000000
+            + 0.5
+        )
+        / 1000000,
+    )
