@@ -930,7 +930,14 @@ def q_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join replicates each pair into the ≤7 day-buckets it
     contributes to and a plain COUNT(DISTINCT) per bucket finishes.
     Replication happens on the COLLAPSED grain, so the amplification is
-    7×(users×days), independent of raw event volume.
+    7×(users×days), independent of raw event volume — and it is an
+    EXPLODE into the pair's own ≤7 target buckets followed by an
+    equi-(semi-)join against the observed-day list, never a range
+    probe: the plan has no nested loop (a banded
+    ``d BETWEEN g-6 AND g`` broadcast join was the first draft — it
+    plans BroadcastNestedLoopJoin, which the registry-wide sweep
+    rightly rejects; the explode form is also what survives when the
+    day list stops being broadcastable).
 
     At 100 TB the same shape holds: day-grain user pairs are ~10^6×
     smaller than the event log; swap the exact distinct for HLL
@@ -943,12 +950,14 @@ def q_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", F.date_trunc("day", "ts").cast("date").alias("d")
     ).distinct()
     days = ud.select("d").distinct().withColumnRenamed("d", "g")
+    contributes = ud.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("d"), F.date_add(F.col("d"), 6))
+        ).alias("g"),
+    )
     return (
-        ud.join(
-            F.broadcast(days),
-            (F.col("d") <= F.col("g"))
-            & (F.col("d") >= F.date_sub(F.col("g"), 6)),
-        )
+        contributes.join(F.broadcast(days), "g", "left_semi")
         .groupBy("g")
         .agg(F.countDistinct("user_id").alias("active_7d"))
         .select(F.col("g").alias("d"), "active_7d")
