@@ -63,6 +63,7 @@ _PRIORITY = [
     "q_multimodal_pngmeta",
     "sink_partition_overwrite",
     "q_text_compress_ratio",
+    "q_udtf_analyze",
     # (a00) NEW in round 5 — need their first-ever driver rows
     "q_funnel_ttc",
     "q_basket_pairs",

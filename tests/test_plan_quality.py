@@ -516,7 +516,7 @@ _BNLJ_OK = {
 }
 # Python UDTFs execute via BatchEvalPythonUDTF — the API's execution
 # mode, declared once here; everything else must stay Arrow-vectorized.
-_ROW_PYTHON_OK = {"q_udtf"}
+_ROW_PYTHON_OK = {"q_udtf", "q_udtf_analyze"}
 # Builders with eager side effects (streaming runs, sink writes,
 # multi-job iterative drivers) — their plan shapes are pinned by their
 # own dedicated tests; re-running them here would re-execute the work.

@@ -298,3 +298,56 @@ def q_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("psum").cast("double").alias("qty_sum"),
         F.sum("pcnt").cast("bigint").alias("n"),
     )
+
+
+@query(
+    "q_udtf_analyze",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS parts FROM documents
+    )
+    SELECT doc_id, parts[1] AS tok0, parts[2] AS tok1, parts[3] AS tok2
+    FROM w
+    """,
+)
+def q_udtf_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POLYMORPHIC Python UDTF (Spark 4 ``analyze()``): the OUTPUT
+    SCHEMA is computed at analysis time from the call's literal
+    arguments — ``first_tokens(text, 3)`` returns 3 columns,
+    ``first_tokens(text, 5)`` five — the table-function contract that
+    lets one implementation serve schema-varying callers (pivot-like
+    widening, configurable feature extraction) without codegen per
+    shape. The static ``analyze`` runs ONCE on the driver per call
+    site; executors then run the usual Arrow-batched eval against the
+    fixed schema, so the 100 TB posture is identical to the plain UDTF
+    (q_udtf). H-checked against DuckDB list indexing."""
+    ensure_session_determinism(spark)
+    from pyspark.sql.functions import udtf as _udtf
+    from pyspark.sql.types import StructType
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    @_udtf
+    class FirstTokens:
+        @staticmethod
+        def analyze(
+            text: AnalyzeArgument, n: AnalyzeArgument
+        ) -> AnalyzeResult:
+            schema = StructType()
+            for i in range(n.value):
+                schema = schema.add(f"tok{i}", "string")
+            return AnalyzeResult(schema=schema)
+
+        def eval(self, text: str, n: int):
+            parts = (text or "").split(" ")
+            yield tuple(
+                (parts[i] if i < len(parts) else None) for i in range(n)
+            )
+
+    spark.udtf.register("first_tokens", FirstTokens)
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.tok0, s.tok1, s.tok2
+        FROM documents d, LATERAL first_tokens(d.text, 3) s
+        """
+    )
