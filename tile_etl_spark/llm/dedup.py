@@ -789,3 +789,88 @@ def q_dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("n_dups") > 1)
     )
+
+
+def _duck_hex15_to_int(expr: str) -> str:
+    """Positional-digit expansion of the first 15 hex chars of md5
+    (≤ 2^60, fits BIGINT exactly in both engines — no hex-cast
+    dialect dependence, same trick as operators/analytics.py)."""
+    digit = f"(strpos('0123456789abcdef', substr(md5({expr}), {{i}}, 1)) - 1)"
+    return "(" + " + ".join(
+        digit.format(i=i + 1) + f" * {16 ** (14 - i)}" for i in range(15)
+    ) + ")"
+
+
+def _minhash_portable_oracle() -> str:
+    """DuckDB twin of the md5-keyed multiply-shift MinHash: HUGEINT
+    arithmetic mod 2^64 then integer-divide by 2^32 replicates Java's
+    wrapping (a·h + b) >>> 32 bit-for-bit."""
+    h = _duck_hex15_to_int("shingle")
+    mins = []
+    for p, (a, b) in enumerate(_perm_params()):
+        a_u, b_u = a % (1 << 64), b % (1 << 64)
+        mins.append(
+            f"min(CAST(((CAST({a_u} AS HUGEINT) * h + {b_u}) % "
+            f"18446744073709551616) // 4294967296 AS BIGINT)) AS m{p}"
+        )
+    cols = ", ".join(f"CAST(m{p} AS VARCHAR)" for p in range(N_PERM))
+    return f"""
+    WITH words AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               generate_series(1, greatest(len(w) - 2, 0)),
+               i -> concat_ws(' ', w[i], w[i+1], w[i+2])))) AS shingle
+      FROM words
+    ),
+    hashed AS (SELECT doc_id, {h} AS h FROM sh),
+    sigs AS (SELECT doc_id, {", ".join(mins)} FROM hashed GROUP BY doc_id)
+    SELECT doc_id, concat_ws(',', {cols}) AS sig FROM sigs
+    """
+
+
+@query("q_minhash_portable", oracle=_minhash_portable_oracle())
+def q_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-ENGINE-VERIFIED MinHash signatures: the same 64-permutation
+    Dietzfelbinger multiply-shift family as the production pipeline
+    (q_dedup_near), but keyed on a PORTABLE shingle hash (first 15 md5
+    hex chars as int60) instead of Spark's engine-private xxhash64 — so
+    DuckDB can recompute every signature and the driver HASH-CHECKS the
+    sketch algebra itself: wrap-around (a·h+b mod 2^64) >>> 32, the
+    64-way min-aggregation, and the shingle set construction, all
+    bit-for-bit. This closes the one verification gap the R-checked
+    near-dup pipeline left: its unit tests prove recall/precision
+    against exact Jaccard, this qid proves the signature MATH has no
+    engine-specific drift. Production keeps xxhash64 (measurably
+    cheaper per shingle); the families are otherwise identical, so a
+    green hash here certifies both.
+
+    Same scale shape as minhash_signatures: explode → hash once per
+    (doc, shingle) → ONE aggregate with 64 map-side-combining mins;
+    signatures emitted as a joined string (ARRAY output is not
+    driver-hashable)."""
+    ensure_session_determinism(spark)
+    d = load(spark, sf_dir, "documents")
+    sh = shingles_df(d)
+    h = F.conv(
+        F.substring(F.md5(F.col("shingle").cast("binary")), 1, 15), 16, 10
+    ).cast("bigint")
+    hashed = sh.select("doc_id", h.alias("h"))
+    mins = hashed.groupBy("doc_id").agg(
+        *[
+            F.min(
+                F.shiftrightunsigned(
+                    F.lit(a) * F.col("h") + F.lit(b), 32
+                )
+            ).alias(f"m{p}")
+            for p, (a, b) in enumerate(_perm_params())
+        ]
+    )
+    return mins.select(
+        "doc_id",
+        F.concat_ws(
+            ",", *[F.col(f"m{p}").cast("string") for p in range(N_PERM)]
+        ).alias("sig"),
+    )
