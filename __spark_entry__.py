@@ -65,6 +65,7 @@ _PRIORITY = [
     "q_text_compress_ratio",
     "q_udtf_analyze",
     "q_minhash_portable",
+    "q_simhash_portable",
     # (a00) NEW in round 5 — need their first-ever driver rows
     "q_funnel_ttc",
     "q_basket_pairs",

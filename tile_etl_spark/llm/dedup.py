@@ -874,3 +874,69 @@ def q_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
             ",", *[F.col(f"m{p}").cast("string") for p in range(N_PERM)]
         ).alias("sig"),
     )
+
+
+def _simhash_portable_oracle() -> str:
+    h = _duck_hex15_to_int("word")
+    votes = ", ".join(
+        f"sum(CASE WHEN (h // {1 << j}) % 2 = 1 THEN 1 ELSE -1 END) AS v{j}"
+        for j in range(60)
+    )
+    assemble = " + ".join(
+        f"(CASE WHEN v{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(60)
+    )
+    return f"""
+    WITH words AS (
+      SELECT doc_id,
+             unnest(list_distinct(string_split(text, ' '))) AS word
+      FROM documents
+    ),
+    hashed AS (SELECT doc_id, {h} AS h FROM words),
+    votes AS (SELECT doc_id, {votes} FROM hashed GROUP BY doc_id)
+    SELECT doc_id, CAST({assemble} AS BIGINT) AS simhash60 FROM votes
+    """
+
+
+@query("q_simhash_portable", oracle=_simhash_portable_oracle())
+def q_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-ENGINE-VERIFIED SimHash: the same per-bit majority-vote
+    construction as the production sketch (simhash64 / q_dedup_simhash)
+    on a PORTABLE 60-bit md5-keyed word hash, so DuckDB recomputes
+    every signature and the driver hash-checks the bit algebra —
+    explode-distinct words, ±1 vote per bit position, sign → bit,
+    positional reassembly — bit-for-bit. 60 bits (not 64) keeps every
+    intermediate in exact signed-int64 range in BOTH engines: no
+    wraparound subtlety in the assembled value, unlike the production
+    top-bit special case. Companion of q_minhash_portable — together
+    they pin both sketch families' math; production keeps xxhash64 for
+    throughput and the R-checked pipelines keep their recall tests.
+
+    Same one-shuffle shape: hash once per (doc, word), 60 map-side
+    conditional-sum aggregates, zero HOFs, zero Python."""
+    ensure_session_determinism(spark)
+    d = load(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split("text", " "))).alias("word"),
+    )
+    h = F.conv(
+        F.substring(F.md5(F.col("word").cast("binary")), 1, 15), 16, 10
+    ).cast("bigint")
+    hashed = words.select("doc_id", h.alias("h"))
+    votes = hashed.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright("h", j).bitwiseAND(F.lit(1)) == 1, 1
+                ).otherwise(-1)
+            ).alias(f"v{j}")
+            for j in range(60)
+        ]
+    )
+    sim = None
+    for j in range(60):
+        bit = F.when(F.col(f"v{j}") > 0, F.lit(1 << j).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        sim = bit if sim is None else sim + bit
+    return votes.select("doc_id", sim.alias("simhash60"))
