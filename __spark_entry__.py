@@ -26,243 +26,281 @@ registry.load_all()
 _SMOKE_SF_DIR = "/root/testdata/sf0.001"
 FLAGSHIP = "q_agg_group"
 
-# Verification priority. The driver records ~50 CORRECTNESS rows per
-# round, in this order. Front: (a) the two previously-red, now-repaired
-# time-series qids (must re-verify inside the budget), then (a00/a0/a1)
-# the never-driver-checked additions oldest-first, then (b/c) refresh
-# tiers for qids whose shared infrastructure changed. With ~100 unchecked
-# qids and ~50 rows/round, the backlog drains over the next 2 rounds;
-# rotate newly-checked qids out of the front as CORRECTNESS_r{N} files
-# confirm them. Registration/implementation is unchanged — this orders
-# only the exported dict views.
+# Verification priority for DRIVER ROUND 4. The driver records ~50
+# CORRECTNESS rows per round, taken from the front of this list, and it
+# may snapshot the repo MID-round (r3's rows came from a snapshot ~15 h
+# before round end) — so this ordering is committed at round START.
+# Order: (a) the two r3-red time-series qids, repaired before the r3
+# snapshot even ran (buckets now epoch-second BIGINT; constructed
+# TIMESTAMP outputs were the failing representation class) — they lead
+# so the repair gets its driver row; (b) the 128 oracle-bearing qids
+# with NO driver row in r01–r03, alphabetical; (c) the 4 rows-only
+# (no-oracle) unchecked qids; (d) already-checked qids, stalest round
+# first, for regression refresh if the budget allows. Registration/
+# implementation is unchanged — this orders only the exported views.
 _PRIORITY = [
-    # (a) r3-red, REPAIRED this round (bucket now epoch-second BIGINT —
-    # constructed-timestamp outputs were the failing representation
-    # class): must be re-checked inside the ~50-row budget to prove the
-    # fix, so they lead the list.
     "q_ts_resample",
     "q_ts_interpolate",
-    # (a-1) NEW in round 7 — need their first-ever driver rows
-    "src_xml",
-    "q_sql_udf",
-    "q_pipe_sql",
-    "q_param_sql",
-    "q_collation",
-    "q_tpch_q21",
-    "q_url_funcs",
-    "q_sample_weighted",
-    "q_observe_metrics",
-    "s_tile_ingest",
-    "q_graph_bfs",
-    "src_python_ds_stream",
-    "q_ts_seasonal_decompose",
-    "q_dedup_url",
-    "q_rolling_distinct",
-    "q_scd2_snapshot",
-    "q_cdc_apply",
-    "q_multimodal_pngmeta",
-    "sink_partition_overwrite",
-    "q_text_compress_ratio",
-    "q_udtf_analyze",
-    "q_minhash_portable",
-    "q_simhash_portable",
-    # (a00) NEW in round 5 — need their first-ever driver rows
-    "q_funnel_ttc",
-    "q_basket_pairs",
-    "q_rel_division",
-    "q_cumulative_uniques",
-    "q_peak_concurrency",
-    "q_seasonality_dow",
-    "q_tile_neighbors",
-    "q_schema_evolution",
-    "src_csv_badrecords",
-    "q_tile_zorder",
-    "q_dedup_cluster_stats",
-    "q_multimodal_audio",
-    "q_cohort_ltv",
-    "q_graph_degree_dist",
-    "q_dq_partition_stats",
-    "q_hof_funcs",
-    "q_tpch_q7",
-    "q_tpch_q12",
-    "q_tpch_q14",
-    "q_tpch_q19",
-    "q_tile_sync_delta",
-    "q_join_asof_fwd",
-    "q_feature_hash",
-    "q_text_boilerplate",
-    "q_tile_pyramid",
-    "q_bm25",
-    "q_lm_doc_score",
-    "q_rfm_segments",
-    "q_session_paths",
-    "q_skyline",
+    "q_abtest_ztest",
+    "q_agg_bitmap_distinct",
     "q_agg_entropy",
-    "q_ts_ewma",
+    "q_agg_filtered",
+    "q_agg_incremental",
+    "q_agg_mode",
+    "q_agg_stringagg",
+    "q_anomaly_window",
+    "q_array_funcs2",
+    "q_attribution",
+    "q_basket_pairs",
+    "q_bitwise_funcs",
+    "q_bm25",
+    "q_calendar_fill",
+    "q_cdc_apply",
+    "q_cogroup_pandas",
+    "q_cohort_ltv",
+    "q_collation",
+    "q_corr_pearson",
+    "q_cumulative_uniques",
+    "q_cuped",
+    "q_dedup_cluster_stats",
+    "q_dedup_contain",
+    "q_dedup_url",
+    "q_delete_propagate",
+    "q_dq_partition_stats",
+    "q_embed_centroids",
     "q_embed_knn_graph",
     "q_embed_prototype",
-    "q_graph_triangles",
-    "q_agg_bitmap_distinct",
-    "q_calendar_fill",
-    "q_agg_incremental",
-    "q_attribution",
-    "q_join_dpp",
-    "src_text",
-    # (a0) NEW in round 4 — need their first-ever driver rows
-    "q_join_bloom",
-    "q_hist_equiwidth",
-    "q_hist_equidepth",
-    "q_text_inverted_index",
-    "q_text_cooccur",
-    "q_ts_rollup",
-    "q_scd2_intervals",
-    "q_outlier_robust",
-    "s_foreachbatch",
-    "q_dedup_contain",
-    "q_topk_heavy_hitters",
-    "q_tile_point_lookup",
-    "q_embed_centroids",
-    "q_join_fuzzy",
-    "q_sql_api",
-    "q_agg_mode",
-    "q_win_islands",
-    "q_agg_stringagg",
-    "q_winsorize",
-    "q_retention_cohorts",
-    "q_abtest_ztest",
-    "q_tpch_q18",
-    "q_ts_moving_median",
     "q_event_transitions",
-    "q_text_bigram_lm",
-    "q_agg_filtered",
-    "q_win_share",
-    # (a1) NEW in round 6 — need their first-ever driver rows
-    "q_tpch_q13",
-    "q_tpch_q15",
-    "q_tpch_q17",
-    "q_tpch_q22",
-    "q_tpch_q9",
-    "q_corr_pearson",
-    "q_cuped",
+    "q_feature_hash",
+    "q_feature_scale",
+    "q_funnel_ttc",
+    "q_generator_funcs",
+    "q_graph_bfs",
+    "q_graph_degree_dist",
+    "q_graph_triangles",
+    "q_hist_equidepth",
+    "q_hist_equiwidth",
+    "q_hof_funcs",
+    "q_ivm_join",
+    "q_join_asof_fwd",
+    "q_join_bloom",
+    "q_join_dpp",
+    "q_join_fuzzy",
+    "q_join_hints",
+    "q_lateral_topn",
+    "q_lm_doc_score",
+    "q_map_in_arrow",
+    "q_minhash_portable",
+    "q_multimodal_audio",
+    "q_multimodal_pngmeta",
+    "q_observe_metrics",
+    "q_onehot_encode",
+    "q_outlier_robust",
+    "q_param_sql",
+    "q_peak_concurrency",
+    "q_pipe_sql",
+    "q_recursive_cte",
+    "q_regex_funcs",
+    "q_rel_division",
+    "q_retention_cohorts",
+    "q_rfm_segments",
+    "q_rolling_distinct",
     "q_sample_reservoir",
-    "q_anomaly_window",
+    "q_sample_weighted",
+    "q_scd2_intervals",
+    "q_scd2_snapshot",
+    "q_schema_evolution",
+    "q_seasonality_dow",
+    "q_session_paths",
+    "q_simhash_portable",
+    "q_skyline",
+    "q_sql_api",
+    "q_sql_udf",
+    "q_table_profile",
+    "q_text_bigram_lm",
+    "q_text_boilerplate",
+    "q_text_cooccur",
+    "q_text_inverted_index",
     "q_text_vocab_growth",
+    "q_tile_haversine",
+    "q_tile_neighbors",
+    "q_tile_point_lookup",
+    "q_tile_pyramid",
+    "q_tile_sync_delta",
+    "q_tile_zorder",
+    "q_topk_heavy_hitters",
+    "q_tpch_q11",
+    "q_tpch_q12",
+    "q_tpch_q13",
+    "q_tpch_q14",
+    "q_tpch_q15",
+    "q_tpch_q16",
+    "q_tpch_q17",
+    "q_tpch_q18",
+    "q_tpch_q19",
     "q_tpch_q2",
+    "q_tpch_q20",
+    "q_tpch_q21",
+    "q_tpch_q22",
     "q_tpch_q4",
     "q_tpch_q6",
+    "q_tpch_q7",
     "q_tpch_q8",
-    "q_tpch_q11",
-    "q_tpch_q16",
-    "q_tpch_q20",
-    "sink_compact",
-    "q_delete_propagate",
-    "q_tile_haversine",
-    "q_recursive_cte",
-    "q_lateral_topn",
-    "q_variant_funcs",
-    "src_python_ds",
-    "q_cogroup_pandas",
-    "q_embed_pca",
-    "s_ss_join_louter",
-    "q_ivm_join",
-    "q_union_by_name",
-    "q_regex_funcs",
+    "q_tpch_q9",
     "q_try_funcs",
-    "q_join_hints",
-    "q_table_profile",
-    "q_generator_funcs",
-    "q_array_funcs2",
-    "q_bitwise_funcs",
-    "q_feature_scale",
-    "q_onehot_encode",
-    "s_progress_metrics",
+    "q_ts_ewma",
+    "q_ts_moving_median",
+    "q_ts_rollup",
+    "q_ts_seasonal_decompose",
     "q_udf_arrow",
-    "q_map_in_arrow",
-    # (b) events-based — fixture timestamp type changed post-r3
+    "q_udtf_analyze",
+    "q_union_by_name",
+    "q_url_funcs",
+    "q_variant_funcs",
+    "q_win_islands",
+    "q_win_share",
+    "q_winsorize",
+    "s_foreachbatch",
+    "s_tile_ingest",
+    "sink_compact",
+    "sink_partition_overwrite",
+    "src_csv_badrecords",
+    "src_python_ds",
+    "src_python_ds_stream",
+    "src_text",
+    "src_xml",
+    "q_embed_pca",
+    "q_text_compress_ratio",
+    "s_progress_metrics",
+    "s_ss_join_louter",
+    "q_filter_in_like",
     "q_filter_null_bool",
-    "q_join_nullsafe",
-    "q_join_interval",
+    "q_join_anti",
     "q_join_asof",
+    "q_join_broadcast",
+    "q_join_bucketed",
+    "q_join_cross",
+    "q_join_full",
+    "q_join_inner",
+    "q_join_interval",
+    "q_join_left",
+    "q_join_nullsafe",
+    "q_join_right",
+    "q_join_semi",
+    "q_join_theta",
+    "q_pivot",
     "q_sessionize",
+    "q_sort_multi",
+    "q_subquery_corr",
+    "q_subquery_scalar",
+    "q_tile_etl_e2e",
+    "q_tile_grid",
+    "q_tile_manifest_semi",
+    "q_tile_path",
+    "q_tile_s3_variant",
+    "q_tile_stats",
+    "q_unpivot",
     "q_window_sliding",
     "q_window_tumbling",
-    "q_win_leadlag",
-    "q_win_range",
-    "q_json_funcs",
-    "q_udaf_grouped",
-    "q_udaf_agg",
-    "q_partition_prune",
-    "q_funnel",
-    "q_merge_upsert",
-    # (c) last driver row is r1/r2 — refresh, oldest infra-coupled first
-    "q_agg_collect",
+    "sink_objectstore",
+    "sink_parquet",
+    "src_binary",
+    "src_csv_infer",
+    "src_csv_json",
     "q_agg_approx",
-    "q_win_rank",
-    "q_win_running",
-    "q_win_ntile",
-    "q_win_value",
-    "q_str_funcs",
-    "q_date_funcs",
-    "q_hash_funcs",
+    "q_agg_collect",
     "q_cast_types",
-    "q_udf_scalar",
-    "q_udtf",
+    "q_date_funcs",
+    "q_dedup_embed",
     "q_dedup_exact",
     "q_dedup_near",
     "q_dedup_ngram",
     "q_dedup_simhash",
-    "q_dedup_embed",
-    "q_sim_cosine_topk",
-    "q_sim_ann_ivf",
-    "q_text_stats",
-    "q_text_tfidf",
-    "q_text_langid",
-    "q_text_quality",
-    "q_text_tokens",
-    "q_text_fingerprint",
-    "q_multimodal_join",
-    "q_multimodal_decode",
-    "q_tile_grid",
-    "q_tile_path",
-    "q_tile_s3_variant",
-    "q_tile_manifest_semi",
-    "q_tile_stats",
-    "q_tile_etl_e2e",
-    "sink_objectstore",
-    "src_csv_json",
-    "src_csv_infer",
-    "sink_parquet",
-    "src_binary",
-    "q_join_bucketed",
-    "q_filter_in_like",
-    "q_join_inner",
-    "q_join_left",
-    "q_join_right",
-    "q_join_full",
-    "q_join_semi",
-    "q_join_anti",
-    "q_join_broadcast",
-    "q_join_cross",
-    "q_join_theta",
-    "q_pivot",
-    "q_unpivot",
-    "q_subquery_scalar",
-    "q_subquery_corr",
-    "q_sort_multi",
-    "q_topk",
-    "q_topk_per_group",
-    "q_union_all",
-    "q_union_distinct",
-    "q_intersect",
     "q_except",
     "q_except_all",
+    "q_hash_funcs",
+    "q_intersect",
     "q_intersect_all",
-    "s_tumbling",
-    "s_sliding",
-    "s_session",
-    "s_watermark",
+    "q_json_funcs",
+    "q_multimodal_decode",
+    "q_multimodal_join",
+    "q_sim_ann_ivf",
+    "q_sim_cosine_topk",
+    "q_str_funcs",
+    "q_text_fingerprint",
+    "q_text_langid",
+    "q_text_quality",
+    "q_text_stats",
+    "q_text_tfidf",
+    "q_text_tokens",
+    "q_topk",
+    "q_topk_per_group",
+    "q_udaf_agg",
+    "q_udaf_grouped",
+    "q_udf_scalar",
+    "q_udtf",
+    "q_union_all",
+    "q_union_distinct",
+    "q_win_leadlag",
+    "q_win_ntile",
+    "q_win_range",
+    "q_win_rank",
+    "q_win_running",
+    "q_win_value",
     "s_dedup",
+    "s_session",
+    "s_sliding",
     "s_stateful",
+    "s_tumbling",
+    "s_watermark",
+    "q_agg_argminmax",
+    "q_agg_cube",
+    "q_agg_distinct",
+    "q_agg_global",
+    "q_agg_group",
+    "q_agg_gsets",
+    "q_agg_having",
+    "q_agg_hll_sketch",
+    "q_agg_percentile",
+    "q_agg_rollup",
+    "q_agg_stats",
+    "q_array_funcs",
+    "q_cond_funcs",
+    "q_curation_e2e",
+    "q_data_split",
+    "q_date_funcs2",
+    "q_decontam",
+    "q_dedup_cluster",
+    "q_doc_chunk",
+    "q_dq_checks",
+    "q_embed_quantize",
+    "q_filter_range",
+    "q_funnel",
+    "q_graph_pagerank",
+    "q_join_skew_salted",
+    "q_map_funcs",
+    "q_math_funcs",
+    "q_merge_upsert",
+    "q_mixture_weights",
+    "q_multimodal_framesample",
+    "q_pack_sequences",
+    "q_partition_prune",
+    "q_pii_scrub",
+    "q_project_expr",
+    "q_quality_filter",
+    "q_sample_stratified",
+    "q_scan_project",
+    "q_scan_pushdown",
+    "q_sim_ann_lsh",
+    "q_str_funcs2",
+    "q_text_normalize",
+    "q_text_repetition",
+    "q_tpch_q10",
+    "q_tpch_q3",
+    "q_tpch_q5",
+    "s_join",
+    "s_ss_join",
+    "src_orc",
 ]
 
 
