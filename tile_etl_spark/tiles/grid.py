@@ -763,3 +763,100 @@ def q_tile_haversine(spark: SparkSession, sf_dir: str) -> DataFrame:
         dist.alias("dist_m"),
         F.floor(dist / 10000).cast("int").alias("ring_10km"),
     )
+
+
+# --- quadkey codec (Bing-scheme tile addressing) -----------------------
+
+_QK_MAX_LEVEL = 11  # LEVELS[1]; one CASE term per possible digit
+
+
+def _quadkey_sql(row: str, col: str) -> str:
+    """SQL for the Bing quadkey of a canonical tile — identical
+    expression text in both engines (``>>``/``&`` are shared syntax).
+    Digit k (most significant first) = 2·rowbit + colbit at bit
+    position (level − k); the string has exactly ``level`` digits."""
+    terms = []
+    for k in range(1, _QK_MAX_LEVEL + 1):
+        d = (
+            f"(2 * ((CAST({row} AS BIGINT) >> (level - {k})) & 1)"
+            f" + ((CAST({col} AS BIGINT) >> (level - {k})) & 1))"
+        )
+        terms.append(
+            f"CASE WHEN level >= {k} THEN CAST({d} AS STRING) "
+            f"ELSE '' END"
+        )
+    return "concat(" + ", ".join(terms) + ")"
+
+
+def _quaddec_sql(which: str) -> str:
+    """SQL recovering row (``which='row'``) or col from the quadkey
+    STRING itself — digit ≥ 2 carries the row bit, digit mod 2 the col
+    bit; pow(2, level−k) is exact in double for level ≤ 11 so the
+    integer cast agrees in both engines (truncation == rounding on
+    exact powers)."""
+    terms = []
+    for k in range(1, _QK_MAX_LEVEL + 1):
+        digit = f"CAST(substr(quadkey, {k}, 1) AS INT)"
+        bit = (
+            f"(CASE WHEN {digit} >= 2 THEN 1 ELSE 0 END)"
+            if which == "row"
+            else f"({digit} % 2)"
+        )
+        terms.append(
+            f"CASE WHEN {k} <= length(quadkey) "
+            f"THEN {bit} * CAST(pow(2, level - {k}) AS INT) ELSE 0 END"
+        )
+    return "CAST(" + " + ".join(terms) + " AS INT)"
+
+
+@query(
+    "q_tile_quadkey",
+    oracle=_grid_oracle_cte()
+    + f"""
+    , qk AS (
+      SELECT level, "row", col,
+             {_quadkey_sql('"row"', "col")} AS quadkey
+      FROM grid
+      WHERE "row" >= 0 AND col >= 0
+    )
+    SELECT level, "row", col, quadkey,
+           substr(quadkey, 1, length(quadkey) - 1) AS parent_quadkey,
+           {_quaddec_sql("row")} AS parsed_row,
+           {_quaddec_sql("col")} AS parsed_col
+    FROM qk
+    """,
+)
+def q_tile_quadkey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUADKEY CODEC — the Bing-maps single-string tile address that
+    interleaves (level, row, col) into one base-4 string: digit k is
+    2·rowbit+colbit at depth k, so a tile's key is its parent's key
+    plus one digit. The reference addresses tiles as L%02d/R%08x/C%08x
+    paths (src/Program.cs:97-99); quadkeys are the equivalent codec
+    used when tiles key an object store or a sorted table, because the
+    PREFIX relation encodes ancestry: parent_quadkey is literally the
+    string parent, and a prefix range scan fetches a subtree — the
+    lake-layout dual of q_tile_zorder's Morton key (same bit
+    interleave, serialized as a radix-4 string). Emits encode, the
+    string-parent, and a decode round-trip (parsed_row/col re-derived
+    from the string alone) proving the codec is lossless.
+
+    Scale shape: pure per-row expression work — no shuffle, no join;
+    whole-stage codegen end to end. Canonical tiles only (the level-5
+    extent pad reaches col −2, outside quadkey's domain)."""
+    ensure_session_determinism(spark)
+    g = (
+        tile_grid(spark)
+        .where((F.col("row") >= 0) & (F.col("col") >= 0))
+        .withColumn("quadkey", F.expr(_quadkey_sql("row", "col")))
+    )
+    return g.select(
+        "level",
+        "row",
+        "col",
+        "quadkey",
+        F.expr("substr(quadkey, 1, length(quadkey) - 1)").alias(
+            "parent_quadkey"
+        ),
+        F.expr(_quaddec_sql("row")).alias("parsed_row"),
+        F.expr(_quaddec_sql("col")).alias("parsed_col"),
+    )
