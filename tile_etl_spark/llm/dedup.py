@@ -940,3 +940,103 @@ def q_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         sim = bit if sim is None else sim + bit
     return votes.select("doc_id", sim.alias("simhash60"))
+
+
+# --- semantic dedup (embedding LSH buckets → within-bucket prune) ------
+
+
+# Sign-pattern bucket width: 2^_SEM_BITS buckets. Coordinate-sign
+# bucketing is the deterministic member of the hyperplane-LSH family
+# (axis-aligned hyperplanes): two vectors can only have cosine ≥ τ with
+# many shared coordinate signs, so near-dup pairs land in the same
+# bucket with high probability while the pair space shrinks by the
+# bucket count. Signs are pure comparisons — zero float arithmetic in
+# the bucketing stage, so the bucket id is bit-identical cross-engine.
+_SEM_BITS = 6
+_SEM_TAU = 0.4  # fixture max pairwise cosine ≈ 0.5 (see q_dedup_embed)
+
+
+@query(
+    "q_dedup_semantic",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ),
+    b AS (
+      SELECT vec_id, e,
+             {" || ".join(
+                 f"(CASE WHEN e[{d + 1}] > 0 THEN '1' ELSE '0' END)"
+                 for d in range(_SEM_BITS)
+             )} AS bucket
+      FROM v
+    ),
+    victims AS (
+      SELECT DISTINCT hi.vec_id AS victim
+      FROM b lo JOIN b hi
+        ON lo.bucket = hi.bucket AND lo.vec_id < hi.vec_id
+      WHERE list_dot_product(lo.e, hi.e)
+            / (sqrt(list_dot_product(lo.e, lo.e))
+               * sqrt(list_dot_product(hi.e, hi.e))) >= {_SEM_TAU}
+    )
+    SELECT b.vec_id, b.bucket,
+           CAST(CASE WHEN victims.victim IS NULL THEN 1 ELSE 0 END
+                AS INT) AS kept
+    FROM b LEFT JOIN victims ON b.vec_id = victims.victim
+    """,
+)
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC DEDUP (SemDeDup shape): prune embedding-near-duplicates
+    WITHOUT the all-pairs comparison — vectors are LSH-bucketed by
+    their first ``_SEM_BITS`` coordinate signs, pairwise cosine runs only
+    WITHIN a bucket, and of any near-dup pair (cos ≥ τ) the higher
+    vec_id is pruned (rank-based one-pass pruning: a vector survives
+    iff no lower-id bucket-mate sits within τ). This is the scale path
+    q_dedup_embed's docstring promises: q_dedup_embed is the exact
+    O(n²/B) verification tier; THIS qid is the candidate-generation
+    tier whose pair space is bucket-bounded.
+
+    Scale shape: one narrow shuffle keyed by the 6-bit bucket id, then
+    per-bucket BLAS GEMM inside applyInPandas (Arrow-batched) — per
+    task cost O(bucket²·dim), corpus never materializes anywhere
+    whole. Giant buckets (mode collapse in the embedding space) are
+    the known hazard — the production knob is more sign bits (deeper
+    buckets), exactly like adding LSH bands. The kept flag per vector
+    (not just the pair list) is what a curation pipeline joins back to
+    the corpus to filter.
+    """
+    ensure_session_determinism(spark)
+    import numpy as np
+    import pandas as pd
+
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    bucket = F.concat(
+        *[
+            F.when(F.element_at("embedding", d + 1) > 0, F.lit("1"))
+            .otherwise(F.lit("0"))
+            for d in range(_SEM_BITS)
+        ]
+    )
+    tagged = e.select("vec_id", "embedding", bucket.alias("bucket"))
+
+    def prune_bucket(key, pdf):
+        ids = np.asarray(pdf["vec_id"], dtype=np.int64)
+        order = np.argsort(ids)
+        ids = ids[order]
+        m = np.asarray(
+            [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+        )[order]
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        sims = m @ m.T
+        # strict upper triangle: victim column j killed by any row i<j
+        killed = (np.triu(sims >= _SEM_TAU, k=1)).any(axis=0)
+        return pd.DataFrame(
+            {
+                "vec_id": ids,
+                "bucket": key[0],
+                "kept": (~killed).astype("int32"),
+            }
+        )
+
+    return tagged.groupBy("bucket").applyInPandas(
+        prune_bucket, "vec_id BIGINT, bucket STRING, kept INT"
+    )
