@@ -1407,3 +1407,110 @@ def q_onehot_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         ind("o_orderstatus", "O", "st_o"),
         ind("o_orderstatus", "P", "st_p"),
     )
+
+
+# --- model-based quality scoring --------------------------------------
+
+
+# Frozen weights of an (offline-trained) linear quality classifier —
+# literals in the plan, the degenerate case of broadcasting a small
+# model to every task. Feature order: [tokens/100, stopword_ratio,
+# digit_ratio, upper_ratio, avg_word_len/10].
+_QM_W = (1.9, 6.0, -8.0, -3.0, -0.9)
+_QM_B = -1.1
+
+
+@query(
+    "q_quality_model",
+    oracle=f"""
+    WITH feats AS (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n_tokens,
+             CAST(len(list_filter(string_split(text, ' '),
+                  t -> t IN ('the', 'a', 'of', 'and', 'data', 'value')))
+                  AS DOUBLE) / len(string_split(text, ' ')) AS stop_ratio,
+             CAST(length(regexp_replace(text, '[^0-9]', '', 'g'))
+                  AS DOUBLE) / length(text) AS digit_ratio,
+             CAST(length(regexp_replace(text, '[^A-Z]', '', 'g'))
+                  AS DOUBLE) / length(text) AS upper_ratio,
+             CAST(length(text) AS DOUBLE)
+               / len(string_split(text, ' ')) AS avg_word_len
+      FROM documents WHERE length(text) > 0
+    ),
+    scored AS (
+      SELECT doc_id, n_tokens, stop_ratio, digit_ratio, upper_ratio,
+             {_QM_B} + {_QM_W[0]} * (CAST(n_tokens AS DOUBLE) / 100)
+                     + {_QM_W[1]} * stop_ratio
+                     + {_QM_W[2]} * digit_ratio
+                     + {_QM_W[3]} * upper_ratio
+                     + {_QM_W[4]} * (avg_word_len / 10) AS z
+      FROM feats
+    )
+    SELECT doc_id,
+           CAST(n_tokens AS INT) AS n_tokens,
+           round(stop_ratio, 6) AS stop_ratio,
+           round(digit_ratio, 6) AS digit_ratio,
+           round(0.5 * (1 + z / (1 + abs(z))), 6) AS score,
+           CAST(CASE WHEN 0.5 * (1 + z / (1 + abs(z))) >= 0.5
+                     THEN 1 ELSE 0 END AS INT) AS keep
+    FROM scored
+    """,
+)
+def q_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MODEL-BASED QUALITY SCORING — the learned companion to
+    q_quality_filter's rule gate: a frozen linear classifier (the
+    FineWeb-edu / DCLM pattern: train a small quality model offline,
+    score the whole corpus with it at ingest) over five cheap text
+    features, squashed through the algebraic sigmoid
+    ``0.5·(1 + z/(1+|z|))``. The link is chosen deliberately: it is
+    +,×,÷,|·| only — every step is a correctly-rounded IEEE operation,
+    so Spark and DuckDB produce BIT-IDENTICAL scores (exp()-based
+    logistic differs in the last ulp between libm implementations; an
+    H-checked scorer must avoid it). ``keep`` thresholds the unrounded
+    score at 0.5, i.e. z ≥ 0.
+
+    Scale shape: pure per-row projection — regex counts, one split,
+    fixed-weight dot product — no shuffle, no UDF, whole-stage
+    codegen; the model rides the plan as literals (a bigger model
+    would be a broadcast map + F.aggregate dot product, same shape).
+    """
+    ensure_session_determinism(spark)
+    d = load(spark, sf_dir, "documents").where(F.length("text") > 0)
+    toks = F.split(F.col("text"), " ")
+    n_tokens = F.size(toks)
+    stop_ratio = (
+        F.size(
+            F.filter(
+                toks,
+                lambda t: (t == "the") | (t == "a") | (t == "of")
+                | (t == "and") | (t == "data") | (t == "value"),
+            )
+        ).cast("double")
+        / n_tokens
+    )
+    digit_ratio = (
+        F.length(F.regexp_replace("text", "[^0-9]", "")).cast("double")
+        / F.length("text")
+    )
+    upper_ratio = (
+        F.length(F.regexp_replace("text", "[^A-Z]", "")).cast("double")
+        / F.length("text")
+    )
+    avg_word_len = F.length("text").cast("double") / n_tokens
+    z = (
+        F.lit(_QM_B)
+        + F.lit(_QM_W[0]) * (n_tokens.cast("double") / 100)
+        + F.lit(_QM_W[1]) * stop_ratio
+        + F.lit(_QM_W[2]) * digit_ratio
+        + F.lit(_QM_W[3]) * upper_ratio
+        + F.lit(_QM_W[4]) * (avg_word_len / 10)
+    )
+    score = 0.5 * (F.lit(1.0) + z / (F.lit(1.0) + F.abs(z)))
+    return d.select(
+        "doc_id",
+        n_tokens.cast("int").alias("n_tokens"),
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        F.round(digit_ratio, 6).alias("digit_ratio"),
+        F.round(score, 6).alias("score"),
+        (score >= 0.5).cast("int").alias("keep"),
+    )
