@@ -1514,3 +1514,91 @@ def q_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(score, 6).alias("score"),
         (score >= 0.5).cast("int").alias("keep"),
     )
+
+
+# --- segment-level dedup (line-dedup shape) ----------------------------
+
+
+_SEG_LEN = 10  # words per non-overlapping segment
+
+
+@query(
+    "q_dedup_segments",
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id, string_split(text, ' ') AS w,
+             len(string_split(text, ' ')) AS n
+      FROM documents
+    ),
+    seg AS (
+      SELECT doc_id,
+             array_to_string(
+               w[start:least(start + {_SEG_LEN} - 1, n)], ' ') AS segment
+      FROM (
+        SELECT doc_id, w, n,
+               unnest(generate_series(1, n, {_SEG_LEN})) AS start
+        FROM words
+      )
+    ),
+    freq AS (
+      SELECT segment, count(DISTINCT doc_id) AS n_docs
+      FROM seg GROUP BY segment
+    )
+    SELECT s.doc_id,
+           CAST(count(*) AS INT) AS n_segments,
+           CAST(sum(CASE WHEN f.n_docs > 1 THEN 1 ELSE 0 END) AS INT)
+             AS n_dup_segments,
+           round(CAST(sum(CASE WHEN f.n_docs > 1 THEN 1 ELSE 0 END)
+                      AS DOUBLE) / count(*), 6) AS dup_ratio
+    FROM seg s JOIN freq f ON s.segment = f.segment
+    GROUP BY s.doc_id
+    """,
+)
+def q_dedup_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEGMENT-LEVEL DEDUP SIGNAL — the line/paragraph-dedup operator
+    of C4/RefinedWeb ("remove any line occurring verbatim elsewhere in
+    the corpus") adapted to the fixture's unpunctuated text: documents
+    split into non-overlapping 10-word segments, a segment is
+    DUPLICATED if it appears verbatim in more than one document, and
+    each doc reports its duplicated-segment share. Downstream, dup
+    ratio ≥ τ drops the doc (boilerplate/mirror pages) and individual
+    duplicated segments can be stripped — this qid emits the per-doc
+    evidence both decisions read.
+
+    Scale shape: explode to segment grain (let-bound token array — one
+    split per row), ONE hash-aggregate on the segment string for the
+    corpus frequency (map-side combined; the segment string is the
+    key, no pairwise comparison anywhere), one equi-join back on that
+    key, one per-doc re-aggregate. Same dataflow as exact dedup but at
+    sub-document grain — at 100 TB the segment table is the big
+    intermediate, and it hash-partitions evenly (uniform text hashes)
+    with combiner-reduced counts.
+    """
+    ensure_session_determinism(spark)
+    d = _parallelize_docs(load(spark, sf_dir, "documents"))
+    from tile_etl_spark.llm.dedup import let_tokens
+
+    seg_arr = let_tokens(
+        lambda w: F.transform(
+            F.sequence(F.lit(1), F.size(w), F.lit(_SEG_LEN)),
+            lambda start: F.array_join(
+                F.slice(w, start, F.lit(_SEG_LEN)), " "
+            ),
+        )
+    )
+    seg = d.select("doc_id", F.explode(seg_arr).alias("segment"))
+    freq = seg.groupBy("segment").agg(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    dup = F.when(F.col("n_docs") > 1, 1).otherwise(0)
+    return (
+        seg.join(freq, "segment")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_segments"),
+            F.sum(dup).cast("int").alias("n_dup_segments"),
+            F.round(
+                F.sum(dup).cast("double") / F.count(F.lit(1)), 6
+            ).alias("dup_ratio"),
+        )
+    )

@@ -66,17 +66,27 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- shared shingling --------------------------------------------------
 
 
+def let_tokens(body):
+    """LET-BIND the token array of ``text``: evaluate ``split`` exactly
+    once per row and hand it to ``body`` as a lambda variable. A
+    free-standing split column gets re-inlined by Catalyst's projection
+    collapse at EVERY reference (a body with n references pays n full
+    splits per row; the shingle builder's ~3·shingles references were
+    ~2× of its runtime). The single-element
+    ``transform(array(split), w -> body(w))`` wrapper makes every
+    reference a lambda-variable read instead."""
+    return F.element_at(
+        F.transform(F.array(F.split("text", " ")), body), 1
+    )
+
+
 def shingle_array(k: int = 3):
     """Distinct k-word shingles of `text` as an array column. Guarded:
     docs shorter than k words yield an EMPTY array (Spark's sequence
     descends when start > stop — never rely on it clamping).
 
-    The token array is LET-BOUND through a single-element
-    ``transform(array(split(...)), w -> ...)`` wrapper: a free-standing
-    ``split`` column gets re-inlined by projection collapse at every
-    one of its ~3·shingles references (~150 full-text splits per
-    50-word doc — measured 0.69 s vs 0.36 s warm for the shingle scan
-    at sf0.1), while a lambda variable is evaluated exactly once."""
+    Token array let-bound via ``let_tokens`` (measured 0.69 s vs
+    0.36 s warm for the shingle scan at sf0.1)."""
 
     def body(w):
         return F.when(
@@ -92,9 +102,7 @@ def shingle_array(k: int = 3):
             )
         )
 
-    return F.element_at(
-        F.transform(F.array(F.split("text", " ")), body), 1
-    )
+    return let_tokens(body)
 
 
 def _parallelize_docs(docs: DataFrame) -> DataFrame:
