@@ -312,3 +312,123 @@ def q_multimodal_pngmeta(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         / 1000000,
     )
+
+
+@query(
+    "q_multimodal_wavmeta",
+    oracle="""
+    WITH src AS (
+      SELECT doc_id,
+             CAST(CASE doc_id % 5 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                  WHEN 2 THEN 22050 WHEN 3 THEN 44100
+                  ELSE 48000 END AS INT) AS sample_rate,
+             CAST(1 + doc_id % 2 AS INT) AS channels,
+             CAST((1000 + n_chars * 10) * (1 + doc_id % 2) * 2
+                  AS BIGINT) AS data_bytes
+      FROM documents
+    )
+    SELECT doc_id, sample_rate, channels,
+           CAST(16 AS INT) AS bits_per_sample, data_bytes,
+           floor(CAST(data_bytes AS DOUBLE)
+                 / (sample_rate * channels * 2) * 1000000 + 0.5)
+             / 1000000 AS duration_s
+    FROM src
+    """,
+)
+def q_multimodal_wavmeta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUDIO HEADER METADATA EXTRACTION — the little-endian dual of
+    q_multimodal_pngmeta: build a REAL 44-byte RIFF/WAVE PCM header
+    (RIFF size, fmt chunk with LE u16 channels / u32 sample rate /
+    u16 bits, data chunk size) per document and parse sample rate,
+    channel count and duration BACK out of the binary column by
+    per-byte offset arithmetic. WAV is little-endian where PNG is
+    big-endian, so the parse combines individual bytes with 256^k
+    place values instead of one hex-to-int conv — pinning that a
+    production header reader must honor each container's byte order.
+    Duration-without-decode (data_bytes / byte_rate) is the filter an
+    audio curation pipeline runs at scan throughput before any codec
+    tier sees the blob.
+
+    All JVM-side codegen expressions on BINARY — no Python, no UDFs;
+    at 100 TB this is a pure map over the blob store scan."""
+    ensure_session_determinism(spark)
+    d = load(spark, sf_dir, "documents")
+    rate = (
+        F.when(F.col("doc_id") % 5 == 0, 8000)
+        .when(F.col("doc_id") % 5 == 1, 16000)
+        .when(F.col("doc_id") % 5 == 2, 22050)
+        .when(F.col("doc_id") % 5 == 3, 44100)
+        .otherwise(48000)
+        .cast("int")
+    )
+    channels = (1 + F.col("doc_id") % 2).cast("int")
+    bits = F.lit(16)
+    n_samples = 1000 + F.col("n_chars") * 10
+    data_bytes = (n_samples * channels * 2).cast("bigint")
+    byte_rate = rate * channels * 2
+    block_align = channels * 2
+
+    def hexle(v, nbytes: int):
+        """Little-endian hex of an int expression, nbytes wide."""
+        return F.concat(
+            *[
+                F.lpad(
+                    F.lower(
+                        F.hex(F.shiftright(v.cast("bigint"), 8 * k) % 256)
+                    ),
+                    2,
+                    "0",
+                )
+                for k in range(nbytes)
+            ]
+        )
+
+    wav = F.unhex(
+        F.concat(
+            F.lit("52494646"),            # "RIFF"
+            hexle(data_bytes + 36, 4),    # RIFF chunk size
+            F.lit("57415645"),            # "WAVE"
+            F.lit("666d7420"),            # "fmt "
+            hexle(F.lit(16), 4),          # fmt chunk size
+            hexle(F.lit(1), 2),           # audio format = PCM
+            hexle(channels, 2),
+            hexle(rate, 4),
+            hexle(byte_rate, 4),
+            hexle(block_align, 2),
+            hexle(bits, 2),
+            F.lit("64617461"),            # "data"
+            hexle(data_bytes, 4),
+        )
+    )
+    blobs = d.select("doc_id", wav.alias("content"))
+    byte_at = lambda pos: F.conv(  # noqa: E731
+        F.hex(F.expr(f"substring(content, {pos}, 1)")), 16, 10
+    ).cast("bigint")
+
+    def parse_le(pos: int, nbytes: int):
+        out = byte_at(pos)
+        for k in range(1, nbytes):
+            out = out + byte_at(pos + k) * (256 ** k)
+        return out
+
+    parsed = blobs.select(
+        "doc_id",
+        parse_le(25, 4).cast("int").alias("sample_rate"),
+        parse_le(23, 2).cast("int").alias("channels"),
+        parse_le(35, 2).cast("int").alias("bits_per_sample"),
+        parse_le(41, 4).alias("data_bytes"),
+    )
+    return parsed.withColumn(
+        "duration_s",
+        F.floor(
+            F.col("data_bytes").cast("double")
+            / (
+                F.col("sample_rate")
+                * F.col("channels")
+                * (F.col("bits_per_sample") / F.lit(8))
+            )
+            * 1000000
+            + 0.5
+        )
+        / 1000000,
+    )
