@@ -1452,3 +1452,114 @@ def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rn").cast("int").alias("rn"),
         )
     )
+
+
+# --- count-min sketch --------------------------------------------------
+
+
+_CM_D = 4    # hash rows
+_CM_W = 32   # buckets per row
+
+
+def _cm_bucket_duck(j: int) -> str:
+    key = f"'cm{j}:' || CAST(user_id AS VARCHAR)"
+    return f"({_duck_hex8_to_int(key)} % {_CM_W})"
+
+
+def _cm_bucket_spark(j: int) -> F.Column:
+    key = F.concat(
+        F.lit(f"cm{j}:"), F.col("user_id").cast("string")
+    ).cast("binary")
+    return (
+        F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("bigint")
+        % _CM_W
+    )
+
+
+@query(
+    "q_agg_countmin",
+    oracle=f"""
+    WITH cells AS (
+      SELECT j.j AS j,
+             CASE j.j {" ".join(
+                 f"WHEN {j} THEN {_cm_bucket_duck(j)}"
+                 for j in range(_CM_D))} END AS bucket,
+             count(*) AS n
+      FROM events CROSS JOIN (
+        SELECT unnest(generate_series(0, {_CM_D - 1})) AS j) j
+      GROUP BY 1, 2
+    ),
+    truth AS (
+      SELECT user_id, count(*) AS true_n FROM events GROUP BY user_id
+    ),
+    probes AS (
+      SELECT t.user_id, t.true_n, j.j AS j,
+             CASE j.j {" ".join(
+                 f"WHEN {j} THEN {_cm_bucket_duck(j)}"
+                 for j in range(_CM_D))} END AS bucket
+      FROM truth t CROSS JOIN (
+        SELECT unnest(generate_series(0, {_CM_D - 1})) AS j) j
+    )
+    SELECT p.user_id,
+           CAST(p.true_n AS BIGINT) AS true_n,
+           CAST(min(c.n) AS BIGINT) AS cm_est,
+           CAST(min(c.n) - p.true_n AS BIGINT) AS overcount
+    FROM probes p JOIN cells c ON p.j = c.j AND p.bucket = c.bucket
+    GROUP BY p.user_id, p.true_n
+    """,
+)
+def q_agg_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT-MIN SKETCH — the bounded-memory frequency estimator that
+    completes the sketch family (HLL q_agg_hll_sketch counts DISTINCT,
+    bitmap q_agg_bitmap_distinct counts exactly, count-min estimates
+    PER-KEY frequency): d=4 portable md5 hash rows × w=32 counters,
+    answer = min over rows of the landed counter. The qid builds the
+    sketch AND probes every user against it, emitting true count,
+    estimate, and the overcount — which the count-min guarantee says
+    is ≥ 0 always and ≤ εN with probability 1−δ (asserted ≥ 0 by
+    construction in both engines' output: min of counters that each
+    contain the key's own count).
+
+    Scale shape: the sketch build is ONE hash-aggregate over d
+    replicas of the stream — d·w = 128 cells total regardless of
+    corpus size (the whole point: a 100 TB stream reduces map-side to
+    128 counters per partition, then one 128-row shuffle); the probe
+    joins against those 128 broadcast-able cells. Hashes are the
+    engine-portable md5-hex construction (cf. q_sample_weighted), so
+    the sketch is bit-identical cross-engine → H-checked."""
+    ensure_session_determinism(spark)
+    e = load(spark, sf_dir, "events")
+    js = F.explode(
+        F.array(*[F.lit(j) for j in range(_CM_D)])
+    ).alias("j")
+    bucket = None
+    for j in range(_CM_D):
+        b = _cm_bucket_spark(j)
+        bucket = (
+            F.when(F.col("j") == j, b)
+            if bucket is None
+            else bucket.when(F.col("j") == j, b)
+        )
+    cells = (
+        e.select("user_id", js)
+        .select("user_id", "j", bucket.alias("bucket"))
+        .groupBy("j", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    truth = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("true_n"))
+    probes = truth.select("user_id", "true_n", js).select(
+        "user_id", "true_n", "j", bucket.alias("bucket")
+    )
+    return (
+        probes.join(F.broadcast(cells), ["j", "bucket"])
+        .groupBy("user_id", "true_n")
+        .agg(F.min("n").alias("cm_est"))
+        .select(
+            "user_id",
+            F.col("true_n").cast("bigint").alias("true_n"),
+            F.col("cm_est").cast("bigint").alias("cm_est"),
+            (F.col("cm_est") - F.col("true_n"))
+            .cast("bigint")
+            .alias("overcount"),
+        )
+    )
