@@ -41,6 +41,13 @@ FLAGSHIP = "q_agg_group"
 _PRIORITY = [
     "q_ts_resample",
     "q_ts_interpolate",
+    # NEW in round 4 — least soak time, front-loaded for first rows
+    "q_tile_quadkey",
+    "q_dedup_semantic",
+    "q_quality_model",
+    "q_dedup_segments",
+    "q_multimodal_wavmeta",
+    "q_agg_countmin",
     "q_abtest_ztest",
     "q_agg_bitmap_distinct",
     "q_agg_entropy",
