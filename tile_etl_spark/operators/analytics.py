@@ -1563,3 +1563,123 @@ def q_agg_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("overcount"),
         )
     )
+
+
+# --- portable Bloom filter ---------------------------------------------
+
+
+_BF_M = 4096  # bits
+_BF_K = 3    # hash functions
+
+
+def _bf_bit_duck(j: int, key_sql: str) -> str:
+    salted = f"'bf{j}:' || {key_sql}"
+    return f"({_duck_hex8_to_int(salted)} % {_BF_M})"
+
+
+def _bf_bit_spark(j: int, key: F.Column) -> F.Column:
+    h = F.md5(
+        F.concat(F.lit(f"bf{j}:"), key.cast("string")).cast("binary")
+    )
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % _BF_M
+
+
+@query(
+    "q_agg_bloom_portable",
+    oracle=f"""
+    WITH members AS (
+      SELECT DISTINCT c_custkey FROM customer
+      WHERE c_mktsegment = 'BUILDING'
+    ),
+    bits AS (
+      SELECT DISTINCT
+             CASE j.j {" ".join(
+                 f"WHEN {j} THEN "
+                 + _bf_bit_duck(j, "CAST(c_custkey AS VARCHAR)")
+                 for j in range(_BF_K))} END AS bit
+      FROM members CROSS JOIN (
+        SELECT unnest(generate_series(0, {_BF_K - 1})) AS j) j
+    ),
+    probes AS (
+      SELECT c.c_custkey,
+             CAST(CASE WHEN c.c_mktsegment = 'BUILDING'
+                  THEN 1 ELSE 0 END AS INT) AS truth,
+             j.j AS j,
+             CASE j.j {" ".join(
+                 f"WHEN {j} THEN "
+                 + _bf_bit_duck(j, "CAST(c_custkey AS VARCHAR)")
+                 for j in range(_BF_K))} END AS bit
+      FROM customer c CROSS JOIN (
+        SELECT unnest(generate_series(0, {_BF_K - 1})) AS j) j
+    )
+    SELECT p.c_custkey, p.truth,
+           CAST(CASE WHEN count(b.bit) = {_BF_K} THEN 1 ELSE 0 END
+                AS INT) AS bloom_hit,
+           CAST(CASE WHEN count(b.bit) = {_BF_K} AND p.truth = 0
+                THEN 1 ELSE 0 END AS INT) AS false_positive
+    FROM probes p LEFT JOIN bits b ON p.bit = b.bit
+    GROUP BY p.c_custkey, p.truth
+    """,
+)
+def q_agg_bloom_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PORTABLE BLOOM FILTER — the membership sketch that rounds out
+    the family (HLL: distinct count, count-min: frequency, bloom:
+    membership), built relationally so it is engine-portable and
+    H-checked: the filter is the SET OF SET BITS (≤ m rows — the
+    relational dual of the bitmap; a native build ORs the bits into a
+    single bitmap, Spark's own ``bloom_filter_agg`` being the
+    non-portable fast path, cf. q_join_bloom). Members are BUILDING-
+    segment customers, k=3 md5-derived bit positions each (m=4096); every
+    customer then probes all k bits and hits only if ALL are set. The
+    output audits the Bloom guarantee per probe: truth=1 ⇒ hit=1 (no
+    false negatives, structural — a member's own bits are in the set),
+    false positives explicitly flagged (expected rate ≈ (1−e^{-kn/m})^k).
+
+    Scale shape: build = one distinct-aggregate over k replicas of the
+    member keys, collapsing to ≤ m rows regardless of member count;
+    probe = fan-out × k then an equi-join against the ≤ m-row bit set
+    — broadcast, so the probe side never shuffles. This is exactly the
+    semi-join-reduction shape a distributed engine ships to the scan
+    side of a selective join."""
+    ensure_session_determinism(spark)
+    c = load(spark, sf_dir, "customer")
+    js = F.explode(
+        F.array(*[F.lit(j) for j in range(_BF_K)])
+    ).alias("j")
+    bit = None
+    for j in range(_BF_K):
+        b = _bf_bit_spark(j, F.col("c_custkey"))
+        bit = (
+            F.when(F.col("j") == j, b)
+            if bit is None
+            else bit.when(F.col("j") == j, b)
+        )
+    bits = (
+        c.where(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey", js)
+        .select(bit.alias("bit"))
+        .distinct()
+    )
+    probes = c.select(
+        "c_custkey",
+        (F.col("c_mktsegment") == "BUILDING").cast("int").alias("truth"),
+        js,
+    ).select("c_custkey", "truth", bit.alias("bit"))
+    hit = (F.count("b_bit") == _BF_K).cast("int")
+    return (
+        probes.join(
+            F.broadcast(bits.withColumnRenamed("bit", "b_bit")),
+            probes["bit"] == F.col("b_bit"),
+            "left",
+        )
+        .groupBy("c_custkey", "truth")
+        .agg(hit.alias("bloom_hit"))
+        .select(
+            "c_custkey",
+            "truth",
+            "bloom_hit",
+            ((F.col("bloom_hit") == 1) & (F.col("truth") == 0))
+            .cast("int")
+            .alias("false_positive"),
+        )
+    )
