@@ -860,3 +860,111 @@ def q_tile_quadkey(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_quaddec_sql("row")).alias("parsed_row"),
         F.expr(_quaddec_sql("col")).alias("parsed_col"),
     )
+
+
+@query(
+    "q_tile_knn",
+    oracle=_grid_oracle_cte()
+    + f"""
+    , paths AS (
+      SELECT level, "row", col,
+             printf('L%02d/R%s/C%s.jpg', level,
+                    {_HEX8_DUCK.format(c='"row"')},
+                    {_HEX8_DUCK.format(c='col')}) AS src_path
+      FROM grid WHERE level = 7
+    ),
+    present AS (
+      SELECT level, "row", col FROM paths WHERE {_PRESENT_SQL}
+    ),
+    offsets(dr, dc) AS (
+      SELECT r.r, c.c
+      FROM (SELECT unnest(generate_series(-2, 2)) AS r) r
+      CROSS JOIN (SELECT unnest(generate_series(-2, 2)) AS c) c
+      WHERE NOT (r.r = 0 AND c.c = 0)
+    ),
+    cand AS (
+      SELECT p."row" AS row, p.col,
+             n."row" AS n_row, n.col AS n_col,
+             sqrt(CAST(o.dr * o.dr + o.dc * o.dc AS DOUBLE)) AS dist,
+             row_number() OVER (
+               PARTITION BY p."row", p.col
+               ORDER BY o.dr * o.dr + o.dc * o.dc,
+                        n."row", n.col) AS rn
+      FROM present p
+      JOIN offsets o ON TRUE
+      JOIN present n
+        ON n."row" = p."row" + o.dr AND n.col = p.col + o.dc
+    )
+    SELECT row, col, n_row, n_col,
+           round(dist, 6) AS dist, CAST(rn AS INT) AS rn
+    FROM cand WHERE rn <= 3
+    """,
+)
+def q_tile_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPATIAL k-NEAREST-NEIGHBORS over the present-tile set (level 7,
+    k=3, candidates from the Chebyshev-2 ring): for every present
+    tile, its 3 nearest present tiles by grid Euclidean distance with
+    a deterministic (dist², row, col) tiebreak. This is the
+    grid-partitioned kNN rewrite every spatial engine uses: candidates
+    come from a BOUNDED neighbor-cell ring (24 offset keys — a literal
+    broadcast dimension), turning geometry into exact equi-join key
+    arithmetic — never a cross join of the point set against itself.
+    Boundary tiles with fewer than k in-ring neighbors emit what
+    exists (coverage edges are visible as short result groups, the
+    same signal q_tile_neighbors' ``interior`` flag exposes).
+
+    Scale shape: fan-out ×24, ONE hash equi-join on the neighbor key
+    (both sides partition on the same composite key), then a bounded
+    per-tile window (≤ 24 rows per partition key — WindowGroupLimit
+    prunes to k before the shuffle). Ranking on the INTEGER dist²
+    avoids float order risk; the reported dist is sqrt (correctly
+    rounded IEEE, identical cross-engine)."""
+    ensure_session_determinism(spark)
+    present = (
+        tile_grid(spark)
+        .where(F.col("level") == 7)
+        .withColumn("src_path", src_path_col())
+        .where(F.expr(_PRESENT_SQL))
+        .select("level", "row", "col")
+    )
+    offsets = present.sparkSession.createDataFrame(
+        [
+            (dr, dc)
+            for dr in range(-2, 3)
+            for dc in range(-2, 3)
+            if not (dr == 0 and dc == 0)
+        ],
+        "dr int, dc int",
+    )
+    p = present.alias("p")
+    n = present.alias("n")
+    cand = (
+        p.join(F.broadcast(offsets))
+        .join(
+            n,
+            (F.col("n.row") == F.col("p.row") + F.col("dr"))
+            & (F.col("n.col") == F.col("p.col") + F.col("dc")),
+        )
+        .select(
+            F.col("p.row").alias("row"),
+            F.col("p.col").alias("col"),
+            F.col("n.row").alias("n_row"),
+            F.col("n.col").alias("n_col"),
+            (F.col("dr") * F.col("dr") + F.col("dc") * F.col("dc")).alias(
+                "d2"
+            ),
+        )
+    )
+    w = Window.partitionBy("row", "col").orderBy("d2", "n_row", "n_col")
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select(
+            "row",
+            "col",
+            "n_row",
+            "n_col",
+            F.round(F.sqrt(F.col("d2").cast("double")), 6).alias("dist"),
+            F.col("rn").cast("int").alias("rn"),
+        )
+    )
