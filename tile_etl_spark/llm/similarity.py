@@ -924,3 +924,119 @@ def q_embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"pc{i + 1} double" for i in range(PCA_K)
     )
     return emb.mapInPandas(project, schema)
+
+
+# --- product quantization ----------------------------------------------
+
+
+_PQ_M = 4           # subspaces (64 dims -> 16 dims each)
+_PQ_SUBDIM = 16
+
+
+@query(
+    "q_embed_pq",
+    oracle=f"""
+    WITH flat AS (
+      SELECT vec_id, label,
+             unnest(generate_series(1, len(embedding))) AS dim,
+             CAST(floor(CAST(embedding[unnest(generate_series(1,
+               len(embedding)))] AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
+               AS x
+      FROM embeddings
+    ),
+    cb AS (
+      SELECT label AS code, dim,
+             CAST(floor(CAST(sum(x) AS DOUBLE) / count(*) + 0.5)
+                  AS BIGINT) AS c
+      FROM flat GROUP BY label, dim
+    ),
+    dists AS (
+      SELECT f.vec_id,
+             CAST((f.dim - 1) // {_PQ_SUBDIM} AS INT) AS subspace,
+             cb.code,
+             sum((f.x - cb.c) * (f.x - cb.c)) AS d2
+      FROM flat f JOIN cb ON f.dim = cb.dim
+      GROUP BY 1, 2, 3
+    ),
+    ranked AS (
+      SELECT vec_id, subspace, code, d2,
+             row_number() OVER (PARTITION BY vec_id, subspace
+                                ORDER BY d2, code) AS rn
+      FROM dists
+    )
+    SELECT vec_id, subspace, CAST(code AS INT) AS code,
+           CAST(d2 AS BIGINT) AS err_micro2
+    FROM ranked WHERE rn = 1
+    """,
+)
+def q_embed_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCT QUANTIZATION assign/reconstruct — the memory-side half
+    of billion-scale ANN (FAISS IVF-PQ): each 64-dim vector is split
+    into M=4 subvectors and each subvector replaced by the id of its
+    nearest codeword, compressing 64 floats to 4 small codes (64× at
+    8-bit codes); the summed subspace distance to the chosen codewords
+    is the reconstruction error the recall/memory trade is tuned by.
+    Codebooks here are the per-label subvector means (the supervised
+    stand-in for per-subspace k-means — the unsupervised trainer is
+    kmeans_centroids in this module, R-checked; using labels keeps the
+    WHOLE assign/reconstruct path H-checked), and all distance math is
+    exact INT64 micro-units (×10⁶ fixed point, the q_embed_centroids
+    trick): sums of (x−c)² commute, so no float-summation-order risk
+    anywhere, and the argmin tiebreak (d², code) is total.
+
+    Scale shape: the codebook is K·dims rows (640) — broadcast; the
+    vector side explodes to dim grain, joins the codebook map-side,
+    and reduces with ONE hash-aggregate per (vec, subspace, code) then
+    a bounded window (K=10 rows per key) for the argmin. Vectors never
+    pair with each other — cost is linear in corpus × K."""
+    ensure_session_determinism(spark)
+    e = load(spark, sf_dir, "embeddings")
+    micro = lambda c: F.floor(  # noqa: E731
+        c.cast("double") * 1000000 + F.lit(0.5)
+    ).cast("bigint")
+    flat = e.select(
+        "vec_id",
+        "label",
+        F.posexplode(F.col("embedding")).alias("dim0", "xf"),
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("dim0") + 1).alias("dim"),
+        micro(F.col("xf")).alias("x"),
+    )
+    cb = (
+        flat.groupBy(F.col("label").alias("code"), "dim")
+        .agg(
+            F.floor(
+                F.sum("x").cast("double") / F.count(F.lit(1)) + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("c")
+        )
+    )
+    dists = (
+        flat.join(F.broadcast(cb), "dim")
+        .groupBy(
+            "vec_id",
+            F.floor((F.col("dim") - 1) / _PQ_SUBDIM)
+            .cast("int")
+            .alias("subspace"),
+            "code",
+        )
+        .agg(
+            F.sum(
+                (F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))
+            ).alias("d2")
+        )
+    )
+    w = Window.partitionBy("vec_id", "subspace").orderBy("d2", "code")
+    return (
+        dists.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "vec_id",
+            "subspace",
+            F.col("code").cast("int").alias("code"),
+            F.col("d2").cast("bigint").alias("err_micro2"),
+        )
+    )
