@@ -933,6 +933,37 @@ _PQ_M = 4           # subspaces (64 dims -> 16 dims each)
 _PQ_SUBDIM = 16
 
 
+def _pq_micro(c: F.Column) -> F.Column:
+    """×10⁶ fixed-point int64 (half-up) — exact, commutative sums."""
+    return F.floor(c.cast("double") * 1000000 + F.lit(0.5)).cast("bigint")
+
+
+def _pq_flat(e: DataFrame) -> DataFrame:
+    """(vec_id, label, dim 1-based, x micro-int) — dim-grain explode."""
+    return e.select(
+        "vec_id",
+        "label",
+        F.posexplode(F.col("embedding")).alias("dim0", "xf"),
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("dim0") + 1).alias("dim"),
+        _pq_micro(F.col("xf")).alias("x"),
+    )
+
+
+def _pq_codebook(flat: DataFrame) -> DataFrame:
+    """(code, dim, c) — per-label per-dim micro-int mean (half-up)."""
+    return flat.groupBy(F.col("label").alias("code"), "dim").agg(
+        F.floor(
+            F.sum("x").cast("double") / F.count(F.lit(1)) + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("c")
+    )
+
+
+
 @query(
     "q_embed_pq",
     oracle=f"""
@@ -991,29 +1022,8 @@ def q_embed_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair with each other — cost is linear in corpus × K."""
     ensure_session_determinism(spark)
     e = load(spark, sf_dir, "embeddings")
-    micro = lambda c: F.floor(  # noqa: E731
-        c.cast("double") * 1000000 + F.lit(0.5)
-    ).cast("bigint")
-    flat = e.select(
-        "vec_id",
-        "label",
-        F.posexplode(F.col("embedding")).alias("dim0", "xf"),
-    ).select(
-        "vec_id",
-        "label",
-        (F.col("dim0") + 1).alias("dim"),
-        micro(F.col("xf")).alias("x"),
-    )
-    cb = (
-        flat.groupBy(F.col("label").alias("code"), "dim")
-        .agg(
-            F.floor(
-                F.sum("x").cast("double") / F.count(F.lit(1)) + F.lit(0.5)
-            )
-            .cast("bigint")
-            .alias("c")
-        )
-    )
+    flat = _pq_flat(e)
+    cb = _pq_codebook(flat)
     dists = (
         flat.join(F.broadcast(cb), "dim")
         .groupBy(
@@ -1038,5 +1048,164 @@ def q_embed_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             "subspace",
             F.col("code").cast("int").alias("code"),
             F.col("d2").cast("bigint").alias("err_micro2"),
+        )
+    )
+
+
+_PQ_TOPK = 5
+
+
+@query(
+    "q_sim_ann_pq",
+    oracle=f"""
+    WITH flat AS (
+      SELECT vec_id, label,
+             unnest(generate_series(1, len(embedding))) AS dim,
+             CAST(floor(CAST(embedding[unnest(generate_series(1,
+               len(embedding)))] AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
+               AS x
+      FROM embeddings
+    ),
+    cb AS (
+      SELECT label AS code, dim,
+             CAST(floor(CAST(sum(x) AS DOUBLE) / count(*) + 0.5)
+                  AS BIGINT) AS c
+      FROM flat GROUP BY label, dim
+    ),
+    codes AS (
+      SELECT vec_id, subspace, code FROM (
+        SELECT vec_id, subspace, code,
+               row_number() OVER (PARTITION BY vec_id, subspace
+                                  ORDER BY d2, code) AS rn
+        FROM (
+          SELECT f.vec_id,
+                 CAST((f.dim - 1) // {_PQ_SUBDIM} AS INT) AS subspace,
+                 cb.code, sum((f.x - cb.c) * (f.x - cb.c)) AS d2
+          FROM flat f JOIN cb ON f.dim = cb.dim
+          GROUP BY 1, 2, 3
+        )
+      ) WHERE rn = 1
+    ),
+    ptab AS (
+      SELECT p.vec_id AS probe_id,
+             CAST((p.dim - 1) // {_PQ_SUBDIM} AS INT) AS subspace,
+             cb.code, sum((p.x - cb.c) * (p.x - cb.c)) AS t2
+      FROM flat p JOIN cb ON p.dim = cb.dim
+      WHERE p.vec_id < {N_PROBES}
+      GROUP BY 1, 2, 3
+    ),
+    adc AS (
+      SELECT t.probe_id, c.vec_id, sum(t.t2) AS adc_micro2
+      FROM codes c
+      JOIN ptab t ON t.subspace = c.subspace AND t.code = c.code
+      WHERE c.vec_id != t.probe_id
+      GROUP BY 1, 2
+    ),
+    exact AS (
+      SELECT p.vec_id AS probe_id, f.vec_id,
+             sum((f.x - p.x) * (f.x - p.x)) AS true_micro2
+      FROM flat f JOIN flat p ON f.dim = p.dim
+      WHERE p.vec_id < {N_PROBES} AND f.vec_id != p.vec_id
+      GROUP BY 1, 2
+    )
+    SELECT a.probe_id, a.vec_id,
+           CAST(a.adc_micro2 AS BIGINT) AS adc_micro2,
+           CAST(e.true_micro2 AS BIGINT) AS true_micro2,
+           CAST(rn AS INT) AS rn
+    FROM (
+      SELECT probe_id, vec_id, adc_micro2,
+             row_number() OVER (PARTITION BY probe_id
+                                ORDER BY adc_micro2, vec_id) AS rn
+      FROM adc
+    ) a JOIN exact e
+      ON a.probe_id = e.probe_id AND a.vec_id = e.vec_id
+    WHERE a.rn <= {_PQ_TOPK}
+    """,
+)
+def q_sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-ADC APPROXIMATE NEAREST NEIGHBOR — the search half of IVF-PQ
+    (q_embed_pq is the compression half): each probe precomputes a
+    DISTANCE TABLE (its exact squared distance to every codeword, per
+    subspace — K·M = 40 cells), and a database vector's approximate
+    distance is just M table lookups summed over its stored codes —
+    the corpus' raw floats are never touched at query time. Top-k per
+    probe by (ADC asc, vec_id); ``true_micro2`` carries the exact
+    distance alongside, so the PQ approximation error is auditable
+    row-by-row (ADC ignores within-cell quantization residue, so it
+    under/over-estimates — the recall/memory trade made visible).
+    All arithmetic in exact int64 micro-units — H-checked end to end.
+
+    Scale shape: codes (M small ints per vector) are the only
+    per-vector state read at query time; the probe tables (probes ×
+    K·M rows) broadcast; scoring is one equi-join on (subspace, code)
+    + a sum over M rows per (probe, vector); the exact-distance audit
+    column is corpus-width work that exists for verification only, not
+    the production path."""
+    ensure_session_determinism(spark)
+    e = load(spark, sf_dir, "embeddings")
+    flat = cache.persist_scoped(_pq_flat(e), tag=f"q_sim_ann_pq:{sf_dir}")
+    cb = _pq_codebook(flat)
+    sub = (
+        F.floor((F.col("dim") - 1) / _PQ_SUBDIM).cast("int").alias(
+            "subspace"
+        )
+    )
+    dist_to_codes = (
+        lambda side: side.join(F.broadcast(cb), "dim")
+        .groupBy("vec_id", sub, "code")
+        .agg(
+            F.sum(
+                (F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))
+            ).alias("d2")
+        )
+    )
+    w_assign = Window.partitionBy("vec_id", "subspace").orderBy(
+        "d2", "code"
+    )
+    codes = (
+        dist_to_codes(flat)
+        .withColumn("rn", F.row_number().over(w_assign))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "subspace", "code")
+    )
+    ptab = (
+        dist_to_codes(flat.where(F.col("vec_id") < N_PROBES))
+        .select(
+            F.col("vec_id").alias("probe_id"),
+            "subspace",
+            "code",
+            F.col("d2").alias("t2"),
+        )
+    )
+    adc = (
+        codes.join(F.broadcast(ptab), ["subspace", "code"])
+        .where(F.col("vec_id") != F.col("probe_id"))
+        .groupBy("probe_id", "vec_id")
+        .agg(F.sum("t2").alias("adc_micro2"))
+    )
+    pf = flat.where(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("probe_id"), "dim", F.col("x").alias("px")
+    )
+    exact = (
+        flat.join(F.broadcast(pf), "dim")
+        .where(F.col("vec_id") != F.col("probe_id"))
+        .groupBy("probe_id", "vec_id")
+        .agg(
+            F.sum(
+                (F.col("x") - F.col("px")) * (F.col("x") - F.col("px"))
+            ).alias("true_micro2")
+        )
+    )
+    w_top = Window.partitionBy("probe_id").orderBy("adc_micro2", "vec_id")
+    return (
+        adc.withColumn("rn", F.row_number().over(w_top))
+        .where(F.col("rn") <= _PQ_TOPK)
+        .join(exact, ["probe_id", "vec_id"])
+        .select(
+            "probe_id",
+            "vec_id",
+            F.col("adc_micro2").cast("bigint").alias("adc_micro2"),
+            F.col("true_micro2").cast("bigint").alias("true_micro2"),
+            F.col("rn").cast("int").alias("rn"),
         )
     )
