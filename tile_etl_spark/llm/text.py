@@ -160,27 +160,10 @@ def _hits_sql(terms: tuple[str, ...]) -> str:
     )
 
 
-@query(
-    "q_text_langid",
-    oracle=f"""
-    WITH scored AS (
-      SELECT doc_id, lang,
-             {", ".join(f"CAST({_hits_sql(ts)} AS INT) AS score_{lang}" for lang, ts in _MARKERS.items())}
-      FROM documents
-    )
-    SELECT doc_id, lang,
-           {", ".join(f"score_{lang}" for lang in _MARKERS)},
-           CASE {" ".join(f"WHEN score_{lang} >= greatest({', '.join('score_' + o for o in _MARKERS)}) THEN '{lang}'" for lang in _MARKERS)}
-           END AS predicted
-    FROM scored
-    """,
-)
-def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Language-ID scoring: per-language marker-hit counts + argmax
-    (first language in pinned order wins ties — the CASE encodes the
-    same total order both sides)."""
-    ensure_session_determinism(spark)
-    d = load(spark, sf_dir, "documents")
+def langid_scored(d: DataFrame) -> DataFrame:
+    """(doc_id, lang, score_*, predicted) — the shared language-ID
+    projection (marker-hit counts + pinned-order argmax) consumed by
+    q_text_langid and the q_text_lang_confusion audit."""
     words = F.split("text", " ")
 
     def marker_eq(m: str):
@@ -206,6 +189,29 @@ def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         cond = F.col(f"score_{lang}") >= best
         pred = F.when(cond, lang) if pred is None else pred.when(cond, lang)
     return df.withColumn("predicted", pred)
+
+
+@query(
+    "q_text_langid",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             {", ".join(f"CAST({_hits_sql(ts)} AS INT) AS score_{lang}" for lang, ts in _MARKERS.items())}
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           {", ".join(f"score_{lang}" for lang in _MARKERS)},
+           CASE {" ".join(f"WHEN score_{lang} >= greatest({', '.join('score_' + o for o in _MARKERS)}) THEN '{lang}'" for lang in _MARKERS)}
+           END AS predicted
+    FROM scored
+    """,
+)
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID scoring: per-language marker-hit counts + argmax
+    (first language in pinned order wins ties — the CASE encodes the
+    same total order both sides)."""
+    ensure_session_determinism(spark)
+    return langid_scored(load(spark, sf_dir, "documents"))
 
 
 @query(
@@ -1099,4 +1105,67 @@ def q_text_compress_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return scored.select(
         "doc_id", "lang", "zlib_ratio", verdict.alias("verdict")
+    )
+
+
+@query(
+    "q_text_lang_confusion",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             {", ".join(f"CAST({_hits_sql(ts)} AS INT) AS score_{lang}"
+                        for lang, ts in _MARKERS.items())}
+      FROM documents
+    ),
+    pred AS (
+      SELECT doc_id, lang,
+             CASE {" ".join(
+                 f"WHEN score_{lang} >= greatest("
+                 + ", ".join("score_" + o for o in _MARKERS)
+                 + f") THEN '{lang}'"
+                 for lang in _MARKERS)}
+             END AS predicted
+      FROM scored
+    ),
+    cm AS (
+      SELECT lang, predicted, count(*) AS n
+      FROM pred GROUP BY lang, predicted
+    ),
+    tot AS (SELECT lang, sum(n) AS lang_n FROM cm GROUP BY lang)
+    SELECT cm.lang, cm.predicted, CAST(cm.n AS BIGINT) AS n,
+           CAST(CASE WHEN cm.lang = cm.predicted THEN 1 ELSE 0 END
+                AS INT) AS agree,
+           round(CAST(cm.n AS DOUBLE) / t.lang_n, 6) AS frac_of_lang
+    FROM cm JOIN tot t ON cm.lang = t.lang
+    """,
+)
+def q_text_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LABEL-NOISE AUDIT — the confusion matrix between the corpus'
+    DECLARED language labels and the classifier's predictions
+    (langid_scored): one row per (declared, predicted) cell with its
+    count and share of the declared language. This is the dataset-QA
+    step a curation pipeline runs before trusting either signal —
+    off-diagonal mass localizes to the languages whose labels (or
+    classifier) are unreliable, and the per-lang agreement share is
+    the label-quality metric that decides re-labeling vs re-training.
+
+    Scale shape: the per-doc scoring projection (codegen'd marker
+    counts) collapses via ONE hash-aggregate to ≤ |langs|² cells
+    regardless of corpus size, then a |langs|-row broadcast join for
+    the shares — audit output is constant-size however big the input.
+    """
+    ensure_session_determinism(spark)
+    pred = langid_scored(load(spark, sf_dir, "documents"))
+    cm = pred.groupBy("lang", "predicted").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = cm.groupBy("lang").agg(F.sum("n").alias("lang_n"))
+    return cm.join(F.broadcast(tot), "lang").select(
+        "lang",
+        "predicted",
+        F.col("n").cast("bigint").alias("n"),
+        (F.col("lang") == F.col("predicted")).cast("int").alias("agree"),
+        F.round(F.col("n").cast("double") / F.col("lang_n"), 6).alias(
+            "frac_of_lang"
+        ),
     )
