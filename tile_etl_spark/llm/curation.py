@@ -1602,3 +1602,94 @@ def q_dedup_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_ratio"),
         )
     )
+
+
+# --- target encoding ---------------------------------------------------
+
+
+_TE_SMOOTH = 10  # pseudo-observations toward the global mean
+
+
+@query(
+    "q_target_encode",
+    oracle=f"""
+    WITH cents AS (
+      SELECT o_orderkey, o_orderpriority,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS y
+      FROM orders
+    ),
+    cat AS (
+      SELECT o_orderpriority, sum(y) AS s, count(*) AS n
+      FROM cents GROUP BY o_orderpriority
+    ),
+    gstats AS (SELECT sum(y) AS gs, count(*) AS gn FROM cents)
+    SELECT c.o_orderkey, c.o_orderpriority,
+           round(CAST(c.y AS DOUBLE) / 100, 2) AS target,
+           round((CAST(cat.s AS DOUBLE) - c.y) / (cat.n - 1) / 100, 6)
+             AS te_loo,
+           round((CAST(cat.s AS DOUBLE)
+                  + {_TE_SMOOTH} * (CAST(g.gs AS DOUBLE) / g.gn))
+                 / (cat.n + {_TE_SMOOTH}) / 100, 6) AS te_smooth
+    FROM cents c
+    JOIN cat ON c.o_orderpriority = cat.o_orderpriority
+    CROSS JOIN gstats g
+    WHERE c.o_orderkey % 100 = 0
+    """,
+)
+def q_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TARGET ENCODING — the ML-preprocessing step that replaces a
+    categorical feature with statistics of the label, in its two
+    leakage-safe forms: LEAVE-ONE-OUT ((Σ_cat − y)/(n−1): each row's
+    own label is excluded from its encoding, the standard guard
+    against target leakage) and SMOOTHED ((Σ_cat + m·μ_global)/(n+m),
+    m={_TE_SMOOTH}: rare categories shrink toward the global mean).
+    Money arithmetic runs in exact integer CENTS (cf. §5.3: no
+    float-summation-order risk in the Σs), with the division done in
+    double by both engines in the same expression order.
+
+    Scale shape: one hash-aggregate to |categories| rows + one 1-row
+    global aggregate, both BROADCAST back onto the fact scan — the
+    fact table never shuffles, exactly how a feature pipeline encodes
+    a 100 TB training table (the o_orderkey % 100 filter just bounds
+    the emitted audit rows)."""
+    ensure_session_determinism(spark)
+    o = load(spark, sf_dir, "orders")
+    cents = o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("y"),
+    )
+    cat = cents.groupBy("o_orderpriority").agg(
+        F.sum("y").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    glob = cents.agg(
+        F.sum("y").alias("gs"), F.count(F.lit(1)).alias("gn")
+    )
+    return (
+        cents.join(F.broadcast(cat), "o_orderpriority")
+        .crossJoin(F.broadcast(glob))
+        .where(F.col("o_orderkey") % 100 == 0)
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.round(F.col("y").cast("double") / 100, 2).alias("target"),
+            F.round(
+                (F.col("s").cast("double") - F.col("y"))
+                / (F.col("n") - 1)
+                / 100,
+                6,
+            ).alias("te_loo"),
+            F.round(
+                (
+                    F.col("s").cast("double")
+                    + _TE_SMOOTH
+                    * (F.col("gs").cast("double") / F.col("gn"))
+                )
+                / (F.col("n") + _TE_SMOOTH)
+                / 100,
+                6,
+            ).alias("te_smooth"),
+        )
+    )
