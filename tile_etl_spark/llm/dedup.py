@@ -1065,3 +1065,109 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tagged.groupBy("bucket").applyInPandas(
         prune_bucket, "vec_id BIGINT, bucket STRING, kept INT"
     )
+
+
+# --- prefix-filtered exact set-similarity join (PPJoin shape) ----------
+
+
+_SS_TAU = 0.6  # bigram-set Jaccard threshold
+
+
+@query(
+    "q_join_setsim",
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    t AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               generate_series(1, greatest(len(w) - 1, 0)),
+               i -> concat_ws(' ', w[i], w[i+1])))) AS tok
+      FROM words
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM t GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+      FROM t a JOIN t b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT d1, d2,
+           round(CAST(i.i AS DOUBLE) / (s1.n + s2.n - i.i), 6)
+             AS jaccard
+    FROM inter i
+    JOIN sizes s1 ON i.d1 = s1.doc_id
+    JOIN sizes s2 ON i.d2 = s2.doc_id
+    WHERE CAST(i.i AS DOUBLE) / (s1.n + s2.n - i.i) >= {_SS_TAU}
+    """,
+)
+def q_join_setsim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PREFIX-FILTERED EXACT SET-SIMILARITY JOIN (the PPJoin family) —
+    the EXACT counterpart to MinHash/LSH candidate generation: order
+    each document's bigram-token set globally RAREST-FIRST, index only
+    its PREFIX of length n − ⌈τ·n⌉ + 1, and generate candidates from
+    shared prefix tokens. The prefix bound is the pigeonhole argument:
+    two sets with Jaccard ≥ τ overlap in ≥ ⌈τ·n⌉ tokens, so skipping
+    the first n − ⌈τ·n⌉ + 1 of either (in the SAME canonical order)
+    cannot skip the entire overlap — pruning is LOSSLESS, which the
+    oracle PROVES: it brute-forces all shared-token pairs and the
+    hash must match exactly. Rarest-first ordering makes prefixes
+    maximally selective (common tokens never generate candidates).
+
+    Scale shape: token frequencies are |vocab| rows (broadcast);
+    per-doc ordering is a doc-partitioned window; candidates come from
+    an equi-join on PREFIX tokens only — the frequency-aware exact
+    alternative to LSH when recall must be 1.0 — and the verify tier
+    is the same intersection-as-join-key shape as exact_jaccard."""
+    ensure_session_determinism(spark)
+    _scope(f"q_join_setsim:{sf_dir}")
+    from pyspark.sql import Window
+
+    d = _parallelize_docs(load(spark, sf_dir, "documents"))
+    toks = _persist(shingles_df(d, k=2).withColumnRenamed("shingle", "tok"))
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    w_ord = Window.partitionBy("doc_id").orderBy("df", "tok")
+    w_all = Window.partitionBy("doc_id")
+    ranked = (
+        toks.join(F.broadcast(freq), "tok")
+        .withColumn("pos", F.row_number().over(w_ord))
+        .withColumn("n", F.count(F.lit(1)).over(w_all))
+    )
+    prefix = ranked.where(
+        F.col("pos")
+        <= F.col("n") - F.ceil(F.lit(_SS_TAU) * F.col("n")) + 1
+    ).select("doc_id", "tok")
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2")
+        )
+        .distinct()
+    )
+    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        cand.join(toks.select(F.col("doc_id").alias("d1"), "tok"), "d1")
+        .join(toks.select(F.col("doc_id").alias("d2"), "tok"), ["d2", "tok"])
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    jac = F.col("i").cast("double") / (
+        F.col("n1") + F.col("n2") - F.col("i")
+    )
+    return (
+        inter.join(
+            sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1")),
+            "d1",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2")),
+            "d2",
+        )
+        .where(jac >= _SS_TAU)
+        .select("d1", "d2", F.round(jac, 6).alias("jaccard"))
+    )
