@@ -1077,3 +1077,99 @@ def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("ts").alias("updated_at"),
         )
     )
+
+
+@query(
+    "q_ts_changepoint",
+    oracle="""
+    WITH x AS (
+      SELECT user_id, ts, event_id,
+             CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS v
+      FROM events
+    ),
+    c AS (
+      SELECT user_id, ts, event_id,
+             sum(v) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS cum,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS i,
+             sum(v) OVER (PARTITION BY user_id) AS tot,
+             count(*) OVER (PARTITION BY user_id) AS n
+      FROM x
+    ),
+    s AS (
+      SELECT user_id, ts, event_id, i, n,
+             n * cum - i * tot AS ncusum
+      FROM c
+    ),
+    best AS (
+      SELECT user_id, ts, event_id, i, n, ncusum,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY abs(ncusum) DESC, ts, event_id)
+               AS rn
+      FROM s
+    )
+    SELECT user_id,
+           CAST(i AS INT) AS cp_index,
+           CAST(n AS BIGINT) AS n,
+           ts AS cp_ts,
+           event_id AS cp_event_id,
+           round(CAST(abs(ncusum) AS DOUBLE) / n / 1000000, 6)
+             AS cusum_mag
+    FROM best WHERE rn = 1
+    """,
+)
+def q_ts_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM CHANGE-POINT DETECTION per user series — the classic
+    offline estimator: the change point is the index maximizing
+    |Σ_{j≤i}(x_j − x̄)|, i.e. where the cumulative deviation from the
+    series mean peaks. The mean is FRACTIONAL, so the statistic is
+    computed SCALED BY n: n·CUSUM_i = n·cumsum_i − i·total — pure
+    INT64 on ×10⁶ fixed-point values, so the argmax ordering is exact
+    in both engines (no float-comparison risk at the decision point);
+    only the reported magnitude divides back to double at the end.
+    Emits each user's change-point index/timestamp/event plus the
+    normalized peak deviation — what a drift monitor alerts on.
+
+    Scale shape: three frames over ONE user-partitioned sort (running
+    sum + per-partition total/count resolve in a single window
+    exchange), then a bounded argmax window on the same partitioning —
+    two exchanges total, both keyed by user_id; series length never
+    materializes anywhere but the window frame."""
+    ensure_session_determinism(spark)
+    e = load(spark, sf_dir, "events")
+    v = F.floor(F.col("value") * 1000000 + F.lit(0.5)).cast("bigint")
+    w_ord = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_run = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_all = Window.partitionBy("user_id")
+    s = (
+        e.select("user_id", "ts", "event_id", v.alias("v"))
+        .withColumn("cum", F.sum("v").over(w_run))
+        .withColumn("i", F.row_number().over(w_ord))
+        .withColumn("tot", F.sum("v").over(w_all))
+        .withColumn("n", F.count(F.lit(1)).over(w_all))
+        .withColumn(
+            "ncusum", F.col("n") * F.col("cum") - F.col("i") * F.col("tot")
+        )
+    )
+    w_best = Window.partitionBy("user_id").orderBy(
+        F.abs(F.col("ncusum")).desc(), "ts", "event_id"
+    )
+    return (
+        s.withColumn("rn", F.row_number().over(w_best))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("i").cast("int").alias("cp_index"),
+            F.col("n").cast("bigint").alias("n"),
+            F.col("ts").alias("cp_ts"),
+            F.col("event_id").alias("cp_event_id"),
+            F.round(
+                F.abs(F.col("ncusum")).cast("double")
+                / F.col("n")
+                / 1000000,
+                6,
+            ).alias("cusum_mag"),
+        )
+    )
