@@ -366,3 +366,93 @@ def q_win_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "q_win_regression",
+    oracle="""
+    WITH x AS (
+      SELECT user_id, ts, event_id,
+             CAST(floor(epoch(ts)) AS BIGINT)
+               - min(CAST(floor(epoch(ts)) AS BIGINT))
+                   OVER (PARTITION BY user_id) AS xs,
+             CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS y
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, ts, event_id,
+             count(*) OVER w AS n,
+             sum(xs) OVER w AS sx,
+             sum(y) OVER w AS sy,
+             sum(xs * y) OVER w AS sxy,
+             sum(xs * xs) OVER w AS sxx
+      FROM x
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+    )
+    SELECT user_id, ts, event_id, CAST(n AS INT) AS n,
+           floor(CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+                 ELSE CAST(n * sxy - sx * sy AS DOUBLE)
+                      / (n * sxx - sx * sx) / 1000000 END
+                 * 1000000 + 0.5) / 1000000 AS slope
+    FROM s WHERE n = 5
+    """,
+)
+def q_win_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLING OLS TREND — the trailing-window regression slope
+    (value units per second over the last 5 events of each user), the
+    feature-engineering primitive behind drift features, momentum
+    signals and degradation alerts. Every sufficient statistic (n, Σx,
+    Σy, Σxy, Σx²) is an INT64 window sum — x is epoch seconds
+    re-based to the user's first event (shift-invariant slope, keeps
+    n·Σxy far from overflow), y is ×10⁶ fixed-point — so the closed
+    form (nΣxy − ΣxΣy)/(nΣx² − (Σx)²) has exact integer numerator and
+    denominator; one double division at the end, identical in both
+    engines, reported through the explicit floor(x·10⁶+0.5)/10⁶ HALF_UP
+    (native round() tie-breaks differ at exact 6-dp boundaries). Degenerate frames (all 5 events at one timestamp) emit
+    NULL slope rather than ±inf.
+
+    Scale shape: one user-partitioned sort serves ALL five frame
+    aggregates plus the per-user min (same window exchange); output
+    restricted to full frames (n=5). This is the reversed-running-
+    aggregate-safe direction (trailing frame, O(rows))."""
+    ensure_session_determinism(spark)
+    e = load(spark, sf_dir, "events")
+    w_all = Window.partitionBy("user_id")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, Window.currentRow)
+    )
+    xs = (
+        F.col("ts").cast("long")
+        - F.min(F.col("ts").cast("long")).over(w_all)
+    )
+    y = F.floor(F.col("value") * 1000000 + F.lit(0.5)).cast("bigint")
+    s = (
+        e.select("user_id", "ts", "event_id", xs.alias("xs"), y.alias("y"))
+        .withColumn("n", F.count(F.lit(1)).over(w))
+        .withColumn("sx", F.sum("xs").over(w))
+        .withColumn("sy", F.sum("y").over(w))
+        .withColumn("sxy", F.sum(F.col("xs") * F.col("y")).over(w))
+        .withColumn("sxx", F.sum(F.col("xs") * F.col("xs")).over(w))
+        .where(F.col("n") == 5)
+    )
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    return s.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.col("n").cast("int").alias("n"),
+        (
+            F.floor(
+                F.when(den == 0, None).otherwise(
+                    num.cast("double") / den / 1000000
+                )
+                * 1000000
+                + F.lit(0.5)
+            )
+            / 1000000
+        ).alias("slope"),
+    )
