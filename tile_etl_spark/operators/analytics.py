@@ -1683,3 +1683,95 @@ def q_agg_bloom_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("false_positive"),
         )
     )
+
+
+@query(
+    "q_diff_in_diff",
+    oracle="""
+    WITH cells AS (
+      SELECT CAST(user_id % 2 AS INT) AS treated,
+             CAST(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+                  THEN 1 ELSE 0 END AS INT) AS post,
+             sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) AS s,
+             count(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT treated, post, n,
+             CAST(s AS DOUBLE) / n / 1000000 AS mv
+      FROM cells
+    )
+    SELECT round(t0.mv, 6) AS ctrl_pre, round(t1.mv, 6) AS ctrl_post,
+           round(x0.mv, 6) AS treat_pre, round(x1.mv, 6) AS treat_post,
+           CAST(t0.n + t1.n + x0.n + x1.n AS BIGINT) AS n_total,
+           round((x1.mv - x0.mv) - (t1.mv - t0.mv), 6) AS did
+    FROM m t0, m t1, m x0, m x1
+    WHERE t0.treated = 0 AND t0.post = 0
+      AND t1.treated = 0 AND t1.post = 1
+      AND x0.treated = 1 AND x0.post = 0
+      AND x1.treated = 1 AND x1.post = 1
+    """,
+)
+def q_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIFFERENCE-IN-DIFFERENCES — the quasi-experimental estimator
+    completing the experimentation family (q_abtest_ztest: randomized
+    lift; q_cuped: variance reduction; THIS: observational before/
+    after with a control trend): cohorts = user parity (the
+    deterministic stand-in for a rollout flag), intervention at the
+    series midpoint, and DiD = (treated post − pre) − (control post −
+    pre), which cancels the shared time trend a naive before/after
+    comparison absorbs. Cell sums run in ×10⁶ fixed-point INT64 (no
+    float-order risk); each cell's mean divides once in double.
+
+    Scale shape: ONE hash-aggregate to exactly 4 cells regardless of
+    input size, then constant-size arithmetic — the entire 100 TB
+    events table reduces map-side. Output is a single audit row with
+    all four cell means, so the parallel-trends eyeball check is in
+    the result itself."""
+    ensure_session_determinism(spark)
+    e = load(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    cells = (
+        e.select(
+            (F.col("user_id") % 2).cast("int").alias("treated"),
+            (F.col("ts") >= cutoff).cast("int").alias("post"),
+            F.floor(F.col("value") * 1000000 + F.lit(0.5))
+            .cast("bigint")
+            .alias("v"),
+        )
+        .groupBy("treated", "post")
+        .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+        .select(
+            "treated",
+            "post",
+            "n",
+            (F.col("s").cast("double") / F.col("n") / 1000000).alias("mv"),
+        )
+    )
+    def cell(t, p, name):
+        return (
+            cells.where((F.col("treated") == t) & (F.col("post") == p))
+            .select(
+                F.col("mv").alias(f"{name}_mv"), F.col("n").alias(f"{name}_n")
+            )
+        )
+    row = (
+        cell(0, 0, "t0")
+        .crossJoin(cell(0, 1, "t1"))
+        .crossJoin(cell(1, 0, "x0"))
+        .crossJoin(cell(1, 1, "x1"))
+    )
+    return row.select(
+        F.round("t0_mv", 6).alias("ctrl_pre"),
+        F.round("t1_mv", 6).alias("ctrl_post"),
+        F.round("x0_mv", 6).alias("treat_pre"),
+        F.round("x1_mv", 6).alias("treat_post"),
+        (F.col("t0_n") + F.col("t1_n") + F.col("x0_n") + F.col("x1_n"))
+        .cast("bigint")
+        .alias("n_total"),
+        F.round(
+            (F.col("x1_mv") - F.col("x0_mv"))
+            - (F.col("t1_mv") - F.col("t0_mv")),
+            6,
+        ).alias("did"),
+    )
