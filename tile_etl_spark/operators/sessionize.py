@@ -1173,3 +1173,74 @@ def q_ts_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cusum_mag"),
         )
     )
+
+
+@query(
+    "q_session_native",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, event_id, ts, epoch_us(ts) AS us FROM events
+    ),
+    flagged AS (
+      SELECT *,
+             CASE WHEN lag(us) OVER w IS NULL
+                       OR us - lag(us) OVER w >= {GAP_US}
+                  THEN 1 ELSE 0 END AS is_new
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+    ),
+    sessions AS (
+      SELECT *,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    )
+    SELECT user_id,
+           CAST(session_id AS BIGINT) AS session_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           min(ts) AS session_start,
+           CAST(max(us) - min(us) AS BIGINT) AS duration_us
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+)
+def q_session_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NATIVE ``session_window`` sessionization — the same 30-minute
+    gap sessions as q_sessionize, but computed by Spark's built-in
+    session-window aggregate instead of the manual lag/flag/cumsum
+    rewrite, H-checked against the manual SQL: the two formulations
+    must agree on every session boundary. One semantic pin made
+    explicit: the native operator CLOSES a session when the next event
+    lands exactly at prev + gap (intervals merge only on strict
+    overlap), so the manual oracle uses ``>= gap`` — q_sessionize's
+    ``> gap`` convention differs only on microsecond-exact ties, absent
+    here but the kind of boundary a migration must know about.
+    session_id is the per-user ordinal by start time (row_number over
+    non-overlapping windows — total order).
+
+    Scale shape: session_window plans as a single sort-based session
+    aggregate partitioned by user_id — the same one-exchange shape as
+    the manual form, with the merge logic inside the operator instead
+    of three window passes. The streaming twin (s_session) runs the
+    SAME operator with watermarked state."""
+    ensure_session_determinism(spark)
+    e = load(spark, sf_dir, "events")
+    agg = (
+        e.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), "user_id"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            (
+                F.max(F.unix_micros("ts")) - F.min(F.unix_micros("ts"))
+            ).alias("duration_us"),
+        )
+    )
+    w_num = Window.partitionBy("user_id").orderBy("session_start")
+    return agg.select(
+        "user_id",
+        F.row_number().over(w_num).cast("bigint").alias("session_id"),
+        F.col("n_events").cast("bigint").alias("n_events"),
+        "session_start",
+        F.col("duration_us").cast("bigint").alias("duration_us"),
+    )
