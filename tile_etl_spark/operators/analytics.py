@@ -1775,3 +1775,93 @@ def q_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("did"),
     )
+
+
+@query(
+    "q_pareto",
+    oracle="""
+    WITH rev AS (
+      SELECT n_name,
+             s.s_suppkey,
+             sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+               AS cents
+      FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      GROUP BY n_name, s.s_suppkey
+    ),
+    ranked AS (
+      SELECT n_name, s_suppkey, cents,
+             row_number() OVER (PARTITION BY n_name
+                                ORDER BY cents DESC, s_suppkey) AS rnk,
+             sum(cents) OVER (PARTITION BY n_name
+                              ORDER BY cents DESC, s_suppkey
+                              ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(cents) OVER (PARTITION BY n_name) AS tot,
+             count(*) OVER (PARTITION BY n_name) AS n_sup
+      FROM rev
+    )
+    SELECT n_name,
+           CAST(min(CASE WHEN CAST(cum AS DOUBLE) / tot >= 0.8
+                    THEN rnk END) AS INT) AS suppliers_for_80pct,
+           CAST(max(n_sup) AS BIGINT) AS n_suppliers,
+           round(CAST(min(CASE WHEN CAST(cum AS DOUBLE) / tot >= 0.8
+                         THEN rnk END) AS DOUBLE) / max(n_sup), 6)
+             AS concentration
+    FROM ranked
+    GROUP BY n_name
+    """,
+)
+def q_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARETO / CONCENTRATION ANALYSIS — per nation, the smallest
+    number of suppliers whose cumulative revenue reaches 80 % of the
+    nation's total (the 80/20 analysis behind vendor-risk and
+    long-tail decisions), plus the concentration ratio (that count
+    over the supplier population — low = revenue concentrated in few
+    hands). Revenue accumulates in exact integer CENTS; the running
+    share divides in double ONLY for the ≥ 0.8 test, on a
+    deterministic (revenue desc, suppkey) total order so the
+    threshold rank is unambiguous in both engines.
+
+    Scale shape: fact→dim joins broadcast (supplier/nation are dims),
+    one hash-aggregate to supplier grain, then nation-partitioned
+    windows over supplier-count-sized groups (thousands, not fact
+    rows) and a tiny final aggregate — fact data crosses the wire
+    once, at supplier grain."""
+    ensure_session_determinism(spark)
+    l = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    rev = (
+        l.join(F.broadcast(s), l["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name", "s_suppkey")
+        .agg(
+            F.sum(
+                F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast(
+                    "bigint"
+                )
+            ).alias("cents")
+        )
+    )
+    w_ord = Window.partitionBy("n_name").orderBy(
+        F.col("cents").desc(), "s_suppkey"
+    )
+    w_run = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_all = Window.partitionBy("n_name")
+    ranked = (
+        rev.withColumn("rnk", F.row_number().over(w_ord))
+        .withColumn("cum", F.sum("cents").over(w_run))
+        .withColumn("tot", F.sum("cents").over(w_all))
+        .withColumn("n_sup", F.count(F.lit(1)).over(w_all))
+    )
+    hit = F.when(
+        F.col("cum").cast("double") / F.col("tot") >= 0.8, F.col("rnk")
+    )
+    return ranked.groupBy("n_name").agg(
+        F.min(hit).cast("int").alias("suppliers_for_80pct"),
+        F.max("n_sup").cast("bigint").alias("n_suppliers"),
+        F.round(
+            F.min(hit).cast("double") / F.max("n_sup"), 6
+        ).alias("concentration"),
+    )
