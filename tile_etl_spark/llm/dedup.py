@@ -939,7 +939,12 @@ def q_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     Same one-shuffle shape: hash once per (doc, word), 60 map-side
     conditional-sum aggregates, zero HOFs, zero Python."""
     ensure_session_determinism(spark)
-    d = load(spark, sf_dir, "documents")
+    return portable_simhash(load(spark, sf_dir, "documents"))
+
+
+def portable_simhash(d: DataFrame) -> DataFrame:
+    """(doc_id, simhash60) — the md5-keyed 60-bit majority-vote sketch
+    of q_simhash_portable, shared with the q_dedup_eval harness."""
     words = d.select(
         "doc_id",
         F.explode(F.array_distinct(F.split("text", " "))).alias("word"),
@@ -1170,4 +1175,138 @@ def q_join_setsim(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(jac >= _SS_TAU)
         .select("d1", "d2", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+# --- sketch-vs-truth evaluation harness --------------------------------
+
+
+def _simhash_sig_ctes() -> str:
+    """DuckDB CTEs ending in ``sigs(doc_id, simhash60)`` — the portable
+    SimHash construction, shared text with _simhash_portable_oracle."""
+    h = _duck_hex15_to_int("word")
+    votes = ", ".join(
+        f"sum(CASE WHEN (h // {1 << j}) % 2 = 1 THEN 1 ELSE -1 END) AS v{j}"
+        for j in range(60)
+    )
+    assemble = " + ".join(
+        f"(CASE WHEN v{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(60)
+    )
+    return f"""
+    swords AS (
+      SELECT doc_id,
+             unnest(list_distinct(string_split(text, ' '))) AS word
+      FROM documents
+    ),
+    shashed AS (SELECT doc_id, {h} AS h FROM swords),
+    svotes AS (SELECT doc_id, {votes} FROM shashed GROUP BY doc_id),
+    sigs AS (
+      SELECT doc_id, CAST({assemble} AS BIGINT) AS simhash60 FROM svotes
+    )
+    """
+
+
+@query(
+    "q_dedup_eval",
+    oracle=f"""
+    WITH {_simhash_sig_ctes()},
+    bands AS (
+      SELECT doc_id,
+             b.b AS band_id,
+             (simhash60 // CAST(pow(2, 15 * b.b) AS BIGINT)) % 32768
+               AS band_val
+      FROM sigs CROSS JOIN (
+        SELECT unnest(generate_series(0, 3)) AS b) b
+    ),
+    pred AS (
+      SELECT DISTINCT a.doc_id AS d1, c.doc_id AS d2
+      FROM bands a JOIN bands c
+        ON a.band_id = c.band_id AND a.band_val = c.band_val
+       AND a.doc_id < c.doc_id
+    ),
+    {NGRAM_PAIRS_CTES},
+    joined AS (
+      SELECT coalesce(p.d1, t.d1) AS d1,
+             CASE WHEN p.d1 IS NOT NULL THEN 1 ELSE 0 END AS in_pred,
+             CASE WHEN t.d1 IS NOT NULL THEN 1 ELSE 0 END AS in_truth
+      FROM pred p
+      FULL OUTER JOIN njpairs t ON p.d1 = t.d1 AND p.d2 = t.d2
+    )
+    SELECT CAST(sum(in_pred * in_truth) AS BIGINT) AS tp,
+           CAST(sum(in_pred * (1 - in_truth)) AS BIGINT) AS fp,
+           CAST(sum((1 - in_pred) * in_truth) AS BIGINT) AS fn,
+           round(CAST(sum(in_pred * in_truth) AS DOUBLE)
+                 / nullif(sum(in_pred), 0), 6) AS precision,
+           round(CAST(sum(in_pred * in_truth) AS DOUBLE)
+                 / nullif(sum(in_truth), 0), 6) AS recall
+    FROM joined
+    """,
+)
+def q_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SKETCH-QUALITY EVALUATION AS A QUERY — precision/recall of
+    SimHash band-bucket candidate generation against exact 3-gram
+    Jaccard ≥ 0.8 ground truth, computed INSIDE the engine and
+    H-checked: predicted pairs share one of four 15-bit bands of the
+    portable 60-bit SimHash; truth is the brute-force n-gram pair set;
+    the single audit row carries tp/fp/fn and both metrics. This is
+    the measurement a curation team runs before trusting a sketch
+    tier at 100 TB — and since both the sketch and the truth are
+    deterministic SQL in both engines, the EVALUATION itself is
+    cross-engine verified, not just eyeballed (low precision is
+    expected and visible: bands are a high-recall candidate filter,
+    which is exactly the property being audited).
+
+    Scale shape: candidates via band equi-join buckets (never
+    all-pairs hamming); truth via shared-shingle grouping; one full
+    outer join of two pair sets; constant-size output."""
+    ensure_session_determinism(spark)
+    _scope(f"q_dedup_eval:{sf_dir}")
+    d = _parallelize_docs(load(spark, sf_dir, "documents"))
+    sigs = portable_simhash(d)
+    band = F.explode(
+        F.array(*[F.lit(b) for b in range(4)])
+    ).alias("band_id")
+    bands = sigs.select("doc_id", "simhash60", band).select(
+        "doc_id",
+        "band_id",
+        (
+            F.expr("shiftright(simhash60, band_id * 15)") % 32768
+        ).alias("band_val"),
+    )
+    a, c = bands.alias("a"), bands.alias("c")
+    pred = (
+        a.join(
+            c,
+            (F.col("a.band_id") == F.col("c.band_id"))
+            & (F.col("a.band_val") == F.col("c.band_val"))
+            & (F.col("a.doc_id") < F.col("c.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("d1"), F.col("c.doc_id").alias("d2")
+        )
+        .distinct()
+        .withColumn("in_pred", F.lit(1))
+    )
+    truth = ngram_jaccard_pairs(d).select("d1", "d2").withColumn(
+        "in_truth", F.lit(1)
+    )
+    joined = pred.join(truth, ["d1", "d2"], "full_outer").select(
+        F.coalesce("in_pred", F.lit(0)).alias("in_pred"),
+        F.coalesce("in_truth", F.lit(0)).alias("in_truth"),
+    )
+    tp = F.sum(F.col("in_pred") * F.col("in_truth"))
+    return joined.agg(
+        tp.cast("bigint").alias("tp"),
+        F.sum(F.col("in_pred") * (1 - F.col("in_truth")))
+        .cast("bigint")
+        .alias("fp"),
+        F.sum((1 - F.col("in_pred")) * F.col("in_truth"))
+        .cast("bigint")
+        .alias("fn"),
+        F.round(
+            tp.cast("double") / F.nullif(F.sum("in_pred"), F.lit(0)), 6
+        ).alias("precision"),
+        F.round(
+            tp.cast("double") / F.nullif(F.sum("in_truth"), F.lit(0)), 6
+        ).alias("recall"),
     )
