@@ -141,6 +141,26 @@ EXTRA = [
     "q_multimodal_pngmeta",
     "sink_partition_overwrite",
     "q_text_compress_ratio",
+    # driver-round-4 additions
+    "q_tile_quadkey",
+    "q_dedup_semantic",
+    "q_quality_model",
+    "q_dedup_segments",
+    "q_multimodal_wavmeta",
+    "q_agg_countmin",
+    "q_agg_bloom_portable",
+    "q_tile_knn",
+    "q_embed_pq",
+    "q_sim_ann_pq",
+    "q_text_lang_confusion",
+    "q_target_encode",
+    "q_join_setsim",
+    "q_ts_changepoint",
+    "q_win_regression",
+    "q_diff_in_diff",
+    "q_session_native",
+    "q_pareto",
+    "q_dedup_eval",
 ]
 
 
