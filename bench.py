@@ -160,7 +160,6 @@ EXTRA = [
     "q_diff_in_diff",
     "q_session_native",
     "q_pareto",
-    "q_dedup_eval",
 ]
 
 

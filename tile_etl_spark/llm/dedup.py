@@ -24,7 +24,7 @@ cluster layouts.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from tile_etl_spark.io import load
@@ -1075,7 +1075,7 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- prefix-filtered exact set-similarity join (PPJoin shape) ----------
 
 
-_SS_TAU = 0.6  # bigram-set Jaccard threshold
+_SS_TAU = 0.6  # 3-gram-set Jaccard threshold
 
 
 @query(
@@ -1087,8 +1087,8 @@ _SS_TAU = 0.6  # bigram-set Jaccard threshold
     t AS (
       SELECT doc_id,
              unnest(list_distinct(list_transform(
-               generate_series(1, greatest(len(w) - 1, 0)),
-               i -> concat_ws(' ', w[i], w[i+1])))) AS tok
+               generate_series(1, greatest(len(w) - 2, 0)),
+               i -> concat_ws(' ', w[i], w[i+1], w[i+2])))) AS tok
       FROM words
     ),
     sizes AS (SELECT doc_id, count(*) AS n FROM t GROUP BY doc_id),
@@ -1129,7 +1129,7 @@ def q_join_setsim(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     d = _parallelize_docs(load(spark, sf_dir, "documents"))
-    toks = _persist(shingles_df(d, k=2).withColumnRenamed("shingle", "tok"))
+    toks = _persist(shingles_df(d, k=3).withColumnRenamed("shingle", "tok"))
     freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     w_ord = Window.partitionBy("doc_id").orderBy("df", "tok")
     w_all = Window.partitionBy("doc_id")
@@ -1218,9 +1218,13 @@ def _simhash_sig_ctes() -> str:
       FROM sigs CROSS JOIN (
         SELECT unnest(generate_series(0, 3)) AS b) b
     ),
+    bounded AS (
+      SELECT doc_id, band_id, band_val FROM bands
+      QUALIFY count(*) OVER (PARTITION BY band_id, band_val) <= 150
+    ),
     pred AS (
       SELECT DISTINCT a.doc_id AS d1, c.doc_id AS d2
-      FROM bands a JOIN bands c
+      FROM bounded a JOIN bounded c
         ON a.band_id = c.band_id AND a.band_val = c.band_val
        AND a.doc_id < c.doc_id
     ),
@@ -1272,6 +1276,16 @@ def q_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             F.expr("shiftright(simhash60, band_id * 15)") % 32768
         ).alias("band_val"),
+    )
+    # cap degenerate buckets (same knob as lsh_candidate_pairs'
+    # max_bucket): a giant band bucket is quadratic; the cap is part of
+    # the EVALUATED configuration in both engines, so the metrics stay
+    # H-comparable while the cost stays bounded.
+    wb = Window.partitionBy("band_id", "band_val")
+    bands = (
+        bands.withColumn("bn", F.count(F.lit(1)).over(wb))
+        .where(F.col("bn") <= 150)
+        .drop("bn")
     )
     a, c = bands.alias("a"), bands.alias("c")
     pred = (
