@@ -434,3 +434,112 @@ def test_haversine_rings_are_monotone_in_distance(spark, sf_dir):
     assert (out.dist_m >= 0).all()
     assert (out.dist_m < 20_037_508).all()
     assert (out.ring_10km == (out.dist_m // 10000).astype(int)).all()
+
+
+@given(
+    level=st.integers(min_value=1, max_value=11),
+    data=st.data(),
+)
+@settings(max_examples=200, deadline=None)
+def test_quadkey_codec_bijective(level, data):
+    """The pure-Python twin of q_tile_quadkey's SQL: encode(row, col,
+    level) has exactly `level` digits, decodes back to (row, col), and
+    the parent is the string prefix — for random canonical tiles at
+    every level."""
+    row = data.draw(st.integers(min_value=0, max_value=2**level - 1))
+    col = data.draw(st.integers(min_value=0, max_value=2**level - 1))
+    qk = "".join(
+        str(2 * ((row >> (level - k)) & 1) + ((col >> (level - k)) & 1))
+        for k in range(1, level + 1)
+    )
+    assert len(qk) == level
+    dec_row = sum(
+        (1 if int(qk[k - 1]) >= 2 else 0) << (level - k)
+        for k in range(1, level + 1)
+    )
+    dec_col = sum(
+        (int(qk[k - 1]) % 2) << (level - k) for k in range(1, level + 1)
+    )
+    assert (dec_row, dec_col) == (row, col)
+    if level > 1:
+        parent = qk[:-1]
+        assert len(parent) == level - 1
+        # parent addresses (row>>1, col>>1) at level-1
+        p_row = sum(
+            (1 if int(parent[k - 1]) >= 2 else 0) << (level - 1 - k)
+            for k in range(1, level)
+        )
+        assert p_row == row >> 1
+
+
+def test_countmin_never_undercounts(spark, sf_dir):
+    """The count-min guarantee: est ≥ true for EVERY probed key, and
+    est == true whenever the key's d cells suffered no collision."""
+    rows = registry.QUERIES["q_agg_countmin"](spark, sf_dir).collect()
+    assert rows and all(r["overcount"] >= 0 for r in rows)
+
+
+def test_bloom_portable_guarantees(spark, sf_dir):
+    """Structural Bloom guarantees on the portable filter: zero false
+    negatives (every member hits), and the observed false-positive
+    rate stays within 5× of the analytic (1 − e^{−kn/m})^k bound
+    (generous; the md5 bits are not adversarial)."""
+    rows = registry.QUERIES["q_agg_bloom_portable"](spark, sf_dir).collect()
+    members = [r for r in rows if r["truth"] == 1]
+    nonmembers = [r for r in rows if r["truth"] == 0]
+    assert members and all(r["bloom_hit"] == 1 for r in members)
+    k, m, n = 3, 4096, len(members)
+    expected = (1 - math.exp(-k * n / m)) ** k
+    observed = sum(r["false_positive"] for r in nonmembers) / len(nonmembers)
+    assert observed <= max(5 * expected, 0.02)
+
+
+def test_pq_adc_ranks_against_exact(spark, sf_dir):
+    """PQ audit self-consistency: every code is a valid codebook id,
+    each probe emits exactly k=5 rows in non-decreasing ADC order, and
+    every assignment is genuinely the argmin over the codebook (spot
+    re-verified in numpy from the raw embeddings for one subspace).
+    (Per-subspace codes need NOT match the vector's own label — label
+    means overlap within a 16-dim subspace — so no own-label bound.)"""
+    import numpy as np
+
+    from tile_etl_spark.io import load
+
+    codes = registry.QUERIES["q_embed_pq"](spark, sf_dir).collect()
+    assert codes and all(0 <= r["code"] <= 9 for r in codes)
+    # numpy re-verification of subspace 0 assignments
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding"
+    ).collect()
+    X = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+         for r in emb}
+    micro = {v: np.floor(x * 1e6 + 0.5).astype(np.int64)
+             for v, x in X.items()}
+    by_label = {}
+    for r in emb:
+        by_label.setdefault(r["label"], []).append(micro[r["vec_id"]])
+    cb = {
+        lab: np.floor(
+            np.sum(vs, axis=0).astype(np.float64) / len(vs) + 0.5
+        ).astype(np.int64)
+        for lab, vs in by_label.items()
+    }
+    sub0 = {r["vec_id"]: r["code"] for r in codes if r["subspace"] == 0}
+    for vid, code in list(sub0.items())[:50]:
+        d2 = {
+            lab: int(((micro[vid][:16] - c[:16]) ** 2).sum())
+            for lab, c in cb.items()
+        }
+        best = min(d2.items(), key=lambda kv: (kv[1], kv[0]))[0]
+        assert code == best, (vid, code, best)
+    ann = registry.QUERIES["q_sim_ann_pq"](spark, sf_dir).collect()
+    by_probe = {}
+    for r in ann:
+        by_probe.setdefault(r["probe_id"], []).append(r)
+    for rs in by_probe.values():
+        assert len(rs) == 5
+        adc_sorted = sorted(rs, key=lambda r: r["rn"])
+        assert all(
+            a["adc_micro2"] <= b["adc_micro2"]
+            for a, b in zip(adc_sorted, adc_sorted[1:])
+        )
