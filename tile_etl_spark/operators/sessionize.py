@@ -1244,3 +1244,61 @@ def q_session_native(spark: SparkSession, sf_dir: str) -> DataFrame:
         "session_start",
         F.col("duration_us").cast("bigint").alias("duration_us"),
     )
+
+
+@query(
+    "q_ts_ohlc",
+    oracle="""
+    SELECT user_id,
+           CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(first(value ORDER BY ts, event_id) AS DOUBLE) AS open,
+           CAST(max(value) AS DOUBLE) AS high,
+           CAST(min(value) AS DOUBLE) AS low,
+           CAST(last(value ORDER BY ts, event_id) AS DOUBLE) AS close
+    FROM events
+    GROUP BY user_id, CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600
+    """,
+)
+def q_ts_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC DOWNSAMPLING — the open/high/low/close bucket summary that
+    charting and financial pipelines reduce tick streams with: per
+    (user, 1-hour epoch bucket), first value (open), extremes
+    (high/low) and last value (close), with the deterministic
+    (ts, event_id) tiebreak on first/last. Unlike LOCF resampling
+    (q_ts_resample), OHLC keeps intra-bucket dynamics — the standard
+    lossy-but-shape-preserving reduction before plotting or coarse
+    modeling. Values are PICKED (min_by/max_by) or exact extremes —
+    never summed — so there is no float-order risk anywhere.
+
+    Scale shape: ONE hash-aggregate on (user, bucket); min_by/max_by
+    carry their struct key through the map-side combine, so the
+    shuffle moves one row per (user, bucket) per partition. Buckets
+    emit as epoch-second BIGINT (the driver-hashable representation —
+    constructed TIMESTAMP outputs are the one class that cannot be
+    cross-engine hashed)."""
+    ensure_session_determinism(spark)
+    e = load(spark, sf_dir, "events")
+    key = F.struct("ts", "event_id")
+    bucket = (
+        F.floor(F.col("ts").cast("long") / 3600).cast("bigint") * 3600
+    )
+    return (
+        e.groupBy("user_id", bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("min_by(value, struct(ts, event_id))").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.expr("max_by(value, struct(ts, event_id))").alias("close"),
+        )
+        .select(
+            "user_id",
+            "bucket",
+            F.col("n").cast("bigint").alias("n"),
+            F.col("open").cast("double").alias("open"),
+            F.col("high").cast("double").alias("high"),
+            F.col("low").cast("double").alias("low"),
+            F.col("close").cast("double").alias("close"),
+        )
+    )
