@@ -160,6 +160,8 @@ EXTRA = [
     "q_diff_in_diff",
     "q_session_native",
     "q_pareto",
+    "q_ts_ohlc",
+    "q_sketch_overlap",
 ]
 
 

@@ -514,8 +514,10 @@ _BNLJ_OK = {
     "q_text_cooccur", "q_text_tfidf", "q_tile_neighbors",
     "q_topk_heavy_hitters", "q_tpch_q11", "q_tpch_q22", "q_win_share",
     # round 4: 24-row offsets dim (knn), 1-row global stats (target
-    # encode), four 1-row cells (diff-in-diff)
+    # encode), four 1-row cells (diff-in-diff), |sources|-row sketch
+    # pairing (sketch_overlap: 5x5 inequality join of 64-col sketches)
     "q_tile_knn", "q_target_encode", "q_diff_in_diff",
+    "q_sketch_overlap",
 }
 # Python UDTFs execute via BatchEvalPythonUDTF — the API's execution
 # mode, declared once here; everything else must stay Arrow-vectorized.

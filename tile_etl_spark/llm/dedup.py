@@ -1324,3 +1324,140 @@ def q_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             tp.cast("double") / F.nullif(F.sum("in_truth"), F.lit(0)), 6
         ).alias("recall"),
     )
+
+
+# --- corpus-overlap estimation from mergeable sketches -----------------
+
+
+def _sketch_overlap_oracle() -> str:
+    """DuckDB twin: per-language portable MinHash (elementwise min over
+    the language's shingle hashes — identical to min-merging per-doc
+    sketches, min being associative), pairwise agreement-rate estimate,
+    and the exact shingle-set Jaccard audit column."""
+    h = _duck_hex15_to_int("shingle")
+    mins = []
+    for p, (a, b) in enumerate(_perm_params()):
+        a_u, b_u = a % (1 << 64), b % (1 << 64)
+        mins.append(
+            f"min(CAST(((CAST({a_u} AS HUGEINT) * h + {b_u}) % "
+            f"18446744073709551616) // 4294967296 AS BIGINT)) AS m{p}"
+        )
+    agree = " + ".join(
+        f"(CASE WHEN a.m{p} = b.m{p} THEN 1 ELSE 0 END)"
+        for p in range(N_PERM)
+    )
+    return f"""
+    WITH words AS (
+      SELECT lang, string_split(text, ' ') AS w FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT lang,
+             unnest(list_distinct(list_transform(
+               generate_series(1, greatest(len(w) - 2, 0)),
+               i -> concat_ws(' ', w[i], w[i+1], w[i+2])))) AS shingle
+      FROM words
+    ),
+    hashed AS (SELECT lang, shingle, {h} AS h FROM sh),
+    sigs AS (SELECT lang, {", ".join(mins)} FROM hashed GROUP BY lang),
+    sizes AS (SELECT lang, count(*) AS n FROM sh GROUP BY lang),
+    inter AS (
+      SELECT a.lang AS l1, b.lang AS l2, count(*) AS i
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.lang < b.lang
+      GROUP BY 1, 2
+    )
+    SELECT a.lang AS l1, b.lang AS l2,
+           round(CAST({agree} AS DOUBLE) / {N_PERM}, 6) AS est_jaccard,
+           round(CAST(i.i AS DOUBLE) / (s1.n + s2.n - i.i), 6)
+             AS exact_jaccard
+    FROM sigs a
+    JOIN sigs b ON a.lang < b.lang
+    JOIN inter i ON i.l1 = a.lang AND i.l2 = b.lang
+    JOIN sizes s1 ON s1.lang = a.lang
+    JOIN sizes s2 ON s2.lang = b.lang
+    """
+
+
+@query("q_sketch_overlap", oracle=_sketch_overlap_oracle())
+def q_sketch_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CORPUS-OVERLAP ESTIMATION FROM MERGEABLE SKETCHES — "how much
+    does source A overlap source B" WITHOUT joining their contents:
+    each language's shingle set is reduced to a 64-perm portable
+    MinHash sketch, and the pairwise overlap estimate is the sketch
+    agreement rate (E[agree] = Jaccard). The per-language sketch is
+    the elementwise MIN-MERGE of per-document sketches — min is
+    associative, so partitions/sources/days can be sketched
+    independently and merged later, the same mergeability contract
+    HLL gives distinct counts (and the insert-path of incremental
+    maintenance: new docs min-merge into the stored sketch without
+    recomputation). ``exact_jaccard`` rides along as the audit column
+    (both sides are SQL in both engines), making the estimator's
+    error visible per pair.
+
+    Scale shape: sketching is one hash-aggregate to |sources|×64
+    values — constant size however big each source; pairwise
+    comparison touches ONLY sketches (|sources|² tiny rows). The
+    exact audit column is the only content-width join and exists for
+    verification, not the production path."""
+    ensure_session_determinism(spark)
+    _scope(f"q_sketch_overlap:{sf_dir}")
+    d = _parallelize_docs(load(spark, sf_dir, "documents"))
+    sh = _persist(
+        d.select("lang", F.explode(shingle_array(3)).alias("shingle"))
+        .distinct()
+    )
+    h = F.conv(
+        F.substring(F.md5(F.col("shingle").cast("binary")), 1, 15), 16, 10
+    ).cast("bigint")
+    params = _perm_params()
+
+    def perm_col(a: int, b: int):
+        return F.shiftrightunsigned(F.lit(a) * F.col("h") + F.lit(b), 32)
+
+    sigs = (
+        sh.select("lang", h.alias("h"))
+        .groupBy("lang")
+        .agg(
+            *[
+                F.min(perm_col(a, b)).alias(f"m{p}")
+                for p, (a, b) in enumerate(params)
+            ]
+        )
+    )
+    sizes = sh.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        sh.alias("x")
+        .join(
+            sh.alias("y"),
+            (F.col("x.shingle") == F.col("y.shingle"))
+            & (F.col("x.lang") < F.col("y.lang")),
+        )
+        .groupBy(
+            F.col("x.lang").alias("l1"), F.col("y.lang").alias("l2")
+        )
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    a, b = sigs.alias("a"), sigs.alias("b")
+    agree = None
+    for p in range(N_PERM):
+        t = F.when(F.col(f"a.m{p}") == F.col(f"b.m{p}"), 1).otherwise(0)
+        agree = t if agree is None else agree + t
+    pairs = a.join(b, F.col("a.lang") < F.col("b.lang")).select(
+        F.col("a.lang").alias("l1"),
+        F.col("b.lang").alias("l2"),
+        F.round(agree.cast("double") / N_PERM, 6).alias("est_jaccard"),
+    )
+    return (
+        pairs.join(inter, ["l1", "l2"])
+        .join(sizes.select(F.col("lang").alias("l1"), F.col("n").alias("n1")), "l1")
+        .join(sizes.select(F.col("lang").alias("l2"), F.col("n").alias("n2")), "l2")
+        .select(
+            "l1",
+            "l2",
+            "est_jaccard",
+            F.round(
+                F.col("i").cast("double")
+                / (F.col("n1") + F.col("n2") - F.col("i")),
+                6,
+            ).alias("exact_jaccard"),
+        )
+    )
