@@ -162,6 +162,7 @@ EXTRA = [
     "q_pareto",
     "q_ts_ohlc",
     "q_sketch_overlap",
+    "q_drift_chi2",
 ]
 
 

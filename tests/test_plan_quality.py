@@ -517,7 +517,7 @@ _BNLJ_OK = {
     # encode), four 1-row cells (diff-in-diff), |sources|-row sketch
     # pairing (sketch_overlap: 5x5 inequality join of 64-col sketches)
     "q_tile_knn", "q_target_encode", "q_diff_in_diff",
-    "q_sketch_overlap",
+    "q_sketch_overlap", "q_drift_chi2",
 }
 # Python UDTFs execute via BatchEvalPythonUDTF — the API's execution
 # mode, declared once here; everything else must stay Arrow-vectorized.

@@ -1865,3 +1865,93 @@ def q_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min(hit).cast("double") / F.max("n_sup"), 6
         ).alias("concentration"),
     )
+
+
+@query(
+    "q_drift_chi2",
+    oracle="""
+    WITH binned AS (
+      SELECT CAST(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+                  THEN 1 ELSE 0 END AS INT) AS period,
+             CAST(least(floor(value / 50), 9) AS INT) AS bin
+      FROM events
+    ),
+    cells AS (
+      SELECT period, bin, count(*) AS n FROM binned GROUP BY 1, 2
+    ),
+    tot AS (SELECT period, sum(n) AS pn FROM cells GROUP BY period),
+    grid AS (
+      SELECT b.bin,
+             coalesce(p0.n, 0) AS n0, t0.pn AS pn0,
+             coalesce(p1.n, 0) AS n1, t1.pn AS pn1
+      FROM (SELECT DISTINCT bin FROM cells) b
+      LEFT JOIN cells p0 ON p0.bin = b.bin AND p0.period = 0
+      LEFT JOIN cells p1 ON p1.bin = b.bin AND p1.period = 1
+      CROSS JOIN (SELECT pn FROM tot WHERE period = 0) t0
+      CROSS JOIN (SELECT pn FROM tot WHERE period = 1) t1
+    )
+    SELECT bin,
+           round(CAST(n0 AS DOUBLE) / pn0, 6) AS share_ref,
+           round(CAST(n1 AS DOUBLE) / pn1, 6) AS share_cur,
+           round((CAST(n1 AS DOUBLE) / pn1 - CAST(n0 AS DOUBLE) / pn0)
+                 * (CAST(n1 AS DOUBLE) / pn1 - CAST(n0 AS DOUBLE) / pn0)
+                 / nullif(CAST(n0 AS DOUBLE) / pn0, 0), 6)
+             AS chi2_term
+    FROM grid
+    """,
+)
+def q_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTRIBUTION-DRIFT MONITORING — the χ²-style per-bin drift
+    report an ML-serving pipeline computes between a reference window
+    and the current window (the exp/ln-free cousin of PSI, chosen
+    deliberately: (Δshare)²/ref_share is +,×,÷ only, so the statistic
+    is bit-identical cross-engine, while ln-based PSI differs in the
+    last ulp between libm implementations). ``value`` is binned on
+    FIXED breakpoints (10 × width-50 bins, top bin open) — drift bins
+    must come from the reference config, never re-quantiled per
+    period, or the comparison measures the binning. Emits per-bin
+    reference/current shares and the χ² term; Σ terms vs a threshold
+    is the alert.
+
+    Scale shape: one hash-aggregate to ≤ 2·|bins| cells, two 1-row
+    period totals broadcast back — the full table reduces map-side;
+    output is |bins| audit rows."""
+    ensure_session_determinism(spark)
+    e = load(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    binned = e.select(
+        (F.col("ts") >= cutoff).cast("int").alias("period"),
+        F.least(F.floor(F.col("value") / 50), F.lit(9))
+        .cast("int")
+        .alias("bin"),
+    )
+    cells = binned.groupBy("period", "bin").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = cells.groupBy("period").agg(F.sum("n").alias("pn"))
+    bins = cells.select("bin").distinct()
+    p0 = cells.where(F.col("period") == 0).select(
+        "bin", F.col("n").alias("n0")
+    )
+    p1 = cells.where(F.col("period") == 1).select(
+        "bin", F.col("n").alias("n1")
+    )
+    t0 = tot.where(F.col("period") == 0).select(F.col("pn").alias("pn0"))
+    t1 = tot.where(F.col("period") == 1).select(F.col("pn").alias("pn1"))
+    grid = (
+        bins.join(p0, "bin", "left")
+        .join(p1, "bin", "left")
+        .crossJoin(F.broadcast(t0))
+        .crossJoin(F.broadcast(t1))
+        .na.fill({"n0": 0, "n1": 0})
+    )
+    sr = F.col("n0").cast("double") / F.col("pn0")
+    sc = F.col("n1").cast("double") / F.col("pn1")
+    return grid.select(
+        "bin",
+        F.round(sr, 6).alias("share_ref"),
+        F.round(sc, 6).alias("share_cur"),
+        F.round((sc - sr) * (sc - sr) / F.nullif(sr, F.lit(0)), 6).alias(
+            "chi2_term"
+        ),
+    )
