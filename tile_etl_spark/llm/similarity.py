@@ -1209,3 +1209,110 @@ def q_sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rn").cast("int").alias("rn"),
         )
     )
+
+
+# --- hybrid retrieval: BM25 + dense, reciprocal-rank fusion -------------
+
+RRF_K = 60  # Cormack/Clarke/Buettcher (SIGIR'09) constant
+RRF_TOPK = 20
+
+
+def _hybrid_rrf_oracle() -> str:
+    from tile_etl_spark.llm.text import _bm25_oracle
+
+    return f"""
+    WITH lex AS (
+      SELECT doc_id, rank AS lex_rank FROM ({_bm25_oracle()})
+    ),
+    dv AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ),
+    dp AS (SELECT e AS pe FROM dv WHERE vec_id = 0),
+    dscored AS (
+      SELECT dv.vec_id AS doc_id,
+             list_dot_product(dv.e, dp.pe)
+               / (sqrt(list_dot_product(dv.e, dv.e))
+                  * sqrt(list_dot_product(dp.pe, dp.pe))) AS cos_raw
+      FROM dv CROSS JOIN dp WHERE dv.vec_id <> 0
+    ),
+    dense AS (
+      SELECT doc_id, CAST(rn AS BIGINT) AS dense_rank FROM (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY cos_raw DESC, doc_id ASC) AS rn
+        FROM dscored
+      ) WHERE rn <= {RRF_TOPK}
+    ),
+    fused AS (
+      SELECT COALESCE(l.doc_id, d.doc_id) AS doc_id,
+             COALESCE(l.lex_rank, 0) AS lex_rank,
+             COALESCE(d.dense_rank, 0) AS dense_rank,
+             COALESCE(CAST(1 AS DOUBLE) / ({RRF_K} + l.lex_rank), 0)
+               + COALESCE(CAST(1 AS DOUBLE) / ({RRF_K} + d.dense_rank), 0)
+               AS rrf_raw
+      FROM lex l FULL OUTER JOIN dense d ON l.doc_id = d.doc_id
+    ),
+    ranked AS (
+      SELECT doc_id, lex_rank, dense_rank, rrf_raw,
+             row_number() OVER (ORDER BY rrf_raw DESC, doc_id ASC) AS rank
+      FROM fused
+    )
+    SELECT doc_id, CAST(lex_rank AS BIGINT) AS lex_rank,
+           CAST(dense_rank AS BIGINT) AS dense_rank,
+           round(rrf_raw, 6) AS rrf_score, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= {RRF_TOPK}
+    """
+
+
+@query("q_hybrid_rrf", oracle=_hybrid_rrf_oracle())
+def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYBRID RETRIEVAL with reciprocal-rank fusion — the standard way
+    production RAG / training-data retrieval stacks combine a lexical
+    ranker with a dense one (Cormack, Clarke & Buettcher, SIGIR 2009):
+    rrf(d) = Σ_lists 1/(k + rank_list(d)), k = 60, over the BM25 top-20
+    (q_bm25's fixed 3-term query) and the cosine top-20 for the probe
+    document's embedding (vec_id 0; the fixture pairs doc_id with
+    vec_id 1:1). Docs absent from a list contribute 0 to the sum and
+    carry rank 0 in the emitted per-list columns.
+
+    Shape at 100 TB: each input list is produced by its own bounded
+    top-k pipeline (BM25: query-term-pruned scan + scored-docs window;
+    dense: broadcast-probe Arrow GEMM with per-task partial top-k), so
+    the fusion itself joins two ≤k-row lists — a driver-free full-outer
+    broadcast join and a ≤2k-row rank window. Fusing RANKS, not scores,
+    is what makes this robust cross-engine too: no score normalization,
+    and 1/(k+rank) is exact in float64 for both engines.
+    """
+    from tile_etl_spark.llm.text import q_bm25
+
+    ensure_session_determinism(spark)
+    e = load(spark, sf_dir, "embeddings")
+    lex = q_bm25(spark, sf_dir).select(
+        "doc_id", F.col("rank").alias("lex_rank")
+    )
+    dense = cosine_topk(
+        e, e.where(F.col("vec_id") == 0), k=RRF_TOPK
+    ).select(F.col("vec_id").alias("doc_id"), F.col("rank").alias("dense_rank"))
+    fused = lex.join(dense, "doc_id", "full_outer")
+    rrf = F.coalesce(
+        F.lit(1.0) / (F.lit(RRF_K) + F.col("lex_rank")), F.lit(0.0)
+    ) + F.coalesce(
+        F.lit(1.0) / (F.lit(RRF_K) + F.col("dense_rank")), F.lit(0.0)
+    )
+    scored = fused.select(
+        "doc_id",
+        F.coalesce(F.col("lex_rank"), F.lit(0)).cast("bigint").alias("lex_rank"),
+        F.coalesce(F.col("dense_rank"), F.lit(0)).cast("bigint").alias("dense_rank"),
+        rrf.alias("rrf_raw"),
+    )
+    w = Window.orderBy(F.col("rrf_raw").desc(), F.col("doc_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= RRF_TOPK)
+        .select(
+            "doc_id",
+            "lex_rank",
+            "dense_rank",
+            F.round("rrf_raw", 6).alias("rrf_score"),
+            "rank",
+        )
+    )
