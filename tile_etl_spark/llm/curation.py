@@ -1693,3 +1693,92 @@ def q_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("te_smooth"),
         )
     )
+
+
+# --- deterministic epoch shuffle ----------------------------------------
+
+_SHUF_EPOCHS = 2
+_SHUF_SHARDS = 8
+# Knuth's multiplicative-hash constant and a small odd epoch offset;
+# the modulus is the Mersenne prime 2^31-1. All intermediates fit in
+# int64 for doc_id < ~3.5e9, and every engine computes identical exact
+# integer arithmetic — the whole point of choosing an explicit LCG over
+# an engine-native hash (Spark xxhash64 and DuckDB hash() disagree).
+_SHUF_MULT = 2654435761
+_SHUF_EPOCH_OFF = 40503
+_SHUF_MOD = 2147483647
+
+
+@query(
+    "q_epoch_shuffle",
+    oracle=f"""
+    WITH epochs AS (SELECT unnest(generate_series(0, {_SHUF_EPOCHS - 1})) AS epoch),
+    h AS (
+      SELECT d.doc_id, e.epoch,
+             (d.doc_id * {_SHUF_MULT} + e.epoch * {_SHUF_EPOCH_OFF})
+               % {_SHUF_MOD} AS hv
+      FROM documents d CROSS JOIN epochs e
+    ),
+    placed AS (
+      SELECT epoch, hv % {_SHUF_SHARDS} AS shard, doc_id,
+             row_number() OVER (
+               PARTITION BY epoch, hv % {_SHUF_SHARDS}
+               ORDER BY hv, doc_id
+             ) AS pos
+      FROM h
+    )
+    SELECT CAST(epoch AS BIGINT) AS epoch, CAST(shard AS BIGINT) AS shard,
+           doc_id, CAST(pos AS BIGINT) AS pos
+    FROM placed
+    """,
+)
+def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DETERMINISTIC EPOCH SHUFFLE — assign every document a
+    pseudo-random (shard, position) per training epoch, the way a
+    large-scale training job re-orders its corpus each epoch: no global
+    sort, no RNG state, reproducible from (doc_id, epoch) alone.
+
+    h = (doc_id·2654435761 + epoch·40503) mod (2^31−1) is an explicit
+    multiplicative hash computed in exact int64 arithmetic so Spark and
+    the SQL oracle agree bit-for-bit (engine-native hashes differ across
+    engines). shard = h mod S spreads docs uniformly; the within-shard
+    order is h (doc_id tiebreak), so consecutive doc_ids land far apart
+    — the anti-curriculum property an epoch shuffle exists for.
+
+    Scale shape: one row per (doc, epoch) via a tiny epoch-literal
+    explode (never a data×data cross join), then ONE hash shuffle on
+    (epoch, shard) and a per-shard rank window. At 100 TB the shard
+    count is sized to the cluster (thousands, not 8) so each window
+    partition is one task's worth — the parameter is the knob, the plan
+    shape does not change. Position is what a downstream reader sorts
+    ON within its shard file, so no stage here ever orders the full
+    corpus globally."""
+    ensure_session_determinism(spark)
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    epochs = F.explode(
+        F.sequence(F.lit(0), F.lit(_SHUF_EPOCHS - 1))
+    ).alias("epoch")
+    h = d.select("doc_id", epochs).select(
+        "doc_id",
+        "epoch",
+        (
+            (
+                F.col("doc_id") * F.lit(_SHUF_MULT)
+                + F.col("epoch") * F.lit(_SHUF_EPOCH_OFF)
+            )
+            % F.lit(_SHUF_MOD)
+        ).alias("hv"),
+    )
+    from pyspark.sql import Window
+
+    shard = (F.col("hv") % _SHUF_SHARDS).alias("shard")
+    placed = h.select(
+        "doc_id", "epoch", "hv", shard
+    )
+    w = Window.partitionBy("epoch", "shard").orderBy("hv", "doc_id")
+    return placed.select(
+        F.col("epoch").cast("bigint").alias("epoch"),
+        F.col("shard").cast("bigint").alias("shard"),
+        "doc_id",
+        F.row_number().over(w).cast("bigint").alias("pos"),
+    )
