@@ -448,6 +448,108 @@ def ngram_jaccard_pairs(d: DataFrame, thresh: float = 0.8) -> DataFrame:
     )
 
 
+# --- incremental dedup: new batch vs stored index -----------------------
+
+# The "new crawl batch": the two newest fixture sources stand in for an
+# incremental ingest; everything else is the already-deduped corpus.
+_INC_NEW_SOURCES = ("src18", "src19")
+
+
+@query(
+    "q_dedup_incremental",
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id, source, string_split(text, ' ') AS w FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, source,
+             unnest(list_distinct(list_transform(
+               generate_series(1, greatest(len(w) - 2, 0)),
+               i -> concat_ws(' ', w[i], w[i+1], w[i+2])))) AS shingle
+      FROM words
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS new_id, b.doc_id AS idx_id, count(*) AS i
+      FROM sh a JOIN sh b ON a.shingle = b.shingle
+      WHERE a.source IN ('src18', 'src19')
+        AND b.source NOT IN ('src18', 'src19')
+      GROUP BY 1, 2
+    )
+    SELECT new_id, idx_id,
+           round(CAST(i AS DOUBLE) / (na.n + nb.n - i), 6) AS jaccard
+    FROM inter
+    JOIN sizes na ON new_id = na.doc_id
+    JOIN sizes nb ON idx_id = nb.doc_id
+    WHERE CAST(i AS DOUBLE) / (na.n + nb.n - i) >= 0.8
+    """,
+)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL NEAR-DUP — dedup a NEW ingest batch against the
+    already-deduped stored corpus, the shape a 100 TB pipeline actually
+    runs day to day: you never re-dedup the index against itself, you
+    join the (small) new batch's shingles against the (huge, stored)
+    index's shingle table and verify only new×index candidates. The
+    fixture's two newest sources stand in for the new batch.
+
+    Cost asymmetry is the whole point: full re-dedup is
+    O((index+batch)²) candidate work, this is O(batch × collision
+    rate). At scale the index-side (shingle_hash → doc_id) table is a
+    persisted, bucketed-by-hash artifact, so the equi-join is
+    co-located with no index shuffle, and the batch side is usually
+    small enough to broadcast outright. The shingle equi-join is the
+    same LOSSLESS candidate bound as q_dedup_ngram (J ≥ 0.8 requires a
+    shared shingle — no recall loss, unlike an LSH tier), intersection
+    counts ride the join key, and union sizes come from per-doc counts
+    — nothing quadratic in either side alone. Join keys are 64-bit
+    shingle hashes (see ngram_jaccard_pairs for the collision bound)."""
+    ensure_session_determinism(spark)
+    _scope(f"q_dedup_incremental:{sf_dir}")
+    d = _parallelize_docs(load(spark, sf_dir, "documents"))
+    is_new = F.col("source").isin(*_INC_NEW_SOURCES)
+    sh = _persist(
+        d.select("doc_id", is_new.alias("is_new"), "text")
+        .select(
+            "doc_id",
+            "is_new",
+            F.explode(shingle_array(3)).alias("shingle_s"),
+        )
+        .select(
+            "doc_id", "is_new", F.xxhash64("shingle_s").alias("shingle")
+        )
+    )  # consumers: sizes + both join sides
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    new_sh = sh.where(F.col("is_new")).select(
+        F.col("doc_id").alias("new_id"), "shingle"
+    )
+    idx_sh = sh.where(~F.col("is_new")).select(
+        F.col("doc_id").alias("idx_id"), "shingle"
+    )
+    inter = (
+        new_sh.join(idx_sh, "shingle")
+        .groupBy("new_id", "idx_id")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    j = (
+        inter.join(
+            sizes.select(F.col("doc_id").alias("new_id"), F.col("n").alias("n1")),
+            "new_id",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("idx_id"), F.col("n").alias("n2")),
+            "idx_id",
+        )
+        .withColumn(
+            "jaccard",
+            F.col("i").cast("double")
+            / (F.col("n1") + F.col("n2") - F.col("i")),
+        )
+    )
+    return j.where(F.col("jaccard") >= 0.8).select(
+        "new_id", "idx_id", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
 # --- SimHash ------------------------------------------------------------
 
 
