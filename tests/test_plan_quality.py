@@ -604,3 +604,33 @@ def test_url_funcs_single_scan_no_exchange(spark, sf_dir):
     p = plan(q("q_url_funcs", spark, sf_dir))
     assert "Exchange" not in p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_epoch_shuffle_window_is_shard_partitioned(spark, sf_dir):
+    """The per-shard position window must partition by (epoch, shard) —
+    an unpartitioned window here would globally sort the corpus, the
+    exact thing the epoch-shuffle design avoids."""
+    p = plan(q("q_epoch_shuffle", spark, sf_dir)).lower()
+    assert "windowspecdefinition(epoch" in p, p
+    assert "cartesianproduct" not in p
+
+
+def test_dedup_incremental_no_cartesian_hash_keyed_join(spark, sf_dir):
+    """Candidate generation must be the shingle-hash equi-join (new
+    batch vs index), never a nested-loop/cartesian pair enumeration."""
+    p = plan(q("q_dedup_incremental", spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    # the intersection join is keyed on the 64-bit shingle hash
+    assert "xxhash64" in p.lower()
+
+
+def test_hybrid_rrf_fuses_bounded_lists(spark, sf_dir):
+    """Both input lists are rank-limited (WindowGroupLimit / top-k
+    filter) BEFORE fusion, so the fusion join and final window see at
+    most 2k rows; the only nested-loop join allowed is the 1-row
+    broadcast of BM25's corpus stats."""
+    p = plan(q("q_hybrid_rrf", spark, sf_dir))
+    assert "CartesianProduct" not in p
+    # dense list: per-probe rank limit pushed into the window
+    assert "WindowGroupLimit" in p, p

@@ -20,7 +20,22 @@ room to show:
    hold their throughput as volume grows, since at 100 TB these are the
    dominant plans.
 
+3. NEAR-DUP DEDUP AMPLIFICATION: replicate documents ×K with a one-token
+   salt per replica (each replica is a ~0.98-Jaccard near-dup of its
+   siblings — K-sized true near-dup clusters, the adversarial case for
+   LSH bucketing), then run the full MinHash(64) → LSH(16 bands) →
+   exact-Jaccard-verify pipeline and report docs/s and verified pairs.
+   The thing under test: candidate generation stays band-bucketed (never
+   all-pairs) and the verify join's intersection-keyed shape holds as
+   cluster size grows.
+
+4. EMBEDDING GEMM AMPLIFICATION: replicate embeddings ×K and run the
+   exact cosine top-k (broadcast probe matrix, Arrow GEMM, per-task
+   partial top-k) over the amplified corpus — vectors/s must hold, since
+   per-task output is bounded by probes × k regardless of corpus size.
+
 Usage: python tools/scale_stress.py [--max-level 15] [--amplify 16]
+                                    [--dedup-amplify 8] [--emb-amplify 16]
 Prints ONE JSON line.
 """
 
@@ -50,6 +65,8 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--max-level", type=int, default=15)
     ap.add_argument("--amplify", type=int, default=16)
+    ap.add_argument("--dedup-amplify", type=int, default=8)
+    ap.add_argument("--emb-amplify", type=int, default=16)
     ap.add_argument(
         "--sf-dir",
         default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
@@ -134,6 +151,71 @@ def main() -> None:
     dt = time.monotonic() - t0
     out["bjoin_s"] = round(dt, 3)
     out["bjoin_rows_per_s"] = int(n_rows / dt)
+
+    # --- stress 3: near-dup dedup over an amplified corpus --------------
+    from tile_etl_spark.llm.dedup import (
+        exact_jaccard,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        shingles_df,
+    )
+    from tile_etl_spark.session import ensure_session_determinism
+
+    ensure_session_determinism(spark)
+    kd = args.dedup_amplify
+    docs = spark.read.parquet(os.path.join(args.sf_dir, "documents.parquet"))
+    n_docs = docs.count() * kd
+    amp_docs = (
+        docs.repartition(width)
+        .withColumn("rep", F.explode(F.sequence(F.lit(1), F.lit(kd))))
+        .select(
+            (F.col("doc_id") * kd + F.col("rep") - 1).alias("doc_id"),
+            # one-token salt: each replica is a ~0.98-Jaccard near-dup
+            # of its siblings, so every K-clique is a TRUE positive the
+            # pipeline must both find (LSH recall) and verify (exact
+            # Jaccard >= 0.8)
+            F.concat_ws(
+                " ", "text", F.concat(F.lit("rep"), F.col("rep"))
+            ).alias("text"),
+        )
+    )
+    t0 = time.monotonic()
+    sh = shingles_df(amp_docs).persist()
+    sigs = minhash_signatures(amp_docs, shingles=sh)
+    cand = lsh_candidate_pairs(sigs).persist()
+    verified = exact_jaccard(amp_docs, cand, shingles=sh).where(
+        F.col("jaccard") >= 0.8
+    )
+    n_pairs = verified.count()
+    dt = time.monotonic() - t0
+    sh.unpersist()
+    cand.unpersist()
+    out["dedup_docs"] = n_docs
+    out["dedup_pairs"] = n_pairs
+    out["dedup_s"] = round(dt, 3)
+    out["dedup_docs_per_s"] = int(n_docs / dt)
+
+    # --- stress 4: embedding GEMM over an amplified corpus --------------
+    from tile_etl_spark.llm.similarity import cosine_topk
+
+    ke = args.emb_amplify
+    emb = spark.read.parquet(os.path.join(args.sf_dir, "embeddings.parquet"))
+    n_vecs = emb.count() * ke
+    amp_emb = (
+        emb.repartition(width)
+        .withColumn("rep", F.explode(F.sequence(F.lit(1), F.lit(ke))))
+        .select(
+            (F.col("vec_id") * ke + F.col("rep") - 1).alias("vec_id"),
+            "embedding",
+        )
+    )
+    t0 = time.monotonic()
+    topk = cosine_topk(amp_emb, amp_emb.where(F.col("vec_id") < 10))
+    topk.write.format("noop").mode("overwrite").save()
+    dt = time.monotonic() - t0
+    out["gemm_vecs"] = n_vecs
+    out["gemm_s"] = round(dt, 3)
+    out["gemm_vecs_per_s"] = int(n_vecs / dt)
 
     print(json.dumps(out))
 
