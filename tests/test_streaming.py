@@ -331,3 +331,12 @@ def test_progress_metrics_conserve_input_rows(spark, sf_dir):
     total = load(spark, sf_dir, "events").count()
     assert prog.input_rows.sum() == total
     assert (prog.state_rows > 0).any()
+
+
+def test_s_dedup_incremental_equals_batch(spark, sf_dir):
+    """Micro-batched verify-against-static-index ≡ the H-checked batch
+    twin — micro-batching cannot change a per-pair exact computation."""
+    s = registry.QUERIES["s_dedup_incremental"](spark, sf_dir)
+    b = registry.QUERIES["q_dedup_incremental"](spark, sf_dir)
+    cols = ["new_id", "idx_id", "jaccard"]
+    assert rows_set(s, cols) == rows_set(b, cols)

@@ -518,34 +518,47 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", "is_new", F.xxhash64("shingle_s").alias("shingle")
         )
     )  # consumers: sizes + both join sides
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     new_sh = sh.where(F.col("is_new")).select(
         F.col("doc_id").alias("new_id"), "shingle"
     )
     idx_sh = sh.where(~F.col("is_new")).select(
         F.col("doc_id").alias("idx_id"), "shingle"
     )
+    idx_sizes = idx_sh.groupBy("idx_id").agg(F.count(F.lit(1)).alias("n2"))
+    return incremental_pair_verify(new_sh, idx_sh, idx_sizes)
+
+
+def incremental_pair_verify(
+    new_sh: DataFrame,
+    idx_sh: DataFrame,
+    idx_sizes: DataFrame,
+    thresh: float = 0.8,
+) -> DataFrame:
+    """(new_id, idx_id, jaccard) — verified new-batch × index pairs.
+
+    ``new_sh``: (new_id, shingle) hashed shingles of the incoming
+    batch; ``idx_sh``/(``idx_sizes``): the stored index's hashed
+    shingle table and per-doc shingle counts — at scale a persisted,
+    bucketed-by-shingle artifact, here derived on the fly. New-side
+    sizes are computed from the batch itself, so the helper serves
+    both the batch builder and the per-micro-batch streaming twin
+    (s_dedup_incremental) unchanged."""
+    n1 = new_sh.groupBy("new_id").agg(F.count(F.lit(1)).alias("n1"))
     inter = (
         new_sh.join(idx_sh, "shingle")
         .groupBy("new_id", "idx_id")
         .agg(F.count(F.lit(1)).alias("i"))
     )
     j = (
-        inter.join(
-            sizes.select(F.col("doc_id").alias("new_id"), F.col("n").alias("n1")),
-            "new_id",
-        )
-        .join(
-            sizes.select(F.col("doc_id").alias("idx_id"), F.col("n").alias("n2")),
-            "idx_id",
-        )
+        inter.join(n1, "new_id")
+        .join(idx_sizes, "idx_id")
         .withColumn(
             "jaccard",
             F.col("i").cast("double")
             / (F.col("n1") + F.col("n2") - F.col("i")),
         )
     )
-    return j.where(F.col("jaccard") >= 0.8).select(
+    return j.where(F.col("jaccard") >= thresh).select(
         "new_id", "idx_id", F.round("jaccard", 6).alias("jaccard")
     )
 

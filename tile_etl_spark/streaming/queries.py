@@ -557,3 +557,85 @@ def s_tile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("total_bytes").alias("total_bytes"),
         F.count(F.lit(1)).alias("n_rows"),
     )
+
+
+@query("s_dedup_incremental")
+def s_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING INCREMENTAL NEAR-DUP — the q_dedup_incremental shape
+    run as a 24/7 ingest job: newly crawled documents arrive as a
+    stream (file replay standing in for Kafka), each micro-batch is
+    shingled and verified against the STATIC stored index via
+    ``incremental_pair_verify`` inside ``foreachBatch``, and verified
+    near-dup pairs land in an epoch-keyed parquet sink (overwrite per
+    epoch path = exactly-once under replay, the s_foreachbatch
+    discipline). The static index's hashed-shingle table and per-doc
+    sizes are computed once and persisted — every micro-batch probes
+    the same artifact, which at scale is the bucketed-by-shingle
+    stored table. Output ≡ the batch twin (asserted in tests): B
+    oracle, since micro-batching cannot change a per-pair exact
+    computation."""
+    import shutil
+    import uuid
+
+    ensure_session_determinism(spark)
+    from tile_etl_spark.llm.dedup import (
+        _INC_NEW_SOURCES,
+        incremental_pair_verify,
+        shingle_array,
+    )
+    from tile_etl_spark.io import load
+    from tile_etl_spark.streaming.replay import (
+        read_docs_stream,
+        replay_docs_dir,
+    )
+
+    base = replay_docs_dir(spark, sf_dir, _INC_NEW_SOURCES)
+    idx = (
+        load(spark, sf_dir, "documents")
+        .where(~F.col("source").isin(*_INC_NEW_SOURCES))
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    )
+    idx_sh = (
+        idx.select(
+            F.col("doc_id").alias("idx_id"),
+            F.explode(shingle_array(3)).alias("s"),
+        )
+        .select("idx_id", F.xxhash64("s").alias("shingle"))
+        .persist()
+    )
+    idx_sizes = (
+        idx_sh.groupBy("idx_id").agg(F.count(F.lit(1)).alias("n2")).persist()
+    )
+    sink = os.path.join(
+        _art_root(), "s_dedup_incremental", uuid.uuid4().hex[:12]
+    )
+    ckpt = os.path.join(sink, "_ckpt")
+
+    def verify_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        new_sh = batch_df.select(
+            F.col("doc_id").alias("new_id"),
+            F.explode(shingle_array(3)).alias("s"),
+        ).select("new_id", F.xxhash64("s").alias("shingle"))
+        pairs = incremental_pair_verify(new_sh, idx_sh, idx_sizes)
+        # overwrite THIS epoch's path: a replayed batch re-writes the
+        # same files instead of double-appending
+        pairs.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(sink, f"e{epoch_id}")
+        )
+
+    stream = read_docs_stream(spark, base)
+    q = (
+        stream.writeStream.foreachBatch(verify_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.read.parquet(os.path.join(sink, "e*")).localCheckpoint(
+        eager=True
+    )
+    idx_sh.unpersist()
+    idx_sizes.unpersist()
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return out

@@ -165,3 +165,64 @@ def replay_dir_with_flush(
     os.utime(dst, (1_700_000_000 + len(chunks), 1_700_000_000 + len(chunks)))
     write_marker(marker, fpr)
     return out
+
+
+DOCS_SCHEMA = "doc_id BIGINT, text STRING"
+N_DOC_CHUNKS = 4
+
+
+def replay_docs_dir(
+    spark: SparkSession,
+    sf_dir: str,
+    sources: tuple[str, ...],
+    n_chunks: int = N_DOC_CHUNKS,
+) -> str:
+    """Write the given sources' documents as n doc_id-ordered parquet
+    chunks (idempotent, fingerprint-keyed like replay_dir) — the file
+    replay standing in for a Kafka topic of newly crawled documents."""
+    from tile_etl_spark.sources.files import (
+        marker_current,
+        source_fingerprint,
+        write_marker,
+    )
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    base = os.path.join(
+        _art_root(), f"docs_stream_{tag}_{'_'.join(sorted(sources))}"
+    )
+    marker = os.path.join(base, "_DONE")
+    fpr = source_fingerprint(os.path.join(sf_dir, "documents.parquet"))
+    if marker_current(marker, fpr):
+        return base
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base, exist_ok=True)
+    d = (
+        load(spark, sf_dir, "documents")
+        .where(F.col("source").isin(*sources))
+        .select("doc_id", "text")
+    )
+    n_docs = d.count()
+    per = max(1, (n_docs + n_chunks - 1) // n_chunks)
+    ids = sorted(r["doc_id"] for r in d.select("doc_id").collect())
+    for i in range(n_chunks):
+        chunk_ids = ids[i * per : (i + 1) * per]
+        if not chunk_ids and i > 0:
+            break
+        chunk = d.where(F.col("doc_id").isin(chunk_ids))
+        tmp = os.path.join(base, f"_tmp_{i}")
+        chunk.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+        dst = os.path.join(base, f"chunk_{i:03d}.parquet")
+        shutil.move(os.path.join(tmp, part), dst)
+        shutil.rmtree(tmp)
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+    write_marker(marker, fpr)
+    return base
+
+
+def read_docs_stream(spark: SparkSession, base: str) -> DataFrame:
+    return (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(base + "/chunk_*.parquet")
+    )
