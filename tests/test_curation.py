@@ -133,3 +133,59 @@ def test_text_normalize_on_messy_rows(spark):
     )
     got = [r["n"] for r in df.select(normalized.alias("n")).collect()]
     assert got == ["hello world", "already clean", "pad"]
+
+
+def test_epoch_shuffle_invariants(spark, sf_dir):
+    """Every (epoch, doc) appears exactly once; per-shard positions are
+    contiguous 1..n; the two epochs produce genuinely different orders
+    (the whole point of re-shuffling per epoch)."""
+    rows = registry.QUERIES["q_epoch_shuffle"](spark, sf_dir).collect()
+    n_docs = len({r["doc_id"] for r in rows})
+    by_epoch: dict = {}
+    for r in rows:
+        by_epoch.setdefault(r["epoch"], []).append(r)
+    assert set(by_epoch) == {0, 1}
+    for ep, es in by_epoch.items():
+        assert len(es) == n_docs  # each doc placed exactly once
+        shards: dict = {}
+        for r in es:
+            shards.setdefault(r["shard"], []).append(r["pos"])
+        for poss in shards.values():
+            assert sorted(poss) == list(range(1, len(poss) + 1))
+    order0 = {
+        r["doc_id"]: (r["shard"], r["pos"]) for r in by_epoch[0]
+    }
+    order1 = {
+        r["doc_id"]: (r["shard"], r["pos"]) for r in by_epoch[1]
+    }
+    moved = sum(1 for d in order0 if order0[d] != order1[d])
+    assert moved > n_docs * 0.8  # epochs differ for the vast majority
+
+
+def test_dedup_incremental_subset_of_full_ngram(spark, sf_dir):
+    """Incremental pairs are exactly the full exact-tier pairs that
+    cross the new/index source boundary — no extra, none lost."""
+    inc = {
+        (r["new_id"], r["idx_id"])
+        for r in registry.QUERIES["q_dedup_incremental"](
+            spark, sf_dir
+        ).collect()
+    }
+    full = registry.QUERIES["q_dedup_ngram"](spark, sf_dir).collect()
+    from tile_etl_spark.io import load
+    from tile_etl_spark.llm.dedup import _INC_NEW_SOURCES
+
+    src = {
+        r["doc_id"]: r["source"]
+        for r in load(spark, sf_dir, "documents")
+        .select("doc_id", "source")
+        .collect()
+    }
+    want = set()
+    for r in full:
+        a_new = src[r["d1"]] in _INC_NEW_SOURCES
+        b_new = src[r["d2"]] in _INC_NEW_SOURCES
+        if a_new != b_new:
+            nid, iid = (r["d1"], r["d2"]) if a_new else (r["d2"], r["d1"])
+            want.add((nid, iid))
+    assert inc == want

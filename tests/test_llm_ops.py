@@ -232,3 +232,26 @@ def test_compress_ratio_matches_python_recompute(spark, sf_dir):
             else "prose"
         )
         assert r["verdict"] == band
+
+
+def test_hybrid_rrf_fusion_semantics(spark, sf_dir):
+    """rrf_score must be exactly reconstructible from the emitted
+    per-list ranks, and a doc present in BOTH lists must outrank any
+    doc whose single list rank is no better."""
+    rows = registry.QUERIES["q_hybrid_rrf"](spark, sf_dir).collect()
+    assert rows, "fused list is empty"
+    for r in rows:
+        want = 0.0
+        if r["lex_rank"] > 0:
+            want += 1.0 / (60 + r["lex_rank"])
+        if r["dense_rank"] > 0:
+            want += 1.0 / (60 + r["dense_rank"])
+        assert abs(r["rrf_score"] - round(want, 6)) < 1e-9, r
+    both = [r for r in rows if r["lex_rank"] > 0 and r["dense_rank"] > 0]
+    singles = [r for r in rows if (r["lex_rank"] > 0) != (r["dense_rank"] > 0)]
+    for b in both:
+        worst = max(b["lex_rank"], b["dense_rank"])
+        for s in singles:
+            srank = max(s["lex_rank"], s["dense_rank"])
+            if srank >= worst:
+                assert b["rank"] < s["rank"], (b, s)
