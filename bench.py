@@ -163,6 +163,9 @@ EXTRA = [
     "q_ts_ohlc",
     "q_sketch_overlap",
     "q_drift_chi2",
+    "q_hybrid_rrf",
+    "q_epoch_shuffle",
+    "q_dedup_incremental",
 ]
 
 
