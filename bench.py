@@ -166,6 +166,7 @@ EXTRA = [
     "q_hybrid_rrf",
     "q_epoch_shuffle",
     "q_dedup_incremental",
+    "q_embed_truncation_eval",
 ]
 
 

@@ -1316,3 +1316,96 @@ def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank",
         )
     )
+
+
+# --- embedding truncation (Matryoshka) evaluation -----------------------
+
+_TRUNC_DIM = 32  # evaluate the first half of the 64-dim fixture vectors
+
+
+@query(
+    "q_embed_truncation_eval",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ),
+    h AS (SELECT vec_id, e[1:{_TRUNC_DIM}] AS e FROM v),
+    fp AS (SELECT vec_id AS probe_id, e AS pe FROM v WHERE vec_id < {N_PROBES}),
+    hp AS (SELECT vec_id AS probe_id, e AS pe FROM h WHERE vec_id < {N_PROBES}),
+    fr AS (
+      SELECT probe_id, vec_id FROM (
+        SELECT fp.probe_id, v.vec_id,
+               row_number() OVER (
+                 PARTITION BY fp.probe_id
+                 ORDER BY list_dot_product(v.e, fp.pe)
+                          / (sqrt(list_dot_product(v.e, v.e))
+                             * sqrt(list_dot_product(fp.pe, fp.pe))) DESC,
+                          v.vec_id ASC
+               ) AS rn
+        FROM v JOIN fp ON v.vec_id <> fp.probe_id
+      ) WHERE rn <= {TOP_K}
+    ),
+    hr AS (
+      SELECT probe_id, vec_id FROM (
+        SELECT hp.probe_id, h.vec_id,
+               row_number() OVER (
+                 PARTITION BY hp.probe_id
+                 ORDER BY list_dot_product(h.e, hp.pe)
+                          / (sqrt(list_dot_product(h.e, h.e))
+                             * sqrt(list_dot_product(hp.pe, hp.pe))) DESC,
+                          h.vec_id ASC
+               ) AS rn
+        FROM h JOIN hp ON h.vec_id <> hp.probe_id
+      ) WHERE rn <= {TOP_K}
+    ),
+    ov AS (
+      SELECT fr.probe_id, count(*) AS n_overlap
+      FROM fr JOIN hr ON fr.probe_id = hr.probe_id
+                     AND fr.vec_id = hr.vec_id
+      GROUP BY 1
+    )
+    SELECT p.probe_id,
+           CAST(COALESCE(ov.n_overlap, 0) AS BIGINT) AS n_overlap,
+           round(CAST(COALESCE(ov.n_overlap, 0) AS DOUBLE) / {TOP_K}, 6)
+             AS overlap_frac
+    FROM (SELECT DISTINCT probe_id FROM fr) p
+    LEFT JOIN ov ON p.probe_id = ov.probe_id
+    """,
+)
+def q_embed_truncation_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EMBEDDING-TRUNCATION EVALUATION (Matryoshka representation
+    learning, Kusupati et al. 2022): per probe, how much of the
+    full-dimension cosine top-k survives when vectors are truncated to
+    their first half — the measurement that decides whether a pipeline
+    can store/search d/2 floats for 2× memory bandwidth. Both lists
+    come from the same exact GEMM top-k operator (cosine_topk), one on
+    the full corpus and one on a prefix-sliced projection; the overlap
+    is an equi-join of two ≤probes×k lists, so the evaluation adds no
+    corpus-scale work beyond the second scan.
+
+    At 100 TB the truncated scan reads HALF the vector bytes — with a
+    columnar layout storing the prefix as its own column chunk this is
+    real IO savings, which is exactly what the overlap number justifies
+    (fixture vectors are near-uniform, so overlap here is low; on real
+    MRL-trained embeddings it is typically >0.8)."""
+    ensure_session_determinism(spark)
+    e = load(spark, sf_dir, "embeddings")
+    full_top = cosine_topk(e, e.where(F.col("vec_id") < N_PROBES))
+    half = e.select(
+        "vec_id", F.slice(F.col("embedding"), 1, _TRUNC_DIM).alias("embedding")
+    )
+    half_top = cosine_topk(half, half.where(F.col("vec_id") < N_PROBES))
+    ov = (
+        full_top.select("probe_id", "vec_id")
+        .join(half_top.select("probe_id", "vec_id"), ["probe_id", "vec_id"])
+        .groupBy("probe_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    probes = full_top.select("probe_id").distinct()
+    return probes.join(ov, "probe_id", "left").select(
+        "probe_id",
+        F.coalesce(F.col("n_overlap"), F.lit(0)).cast("bigint").alias("n_overlap"),
+        F.round(
+            F.coalesce(F.col("n_overlap"), F.lit(0)).cast("double") / TOP_K, 6
+        ).alias("overlap_frac"),
+    )
