@@ -167,6 +167,7 @@ EXTRA = [
     "q_epoch_shuffle",
     "q_dedup_incremental",
     "q_embed_truncation_eval",
+    "q_dedup_source_matrix",
 ]
 
 

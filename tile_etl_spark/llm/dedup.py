@@ -1576,3 +1576,55 @@ def q_sketch_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("exact_jaccard"),
         )
     )
+
+
+@query(
+    "q_dedup_source_matrix",
+    oracle=f"""
+    WITH {NGRAM_PAIRS_CTES},
+    tagged AS (
+      SELECT least(sa.source, sb.source) AS src_a,
+             greatest(sa.source, sb.source) AS src_b
+      FROM njpairs p
+      JOIN documents sa ON p.d1 = sa.doc_id
+      JOIN documents sb ON p.d2 = sb.doc_id
+    )
+    SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS n_pairs
+    FROM tagged GROUP BY src_a, src_b
+    """,
+)
+def q_dedup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SOURCE-CONTAMINATION MATRIX — which crawl sources duplicate each
+    other: the exact near-dup pair set (3-gram Jaccard ≥ 0.8, the
+    q_dedup_ngram tier) rolled up to unordered (source_a, source_b)
+    counts. This is the provenance audit a corpus owner runs before
+    setting mixture weights: heavy off-diagonal mass means two "sources"
+    are substantially the same feed and their weights double-count.
+
+    Cost: the pair mining dominates and is the already-bounded shingle
+    equi-join; the rollup adds one broadcast doc→source join per side
+    (the doc→source map is a projection of the corpus scan — at 100 TB
+    it rides the same scan, not a second pass) and a tiny aggregate
+    over pair rows."""
+    ensure_session_determinism(spark)
+    _scope(f"q_dedup_source_matrix:{sf_dir}")
+    d = _parallelize_docs(load(spark, sf_dir, "documents"))
+    pairs = ngram_jaccard_pairs(d)
+    src = d.select("doc_id", "source")
+    tagged = (
+        pairs.join(
+            src.select(F.col("doc_id").alias("d1"), F.col("source").alias("sa")),
+            "d1",
+        )
+        .join(
+            src.select(F.col("doc_id").alias("d2"), F.col("source").alias("sb")),
+            "d2",
+        )
+        .select(
+            F.least("sa", "sb").alias("src_a"),
+            F.greatest("sa", "sb").alias("src_b"),
+        )
+    )
+    return tagged.groupBy("src_a", "src_b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs")
+    )
