@@ -168,6 +168,7 @@ EXTRA = [
     "q_dedup_incremental",
     "q_embed_truncation_eval",
     "q_dedup_source_matrix",
+    "q_quality_agreement",
 ]
 
 

@@ -1782,3 +1782,60 @@ def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.row_number().over(w).cast("bigint").alias("pos"),
     )
+
+
+def _quality_agreement_oracle() -> str:
+    from tile_etl_spark.registry import ORACLES
+
+    return f"""
+    WITH m AS ({ORACLES["q_quality_model"]}),
+    f AS ({ORACLES["q_quality_filter"]}),
+    j AS (
+      SELECT m.doc_id,
+             least(CAST(floor(m.score * 10) AS BIGINT), 9) AS bin,
+             f.keep AS rule_keep
+      FROM m JOIN f ON m.doc_id = f.doc_id
+    )
+    SELECT bin, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(rule_keep) AS BIGINT) AS n_rule_keep,
+           round(CAST(sum(rule_keep) AS DOUBLE) / count(*), 6)
+             AS rule_keep_rate
+    FROM j GROUP BY bin
+    """
+
+
+@query("q_quality_agreement", oracle=_quality_agreement_oracle())
+def q_quality_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUALITY-MODEL CALIBRATION — bin the learned quality score
+    (q_quality_model) into deciles and report the rule gate's
+    (q_quality_filter) keep-rate per bin: the agreement table a
+    curation team reads before swapping a heuristic filter for a
+    model. A well-calibrated model shows keep-rate rising
+    monotonically with score; flat bins mean the model adds nothing
+    over the rules there.
+
+    Shape: both inputs are per-row projections over the same corpus
+    scan (the model pass is shuffle-free; the rule pass adds its two
+    map-side-combined aggregates), joined on doc_id and rolled up to
+    ≤10 rows — the audit costs one extra co-keyed join over what the
+    two filters already compute."""
+    ensure_session_determinism(spark)
+    from tile_etl_spark.registry import QUERIES
+
+    m = QUERIES["q_quality_model"](spark, sf_dir).select("doc_id", "score")
+    f = QUERIES["q_quality_filter"](spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("rule_keep")
+    )
+    j = m.join(f, "doc_id").select(
+        F.least(
+            F.floor(F.col("score") * 10).cast("bigint"), F.lit(9).cast("bigint")
+        ).alias("bin"),
+        "rule_keep",
+    )
+    return j.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("rule_keep").cast("bigint").alias("n_rule_keep"),
+        F.round(
+            F.sum("rule_keep").cast("double") / F.count(F.lit(1)), 6
+        ).alias("rule_keep_rate"),
+    )
