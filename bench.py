@@ -169,6 +169,7 @@ EXTRA = [
     "q_embed_truncation_eval",
     "q_dedup_source_matrix",
     "q_quality_agreement",
+    "q_embed_quality",
 ]
 
 

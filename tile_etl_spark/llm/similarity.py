@@ -1409,3 +1409,72 @@ def q_embed_truncation_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("n_overlap"), F.lit(0)).cast("double") / TOP_K, 6
         ).alias("overlap_frac"),
     )
+
+
+# --- embedding hygiene audit --------------------------------------------
+
+
+@query(
+    "q_embed_quality",
+    oracle="""
+    WITH v AS (
+      SELECT label,
+             CAST(round(sqrt(list_dot_product(
+               CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])
+             )) * 1000000) AS BIGINT) AS nm
+      FROM embeddings
+    )
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           round(CAST(sum(nm) AS DOUBLE) / count(*) / 1000000, 6)
+             AS mean_norm,
+           round(sqrt(
+             (CAST(sum(nm * nm) AS DOUBLE)
+              - CAST(sum(nm) AS DOUBLE) * sum(nm) / count(*))
+             / (count(*) - 1)) / 1000000, 6) AS sd_norm,
+           CAST(count(*) FILTER (nm < 100000) AS BIGINT) AS n_near_zero
+    FROM v GROUP BY label
+    """,
+)
+def q_embed_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EMBEDDING HYGIENE AUDIT — the vector-side data-quality pass a
+    pipeline runs before building ANN indexes: per label, vector count,
+    mean/σ of the L2 norm, and the count of near-zero vectors (norm
+    < 0.1 — dead encoder outputs that poison cosine math). Norms are
+    snapped to exact integer MICRO-units per row (one deterministic
+    round of an identically-computed double), so the cross-row sums
+    are exact integer arithmetic in both engines and the emitted
+    mean/σ are bit-identical — the same integer-sufficient-statistics
+    discipline as q_win_regression/q_target_encode; a raw double SUM
+    would hash-mismatch on summation order.
+
+    Shape: per-row fold for the dot product (each array referenced
+    once), one partial+final hash aggregate on label — one shuffle of
+    ≤labels × 3 longs."""
+    ensure_session_determinism(spark)
+    e = load(spark, sf_dir, "embeddings")
+    ed = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    dot = F.aggregate(
+        F.zip_with(ed, ed, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nm = F.round(F.sqrt(dot) * 1000000).cast("bigint")
+    v = e.select("label", nm.alias("nm"))
+    n = F.count(F.lit(1))
+    s = F.sum("nm")
+    s2 = F.sum(F.col("nm") * F.col("nm"))
+    return v.groupBy("label").agg(
+        n.cast("bigint").alias("n_vecs"),
+        F.round(s.cast("double") / n / 1000000, 6).alias("mean_norm"),
+        F.round(
+            F.sqrt(
+                (s2.cast("double") - s.cast("double") * s / n) / (n - 1)
+            )
+            / 1000000,
+            6,
+        ).alias("sd_norm"),
+        F.sum((F.col("nm") < 100000).cast("int"))
+        .cast("bigint")
+        .alias("n_near_zero"),
+    )
