@@ -170,6 +170,8 @@ EXTRA = [
     "q_dedup_source_matrix",
     "q_quality_agreement",
     "q_embed_quality",
+    "q_source_yield",
+    "q_shingle_novelty",
 ]
 
 

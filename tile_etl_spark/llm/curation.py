@@ -1839,3 +1839,80 @@ def q_quality_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("rule_keep").cast("double") / F.count(F.lit(1)), 6
         ).alias("rule_keep_rate"),
     )
+
+
+def _source_yield_oracle() -> str:
+    from tile_etl_spark.registry import ORACLES
+
+    return f"""
+    WITH qf AS ({ORACLES["q_quality_filter"]}),
+    base AS (
+      SELECT d.doc_id, d.source,
+             len(string_split(d.text, ' ')) AS n_tokens,
+             (d.doc_id = min(d.doc_id)
+                OVER (PARTITION BY md5(d.text))) AS survivor,
+             qf.keep
+      FROM documents d JOIN qf ON d.doc_id = qf.doc_id
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(sum(keep) AS BIGINT) AS n_after_quality,
+           CAST(count(*) FILTER (survivor) AS BIGINT) AS n_dedup_survivors,
+           CAST(count(*) FILTER (survivor AND keep = 1) AS BIGINT)
+             AS n_final,
+           CAST(sum(n_tokens) FILTER (survivor AND keep = 1) AS BIGINT)
+             AS tokens_final,
+           round(CAST(sum(n_tokens) FILTER (survivor AND keep = 1)
+                      AS DOUBLE) / sum(n_tokens), 6) AS token_yield
+    FROM base GROUP BY source
+    """
+
+
+@query("q_source_yield", oracle=_source_yield_oracle())
+def q_source_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-SOURCE YIELD REPORT — what each crawl source actually
+    contributes to the training set after the funnel: raw docs/tokens,
+    docs passing the rule quality gate, exact-dedup survivors, and the
+    final kept token mass with its yield fraction. This is the table
+    that decides which feeds are worth their ingest cost — a source
+    with 2% token yield is burning pipeline budget.
+
+    Shape: the quality verdict is the existing per-row pass; the
+    survivor flag is a min-over-md5 window (hash-partitioned, no global
+    sort — same key as q_dedup_exact's aggregate); one final rollup on
+    source. All three passes ride the same corpus scan at 100 TB."""
+    ensure_session_determinism(spark)
+    from pyspark.sql import Window
+    from tile_etl_spark.registry import QUERIES
+
+    d = load(spark, sf_dir, "documents")
+    qf = QUERIES["q_quality_filter"](spark, sf_dir).select("doc_id", "keep")
+    w = Window.partitionBy(F.md5(F.col("text").cast("binary")))
+    base = (
+        d.join(qf, "doc_id")
+        .select(
+            "source",
+            F.size(F.split("text", " ")).alias("n_tokens"),
+            (F.col("doc_id") == F.min("doc_id").over(w)).alias("survivor"),
+            "keep",
+        )
+    )
+    fin = F.col("survivor") & (F.col("keep") == 1)
+    return base.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        F.sum("keep").cast("bigint").alias("n_after_quality"),
+        F.sum(F.col("survivor").cast("int")).cast("bigint").alias(
+            "n_dedup_survivors"
+        ),
+        F.sum(fin.cast("int")).cast("bigint").alias("n_final"),
+        F.sum(F.when(fin, F.col("n_tokens")).otherwise(0))
+        .cast("bigint")
+        .alias("tokens_final"),
+        F.round(
+            F.sum(F.when(fin, F.col("n_tokens")).otherwise(0)).cast("double")
+            / F.sum("n_tokens"),
+            6,
+        ).alias("token_yield"),
+    )

@@ -1628,3 +1628,62 @@ def q_dedup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tagged.groupBy("src_a", "src_b").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_pairs")
     )
+
+
+@query(
+    "q_shingle_novelty",
+    oracle="""
+    WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               generate_series(1, greatest(len(w) - 2, 0)),
+               i -> concat_ws(' ', w[i], w[i+1], w[i+2])))) AS shingle
+      FROM words
+    ),
+    firsts AS (SELECT shingle, min(doc_id) AS first_id FROM sh GROUP BY shingle)
+    SELECT sh.doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(count(*) FILTER (firsts.first_id = sh.doc_id) AS BIGINT)
+             AS n_novel,
+           round(CAST(count(*) FILTER (firsts.first_id = sh.doc_id)
+                      AS DOUBLE) / count(*), 6) AS novelty
+    FROM sh JOIN firsts ON sh.shingle = firsts.shingle
+    GROUP BY sh.doc_id
+    """,
+)
+def q_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CORPUS NOVELTY ATTRIBUTION — per document, the fraction of its
+    3-gram shingles whose FIRST corpus occurrence (min doc_id — the
+    ingest-order proxy) is this document. Novelty ~1 means genuinely
+    new content; ~0 means the doc is assembled from already-seen text —
+    the streaming-ingest complement to pairwise dedup (it catches
+    mosaic/stitched duplication that no single pair crosses the
+    Jaccard threshold on).
+
+    Shape: ONE extra aggregate over the shingle table (min doc_id per
+    shingle — map-side combined) joined back on the shingle hash, then
+    a per-doc rollup. At 100 TB the firsts table IS the incremental
+    dedup index's sibling artifact: both are keyed by shingle hash and
+    co-partition for free."""
+    ensure_session_determinism(spark)
+    _scope(f"q_shingle_novelty:{sf_dir}")
+    d = _parallelize_docs(load(spark, sf_dir, "documents"))
+    sh = _persist(
+        shingles_df(d).select(
+            "doc_id", F.xxhash64("shingle").alias("shingle")
+        )
+    )  # consumers: firsts + join side
+    firsts = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_id"))
+    novel = (F.col("first_id") == F.col("doc_id")).cast("int")
+    return (
+        sh.join(firsts, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+            F.sum(novel).cast("bigint").alias("n_novel"),
+            F.round(
+                F.sum(novel).cast("double") / F.count(F.lit(1)), 6
+            ).alias("novelty"),
+        )
+    )
