@@ -172,6 +172,7 @@ EXTRA = [
     "q_embed_quality",
     "q_source_yield",
     "q_shingle_novelty",
+    "q_context_pack",
 ]
 
 

@@ -1478,3 +1478,65 @@ def q_embed_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_near_zero"),
     )
+
+
+# --- RAG context packing ------------------------------------------------
+
+_CTX_BUDGET = 1000  # token budget for the packed context
+
+
+def _context_pack_oracle() -> str:
+    from tile_etl_spark.registry import ORACLES
+
+    return f"""
+    WITH fused AS ({ORACLES["q_hybrid_rrf"]}),
+    sized AS (
+      SELECT f.rank, f.doc_id,
+             CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens
+      FROM fused f JOIN documents d ON f.doc_id = d.doc_id
+    ),
+    run AS (
+      SELECT rank, doc_id, n_tokens,
+             CAST(sum(n_tokens) OVER (ORDER BY rank
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS cum_tokens
+      FROM sized
+    )
+    SELECT rank, doc_id, n_tokens, cum_tokens
+    FROM run WHERE cum_tokens <= {_CTX_BUDGET}
+    """
+
+
+@query("q_context_pack", oracle=_context_pack_oracle())
+def q_context_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTEXT PACKING — fill a fixed token budget from the hybrid
+    retrieval ranking in rank order: the last step of a RAG pipeline,
+    where the fused top-k is trimmed to what actually fits the prompt.
+    Greedy-by-rank with a running token sum (documents are taken whole;
+    a doc that overflows the budget is dropped along with everything
+    ranked below it — the deterministic contract retrieval consumers
+    expect).
+
+    Shape: the fused list is ≤k rows by construction, so the doc-size
+    join is a k-row broadcast probe of the corpus (at 100 TB the token
+    count is a stored column, not a recompute) and the running-sum
+    window orders k rows — nothing here scales with corpus size."""
+    ensure_session_determinism(spark)
+    from tile_etl_spark.registry import QUERIES
+
+    fused = QUERIES["q_hybrid_rrf"](spark, sf_dir).select("rank", "doc_id")
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).cast("bigint").alias("n_tokens")
+    )
+    sized = fused.join(d, "doc_id")
+    w = (
+        Window.orderBy("rank")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = sized.select(
+        "rank",
+        "doc_id",
+        "n_tokens",
+        F.sum("n_tokens").over(w).cast("bigint").alias("cum_tokens"),
+    )
+    return run.where(F.col("cum_tokens") <= _CTX_BUDGET)
