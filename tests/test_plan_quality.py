@@ -518,6 +518,9 @@ _BNLJ_OK = {
     # pairing (sketch_overlap: 5x5 inequality join of 64-col sketches)
     "q_tile_knn", "q_target_encode", "q_diff_in_diff",
     "q_sketch_overlap", "q_drift_chi2",
+    # compose q_bm25, inheriting its whitelisted 1-row corpus-stats
+    # broadcast (N, avgdl) — the only BNLJ in either plan
+    "q_hybrid_rrf", "q_context_pack",
 }
 # Python UDTFs execute via BatchEvalPythonUDTF — the API's execution
 # mode, declared once here; everything else must stay Arrow-vectorized.
