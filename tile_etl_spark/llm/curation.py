@@ -1861,9 +1861,10 @@ def _source_yield_oracle() -> str:
            CAST(count(*) FILTER (survivor) AS BIGINT) AS n_dedup_survivors,
            CAST(count(*) FILTER (survivor AND keep = 1) AS BIGINT)
              AS n_final,
-           CAST(sum(n_tokens) FILTER (survivor AND keep = 1) AS BIGINT)
-             AS tokens_final,
-           round(CAST(sum(n_tokens) FILTER (survivor AND keep = 1)
+           CAST(COALESCE(sum(n_tokens) FILTER (survivor AND keep = 1), 0)
+                AS BIGINT) AS tokens_final,
+           round(CAST(COALESCE(sum(n_tokens) FILTER (survivor AND keep = 1),
+                               0)
                       AS DOUBLE) / sum(n_tokens), 6) AS token_yield
     FROM base GROUP BY source
     """

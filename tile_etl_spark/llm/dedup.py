@@ -453,6 +453,9 @@ def ngram_jaccard_pairs(d: DataFrame, thresh: float = 0.8) -> DataFrame:
 # The "new crawl batch": the two newest fixture sources stand in for an
 # incremental ingest; everything else is the already-deduped corpus.
 _INC_NEW_SOURCES = ("src18", "src19")
+# single source of truth for the oracle's IN-lists — the Spark side,
+# the DuckDB twin, and the tests all derive from _INC_NEW_SOURCES
+_INC_NEW_IN = ", ".join(f"'{s}'" for s in _INC_NEW_SOURCES)
 
 
 @query(
@@ -472,8 +475,8 @@ _INC_NEW_SOURCES = ("src18", "src19")
     inter AS (
       SELECT a.doc_id AS new_id, b.doc_id AS idx_id, count(*) AS i
       FROM sh a JOIN sh b ON a.shingle = b.shingle
-      WHERE a.source IN ('src18', 'src19')
-        AND b.source NOT IN ('src18', 'src19')
+      WHERE a.source IN ({_INC_NEW_IN})
+        AND b.source NOT IN ({_INC_NEW_IN})
       GROUP BY 1, 2
     )
     SELECT new_id, idx_id,

@@ -1428,10 +1428,10 @@ def q_embed_truncation_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(count(*) AS BIGINT) AS n_vecs,
            round(CAST(sum(nm) AS DOUBLE) / count(*) / 1000000, 6)
              AS mean_norm,
-           round(sqrt(
+           round(sqrt(greatest(
              (CAST(sum(nm * nm) AS DOUBLE)
               - CAST(sum(nm) AS DOUBLE) * sum(nm) / count(*))
-             / (count(*) - 1)) / 1000000, 6) AS sd_norm,
+             / (count(*) - 1), 0)) / 1000000, 6) AS sd_norm,
            CAST(count(*) FILTER (nm < 100000) AS BIGINT) AS n_near_zero
     FROM v GROUP BY label
     """,
@@ -1468,8 +1468,16 @@ def q_embed_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.cast("bigint").alias("n_vecs"),
         F.round(s.cast("double") / n / 1000000, 6).alias("mean_norm"),
         F.round(
+            # greatest(·, 0): with all-equal norms the float64 rounding
+            # of the squared-sum product can dip the variance a hair
+            # below zero — DuckDB's sqrt RAISES on negatives (Spark
+            # returns NaN), so both sides clamp identically
             F.sqrt(
-                (s2.cast("double") - s.cast("double") * s / n) / (n - 1)
+                F.greatest(
+                    (s2.cast("double") - s.cast("double") * s / n)
+                    / (n - 1),
+                    F.lit(0.0),
+                )
             )
             / 1000000,
             6,
