@@ -30,6 +30,18 @@ def _art_root() -> str:
     return ART_DIR
 
 
+def _write_chunk(df: DataFrame, base: str, i: int) -> None:
+    """Write ``df`` as ``chunk_{i:03d}.parquet`` under ``base`` with the
+    ascending-mtime discipline the file source's ordering relies on."""
+    tmp = os.path.join(base, f"_tmp_{i}")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+    dst = os.path.join(base, f"chunk_{i:03d}.parquet")
+    shutil.move(os.path.join(tmp, part), dst)
+    shutil.rmtree(tmp)
+    os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+
+
 def replay_dir(spark: SparkSession, sf_dir: str, n_chunks: int = N_CHUNKS) -> str:
     """Write events as n time-ordered parquet chunk files (idempotent).
 
@@ -67,13 +79,7 @@ def replay_dir(spark: SparkSession, sf_dir: str, n_chunks: int = N_CHUNKS) -> st
             chunk = chunk.where(us > lo)
         if hi is not None:
             chunk = chunk.where(us <= hi)
-        tmp = os.path.join(base, f"_tmp_{i}")
-        chunk.coalesce(1).write.mode("overwrite").parquet(tmp)
-        part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
-        dst = os.path.join(base, f"chunk_{i:03d}.parquet")
-        shutil.move(os.path.join(tmp, part), dst)
-        shutil.rmtree(tmp)
-        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+        _write_chunk(chunk, base, i)
         lo = hi
     write_marker(marker, fpr)
     return base
@@ -156,13 +162,7 @@ def replay_dir_with_flush(
         F.lit(0.0).alias("value"),
         F.lit("{}").alias("props"),
     )
-    tmp = os.path.join(out, "_tmp_flush")
-    flush.coalesce(1).write.mode("overwrite").parquet(tmp)
-    part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
-    dst = os.path.join(out, f"chunk_{len(chunks):03d}.parquet")
-    shutil.move(os.path.join(tmp, part), dst)
-    shutil.rmtree(tmp)
-    os.utime(dst, (1_700_000_000 + len(chunks), 1_700_000_000 + len(chunks)))
+    _write_chunk(flush, out, len(chunks))
     write_marker(marker, fpr)
     return out
 
@@ -196,26 +196,30 @@ def replay_docs_dir(
         return base
     shutil.rmtree(base, ignore_errors=True)
     os.makedirs(base, exist_ok=True)
+    from pyspark.sql import Window
+
+    # one pass derives the chunk index (ntile over doc_id order — the
+    # batch side is small by definition, so the single-partition window
+    # is fine in this fixture builder), cached so the n_chunks filtered
+    # writes don't re-scan the source; no driver-side id collect
     d = (
         load(spark, sf_dir, "documents")
         .where(F.col("source").isin(*sources))
-        .select("doc_id", "text")
+        .select(
+            "doc_id",
+            "text",
+            (F.ntile(n_chunks).over(Window.orderBy("doc_id")) - 1).alias(
+                "chunk_id"
+            ),
+        )
+        .persist()
     )
-    n_docs = d.count()
-    per = max(1, (n_docs + n_chunks - 1) // n_chunks)
-    ids = sorted(r["doc_id"] for r in d.select("doc_id").collect())
-    for i in range(n_chunks):
-        chunk_ids = ids[i * per : (i + 1) * per]
-        if not chunk_ids and i > 0:
-            break
-        chunk = d.where(F.col("doc_id").isin(chunk_ids))
-        tmp = os.path.join(base, f"_tmp_{i}")
-        chunk.coalesce(1).write.mode("overwrite").parquet(tmp)
-        part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
-        dst = os.path.join(base, f"chunk_{i:03d}.parquet")
-        shutil.move(os.path.join(tmp, part), dst)
-        shutil.rmtree(tmp)
-        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+    n_used = d.select("chunk_id").distinct().count()
+    for i in range(min(n_chunks, n_used)):
+        _write_chunk(
+            d.where(F.col("chunk_id") == i).drop("chunk_id"), base, i
+        )
+    d.unpersist()
     write_marker(marker, fpr)
     return base
 
