@@ -173,6 +173,7 @@ EXTRA = [
     "q_source_yield",
     "q_shingle_novelty",
     "q_context_pack",
+    "q_mixture_interleave",
 ]
 
 

@@ -1917,3 +1917,89 @@ def q_source_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("token_yield"),
     )
+
+
+# --- mixture interleaving -----------------------------------------------
+
+# Stand-in for configured per-source mixture weights: sources cycle
+# through 1x / 2x / 3x upweighting by their numeric suffix.
+_MIX_W = "1.0 + (CAST(substr(source, 4) AS INT) % 3)"
+
+
+@query(
+    "q_mixture_interleave",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id, source,
+             (doc_id * {_SHUF_MULT}) % {_SHUF_MOD} AS hv,
+             {_MIX_W} AS w
+      FROM documents
+    ),
+    ranked AS (
+      SELECT doc_id, source, w,
+             row_number() OVER (PARTITION BY source ORDER BY hv, doc_id)
+               AS rn
+      FROM h
+    ),
+    keyed AS (
+      SELECT doc_id, source, rn,
+             (CAST(rn AS DOUBLE) - 0.5) / w AS k
+      FROM ranked
+    )
+    SELECT CAST(row_number() OVER (ORDER BY k, doc_id) AS BIGINT) AS pos,
+           doc_id, source, CAST(rn AS BIGINT) AS rn,
+           round(k, 6) AS mix_key
+    FROM keyed
+    """,
+)
+def q_mixture_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MIXTURE INTERLEAVING — merge the per-source streams into ONE
+    training order that honors per-source mixture weights: each source's
+    docs are shuffled within the source (the epoch-shuffle LCG), then
+    spread along the global axis at stride 1/w via the classic
+    fractional-position key (rn − ½)/w — a source with weight 3 lands
+    3× as densely as a weight-1 source, which is exactly what
+    "upweight this domain 3×" means for a sequential trainer reading
+    the corpus in order. Deterministic end to end: the LCG, the weight
+    expression, and the key arithmetic are identical exact operations
+    in both engines.
+
+    Scale shape: one per-source rank window (hash-partitioned on
+    source) and one global order by the mix key. The global window here
+    is the fixture-scale form; at 100 TB it becomes the two-pass
+    range-partition + per-partition rank + broadcast offsets rewrite
+    already used by q_hist_equidepth/q_cumulative_uniques — the key
+    distribution is near-uniform by construction, so range partitions
+    balance."""
+    ensure_session_determinism(spark)
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        ((F.col("doc_id") * _SHUF_MULT) % _SHUF_MOD).alias("hv"),
+        (
+            1.0
+            + (F.substring("source", 4, 10).cast("int") % 3)
+        ).alias("w"),
+    )
+    w_src = Window.partitionBy("source").orderBy("hv", "doc_id")
+    keyed = d.select(
+        "doc_id",
+        "source",
+        F.row_number().over(w_src).alias("rn"),
+        "w",
+    ).select(
+        "doc_id",
+        "source",
+        "rn",
+        ((F.col("rn").cast("double") - 0.5) / F.col("w")).alias("k"),
+    )
+    w_glob = Window.orderBy("k", "doc_id")
+    return keyed.select(
+        F.row_number().over(w_glob).cast("bigint").alias("pos"),
+        "doc_id",
+        "source",
+        F.col("rn").cast("bigint").alias("rn"),
+        F.round("k", 6).alias("mix_key"),
+    )
