@@ -174,6 +174,7 @@ EXTRA = [
     "q_shingle_novelty",
     "q_context_pack",
     "q_mixture_interleave",
+    "q_pack_efficiency",
 ]
 
 

@@ -2003,3 +2003,50 @@ def q_mixture_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rn").cast("bigint").alias("rn"),
         F.round("k", 6).alias("mix_key"),
     )
+
+
+def _pack_efficiency_oracle() -> str:
+    from tile_etl_spark.registry import ORACLES
+
+    return f"""
+    WITH p AS ({ORACLES["q_pack_sequences"]})
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_bins,
+           CAST(sum(bin_tokens) AS BIGINT) AS total_tokens,
+           round(CAST(sum(bin_tokens) AS DOUBLE)
+                 / (count(*) * {PACK_BUDGET}), 6) AS fill_rate,
+           CAST(count(*) FILTER (bin_tokens * 10 >= {PACK_BUDGET} * 9)
+                AS BIGINT) AS n_dense_bins,
+           CAST(min(bin_tokens) AS BIGINT) AS min_bin_tokens
+    FROM p GROUP BY lang
+    """
+
+
+@query("q_pack_efficiency", oracle=_pack_efficiency_oracle())
+def q_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PACKING-EFFICIENCY AUDIT — per language: bin count, packed token
+    mass, mean fill rate against the token budget, bins ≥90% full
+    (integer comparison — no float threshold ambiguity) and the
+    emptiest bin. Fill rate is what greedy first-fit packing is judged
+    on: a mean fill under ~0.8 means the budget or the document
+    chunking is mis-sized and the trainer pays for padding.
+
+    Shape: a ≤bins-row rollup over the existing packer output — the
+    sequential-by-construction packing (applyInPandas per shard) stays
+    untouched; the audit itself is one tiny aggregate."""
+    ensure_session_determinism(spark)
+    from tile_etl_spark.registry import QUERIES
+
+    p = QUERIES["q_pack_sequences"](spark, sf_dir)
+    dense = (F.col("bin_tokens") * 10 >= PACK_BUDGET * 9).cast("int")
+    return p.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bins"),
+        F.sum("bin_tokens").cast("bigint").alias("total_tokens"),
+        F.round(
+            F.sum("bin_tokens").cast("double")
+            / (F.count(F.lit(1)) * PACK_BUDGET),
+            6,
+        ).alias("fill_rate"),
+        F.sum(dense).cast("bigint").alias("n_dense_bins"),
+        F.min("bin_tokens").cast("bigint").alias("min_bin_tokens"),
+    )
