@@ -175,6 +175,7 @@ EXTRA = [
     "q_context_pack",
     "q_mixture_interleave",
     "q_pack_efficiency",
+    "q_tile_storage_plan",
 ]
 
 

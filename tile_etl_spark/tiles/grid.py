@@ -968,3 +968,65 @@ def q_tile_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rn").cast("int").alias("rn"),
         )
     )
+
+
+# Target object-store part size for the storage planner. Fixture tiles
+# average ~1.1 KB, so 256 KiB parts give multi-file levels at the test
+# SFs; a production run would set this to 128 MiB — the arithmetic is
+# identical.
+PLAN_TARGET_BYTES = 262144
+
+
+def _storage_plan_oracle() -> str:
+    from tile_etl_spark.registry import ORACLES
+
+    return f"""
+    WITH s AS ({ORACLES["q_tile_stats"]})
+    SELECT level, tile_count, total_bytes,
+           CAST(ceil(CAST(total_bytes AS DOUBLE) / {PLAN_TARGET_BYTES})
+                AS BIGINT) AS n_parts,
+           CAST(ceil(CAST(tile_count AS DOUBLE)
+                     / ceil(CAST(total_bytes AS DOUBLE)
+                            / {PLAN_TARGET_BYTES}))
+                AS BIGINT) AS tiles_per_part,
+           round(CAST(total_bytes AS DOUBLE)
+                 / ceil(CAST(total_bytes AS DOUBLE) / {PLAN_TARGET_BYTES})
+                 / {PLAN_TARGET_BYTES}, 6) AS part_fill
+    FROM s
+    """
+
+
+@query("q_tile_storage_plan", oracle=_storage_plan_oracle())
+def q_tile_storage_plan(spark, sf_dir: str):
+    """STORAGE-LAYOUT PLANNER — turn the per-level manifest stats into
+    a concrete write plan: how many object-store parts each pyramid
+    level needs at the target part size, the tiles-per-part quota a
+    writer should enforce (repartition width / maxRecordsPerFile), and
+    the resulting part fill factor. This is the sizing pass a 100 TB
+    tile job runs BEFORE the sink write: parts near the target size
+    keep both the PUT count and the per-object listing overhead
+    bounded, and the plan is pure integer arithmetic over per-level
+    aggregates the stats pass already computes — the planner itself
+    touches no tile rows."""
+    from tile_etl_spark.registry import QUERIES
+    from pyspark.sql import functions as F
+
+    s = QUERIES["q_tile_stats"](spark, sf_dir)
+    n_parts = F.ceil(
+        F.col("total_bytes").cast("double") / PLAN_TARGET_BYTES
+    ).cast("bigint")
+    return s.select(
+        "level",
+        "tile_count",
+        "total_bytes",
+        n_parts.alias("n_parts"),
+        F.ceil(F.col("tile_count").cast("double") / n_parts)
+        .cast("bigint")
+        .alias("tiles_per_part"),
+        F.round(
+            F.col("total_bytes").cast("double")
+            / n_parts
+            / PLAN_TARGET_BYTES,
+            6,
+        ).alias("part_fill"),
+    )
