@@ -176,6 +176,7 @@ EXTRA = [
     "q_mixture_interleave",
     "q_pack_efficiency",
     "q_tile_storage_plan",
+    "q_agg_weighted_median",
 ]
 
 

@@ -626,3 +626,81 @@ def q_agg_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("rev").cast("double").alias("revenue"),
         )
     )
+
+
+@query(
+    "q_agg_weighted_median",
+    oracle="""
+    WITH w AS (
+      SELECT l_returnflag,
+             CAST(l_extendedprice AS DOUBLE) AS price,
+             CAST(l_quantity AS BIGINT) AS qty,
+             sum(CAST(l_quantity AS BIGINT)) OVER (
+               PARTITION BY l_returnflag
+               ORDER BY CAST(l_extendedprice AS DOUBLE),
+                        l_orderkey, l_linenumber
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS cum,
+             sum(CAST(l_quantity AS BIGINT)) OVER (
+               PARTITION BY l_returnflag
+             ) AS total
+      FROM lineitem
+    ),
+    crossing AS (
+      SELECT l_returnflag, price,
+             row_number() OVER (
+               PARTITION BY l_returnflag
+               ORDER BY cum, price
+             ) AS rn
+      FROM w WHERE 2 * cum >= total
+    )
+    SELECT l_returnflag,
+           round(price, 2) AS weighted_median_price
+    FROM crossing WHERE rn = 1
+    """,
+)
+def q_agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED MEDIAN — the quantity-weighted median extended price
+    per return flag: the first price (in price order) whose cumulative
+    weight reaches half the group's total. Plain quantile functions
+    can't express this (neither engine has a weighted quantile
+    aggregate); the cumulative-weight crossing IS the textbook
+    definition, and weights as exact BIGINTs make the crossing
+    comparison integer-exact in both engines.
+
+    Shape: one cumulative-sum window per group (hash-partitioned on
+    the group key, sorted within — at 100 TB a heavy group becomes the
+    range-partition + broadcast-offsets two-pass rewrite used by
+    q_hist_equidepth) and a 1-row-per-group pick. The emitted price is
+    DOUBLE per the §5.3 money rule."""
+    ensure_session_determinism(spark)
+    from pyspark.sql import Window
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_extendedprice").cast("double").alias("price"),
+        F.col("l_quantity").cast("bigint").alias("qty"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    w_cum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("price", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy("l_returnflag")
+    staged = li.select(
+        "l_returnflag",
+        "price",
+        F.sum("qty").over(w_cum).alias("cum"),
+        F.sum("qty").over(w_tot).alias("total"),
+    ).where(2 * F.col("cum") >= F.col("total"))
+    w_pick = Window.partitionBy("l_returnflag").orderBy("cum", "price")
+    return (
+        staged.withColumn("rn", F.row_number().over(w_pick))
+        .where(F.col("rn") == 1)
+        .select(
+            "l_returnflag",
+            F.round("price", 2).alias("weighted_median_price"),
+        )
+    )
