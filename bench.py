@@ -177,6 +177,7 @@ EXTRA = [
     "q_pack_efficiency",
     "q_tile_storage_plan",
     "q_agg_weighted_median",
+    "q_text_hapax",
 ]
 
 

@@ -1169,3 +1169,54 @@ def q_text_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             "frac_of_lang"
         ),
     )
+
+
+@query(
+    "q_text_hapax",
+    oracle="""
+    WITH tok AS (
+      SELECT source, unnest(string_split(text, ' ')) AS t FROM documents
+    ),
+    tc AS (SELECT t, count(*) AS n FROM tok GROUP BY t)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(count(DISTINCT tok.t) AS BIGINT) AS n_terms,
+           CAST(count(*) FILTER (tc.n = 1) AS BIGINT) AS n_hapax_tokens,
+           round(CAST(count(*) FILTER (tc.n = 1) AS DOUBLE) / count(*), 6)
+             AS hapax_rate
+    FROM tok JOIN tc ON tok.t = tc.t
+    GROUP BY source
+    """,
+)
+def q_text_hapax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAPAX RATE — per source, the share of its tokens that are
+    corpus-level hapax legomena (terms occurring exactly once in the
+    whole corpus). High hapax rate signals genuinely diverse text (or
+    noise/OCR garbage — paired with q_text_quality it separates the
+    two); near-zero signals templated/repetitive feeds. The classic
+    lexical-richness complement to the Heaps-law curve
+    (q_text_vocab_growth).
+
+    Shape: one token explode, one corpus term-count aggregate
+    (map-side combined), one join back on term, one source rollup —
+    the same explode+agg skeleton as tf-idf, nothing quadratic."""
+    ensure_session_determinism(spark)
+    scope(f"q_text_hapax:{sf_dir}")
+    d = load(spark, sf_dir, "documents")
+    tok = persist_scoped(
+        d.select("source", F.explode(F.split("text", " ")).alias("t"))
+    )  # consumers: counts + join side
+    tc = tok.groupBy("t").agg(F.count(F.lit(1)).alias("n"))
+    hapax = (F.col("n") == 1).cast("int")
+    return (
+        tok.join(tc, "t")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.countDistinct("t").cast("bigint").alias("n_terms"),
+            F.sum(hapax).cast("bigint").alias("n_hapax_tokens"),
+            F.round(
+                F.sum(hapax).cast("double") / F.count(F.lit(1)), 6
+            ).alias("hapax_rate"),
+        )
+    )
