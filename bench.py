@@ -178,6 +178,7 @@ EXTRA = [
     "q_tile_storage_plan",
     "q_agg_weighted_median",
     "q_text_hapax",
+    "q_ts_gap_stats",
 ]
 
 

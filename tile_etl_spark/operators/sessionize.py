@@ -1302,3 +1302,70 @@ def q_ts_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("close").cast("double").alias("close"),
         )
     )
+
+
+@query(
+    "q_ts_gap_stats",
+    oracle="""
+    WITH g AS (
+      SELECT user_id,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id
+             ) AS gap_us
+      FROM events
+    )
+    SELECT user_id,
+           CAST(count(*) + 1 AS BIGINT) AS n_events,
+           CAST(count(*) AS BIGINT) AS n_gaps,
+           round(CAST(sum(gap_us) AS DOUBLE) / count(*) / 1000000, 6)
+             AS mean_gap_s,
+           CAST(max(gap_us) // 1000000 AS BIGINT) AS max_gap_s,
+           CAST(count(*) FILTER (gap_us > 1800000000) AS BIGINT)
+             AS n_session_breaks
+    FROM g WHERE gap_us IS NOT NULL
+    GROUP BY user_id
+    HAVING count(*) > 0
+    """,
+)
+def q_ts_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTER-ARRIVAL PROFILING — per user: event count, mean and max
+    gap between consecutive events (exact integer seconds from the
+    microsecond timestamps), and the count of >30 min breaks (session
+    boundaries by the q_sessionize gap rule). This is the distribution
+    the sessionization timeout is TUNED from — you pick the 30 min gap
+    by looking at exactly this table, so it belongs in the engine next
+    to the sessionizers it calibrates.
+
+    Shape: one lag window per user partition (hash-partitioned — the
+    same single-shuffle skeleton as q_sessionize) and a per-user
+    rollup riding the same partitioning; gaps are integer microsecond
+    differences divided down, so every emitted stat is exact."""
+    ensure_session_determinism(spark)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    # gaps stay integer MICROSECONDS until the last step: a double
+    # seconds column would hit the cast-rounding split (DuckDB's
+    # double->BIGINT cast rounds, Spark's truncates — measured a
+    # 1-second off-by-one on max_gap_s); integer DIV floors in both
+    g = (
+        load(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            (us - F.lag(us).over(w)).alias("gap_us"),
+        )
+        .where(F.col("gap_us").isNotNull())
+    )
+    return g.groupBy("user_id").agg(
+        (F.count(F.lit(1)) + 1).cast("bigint").alias("n_events"),
+        F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
+        F.round(
+            F.sum("gap_us").cast("double") / F.count(F.lit(1)) / 1000000,
+            6,
+        ).alias("mean_gap_s"),
+        F.expr("CAST(max(gap_us) DIV 1000000 AS BIGINT)").alias(
+            "max_gap_s"
+        ),
+        F.sum((F.col("gap_us") > 1800000000).cast("int"))
+        .cast("bigint")
+        .alias("n_session_breaks"),
+    )
