@@ -179,6 +179,7 @@ EXTRA = [
     "q_agg_weighted_median",
     "q_text_hapax",
     "q_ts_gap_stats",
+    "q_join_skew_profile",
 ]
 
 

@@ -521,6 +521,8 @@ _BNLJ_OK = {
     # compose q_bm25, inheriting its whitelisted 1-row corpus-stats
     # broadcast (N, avgdl) — the only BNLJ in either plan
     "q_hybrid_rrf", "q_context_pack",
+    # two 1-row broadcast crosses (totals → hot-key filter → final row)
+    "q_join_skew_profile",
 }
 # Python UDTFs execute via BatchEvalPythonUDTF — the API's execution
 # mode, declared once here; everything else must stay Arrow-vectorized.

@@ -1955,3 +1955,74 @@ def q_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chi2_term"
         ),
     )
+
+
+@query(
+    "q_join_skew_profile",
+    oracle="""
+    WITH kc AS (
+      SELECT user_id, count(*) AS n FROM events GROUP BY user_id
+    ),
+    tot AS (SELECT sum(n) AS t, count(*) AS k, max(n) AS mx FROM kc)
+    SELECT CAST(tot.k AS BIGINT) AS n_keys,
+           CAST(tot.t AS BIGINT) AS n_rows,
+           CAST(tot.mx AS BIGINT) AS max_key_rows,
+           round(CAST(tot.mx AS DOUBLE) / tot.t, 6) AS top1_share,
+           round(CAST(tot.t AS DOUBLE) / tot.k, 6) AS mean_key_rows,
+           round(CAST(tot.mx AS DOUBLE) * tot.k / tot.t, 6) AS skew_factor,
+           CAST((SELECT count(*) FROM kc, tot
+                 WHERE kc.n * tot.k > 2 * tot.t) AS BIGINT)
+             AS n_hot_keys
+    FROM tot
+    """,
+)
+def q_join_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JOIN-KEY SKEW PROFILE — the one-row diagnostic that decides
+    whether a join key needs salting (q_join_skew_salted) or AQE skew
+    handling before the shuffle is ever planned: key cardinality, the
+    hottest key's row count and share, the skew factor (hottest ÷
+    mean), and how many keys run >2× the mean. At 100 TB you run this
+    on a SAMPLE or on partition-level stats; the plan shape — one
+    partial+final count aggregate and a 1-row reduction — is the same
+    either way, and nothing here joins or sorts.
+
+    skew_factor ≈ 1 means uniform keys (shuffle partitions balance);
+    ≥ ~4 means the hottest task runs 4× longer than average and the
+    key needs salting. The fixture's user_id is near-uniform by
+    construction — the profile PROVING that is the point (you check
+    before you salt, not after the straggler)."""
+    ensure_session_determinism(spark)
+    kc = cache.persist_scoped(
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n")),
+        tag=f"q_join_skew_profile:{sf_dir}",
+    )  # consumers: totals + hot-key count
+    tot = kc.agg(
+        F.sum("n").alias("t"),
+        F.count(F.lit(1)).alias("k"),
+        F.max("n").alias("mx"),
+    )
+    hot = (
+        kc.join(F.broadcast(tot), how="cross")
+        .where(F.col("n") * F.col("k") > 2 * F.col("t"))
+        .agg(F.count(F.lit(1)).alias("n_hot"))
+    )
+    return (
+        tot.join(F.broadcast(hot), how="cross")
+        .select(
+            F.col("k").cast("bigint").alias("n_keys"),
+            F.col("t").cast("bigint").alias("n_rows"),
+            F.col("mx").cast("bigint").alias("max_key_rows"),
+            F.round(F.col("mx").cast("double") / F.col("t"), 6).alias(
+                "top1_share"
+            ),
+            F.round(F.col("t").cast("double") / F.col("k"), 6).alias(
+                "mean_key_rows"
+            ),
+            F.round(
+                F.col("mx").cast("double") * F.col("k") / F.col("t"), 6
+            ).alias("skew_factor"),
+            F.col("n_hot").cast("bigint").alias("n_hot_keys"),
+        )
+    )
