@@ -1,0 +1,125 @@
+"""Regression tests for the shared-infra fixes (round-4 advice #1-#4).
+
+Each test pins the behavior the fix introduced so later edits to
+session.py / io.py / cache.py / llm/similarity.py can't silently
+reintroduce the latent failure mode.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from tile_etl_spark import cache as cache_mod
+from tile_etl_spark import io as io_mod
+from tile_etl_spark.session import ensure_session_determinism
+
+
+class _FixedConf:
+    """Conf facade of a build where spark.sql.ansi.enabled is pinned on:
+    set() is accepted (or ignored) but the value never changes."""
+
+    def set(self, key, value):
+        pass  # silently ignored, as a cluster-pinned conf would be
+
+    def get(self, key, default=None):
+        if key == "spark.sql.ansi.enabled":
+            return "true"
+        return default
+
+
+class _FixedConfSession:
+    conf = _FixedConf()
+
+
+def test_ansi_pin_fails_fast_on_immutable_conf():
+    """ensure_session_determinism must RAISE when the ANSI conf cannot
+    actually be flipped off — the MinHash multiply-shift family depends
+    on non-ANSI int64 wraparound and would otherwise throw
+    ARITHMETIC_OVERFLOW deep inside a task."""
+    with pytest.raises(RuntimeError, match="ansi"):
+        ensure_session_determinism(_FixedConfSession())
+
+
+def test_ansi_pin_passes_on_normal_session(spark):
+    assert ensure_session_determinism(spark) is spark
+    assert spark.conf.get("spark.sql.ansi.enabled") == "false"
+
+
+def test_load_memo_reloads_regenerated_fixture(spark, tmp_path):
+    """Regenerating a fixture mid-session must invalidate the memo entry
+    (keyed on size+mtime), not serve the stale DataFrame/listing."""
+    sf_dir = str(tmp_path)
+    path = os.path.join(sf_dir, "region.parquet")
+
+    def write(keys):
+        t = pa.table(
+            {
+                "r_regionkey": pa.array(keys, pa.int64()),
+                "r_name": pa.array([f"R{k}" for k in keys]),
+                "r_comment": pa.array(["x"] * len(keys)),
+            }
+        )
+        pq.write_table(t, path)
+
+    write([0, 1, 2])
+    df1 = io_mod.load(spark, sf_dir, "region")
+    assert df1.count() == 3
+    # memo hit while the file is unchanged: identical object back
+    assert io_mod.load(spark, sf_dir, "region") is df1
+
+    write([0, 1, 2, 3, 4])  # regenerate: new size ⇒ new fingerprint
+    df2 = io_mod.load(spark, sf_dir, "region")
+    assert df2 is not df1
+    assert df2.count() == 5
+    shutil.rmtree(sf_dir, ignore_errors=True)
+
+
+def test_load_memo_is_per_session_weakref(spark):
+    """The memo must key per live session and drop dead entries; it must
+    never pin a DataFrame under a foreign session id."""
+    memo = io_mod._memo_for(spark)
+    assert io_mod._memo_for(spark) is memo  # stable for the live session
+    # simulate a dead session entry: weakref that resolves to None
+    class _Dead:
+        def __call__(self):
+            return None
+
+    io_mod._LOAD_MEMO[-1] = (_Dead(), {"sentinel": object()})
+    io_mod._memo_for(spark)  # any access sweeps dead entries
+    assert -1 not in io_mod._LOAD_MEMO
+
+
+def test_cache_scope_context_restores_previous_tag(spark, sf_dir):
+    """Interleaving: a helper that persists AFTER a `with scope(...)`
+    block must register under the OUTER tag, not the inner one."""
+    df = spark.range(10)
+    cache_mod.scope("outer_q")
+    with cache_mod.scope("inner_helper"):
+        cache_mod.persist_scoped(df.selectExpr("id * 2 AS x"))
+        assert cache_mod._SCOPE[0] == "inner_helper"
+    assert cache_mod._SCOPE[0] == "outer_q"
+    outer_df = cache_mod.persist_scoped(df.selectExpr("id + 1 AS y"))
+    tags = [t for t, _ in cache_mod._CACHED]
+    assert tags[-1] == "outer_q"
+    # entering another scope releases both older tags' handles
+    cache_mod.scope("next_q")
+    assert all(t == "next_q" for t, _ in cache_mod._CACHED)
+    assert outer_df.storageLevel.useMemory is False
+    cache_mod.release_cached()
+
+
+def test_kmeans_empty_corpus_raises_cleanly(spark):
+    """An empty corpus must fail with the explicit ValueError, not an
+    IndexError from rows[0] — callers (IVF build) surface the message."""
+    from tile_etl_spark.llm.similarity import kmeans_centroids
+
+    empty = spark.createDataFrame(
+        [], "vec_id bigint, e array<double>"
+    )
+    with pytest.raises(ValueError, match="empty corpus"):
+        kmeans_centroids(empty, n_cells=4, iters=1)
