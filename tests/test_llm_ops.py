@@ -255,3 +255,30 @@ def test_hybrid_rrf_fusion_semantics(spark, sf_dir):
             srank = max(s["lex_rank"], s["dense_rank"])
             if srank >= worst:
                 assert b["rank"] < s["rank"], (b, s)
+
+
+def test_exact_jaccard_prune_is_result_identical(spark, sf_dir):
+    """The adaptive candidate prune (100 TB path) must change only the
+    plan, never the values: pruned and prune-free runs agree exactly,
+    and auto mode picks prune-free at fixture scale."""
+    from tile_etl_spark.io import load
+    from tile_etl_spark.llm import dedup as D
+
+    docs = D._parallelize_docs(load(spark, sf_dir, "documents"))
+    sh = D.shingles_df(docs)
+    sigs = D.minhash_signatures(docs, shingles=sh)
+    pairs = D.lsh_candidate_pairs(sigs)
+
+    def rows(prune):
+        out = D.exact_jaccard(docs, pairs, prune=prune)
+        return sorted(
+            (r["d1"], r["d2"], round(r["jaccard"], 9))
+            for r in out.collect()
+        )
+
+    assert rows(True) == rows(False)
+    # fixture corpus is far below the prune threshold → auto == False
+    est = int(
+        docs._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+    )
+    assert est <= D._JACCARD_PRUNE_BYTES

@@ -271,21 +271,56 @@ def lsh_candidate_pairs(
     )
 
 
+# exact_jaccard auto-prunes the doc set to candidate ids before
+# re-shingling once the corpus plan-stats estimate crosses this size:
+# below it the extra semi-join stage costs more than the avoided
+# shingle explode (measured at sf0.1); above it the explode of
+# non-candidate docs dominates and the prune wins. Catalyst's
+# sizeInBytes estimate is free (no job) — at the 100 TB design point it
+# is orders of magnitude past this line, so the pruned plan is the one
+# that ships.
+_JACCARD_PRUNE_BYTES = 256 * 1024 * 1024
+
+
 def exact_jaccard(
     docs: DataFrame,
     pairs: DataFrame,
     shingles: DataFrame | None = None,
+    prune: bool | None = None,
 ) -> DataFrame:
     """Exact shingle-set Jaccard for the given pairs: intersection via
     shingle join restricted to candidates, union by sizes.
 
     The shingle equality is part of the second JOIN KEY, not a
     post-join filter — the intermediate is the intersection itself,
-    never the |A|x|B| cross of each pair's shingle sets. (A semi-join
-    prune of docs to candidate ids before shingling was measured
-    SLOWER at sf0.1 — it serializes the LSH and verify stages behind a
-    barrier; at 100 TB, where the explode dominates scheduling, the
-    prune belongs back. Documented trade, not an oversight.)"""
+    never the |A|x|B| cross of each pair's shingle sets.
+
+    ``prune`` controls the semi-join prune of docs to candidate ids
+    before shingling. Default (None) decides from Catalyst's plan-size
+    estimate: small corpora keep the prune-free plan (the extra stage
+    was measured SLOWER at sf0.1 — it serializes LSH and verify behind
+    a barrier), large corpora prune so only candidate docs are
+    re-shingled. Only applies when this function builds the shingles
+    itself; a caller-supplied ``shingles`` frame is used as-is."""
+    if shingles is None:
+        if prune is None:
+            try:
+                est = int(
+                    docs._jdf.queryExecution()
+                    .optimizedPlan()
+                    .stats()
+                    .sizeInBytes()
+                )
+            except Exception:
+                est = 0
+            prune = est > _JACCARD_PRUNE_BYTES
+        if prune:
+            cand = (
+                pairs.select(F.col("d1").alias("doc_id"))
+                .unionAll(pairs.select(F.col("d2").alias("doc_id")))
+                .distinct()
+            )
+            docs = docs.join(cand, "doc_id", "left_semi")
     sh = (
         _persist(shingles_df(docs)) if shingles is None else shingles
     )  # consumers: inter (×2 sides) + sizes
