@@ -192,7 +192,17 @@ def main() -> None:
     qids = [q for q in HEADLINE if q in registry.QUERIES]
     extra_qids = [q for q in EXTRA if q in registry.QUERIES]
 
-    spark = get_spark(app_name="tile-etl-spark-bench")
+    # Size the shuffle width to the benchmark's data volume: at sf≤0.2
+    # every shuffle stage moves at most a few MB, and 32 reduce tasks
+    # cost more in scheduler overhead than they buy in parallelism
+    # (measured on the 8 floor-dominated headline qids: 32→8 partitions
+    # shaves ~10% wall; AQE still coalesces/splits adaptively on top).
+    # A real deployment uses cluster_conf()'s 2000 + 128MB advisory.
+    shuffle = os.environ.get("SPARK_GRAFT_SHUFFLE")
+    if shuffle is None and sf is not None and sf <= 0.2:
+        shuffle = "8"
+    spark = get_spark(app_name="tile-etl-spark-bench",
+                      shuffle_partitions=shuffle)
     # Warm the JVM + parquet footers once so per-query times measure the
     # query, not session bootstrap.
     force(spark.read.parquet(f"{sf_dir}/lineitem.parquet"))

@@ -85,24 +85,19 @@ def shingle_array(k: int = 3):
     docs shorter than k words yield an EMPTY array (Spark's sequence
     descends when start > stop — never rely on it clamping).
 
-    Token array let-bound via ``let_tokens`` (measured 0.69 s vs
-    0.36 s warm for the shingle scan at sf0.1)."""
-
-    def body(w):
-        return F.when(
-            F.size(w) < k, F.array().cast("array<string>")
-        ).otherwise(
-            F.array_distinct(
-                F.transform(
-                    F.sequence(F.lit(0), F.size(w) - k),
-                    lambda i: F.concat_ws(
-                        " ", *[F.element_at(w, i + j + 1) for j in range(k)]
-                    ),
-                )
-            )
-        )
-
-    return let_tokens(body)
+    Token array let-bound (same trick as ``let_tokens``: the single-
+    element transform makes every reference a lambda-variable read, not
+    a re-inlined split — measured 0.69 s vs 0.36 s warm for the shingle
+    scan at sf0.1). Emitted as ONE parsed SQL expression: the Python-
+    built Column tree cost ~0.09 s of Py4J round-trips per builder
+    invocation, and this helper is on nearly every dedup/text plan."""
+    parts = ", ".join(f"element_at(w, i + {j + 1})" for j in range(k))
+    return F.expr(
+        "element_at(transform(array(split(text, ' ')), w -> "
+        f"CASE WHEN size(w) < {k} THEN cast(array() as array<string>) "
+        f"ELSE array_distinct(transform(sequence(0, size(w) - {k}), "
+        f"i -> concat_ws(' ', {parts}))) END), 1)"
+    )
 
 
 def _parallelize_docs(docs: DataFrame) -> DataFrame:
@@ -188,21 +183,18 @@ def minhash_signatures(
     sh = shingles_df(docs) if shingles is None else shingles
     hashed = sh.select("doc_id", F.xxhash64("shingle").alias("h"))
 
-    def perm_col(a: int, b: int):
-        # (a·h + b) wraps mod 2^64 (Java long semantics, non-ANSI),
-        # then the top 32 bits are the permuted value — multiply-shift.
-        return F.shiftrightunsigned(F.lit(a) * F.col("h") + F.lit(b), 32)
-
-    mins = hashed.groupBy("doc_id").agg(
-        *[
-            F.min(perm_col(a, b)).alias(f"m{p}")
-            for p, (a, b) in enumerate(params)
-        ]
+    # The whole signature as ONE parsed SQL expression — an array of 64
+    # min-aggregates: (a·h + b) wraps mod 2^64 (Java long semantics,
+    # non-ANSI), then the top 32 bits are the permuted value —
+    # multiply-shift. Composing this per-perm from F.lit/F.col Columns
+    # was ~6 Py4J round-trips × 64 perms plus one eager analysis per
+    # DataFrame step; that put ~1.1 s of DRIVER-side plan construction
+    # in front of ~0.6 s of execution at sf0.1 (measured). A single
+    # parse + single agg step builds the identical analyzed plan.
+    mins = ", ".join(
+        f"min(shiftrightunsigned({a}L * h + {b}L, 32))" for a, b in params
     )
-    return mins.select(
-        "doc_id",
-        F.array(*[F.col(f"m{p}") for p in range(n_perm)]).alias("sig"),
-    )
+    return hashed.groupBy("doc_id").agg(F.expr(f"array({mins}) AS sig"))
 
 
 def lsh_candidate_pairs(
@@ -228,21 +220,15 @@ def lsh_candidate_pairs(
     # inlines the signature expression into every reference, so 16
     # bands × 4 getItems would evaluate the full 64-perm MinHash 64
     # times per row (measured 50× slowdown at sf0.01). A single
-    # transform keeps one evaluation.
-    bands = F.transform(
-        F.sequence(F.lit(0), F.lit(n_bands - 1)),
-        lambda b: F.struct(
-            b.cast("int").alias("band_id"),
-            F.xxhash64(
-                F.array_join(
-                    F.transform(
-                        F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
-                        lambda x: x.cast("string"),
-                    ),
-                    ",",
-                )
-            ).alias("band_hash"),
-        ),
+    # transform keeps one evaluation. One parsed SQL expression — the
+    # nested-lambda Column tree was ~0.1 s of driver-side Py4J per
+    # builder call.
+    bands = F.expr(
+        f"transform(sequence(0, {n_bands - 1}), b -> struct("
+        "cast(b as int) AS band_id, "
+        f"xxhash64(array_join(transform(slice(sig, b * {rows_per_band}"
+        f" + 1, {rows_per_band}), x -> cast(x as string)), ',')) "
+        "AS band_hash))"
     )
     bucketed = sigs.select(
         "doc_id", F.explode(bands).alias("band")
@@ -255,14 +241,10 @@ def lsh_candidate_pairs(
     # ms is a materialized aggregate output (aggregation is a collapse
     # barrier), so the four references below are cheap bound
     # attributes, not re-evaluated expression trees.
-    pairs = F.flatten(
-        F.transform(
-            F.col("ms"),
-            lambda x, i: F.transform(
-                F.slice(F.col("ms"), i + 2, F.size(F.col("ms"))),
-                lambda y: F.struct(x.alias("d1"), y.alias("d2")),
-            ),
-        )
+    pairs = F.expr(
+        "flatten(transform(ms, (x, i) -> "
+        "transform(slice(ms, i + 2, size(ms)), "
+        "y -> struct(x AS d1, y AS d2))))"
     )
     return (
         members.select(F.explode(pairs).alias("p"))
@@ -336,9 +318,23 @@ def exact_jaccard(
         .groupBy("d1", "d2")
         .agg(F.count(F.lit(1)).alias("i"))
     )
+    # select-with-alias, not withColumnRenamed: every DataFrame step is
+    # eagerly ANALYZED (execution stays lazy), so four rename steps over
+    # an already-deep plan pay four extra full analysis passes on the
+    # driver.
     return (
-        inter.join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("n", "n1"), "d1")
-        .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("n", "n2"), "d2")
+        inter.join(
+            sizes.select(
+                F.col("doc_id").alias("d1"), F.col("n").alias("n1")
+            ),
+            "d1",
+        )
+        .join(
+            sizes.select(
+                F.col("doc_id").alias("d2"), F.col("n").alias("n2")
+            ),
+            "d2",
+        )
         .select(
             "d1",
             "d2",
