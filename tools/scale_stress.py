@@ -188,12 +188,28 @@ def main() -> None:
     )
     n_pairs = verified.count()
     dt = time.monotonic() - t0
-    sh.unpersist()
-    cand.unpersist()
     out["dedup_docs"] = n_docs
     out["dedup_pairs"] = n_pairs
     out["dedup_s"] = round(dt, 3)
     out["dedup_docs_per_s"] = int(n_docs / dt)
+
+    # --- stress 3b: the PRUNED verify path (the 100 TB plan) ------------
+    # exact_jaccard's adaptive prune only engages when it builds the
+    # shingles itself; force it here so the candidate semi-join +
+    # re-shingle plan is exercised at amplified volume and shown
+    # result-identical to the shared-shingles plan above.
+    t0 = time.monotonic()
+    pruned_pairs = (
+        exact_jaccard(amp_docs, cand, prune=True)
+        .where(F.col("jaccard") >= 0.8)
+        .count()
+    )
+    dt = time.monotonic() - t0
+    sh.unpersist()
+    cand.unpersist()
+    out["dedup_pruned_pairs"] = pruned_pairs
+    out["dedup_pruned_s"] = round(dt, 3)
+    out["dedup_pruned_match"] = bool(pruned_pairs == n_pairs)
 
     # --- stress 4: embedding GEMM over an amplified corpus --------------
     from tile_etl_spark.llm.similarity import cosine_topk
