@@ -114,9 +114,13 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_docs = d.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
     terms = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
     tfc = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    dfc = terms.groupBy("term").agg(
-        F.countDistinct("doc_id").alias("df")
-    )
+    # df derived FROM tfc, not from a second aggregation over the raw
+    # terms: tfc is already unique per (doc, term), so rows-per-term IS
+    # the document frequency. The previous shape re-ran the full
+    # explode (two corpus passes — exchange reuse can't merge the two
+    # different grouping keys) plus a countDistinct expand; this is one
+    # corpus pass and a plain count over the much smaller pair set.
+    dfc = tfc.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     scored = (
         tfc.join(F.broadcast(dfc), "term")
         .crossJoin(F.broadcast(n_docs))
@@ -348,23 +352,17 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("wv") * 31 + F.lead("wv", 1).over(w)) * 31
         + F.lead("wv", 2).over(w)
     ) * 31 + F.lead("wv", 3).over(w)
-    fps = tok.select("doc_id", fp.alias("fp")).where(F.col("fp").isNotNull())
-    out = fps.groupBy("doc_id").agg(
+    # Keep NULL fps (positions past the last full 4-gram) instead of
+    # filtering + re-joining the doc list: countDistinct/min/max all
+    # ignore NULLs, so a <4-word doc keeps its row with (0, NULL, NULL)
+    # — the oracle's empty-list semantics — and the plan loses a join
+    # plus its exchange. The groupBy reuses the window's doc_id
+    # partitioning, so this is one shuffle end to end.
+    fps = tok.select("doc_id", fp.alias("fp"))
+    return fps.groupBy("doc_id").agg(
         F.countDistinct("fp").cast("int").alias("n_distinct_fp"),
         F.min("fp").alias("min_fp"),
         F.max("fp").alias("max_fp"),
-    )
-    # docs shorter than 4 words have no fingerprints: re-attach with
-    # NULL stats so the row set matches the oracle's (empty-list rows).
-    return (
-        d.select("doc_id").join(out, "doc_id", "left").select(
-            "doc_id",
-            F.coalesce("n_distinct_fp", F.lit(0)).cast("int").alias(
-                "n_distinct_fp"
-            ),
-            "min_fp",
-            "max_fp",
-        )
     )
 
 
