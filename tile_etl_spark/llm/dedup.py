@@ -1280,17 +1280,27 @@ def q_join_setsim(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _parallelize_docs(load(spark, sf_dir, "documents"))
     toks = _persist(shingles_df(d, k=3).withColumnRenamed("shingle", "tok"))
     freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     w_ord = Window.partitionBy("doc_id").orderBy("df", "tok")
-    w_all = Window.partitionBy("doc_id")
+    # per-doc set size comes from the (broadcastable, |docs|-row) sizes
+    # aggregate, NOT a second unordered window over the token rows — a
+    # no-order count-over-partition is its OWN WindowExec pass on top
+    # of the rarest-first sort below.
     ranked = (
         toks.join(F.broadcast(freq), "tok")
+        .join(F.broadcast(sizes), "doc_id")
         .withColumn("pos", F.row_number().over(w_ord))
-        .withColumn("n", F.count(F.lit(1)).over(w_all))
     )
-    prefix = ranked.where(
-        F.col("pos")
-        <= F.col("n") - F.ceil(F.lit(_SS_TAU) * F.col("n")) + 1
-    ).select("doc_id", "tok")
+    # persisted: the prefix feeds BOTH sides of the candidate
+    # self-join, and without the persist the whole freq-join + window
+    # stack is computed twice (self-join sides are separate plan
+    # branches; the join key is tok, so nothing upstream is reusable).
+    prefix = _persist(
+        ranked.where(
+            F.col("pos")
+            <= F.col("n") - F.ceil(F.lit(_SS_TAU) * F.col("n")) + 1
+        ).select("doc_id", "tok")
+    )
     a, b = prefix.alias("a"), prefix.alias("b")
     cand = (
         a.join(
@@ -1303,27 +1313,56 @@ def q_join_setsim(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    inter = (
-        cand.join(toks.select(F.col("doc_id").alias("d1"), "tok"), "d1")
-        .join(toks.select(F.col("doc_id").alias("d2"), "tok"), ["d2", "tok"])
-        .groupBy("d1", "d2")
-        .agg(F.count(F.lit(1)).alias("i"))
+    # VERIFY over per-doc token ARRAYS, not a token-level join: the
+    # uniform synthetic vocabulary is the adversarial case for
+    # rarest-first prefixes (~300 k candidates at sf0.1), and joining
+    # each candidate against both token lists shuffled ~15 M rows
+    # (3.3 s — the whole query's cost). Collapsing each doc to ONE row
+    # carrying its sorted token array makes the verify two doc-count-
+    # sized joins plus an in-row array_intersect per candidate
+    # (O(|A|+|B|) eval, no row amplification). Two exact prunes run
+    # first: the PPJoin LENGTH filter (J ≥ τ ⇒ τ·max(n1,n2) ≤
+    # min(n1,n2) — lossless pigeonhole) drops pairs before any
+    # intersection is evaluated. Scale note: array rows are doc-sized —
+    # right for documents/shingle sets; for multi-MB sets keep the
+    # token-level intersection join (exact_jaccard's shape) instead.
+    arrs = toks.groupBy("doc_id").agg(
+        F.collect_list("tok").alias("ts"), F.count(F.lit(1)).alias("n")
+    )
+    joined = (
+        cand.join(
+            arrs.select(
+                F.col("doc_id").alias("d1"),
+                F.col("ts").alias("t1"),
+                F.col("n").alias("n1"),
+            ),
+            "d1",
+        )
+        .join(
+            arrs.select(
+                F.col("doc_id").alias("d2"),
+                F.col("ts").alias("t2"),
+                F.col("n").alias("n2"),
+            ),
+            "d2",
+        )
+        .where(
+            F.lit(_SS_TAU) * F.greatest("n1", "n2")
+            <= F.least("n1", "n2")
+        )
+        .select(
+            "d1",
+            "d2",
+            "n1",
+            "n2",
+            F.size(F.array_intersect("t1", "t2")).alias("i"),
+        )
     )
     jac = F.col("i").cast("double") / (
         F.col("n1") + F.col("n2") - F.col("i")
     )
-    return (
-        inter.join(
-            sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1")),
-            "d1",
-        )
-        .join(
-            sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2")),
-            "d2",
-        )
-        .where(jac >= _SS_TAU)
-        .select("d1", "d2", F.round(jac, 6).alias("jaccard"))
+    return joined.where(jac >= _SS_TAU).select(
+        "d1", "d2", F.round(jac, 6).alias("jaccard")
     )
 
 
