@@ -22,6 +22,7 @@ from tile_etl_spark.io import as_double
 from tile_etl_spark.registry import query
 from tile_etl_spark.session import ensure_session_determinism
 from tile_etl_spark.streaming.replay import (
+    EVENTS_SCHEMA,
     _art_root,
     read_stream,
     replay_dir,
@@ -323,7 +324,16 @@ def s_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
             os.path.join(base, f"v{int(epoch_id):05d}")
         )
 
-    stream = read_stream(spark, replay_dir(spark, sf_dir))
+    # 2 chunk files per trigger → 4 micro-batches: the upsert chain's
+    # contract (merge + idempotent overwrite across batch BOUNDARIES)
+    # is exercised by any multi-batch replay; each extra batch costs a
+    # full read-merge-write cycle (~0.4 s), so 8 single-file batches
+    # doubled the query's wall for no additional semantics.
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(replay_dir(spark, sf_dir) + "/chunk_*.parquet")
+    )
     ckpt = os.path.join(_art_root(), "checkpoints", os.path.basename(base))
     q = (
         stream.writeStream.foreachBatch(upsert)
