@@ -304,13 +304,6 @@ def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Rolling-hash fingerprinting: word value wv = ascii(first)·10000 +
 # ascii(last)·100 + length; window-4 polynomial hash base 31. Both
 # dialects compute identical BIGINTs.
-_WV_SPARK = (
-    lambda w: F.ascii(F.substring(w, 1, 1)) * 10000
-    + F.ascii(F.substring(w, -1, 1)) * 100
-    + F.length(w)
-)
-
-
 @query(
     "q_text_fingerprint",
     oracle="""
@@ -339,38 +332,36 @@ _WV_SPARK = (
 def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting: rolling polynomial hash over 4-word
     windows; emits distinct-fingerprint count and min/max (the winnowing
-    primitives). Pure array expressions — no shuffle until any
-    cross-doc fingerprint join."""
-    ensure_session_determinism(spark)
-    from pyspark.sql import Window
+    primitives). Pure per-row array expressions — ZERO shuffles; at
+    100 TB this pipelines straight out of the scan, vs the previous
+    posexplode + window + groupBy shape that shuffled every token row.
 
+    The token-value array and the rolling-hash array are each let-bound
+    via the singleton-array transform trick (`transform(array(<expr>),
+    v -> ...)`) so Catalyst's projection collapse cannot re-inline the
+    shared subexpression — the naive nested form re-evaluated the token
+    array 4x per window position (~400x slower at sf0.1). A <4-word doc
+    yields an empty fps array -> (0, NULL, NULL), matching the oracle's
+    empty-list semantics."""
+    ensure_session_determinism(spark)
     d = load(spark, sf_dir, "documents")
-    # Shape: posexplode words → word value once per token → three
-    # window leads build the 4-gram hash → one aggregate per doc.
-    # (An array-expression version evaluated the token-value array 4×
-    # per window position via projection collapse — 400× slower at
-    # sf0.1. This form is one shuffle on doc_id and all codegen.)
-    tok = d.select(
-        "doc_id",
-        F.posexplode(F.split("text", " ")).alias("pos", "word"),
-    ).select("doc_id", "pos", _WV_SPARK(F.col("word")).cast("bigint").alias("wv"))
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    fp = (
-        (F.col("wv") * 31 + F.lead("wv", 1).over(w)) * 31
-        + F.lead("wv", 2).over(w)
-    ) * 31 + F.lead("wv", 3).over(w)
-    # Keep NULL fps (positions past the last full 4-gram) instead of
-    # filtering + re-joining the doc list: countDistinct/min/max all
-    # ignore NULLs, so a <4-word doc keeps its row with (0, NULL, NULL)
-    # — the oracle's empty-list semantics — and the plan loses a join
-    # plus its exchange. The groupBy reuses the window's doc_id
-    # partitioning, so this is one shuffle end to end.
-    fps = tok.select("doc_id", fp.alias("fp"))
-    return fps.groupBy("doc_id").agg(
-        F.countDistinct("fp").cast("int").alias("n_distinct_fp"),
-        F.min("fp").alias("min_fp"),
-        F.max("fp").alias("max_fp"),
+    v_expr = (
+        "transform(split(text, ' '), w -> CAST(ascii(substring(w, 1, 1)) * 10000"
+        " + ascii(substring(w, -1, 1)) * 100 + length(w) AS BIGINT))"
     )
+    fps_expr = (
+        "IF(size(v) >= 4, transform(sequence(1, size(v) - 3), i ->"
+        " ((element_at(v, i) * 31 + element_at(v, i + 1)) * 31"
+        " + element_at(v, i + 2)) * 31 + element_at(v, i + 3)),"
+        " CAST(array() AS ARRAY<BIGINT>))"
+    )
+    stats = (
+        f"element_at(transform(array({v_expr}), v -> "
+        f"element_at(transform(array({fps_expr}), f -> "
+        "struct(CAST(size(array_distinct(f)) AS INT) AS n_distinct_fp, "
+        "array_min(f) AS min_fp, array_max(f) AS max_fp)), 1)), 1)"
+    )
+    return d.select("doc_id", F.expr(stats).alias("s")).select("doc_id", "s.*")
 
 
 @query(
