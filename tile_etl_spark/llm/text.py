@@ -835,55 +835,58 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     actually ship, and the lexical half of hybrid (BM25 + embedding)
     retrieval next to q_sim_cosine_topk.
 
-    Shape: token explode → per-doc length aggregate; the query-term tf
-    table is tiny (terms are a literal IN-list pruned AT THE SCAN);
-    df and the (N, avgdl) stats are 1-row/3-row broadcasts. The only
-    per-doc state that exists at 100 TB is lens — co-keyed with tf on
-    doc_id, one co-partitioned join, then a bounded top-k. Ranking
-    compares RAW doubles (identical int/double inputs ⇒ identical
-    engine arithmetic) with doc_id tiebreak; only the emitted score is
-    rounded."""
+    Shape: NO token explode — the query is a fixed literal term list,
+    so per-doc length and per-term tf are per-row array expressions
+    (`size(tk)` / `size(filter(tk, t = term))`, token array let-bound
+    once via the singleton-array transform trick). The only shuffle is
+    the 1-row (N, avgdl, df...) corpus-stats aggregate, broadcast back;
+    scoring is per-row arithmetic and the top-20 executes as
+    TakeOrderedAndProject (per-partition top-k, driver merge — the
+    100 TB path; the previous explode shape shuffled every token row
+    twice). Ranking compares RAW doubles (identical int/double inputs
+    ⇒ identical engine arithmetic) with doc_id tiebreak; only the
+    emitted score is rounded. A doc lacking term i contributes +0.0 for
+    it (IEEE-identical to the oracle's absent-row sum)."""
     ensure_session_determinism(spark)
-    scope(f"q_bm25:{sf_dir}")
     d = load(spark, sf_dir, "documents")
-    tok = persist_scoped(
-        d.select("doc_id", F.explode(F.split("text", " ")).alias("t"))
-    )  # two consumers: lens + tf
-    lens = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-    stats = lens.agg(
-        F.count(F.lit(1)).alias("n"),
-        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    tfs = ", ".join(
+        f"CAST(size(filter(tk, t -> t = '{t}')) AS BIGINT) AS tf{i}"
+        for i, t in enumerate(_BM25_TERMS)
     )
-    tf = (
-        tok.where(F.col("t").isin(*_BM25_TERMS))
-        .groupBy("doc_id", "t")
-        .agg(F.count(F.lit(1)).alias("tf"))
+    row_expr = (
+        "element_at(transform(array(split(text, ' ')), tk -> struct("
+        f"CAST(size(tk) AS BIGINT) AS dl, {tfs})), 1)"
     )
-    df_t = tf.groupBy("t").agg(F.countDistinct("doc_id").alias("df"))
-    idf = F.log(
-        F.lit(1)
-        + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    rows = d.selectExpr("doc_id", f"{row_expr} AS s").selectExpr(
+        "doc_id", "s.*"
     )
-    per_term = idf * F.col("tf") * (_BM25_K1 + 1) / (
-        F.col("tf")
-        + _BM25_K1
-        * (1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+    stats = rows.groupBy().agg(
+        F.expr("COUNT(1)").alias("n"),
+        F.expr("CAST(SUM(dl) AS DOUBLE) / COUNT(1)").alias("avgdl"),
+        *[
+            F.expr(f"SUM(CAST(tf{i} > 0 AS INT))").alias(f"df{i}")
+            for i in range(len(_BM25_TERMS))
+        ],
     )
-    scored = (
-        tf.join(F.broadcast(df_t), "t")
-        .join(lens, "doc_id")
-        .crossJoin(F.broadcast(stats))
-        .select("doc_id", per_term.alias("s"))
-        .groupBy("doc_id")
-        .agg(F.sum("s").alias("score_raw"))
+    norm = f"{_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * dl / avgdl)"
+    score = " + ".join(
+        f"IF(tf{i} > 0, ln(1 + (n - df{i} + 0.5) / (df{i} + 0.5))"
+        f" * tf{i} * ({_BM25_K1} + 1) / (tf{i} + {norm}), 0.0D)"
+        for i in range(len(_BM25_TERMS))
     )
+    matched = rows.where(
+        " OR ".join(f"tf{i} > 0" for i in range(len(_BM25_TERMS)))
+    )
+    scored = matched.crossJoin(F.broadcast(stats)).selectExpr(
+        "doc_id", f"{score} AS score_raw"
+    )
+    top = scored.orderBy(
+        F.col("score_raw").desc(), F.col("doc_id").asc()
+    ).limit(_BM25_TOPK)
     w = Window.orderBy(F.col("score_raw").desc(), F.col("doc_id").asc())
     return (
-        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .where(F.col("rank") <= _BM25_TOPK)
-        .select(
-            "doc_id", F.round("score_raw", 6).alias("score"), "rank"
-        )
+        top.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .selectExpr("doc_id", "round(score_raw, 6) AS score", "rank")
     )
 
 
