@@ -124,21 +124,21 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = (
         tfc.join(F.broadcast(dfc), "term")
         .crossJoin(F.broadcast(n_docs))
-        .select(
-            "doc_id",
-            "term",
-            (F.col("tf") * F.log(F.col("n_docs") / F.col("df"))).alias(
-                "tfidf"
-            ),
-        )
+        .selectExpr("doc_id", "term", "tf * ln(n_docs / df) AS tfidf")
     )
-    w = Window.partitionBy("doc_id").orderBy(
-        F.col("tfidf").desc(), F.col("term").asc()
-    )
+    # Per-doc argmax as a min_by aggregate on (-tfidf, term) — the
+    # struct key reproduces the (tfidf DESC, term ASC) ranking, and the
+    # partial aggregate reduces map-side to ≤1 row per doc per
+    # partition. The previous row_number window fully sorted the pair
+    # set inside each doc partition — an avoidable wide sort at 100 TB.
     return (
-        scored.withColumn("r", F.row_number().over(w))
-        .where(F.col("r") == 1)
-        .select("doc_id", F.col("term").alias("top_term"), F.round("tfidf", 6).alias("tfidf"))
+        scored.groupBy("doc_id")
+        .agg(
+            F.expr(
+                "min_by(struct(term, tfidf), struct(-tfidf, term))"
+            ).alias("s")
+        )
+        .selectExpr("doc_id", "s.term AS top_term", "round(s.tfidf, 6) AS tfidf")
     )
 
 
