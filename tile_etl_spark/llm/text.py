@@ -67,13 +67,11 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     terms = d.select("lang", F.explode(F.split("text", " ")).alias("term"))
     counts = terms.groupBy("lang", "term").agg(F.count(F.lit(1)).alias("n"))
-    w = Window.partitionBy("lang").orderBy(
-        F.col("n").desc(), F.col("term").asc()
-    )
-    top = (
-        counts.withColumn("r", F.row_number().over(w))
-        .where(F.col("r") == 1)
-        .select("lang", F.col("term").alias("top_term"))
+    # Argmax per lang as a min_by aggregate on (-n, term) — reproduces
+    # the (n DESC, term ASC) ranking with a map-side partial reduce
+    # instead of a per-lang window sort of the whole vocabulary.
+    top = counts.groupBy("lang").agg(
+        F.expr("min_by(term, struct(-n, term))").alias("top_term")
     )
     return per_lang.join(top, "lang")
 
