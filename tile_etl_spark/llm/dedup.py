@@ -1593,23 +1593,23 @@ def q_sketch_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("lang", F.explode(shingle_array(3)).alias("shingle"))
         .distinct()
     )
-    h = F.conv(
-        F.substring(F.md5(F.col("shingle").cast("binary")), 1, 15), 16, 10
-    ).cast("bigint")
-    params = _perm_params()
-
-    def perm_col(a: int, b: int):
-        return F.shiftrightunsigned(F.lit(a) * F.col("h") + F.lit(b), 32)
-
+    # Signature as ONE parsed expression — an array of 64 min-aggregates
+    # (same single-parse discipline as minhash_signatures: the previous
+    # 64 Python-built min columns plus a 64-term agreement loop cost
+    # ~1.5 s of driver-side Py4J per builder call; this form builds in
+    # ~0.2 s and produces the identical aggregate).
+    H = (
+        "cast(conv(substring(md5(cast(shingle as binary)), 1, 15),"
+        " 16, 10) as bigint)"
+    )
+    mins = ", ".join(
+        f"min(shiftrightunsigned({a}L * h + {b}L, 32))"
+        for a, b in _perm_params()
+    )
     sigs = (
-        sh.select("lang", h.alias("h"))
+        sh.selectExpr("lang", f"{H} AS h")
         .groupBy("lang")
-        .agg(
-            *[
-                F.min(perm_col(a, b)).alias(f"m{p}")
-                for p, (a, b) in enumerate(params)
-            ]
-        )
+        .agg(F.expr(f"array({mins}) AS sig"))
     )
     sizes = sh.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
     inter = (
@@ -1624,29 +1624,24 @@ def q_sketch_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("i"))
     )
-    a, b = sigs.alias("a"), sigs.alias("b")
-    agree = None
-    for p in range(N_PERM):
-        t = F.when(F.col(f"a.m{p}") == F.col(f"b.m{p}"), 1).otherwise(0)
-        agree = t if agree is None else agree + t
-    pairs = a.join(b, F.col("a.lang") < F.col("b.lang")).select(
-        F.col("a.lang").alias("l1"),
-        F.col("b.lang").alias("l2"),
-        F.round(agree.cast("double") / N_PERM, 6).alias("est_jaccard"),
+    sa = sigs.selectExpr("lang AS l1", "sig AS sig1")
+    sb = sigs.selectExpr("lang AS l2", "sig AS sig2")
+    pairs = sa.join(sb, F.col("l1") < F.col("l2")).selectExpr(
+        "l1",
+        "l2",
+        "round(cast(size(filter(zip_with(sig1, sig2, (x, y) -> x = y),"
+        f" v -> v)) as double) / {N_PERM}, 6) AS est_jaccard",
     )
     return (
         pairs.join(inter, ["l1", "l2"])
-        .join(sizes.select(F.col("lang").alias("l1"), F.col("n").alias("n1")), "l1")
-        .join(sizes.select(F.col("lang").alias("l2"), F.col("n").alias("n2")), "l2")
-        .select(
+        .join(sizes.selectExpr("lang AS l1", "n AS n1"), "l1")
+        .join(sizes.selectExpr("lang AS l2", "n AS n2"), "l2")
+        .selectExpr(
             "l1",
             "l2",
             "est_jaccard",
-            F.round(
-                F.col("i").cast("double")
-                / (F.col("n1") + F.col("n2") - F.col("i")),
-                6,
-            ).alias("exact_jaccard"),
+            "round(cast(i as double) / (n1 + n2 - i), 6)"
+            " AS exact_jaccard",
         )
     )
 
