@@ -1032,21 +1032,21 @@ def q_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring(F.md5(F.col("shingle").cast("binary")), 1, 15), 16, 10
     ).cast("bigint")
     hashed = sh.select("doc_id", h.alias("h"))
-    mins = hashed.groupBy("doc_id").agg(
-        *[
-            F.min(
-                F.shiftrightunsigned(
-                    F.lit(a) * F.col("h") + F.lit(b), 32
-                )
-            ).alias(f"m{p}")
-            for p, (a, b) in enumerate(_perm_params())
-        ]
+    # ONE parsed expression (the 64 Python-built min columns + 64-col
+    # concat cost ~1s of driver-side Py4J per call — same fix as
+    # minhash_signatures); identical aggregate, string-joined output.
+    mins_expr = ", ".join(
+        f"min(shiftrightunsigned({a}L * h + {b}L, 32))"
+        for a, b in _perm_params()
     )
-    return mins.select(
-        "doc_id",
-        F.concat_ws(
-            ",", *[F.col(f"m{p}").cast("string") for p in range(N_PERM)]
-        ).alias("sig"),
+    return (
+        hashed.groupBy("doc_id")
+        .agg(F.expr(f"array({mins_expr}) AS sig_arr"))
+        .selectExpr(
+            "doc_id",
+            "array_join(transform(sig_arr, x -> cast(x as string)), ',')"
+            " AS sig",
+        )
     )
 
 
@@ -1102,23 +1102,22 @@ def portable_simhash(d: DataFrame) -> DataFrame:
         F.substring(F.md5(F.col("word").cast("binary")), 1, 15), 16, 10
     ).cast("bigint")
     hashed = words.select("doc_id", h.alias("h"))
-    votes = hashed.groupBy("doc_id").agg(
-        *[
-            F.sum(
-                F.when(
-                    F.shiftright("h", j).bitwiseAND(F.lit(1)) == 1, 1
-                ).otherwise(-1)
-            ).alias(f"v{j}")
-            for j in range(60)
-        ]
+    # ONE parsed expression per step (60 Python-built sum columns plus
+    # a 60-term assembly loop cost ~1s of driver-side Py4J per call);
+    # identical 60 map-side-combining conditional sums, then a bounded
+    # fold reassembles the bits from the vote array.
+    votes_expr = ", ".join(
+        f"sum(IF((shiftright(h, {j}) & 1) = 1, 1, -1))" for j in range(60)
     )
-    sim = None
-    for j in range(60):
-        bit = F.when(F.col(f"v{j}") > 0, F.lit(1 << j).cast("bigint")).otherwise(
-            F.lit(0).cast("bigint")
-        )
-        sim = bit if sim is None else sim + bit
-    return votes.select("doc_id", sim.alias("simhash60"))
+    votes = hashed.groupBy("doc_id").agg(
+        F.expr(f"array({votes_expr}) AS v")
+    )
+    return votes.selectExpr(
+        "doc_id",
+        "aggregate(sequence(0, 59), 0L, (acc, j) -> "
+        "acc + IF(element_at(v, j + 1) > 0, shiftleft(1L, j), 0L))"
+        " AS simhash60",
+    )
 
 
 # --- semantic dedup (embedding LSH buckets → within-bucket prune) ------
