@@ -614,27 +614,23 @@ def simhash64(docs: DataFrame) -> DataFrame:
         "doc_id",
         F.explode(F.array_distinct(F.split("text", " "))).alias("word"),
     ).select("doc_id", F.xxhash64("word").alias("h"))
-    votes = words.groupBy("doc_id").agg(
-        *[
-            F.sum(
-                F.when(
-                    F.shiftright("h", j).bitwiseAND(F.lit(1)) == 1, 1
-                ).otherwise(-1)
-            ).alias(f"v{j}")
-            for j in range(64)
-        ]
+    # ONE parsed expression per step (the 64 Python-built sum columns
+    # plus the 64-term assembly loop cost ~1.8s of driver-side Py4J per
+    # call). The reassembly fold uses shiftleft(1L, j) for EVERY bit:
+    # Java shift semantics make shiftleft(1L, 63) == Long.MIN_VALUE,
+    # which is exactly the previous top-bit special case.
+    votes_expr = ", ".join(
+        f"sum(IF((shiftright(h, {j}) & 1) = 1, 1, -1))" for j in range(64)
     )
-    sim = None
-    for j in range(64):
-        v = F.col(f"v{j}")
-        bit = F.when(v > 0, F.lit(1).cast("bigint")).otherwise(
-            F.lit(0).cast("bigint")
-        )
-        term = bit * F.lit(1 << j).cast("bigint") if j < 63 else F.when(
-            v > 0, F.lit(-(1 << 63)).cast("bigint")
-        ).otherwise(F.lit(0).cast("bigint"))
-        sim = term if sim is None else sim + term
-    return votes.select("doc_id", sim.alias("simhash"))
+    votes = words.groupBy("doc_id").agg(
+        F.expr(f"array({votes_expr}) AS v")
+    )
+    return votes.selectExpr(
+        "doc_id",
+        "aggregate(sequence(0, 63), 0L, (acc, j) -> "
+        "acc + IF(element_at(v, j + 1) > 0, shiftleft(1L, j), 0L))"
+        " AS simhash",
+    )
 
 
 @query("q_dedup_simhash")
