@@ -333,6 +333,15 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     primitives). Pure per-row array expressions — ZERO shuffles; at
     100 TB this pipelines straight out of the scan, vs the previous
     posexplode + window + groupBy shape that shuffled every token row.
+    Logic in ``fingerprint_stats`` (shared with the scale-stress
+    harness)."""
+    ensure_session_determinism(spark)
+    return fingerprint_stats(load(spark, sf_dir, "documents"))
+
+
+def fingerprint_stats(d: DataFrame) -> DataFrame:
+    """(doc_id, n_distinct_fp, min_fp, max_fp) rolling-hash fingerprint
+    stats as one narrow per-row expression.
 
     The token-value array and the rolling-hash array are each let-bound
     via the singleton-array transform trick (`transform(array(<expr>),
@@ -341,8 +350,6 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     array 4x per window position (~400x slower at sf0.1). A <4-word doc
     yields an empty fps array -> (0, NULL, NULL), matching the oracle's
     empty-list semantics."""
-    ensure_session_determinism(spark)
-    d = load(spark, sf_dir, "documents")
     v_expr = (
         "transform(split(text, ' '), w -> CAST(ascii(substring(w, 1, 1)) * 10000"
         " + ascii(substring(w, -1, 1)) * 100 + length(w) AS BIGINT))"

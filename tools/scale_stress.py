@@ -34,8 +34,20 @@ room to show:
    partial top-k) over the amplified corpus — vectors/s must hold, since
    per-task output is bounded by probes × k regardless of corpus size.
 
+5. TEXT PIPELINE AMPLIFICATION: the narrow per-row array paths
+   (rolling-hash fingerprint, language-ID scoring) over the ×K corpus —
+   docs/s must hold at ×K since nothing shuffles; a drop means
+   projection-collapse re-inlining crept back or input parallelism was
+   lost.
+
+6. STREAMING THROUGHPUT: replay events ×K as 8 time-ordered chunks
+   through a watermarked tumbling-window aggregate (availableNow,
+   4 micro-batches) and report events/s THROUGH the streaming engine —
+   micro-batch planning, state-store updates and all.
+
 Usage: python tools/scale_stress.py [--max-level 15] [--amplify 16]
                                     [--dedup-amplify 8] [--emb-amplify 16]
+                                    [--stream-amplify 8]
 Prints ONE JSON line.
 """
 
@@ -67,6 +79,7 @@ def main() -> None:
     ap.add_argument("--amplify", type=int, default=16)
     ap.add_argument("--dedup-amplify", type=int, default=8)
     ap.add_argument("--emb-amplify", type=int, default=16)
+    ap.add_argument("--stream-amplify", type=int, default=8)
     ap.add_argument(
         "--sf-dir",
         default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
@@ -177,6 +190,7 @@ def main() -> None:
             F.concat_ws(
                 " ", "text", F.concat(F.lit("rep"), F.col("rep"))
             ).alias("text"),
+            "lang",  # ground-truth passthrough for the langid stress
         )
     )
     t0 = time.monotonic()
@@ -232,6 +246,84 @@ def main() -> None:
     out["gemm_vecs"] = n_vecs
     out["gemm_s"] = round(dt, 3)
     out["gemm_vecs_per_s"] = int(n_vecs / dt)
+
+    # --- stress 5: text-pipeline ops over the amplified corpus ----------
+    # The per-row array paths (fingerprint, language-ID) must scale
+    # linearly with docs — they are narrow expressions, so docs/s at ×K
+    # should match 1×; a drop means projection-collapse re-inlining or
+    # lost input parallelism. Both consume the same amp_docs as the
+    # dedup stress (kd × corpus).
+    from tile_etl_spark.llm.text import fingerprint_stats, langid_scored
+
+    t0 = time.monotonic()
+    fingerprint_stats(amp_docs).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    dt = time.monotonic() - t0
+    out["fp_docs_per_s"] = int(n_docs / dt)
+    out["fp_s"] = round(dt, 3)
+
+    t0 = time.monotonic()
+    langid_scored(amp_docs).write.format("noop").mode("overwrite").save()
+    dt = time.monotonic() - t0
+    out["langid_docs_per_s"] = int(n_docs / dt)
+    out["langid_s"] = round(dt, 3)
+
+    # --- stress 6: streaming micro-batch throughput ---------------------
+    # Replay events ×K through a watermarked tumbling-window aggregate
+    # (availableNow, 4 micro-batches). The number under test is
+    # events/s THROUGH the streaming engine — state-store updates,
+    # micro-batch planning and all — not the batch twin's throughput.
+    import shutil as _shutil
+    import uuid as _uuid
+
+    from tile_etl_spark.streaming.replay import (
+        EVENTS_SCHEMA,
+        _art_root,
+        _write_chunk,
+        run_to_table,
+    )
+
+    ks = args.stream_amplify
+    ev = spark.read.parquet(os.path.join(args.sf_dir, "events.parquet"))
+    n_events = ev.count() * ks
+    base = os.path.join(_art_root(), "stress_stream_" + _uuid.uuid4().hex[:8])
+    os.makedirs(base, exist_ok=True)
+    amp_ev = (
+        ev.repartition(width)
+        .withColumn("rep", F.explode(F.sequence(F.lit(1), F.lit(ks))))
+        .select(
+            (F.col("event_id") * ks + F.col("rep") - 1).alias("event_id"),
+            "ts", "user_id", "event_type", "value", "props",
+        )
+    )
+    n_chunks = 8
+    for i in range(n_chunks):
+        _write_chunk(
+            amp_ev.where(F.pmod("event_id", F.lit(n_chunks)) == i), base, i
+        )
+    t0 = time.monotonic()
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(base + "/chunk_*.parquet")
+    )
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("sum_value"),
+        )
+    )
+    rows = run_to_table(agg, "update")
+    n_out = rows.count()
+    dt = time.monotonic() - t0
+    _shutil.rmtree(base, ignore_errors=True)
+    out["stream_events"] = n_events
+    out["stream_out_rows"] = n_out
+    out["stream_s"] = round(dt, 3)
+    out["stream_events_per_s"] = int(n_events / dt)
 
     print(json.dumps(out))
 
