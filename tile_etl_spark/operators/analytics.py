@@ -318,19 +318,24 @@ def q_topk_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = 2 * _HH_K  # Misra-Gries counters per partition
 
     def mg(iterator):
+        # Vectorized Misra-Gries via summary MERGE (Agarwal et al.,
+        # "Mergeable Summaries"): each Arrow batch reduces to exact
+        # per-key counts (value_counts, no per-row Python), the running
+        # summary adds them, and if more than m counters survive, the
+        # (m+1)-th largest count is subtracted from all (the batched
+        # equivalent of decrement-all) — error stays <= n/(m+1) < n/K,
+        # so every global heavy hitter still survives some partition.
         from collections import Counter
 
         counters: Counter = Counter()
         for pdf in iterator:
-            for key in pdf["k"]:
-                if key in counters or len(counters) < m:
-                    counters[key] += 1
-                else:
-                    # decrement-all step, drop zeros
-                    for c in list(counters):
-                        counters[c] -= 1
-                        if counters[c] == 0:
-                            del counters[c]
+            for key, cnt in pdf["k"].value_counts().items():
+                counters[key] += int(cnt)
+            if len(counters) > m:
+                sub = sorted(counters.values(), reverse=True)[m]
+                counters = Counter(
+                    {k: v - sub for k, v in counters.items() if v > sub}
+                )
         yield pd.DataFrame({"k": list(counters.keys())})
 
     candidates = keyed.mapInPandas(mg, "k string").distinct()
