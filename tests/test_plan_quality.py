@@ -149,6 +149,54 @@ def test_global_rank_never_single_reducer_sorts(spark, sf_dir):
             assert "pid" in ln or "spark_partition_id" in ln, ln
 
 
+def test_mixture_interleave_never_single_reducer_sorts(spark, sf_dir):
+    """Round-6 rewrite: the global training-order position comes from
+    the two-pass pid-offset pattern, so every doc-bearing Window node
+    carries a partition spec (source for the per-source rank, pid for
+    the local rank) — never an unpartitioned row_number over the whole
+    interleaved corpus."""
+    p = plan(q("q_mixture_interleave", spark, sf_dir))
+    assert "rangepartitioning" in p.lower(), p
+    assert "spark_partition_id" in p.lower(), p
+    for ln in p.splitlines():
+        if "Window" in ln and "doc_id" in ln:
+            assert "pid" in ln or "source" in ln, ln
+
+
+def test_rfm_ntiles_never_single_reducer_sort(spark, sf_dir):
+    """Round-6 rewrite: all three RFM quartiles run as two-pass global
+    ranks — any Window node touching a customer metric must be
+    pid-partitioned; the only unpartitioned windows run over the
+    n_parts-row histogram."""
+    p = plan(q("q_rfm_segments", spark, sf_dir))
+    assert "rangepartitioning" in p.lower(), p
+    for ln in p.splitlines():
+        if "Window" in ln and (
+            "last_order" in ln or "frequency" in ln or "monetary" in ln
+        ):
+            assert "pid" in ln or "spark_partition_id" in ln, ln
+
+
+def test_session_paths_topk_before_rank_window(spark, sf_dir):
+    """Round-6 reorder: the top-k filter is a TakeOrderedAndProject
+    (parallel per-partition heaps) BEFORE the rank window, so the
+    unpartitioned window only ever sees PATH_TOPK rows, not the full
+    distinct-path table."""
+    p = plan(q("q_session_paths", spark, sf_dir))
+    assert "TakeOrderedAndProject" in p, p
+
+
+def test_peak_concurrency_sweep_is_two_level(spark, sf_dir):
+    """Round-6 rewrite: the sweep-line running sum is partial per range
+    shard + broadcast offset merge — any Window node over the boundary
+    stream (ordered by us) must be pid-partitioned."""
+    p = plan(q("q_peak_concurrency", spark, sf_dir))
+    assert "rangepartitioning" in p.lower(), p
+    for ln in p.splitlines():
+        if "Window" in ln and "us#" in ln:
+            assert "pid" in ln or "spark_partition_id" in ln, ln
+
+
 def test_tpch_q3_star_plan(spark, sf_dir):
     """Composite star query: dims broadcast (fact never pre-shuffles
     for the joins), top-10 via TakeOrderedAndProject, date filters

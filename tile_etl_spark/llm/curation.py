@@ -1965,15 +1965,21 @@ def q_mixture_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
     in both engines.
 
     Scale shape: one per-source rank window (hash-partitioned on
-    source) and one global order by the mix key. The global window here
-    is the fixture-scale form; at 100 TB it becomes the two-pass
-    range-partition + per-partition rank + broadcast offsets rewrite
-    already used by q_hist_equidepth/q_cumulative_uniques — the key
-    distribution is near-uniform by construction, so range partitions
-    balance."""
+    source), then the global position via the two-pass pid-offset
+    pattern (same as q_win_ntile, operators/windows.py): range-
+    partition on (k, doc_id) so partition i's keys all precede
+    partition i+1's, rank locally in parallel, and lift local ranks to
+    global ones with a broadcast per-partition-count offset table. The
+    only unpartitioned window runs over the N-partition histogram —
+    never over doc-bearing rows — so no single reducer ever sorts the
+    interleaved corpus. The mix key is near-uniform by construction,
+    so range partitions balance; the range-partitioned block is cached
+    so the histogram pass and the rank pass see the SAME sampled
+    boundaries."""
     ensure_session_determinism(spark)
     from pyspark.sql import Window
 
+    _scope(f"q_mixture_interleave:{sf_dir}")
     d = load(spark, sf_dir, "documents").select(
         "doc_id",
         "source",
@@ -1995,12 +2001,17 @@ def q_mixture_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rn",
         ((F.col("rn").cast("double") - 0.5) / F.col("w")).alias("k"),
     )
-    w_glob = Window.orderBy("k", "doc_id")
-    return keyed.select(
-        F.row_number().over(w_glob).cast("bigint").alias("pos"),
+    from tile_etl_spark.operators.windows import global_rank
+
+    ranked = global_rank(
+        keyed.withColumnRenamed("rn", "src_rn"),
+        [F.col("k").asc(), F.col("doc_id").asc()],
+    )
+    return ranked.select(
+        F.col("rn").cast("bigint").alias("pos"),
         "doc_id",
         "source",
-        F.col("rn").cast("bigint").alias("rn"),
+        F.col("src_rn").cast("bigint").alias("rn"),
         F.round("k", 6).alias("mix_key"),
     )
 

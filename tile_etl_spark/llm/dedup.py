@@ -879,7 +879,7 @@ def q_dedup_contain(spark: SparkSession, sf_dir: str) -> DataFrame:
              'https://' ||
              CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END ||
              source || '.Example.org/' || lang || '/page-' ||
-             CAST(doc_id % 500 AS VARCHAR) ||
+             CAST(doc_id % 200 AS VARCHAR) ||
              CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END ||
              CASE WHEN doc_id % 2 = 0
                   THEN '?utm_source=feed&utm_campaign=x' ELSE '' END ||
@@ -913,7 +913,9 @@ def q_dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
     expression and one aggregate, no content reads at all. The fixture
     derives noisy URLs deterministically from doc columns (same recipe
     both engines, noise keyed on doc_id residues; page identity is
-    doc_id % 500 so real collisions exist), and the operator reports
+    doc_id % 200 so real collisions exist even at the 500-doc small
+    scale factors — % 500 was a bijection there, making the r05
+    driver row a vacuous 0-row match), and the operator reports
     each duplicated canonical URL with its cluster size, kept
     representative (min doc_id — the same deterministic-survivor rule
     as q_dedup_exact) and reclaimable char volume.
@@ -930,7 +932,7 @@ def q_dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(".Example.org/"),
         F.col("lang"),
         F.lit("/page-"),
-        (F.col("doc_id") % 500).cast("string"),
+        (F.col("doc_id") % 200).cast("string"),
         F.when(F.col("doc_id") % 5 == 0, F.lit("/")).otherwise(F.lit("")),
         F.when(
             F.col("doc_id") % 2 == 0,

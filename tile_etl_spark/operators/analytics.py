@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 
 from tile_etl_spark import cache
 from tile_etl_spark.io import as_double, dec, load
+from tile_etl_spark.operators.windows import global_rank, ntile_from_rank
 from tile_etl_spark.registry import query
 from tile_etl_spark.session import ensure_session_determinism
 
@@ -601,33 +602,45 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines even where metric values tie.
 
     Shape: orders collapse to ONE row per customer first (map-side-
-    combined aggregate), so the three global ntile sorts run over
-    customer-cardinality, not order-cardinality — at 100 TB that frame
-    is ~10⁻³ of the input, and if even that outgrows one reducer the
-    two-pass range-partition ntile rewrite (operators/windows.py
-    q_win_ntile) drops in per metric unchanged."""
+    combined aggregate), then each quartile score runs as the two-pass
+    range-partition + broadcast-offsets global rank (global_rank /
+    ntile_from_rank, operators/windows.py) — three chained passes over
+    the customer frame, each a parallel range shuffle, NO
+    single-reducer ntile sort anywhere even if the customer frame
+    itself outgrows one reducer."""
     ensure_session_determinism(spark)
+    cache.scope(f"q_rfm_segments:{sf_dir}")
     o = load(spark, sf_dir, "orders")
     cust = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
         F.max("o_orderdate").alias("last_order"),
-        F.count(F.lit(1)).alias("frequency"),
+        F.count(F.lit(1)).cast("bigint").alias("frequency"),
         F.sum(dec("o_totalprice")).alias("monetary"),
     )
-    w_r = Window.orderBy(F.col("last_order").desc(), F.col("custkey").asc())
-    w_f = Window.orderBy(F.col("frequency").desc(), F.col("custkey").asc())
-    w_m = Window.orderBy(F.col("monetary").desc(), F.col("custkey").asc())
-    scored = cust.select(
+    scored = cust
+    for name, order in (
+        ("r", [F.col("last_order").desc(), F.col("custkey").asc()]),
+        ("f", [F.col("frequency").desc(), F.col("custkey").asc()]),
+        ("m", [F.col("monetary").desc(), F.col("custkey").asc()]),
+    ):
+        scored = (
+            global_rank(scored, order)
+            .withColumn(
+                name,
+                ntile_from_rank(F.col("rn"), F.col("n"), 4).cast("int"),
+            )
+            .drop("rn", "n")
+        )
+    return scored.select(
         "custkey",
         "last_order",
-        F.col("frequency").cast("bigint").alias("frequency"),
+        "frequency",
         F.col("monetary").cast("double").alias("monetary"),
-        F.ntile(4).over(w_r).cast("int").alias("r"),
-        F.ntile(4).over(w_f).cast("int").alias("f"),
-        F.ntile(4).over(w_m).cast("int").alias("m"),
-    )
-    return scored.withColumn(
-        "segment",
-        (F.col("r") * 100 + F.col("f") * 10 + F.col("m")).cast("int"),
+        "r",
+        "f",
+        "m",
+        (F.col("r") * 100 + F.col("f") * 10 + F.col("m"))
+        .cast("int")
+        .alias("segment"),
     )
 
 
@@ -844,13 +857,19 @@ def q_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     peak, identically in both engines.
 
     Scale shape: sessionization is the usual user-keyed sort; the
-    sweep's global running sum is ordered by time over BOUNDARY rows
-    (2 per session, ≪ events), and the two-level pattern (per-shard
-    partial sweeps + offset merge, the q_win_ntile rewrite) drops in
-    when even boundaries outgrow one reducer."""
+    sweep's running sum runs TWO-LEVEL (the q_win_ntile offset
+    pattern): range-repartition the ±1 boundary stream on (us, delta),
+    partial prefix-sum each shard in parallel, then lift shard-local
+    sums to global ones with a broadcast per-shard delta-total offset
+    table — no single reducer ever sorts the boundary stream. Rows
+    tied on (us, delta) may land in either shard at a range boundary,
+    but equal-delta rows commute under prefix summation, so the set of
+    running-sum values (hence the max) is order-invariant — the same
+    argument that makes the sweep deterministic in one pass."""
     ensure_session_determinism(spark)
     from tile_etl_spark.operators.sessionize import sessionize
 
+    cache.scope(f"q_peak_concurrency:{sf_dir}")
     s = sessionize(load(spark, sf_dir, "events"))
     spans = s.groupBy("user_id", "session_id").agg(
         F.min("__us").alias("s"), F.max("__us").alias("t")
@@ -860,10 +879,33 @@ def q_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).unionByName(
         spans.select((F.col("t") + 1).alias("us"), F.lit(-1).alias("delta"))
     )
-    w = Window.orderBy("us", "delta").rowsBetween(
-        Window.unboundedPreceding, 0
+    n_parts = spark.sparkContext.defaultParallelism
+    part = cache.persist_scoped(
+        deltas.repartitionByRange(
+            n_parts, F.col("us").asc(), F.col("delta").asc()
+        ).withColumn("pid", F.spark_partition_id())
     )
-    sweep = deltas.select(F.sum("delta").over(w).alias("live"))
+    w_off = Window.orderBy("pid").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow - 1
+    )
+    offsets = (
+        part.groupBy("pid")
+        .agg(F.sum("delta").alias("dsum"))
+        .select(
+            "pid",
+            F.coalesce(F.sum("dsum").over(w_off), F.lit(0)).alias("off"),
+        )
+    )
+    w_local = (
+        Window.partitionBy("pid")
+        .orderBy("us", "delta")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    sweep = (
+        part.withColumn("lsum", F.sum("delta").over(w_local))
+        .join(F.broadcast(offsets), "pid")
+        .select((F.col("off") + F.col("lsum")).alias("live"))
+    )
     return sweep.agg(
         F.max("live").cast("bigint").alias("peak_concurrent"),
         F.count(F.lit(1)).cast("bigint").alias("n_boundary_events"),

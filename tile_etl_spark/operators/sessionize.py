@@ -787,11 +787,15 @@ def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     counted = paths.groupBy("path").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_sessions")
     )
+    # Bounded top-k FIRST (orderBy+limit → TakeOrderedAndProject, a
+    # parallel per-partition heap + k-row merge), THEN the rank window
+    # over just those k rows — never an unpartitioned window over the
+    # full distinct-path table (the q_bm25 shape, llm/text.py).
+    top = counted.orderBy(
+        F.col("n_sessions").desc(), F.col("path").asc()
+    ).limit(PATH_TOPK)
     wr = Window.orderBy(F.col("n_sessions").desc(), F.col("path").asc())
-    return (
-        counted.withColumn("rank", F.row_number().over(wr).cast("bigint"))
-        .where(F.col("rank") <= PATH_TOPK)
-    )
+    return top.withColumn("rank", F.row_number().over(wr).cast("bigint"))
 
 
 @query(

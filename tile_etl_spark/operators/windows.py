@@ -18,6 +18,61 @@ from tile_etl_spark.registry import query
 from tile_etl_spark.session import ensure_session_determinism
 
 
+def global_rank(df: DataFrame, order: list) -> DataFrame:
+    """Attach a global ``rn`` (1-based row number) and total ``n`` over
+    a total ORDER without a single-reducer sort — the reusable form of
+    q_win_ntile's two-pass pattern: range-repartition on the sort key
+    (partition i's keys all precede partition i+1's), rank each
+    partition locally in parallel, then lift local ranks to global
+    ones with a broadcast per-partition-count offset table. The only
+    unpartitioned window runs over the ≤ n_parts histogram rows, never
+    the data. The range-partitioned block is persisted under the
+    CALLER's cache scope (set yours with ``cache.scope`` first) so the
+    histogram pass and the rank pass see the SAME sampled boundaries —
+    the range sampler is not guaranteed stable across evaluations.
+    ``order`` must be a TOTAL order (unique tiebreak) for deterministic
+    ranks."""
+    spark = df.sparkSession
+    n_parts = spark.sparkContext.defaultParallelism
+    part = cache.persist_scoped(
+        df.repartitionByRange(n_parts, *order).withColumn(
+            "pid", F.spark_partition_id()
+        )
+    )
+    hist = part.groupBy("pid").agg(F.count(F.lit(1)).alias("cnt"))
+    w_off = Window.orderBy("pid").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow - 1
+    )
+    w_all = Window.orderBy("pid").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    offsets = hist.select(
+        "pid",
+        F.coalesce(F.sum("cnt").over(w_off), F.lit(0)).alias("__off"),
+        F.sum("cnt").over(w_all).alias("n"),
+    )
+    w_local = Window.partitionBy("pid").orderBy(*order)
+    return (
+        part.withColumn("__lrn", F.row_number().over(w_local))
+        .join(F.broadcast(offsets), "pid")
+        .withColumn("rn", F.col("__off") + F.col("__lrn"))
+        .drop("pid", "__lrn", "__off")
+    )
+
+
+def ntile_from_rank(rn, n, buckets: int):
+    """``ntile(buckets)`` as pure arithmetic on a global row number
+    ``rn`` and total count ``n`` (both columns from ``global_rank``):
+    the first n%b buckets get ⌈n/b⌉ rows, the rest ⌊n/b⌋ — SQL ntile
+    semantics exactly, with no window at all."""
+    b = F.lit(buckets)
+    base, rem = F.floor(n / b), n % b
+    big = rem * (base + 1)
+    return F.when(rn <= big, F.floor((rn - 1) / (base + 1)) + 1).otherwise(
+        rem + F.floor((rn - big - 1) / F.greatest(base, F.lit(1))) + 1
+    )
+
+
 @query(
     "q_win_rank",
     oracle="""
