@@ -575,6 +575,51 @@ _BNLJ_OK = {
 # Python UDTFs execute via BatchEvalPythonUDTF — the API's execution
 # mode, declared once here; everything else must stay Arrow-vectorized.
 _ROW_PYTHON_OK = {"q_udtf", "q_udtf_analyze"}
+# Unpartitioned Window specs ("Moving all data to a single partition")
+# allowed ONLY where the window input is bounded by construction:
+#  - pid histograms (≤ n_parts rows) of the two-pass global-rank/sweep
+#    pattern: q_win_ntile, q_hist_equidepth, q_mixture_interleave,
+#    q_peak_concurrency, q_rfm_segments, q_text_vocab_growth
+#  - post-top-k rank windows over ≤ k rows (TakeOrdered runs first):
+#    q_bm25, q_context_pack, q_hybrid_rrf, q_session_paths
+#  - calendar-bounded day-grain series: q_cumulative_uniques,
+#    q_dq_partition_stats
+#  - q_skyline's global pass over locally-pruned frontier survivors
+# Anything else is a single-reducer sort over data-proportional rows —
+# the exact regression class rounds 5/6 rewrote away.
+_SINGLETON_WINDOW_OK = {
+    "q_win_ntile", "q_hist_equidepth", "q_mixture_interleave",
+    "q_peak_concurrency", "q_rfm_segments", "q_text_vocab_growth",
+    "q_bm25", "q_context_pack", "q_hybrid_rrf", "q_session_paths",
+    "q_cumulative_uniques", "q_dq_partition_stats", "q_skyline",
+}
+
+
+def _unpartitioned_window_specs(p: str) -> list[str]:
+    """windowspecdefinition(...) occurrences whose first top-level arg
+    is a sort item or the frame — i.e. no partition columns. (Physical
+    WindowExec with an empty partitionSpec is what triggers Spark's
+    'Moving all data to a single partition' warning.)"""
+    import re
+
+    out = []
+    for m in re.finditer(r"windowspecdefinition\(", p):
+        i, depth, arg = m.end(), 1, ""
+        while depth and i < len(p):
+            c = p[i]
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+            if depth == 1 and c == ",":
+                break
+            if depth:
+                arg += c
+            i += 1
+        a = arg.strip()
+        if a.startswith("specifiedwindowframe") or " ASC" in a or " DESC" in a:
+            out.append(a[:60])
+    return out
 # Builders with eager side effects (streaming runs, sink writes,
 # multi-job iterative drivers) — their plan shapes are pinned by their
 # own dedicated tests; re-running them here would re-execute the work.
@@ -602,6 +647,11 @@ def test_registry_wide_plan_antipatterns(spark, sf_dir):
             offenders.setdefault("row_python", []).append(qid)
         if "BroadcastNestedLoopJoin" in p and qid not in _BNLJ_OK:
             offenders.setdefault("bnlj", []).append(qid)
+        if (
+            qid not in _SINGLETON_WINDOW_OK
+            and _unpartitioned_window_specs(p)
+        ):
+            offenders.setdefault("singleton_window", []).append(qid)
     assert not offenders, offenders
 
 

@@ -57,8 +57,21 @@ def scope(tag: str) -> _ScopeCtx:
 
 
 def persist_scoped(df: DataFrame, tag: str | None = None) -> DataFrame:
-    """Persist ``df`` under ``tag`` (default: the current scope)."""
-    _CACHED.append((tag if tag is not None else _SCOPE[0], df))
+    """Persist ``df`` under ``tag`` (default: the current scope).
+
+    Re-persisting a semantically identical plan under the same tag
+    (bench best-of-N reruns, driver retries — each rebuild produces a
+    fresh DataFrame object over the same logical plan) returns the
+    EXISTING handle instead of calling ``persist()`` again: Spark's
+    CacheManager would dedupe the storage anyway but logs a WARN per
+    call ("Asked to cache already cached data"), and the stale new
+    handle would otherwise shadow the tracked one in unpersist order.
+    """
+    want = tag if tag is not None else _SCOPE[0]
+    for t, cached in _CACHED:
+        if t == want and cached.sameSemantics(df):
+            return cached
+    _CACHED.append((want, df))
     return df.persist()
 
 
