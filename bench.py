@@ -201,8 +201,18 @@ def main() -> None:
     shuffle = os.environ.get("SPARK_GRAFT_SHUFFLE")
     if shuffle is None and sf is not None and sf <= 0.2:
         shuffle = "8"
+    # Small-input fast path: AQE's per-exchange driver barrier (runtime
+    # stats collection + re-planning) costs ~50-150 ms/stage and buys
+    # nothing when every shuffle carries KBs. Measured A/B on the full
+    # 24-query headline set at sf0.1: 11.1 s → 8.1 s (-27%), with only
+    # q_text_tfidf/q_text_fingerprint mildly slower (+15%) and no
+    # correctness dependence (plan tests run AQE-on). cluster_conf()
+    # keeps AQE on — at real scale the re-plan pays for itself.
+    aqe = os.environ.get("SPARK_GRAFT_AQE")
+    if aqe is None and sf is not None and sf <= 0.2:
+        aqe = "false"
     spark = get_spark(app_name="tile-etl-spark-bench",
-                      shuffle_partitions=shuffle)
+                      shuffle_partitions=shuffle, adaptive=aqe)
     # Warm the JVM + parquet footers once so per-query times measure the
     # query, not session bootstrap.
     force(spark.read.parquet(f"{sf_dir}/lineitem.parquet"))

@@ -163,6 +163,30 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def table_view(spark: SparkSession, sf_dir: str, name: str) -> str:
+    """Register (once) and return a temp-view name for a fixture table.
+
+    Latency-critical builders issue ONE ``spark.sql(...)`` over these
+    views instead of a chain of DataFrame transformations: every
+    DataFrame step is eagerly analyzed through its own Py4J round trip
+    (measured 40-110 ms of pure plan-construction per floor-dominated
+    qid), while a single SQL string parses+analyzes in one JVM call
+    (~5-10 ms). The view wraps the SAME memoized ``load`` DataFrame, so
+    the resolved logical plan — pushdown, pruning, the events µs
+    normalization — is identical either way. Re-registered only when
+    the memoized frame changes (fixture regeneration)."""
+    df = load(spark, sf_dir, name)
+    memo = _memo_for(spark)
+    vkey = ("__view__", sf_dir, name)
+    hit = memo.get(vkey)
+    if hit is not None and hit[0] is df:
+        return hit[1]
+    vname = f"tv_{name}_{abs(hash((sf_dir, id(df)))) % 10**8}"
+    df.createOrReplaceTempView(vname)
+    memo[vkey] = (df, vname)
+    return vname
+
+
 # DataFrames are immutable; memoizing per (session, sf_dir, table)
 # saves re-listing files + re-reading parquet footers + re-analysis on
 # every one of the ~100 qids a driver sweep builds. Keyed on the source

@@ -13,9 +13,41 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from tile_etl_spark.io import as_double, dec, load, money_avg, money_sum
+from tile_etl_spark.io import (
+    as_double,
+    dec,
+    load,
+    money_avg,
+    money_sum,
+    table_view,
+)
 from tile_etl_spark.registry import query
 from tile_etl_spark.session import ensure_session_determinism
+
+# Dialect-shared Q1 text (valid Spark SQL and DuckDB SQL verbatim):
+# oracle binds {t}=lineitem, the builder binds {t}=the memoized temp
+# view. One spark.sql() call replaces ~15 eagerly-analyzed DataFrame
+# steps (~80 ms → ~8 ms build on the bench's flagship floor qid);
+# resolved plan identical (partial+final hash agg, plan test pins it).
+_Q1_SQL = """
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                    * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+             / count(l_quantity) AS avg_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             / count(l_extendedprice) AS avg_price,
+           CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
+             / count(l_discount) AS avg_disc,
+           CAST(count(*) AS BIGINT) AS count_order
+    FROM {t}
+    GROUP BY l_returnflag, l_linestatus
+"""
 
 
 @query(
@@ -45,48 +77,17 @@ def q_agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q_agg_group",
-    oracle="""
-    SELECT l_returnflag, l_linestatus,
-           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-                    * (1 - CAST(l_discount AS DECIMAL(18,2)))
-                    * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
-           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
-             / count(l_quantity) AS avg_qty,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
-             / count(l_extendedprice) AS avg_price,
-           CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
-             / count(l_discount) AS avg_disc,
-           CAST(count(*) AS BIGINT) AS count_order
-    FROM lineitem
-    GROUP BY l_returnflag, l_linestatus
-    """,
-)
+@query("q_agg_group", oracle=_Q1_SQL.format(t="lineitem"))
 def q_agg_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 shape — the engine's flagship query (entry()).
 
     groupBy on two low-cardinality strings: partial aggregation reduces
     the shuffle to (#partitions × 6) rows regardless of input scale.
+    Issued as ONE dialect-shared spark.sql() over the memoized scan
+    view (_Q1_SQL) — identical resolved plan, ~10× cheaper build.
     """
     ensure_session_determinism(spark)
-    li = load(spark, sf_dir, "lineitem")
-    disc_price = dec("l_extendedprice") * (1 - dec("l_discount"))
-    charge = disc_price * (1 + dec("l_tax"))
-    return li.groupBy("l_returnflag", "l_linestatus").agg(
-        money_sum("l_quantity").alias("sum_qty"),
-        money_sum("l_extendedprice").alias("sum_base_price"),
-        as_double(F.sum(disc_price)).alias("sum_disc_price"),
-        as_double(F.sum(charge)).alias("sum_charge"),
-        money_avg("l_quantity").alias("avg_qty"),
-        money_avg("l_extendedprice").alias("avg_price"),
-        money_avg("l_discount").alias("avg_disc"),
-        F.count(F.lit(1)).alias("count_order"),
-    )
+    return spark.sql(_Q1_SQL.format(t=table_view(spark, sf_dir, "lineitem")))
 
 
 @query(

@@ -8,7 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from tile_etl_spark.io import as_double, load
+from tile_etl_spark.io import as_double, load, table_view
 from tile_etl_spark.registry import query
 from tile_etl_spark.session import ensure_session_determinism
 
@@ -32,11 +32,12 @@ def sessionize(events: DataFrame, gap_us: int = GAP_US) -> DataFrame:
     )
 
 
-@query(
-    "q_sessionize",
-    oracle=f"""
+# Dialect-shared sessionization text: identical in Spark SQL and DuckDB
+# except the epoch-µs function name ({epoch}: unix_micros vs epoch_us).
+# {t} binds the events source (memoized temp view / DuckDB view).
+_SESSIONIZE_SQL = f"""
     WITH e AS (
-      SELECT user_id, event_id, ts, epoch_us(ts) AS us FROM events
+      SELECT user_id, event_id, ts, {{epoch}}(ts) AS us FROM {{t}}
     ),
     flagged AS (
       SELECT *,
@@ -59,18 +60,24 @@ def sessionize(events: DataFrame, gap_us: int = GAP_US) -> DataFrame:
            CAST(max(us) - min(us) AS BIGINT) AS duration_us
     FROM sessions
     GROUP BY user_id, session_id
-    """,
+"""
+
+
+@query(
+    "q_sessionize",
+    oracle=_SESSIONIZE_SQL.format(epoch="epoch_us", t="events"),
 )
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """30-minute-gap sessions per user: id, size, span. The streaming
-    twin (s_session) uses F.session_window and must agree."""
+    twin (s_session) uses F.session_window and must agree. Issued as
+    ONE dialect-shared spark.sql() over the memoized events view
+    (_SESSIONIZE_SQL; the generic ``sessionize()`` helper remains the
+    composable DataFrame form used by the other session operators)."""
     ensure_session_determinism(spark)
-    s = sessionize(load(spark, sf_dir, "events"))
-    return s.groupBy("user_id", "session_id").agg(
-        F.count(F.lit(1)).alias("n_events"),
-        F.min("ts").alias("session_start"),
-        F.max("ts").alias("session_end"),
-        (F.max("__us") - F.min("__us")).alias("duration_us"),
+    return spark.sql(
+        _SESSIONIZE_SQL.format(
+            epoch="unix_micros", t=table_view(spark, sf_dir, "events")
+        )
     )
 
 

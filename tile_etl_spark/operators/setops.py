@@ -11,9 +11,24 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from tile_etl_spark.io import load
+from tile_etl_spark.io import load, table_view
 from tile_etl_spark.registry import query
 from tile_etl_spark.session import ensure_session_determinism
+
+# Dialect-shared grouped-top-k text (valid Spark SQL and DuckDB SQL
+# verbatim; {t} = orders view). The builder issues it as ONE
+# spark.sql() call over the memoized scan view — same WindowGroupLimit
+# physical plan, a fraction of the eager-analysis build cost.
+_TOPK_PER_GROUP_SQL = """
+    SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS BIGINT) AS rn
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+      FROM {t}
+    )
+    WHERE rn <= 3
+"""
 
 
 @query(
@@ -61,36 +76,15 @@ def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q_topk_per_group",
-    oracle="""
-    SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS BIGINT) AS rn
-    FROM (
-      SELECT o_custkey, o_orderkey, o_totalprice,
-             row_number() OVER (PARTITION BY o_custkey
-                                ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
-      FROM orders
-    )
-    WHERE rn <= 3
-    """,
-)
+@query("q_topk_per_group", oracle=_TOPK_PER_GROUP_SQL.format(t="orders"))
 def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 orders per customer: row_number window + filter. Spark
     pushes the rank limit into the sort (WindowGroupLimit) so each
-    group materializes only its top rows."""
+    group materializes only its top rows. Issued as ONE dialect-shared
+    spark.sql() over the memoized scan view (_TOPK_PER_GROUP_SQL)."""
     ensure_session_determinism(spark)
-    o = load(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_custkey").orderBy(
-        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
-    )
-    return (
-        o.select(
-            "o_custkey",
-            "o_orderkey",
-            "o_totalprice",
-            F.row_number().over(w).cast("bigint").alias("rn"),
-        )
-        .filter(F.col("rn") <= 3)
+    return spark.sql(
+        _TOPK_PER_GROUP_SQL.format(t=table_view(spark, sf_dir, "orders"))
     )
 
 

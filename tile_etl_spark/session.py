@@ -18,12 +18,19 @@ def get_spark(
     app_name: str = "tile-etl-spark",
     cpus: str | int | None = None,
     shuffle_partitions: str | int | None = None,
+    adaptive: str | bool | None = None,
 ) -> SparkSession:
     """Build (or fetch) the engine's SparkSession.
 
     local[$SPARK_GRAFT_CPUS] by default; on a real cluster the same
     configs apply — only ``master`` changes (provided externally via
     spark-submit).
+
+    ``adaptive`` (default on, override via $SPARK_GRAFT_AQE) gates AQE.
+    AQE's runtime re-planning costs one driver barrier per exchange —
+    pure win when shuffles carry GBs (cluster_conf keeps it on), pure
+    overhead when a whole query's shuffles carry KBs; the bench flips
+    it off at tiny SFs (the small-input fast path, bench.py).
     """
     cpus = str(cpus or os.environ.get("SPARK_GRAFT_CPUS") or "*")
     shuffle = str(
@@ -31,6 +38,9 @@ def get_spark(
         or os.environ.get("SPARK_GRAFT_SHUFFLE")
         or DEFAULT_SHUFFLE_PARTITIONS
     )
+    if adaptive is None:
+        adaptive = os.environ.get("SPARK_GRAFT_AQE", "true")
+    adaptive = str(adaptive).lower()
     builder = SparkSession.builder.appName(app_name)
     # Respect an externally provided master (spark-submit --master sets
     # PYSPARK_SUBMIT_ARGS; cluster launchers set SPARK_MASTER/MASTER) —
@@ -46,7 +56,7 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", shuffle)
         # AQE: runtime shuffle-partition coalescing, skew-join splitting,
         # sort-merge→broadcast conversion when runtime stats allow.
-        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.enabled", adaptive)
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # Non-ANSI: bad casts yield NULL (oracle twins use TRY_CAST).

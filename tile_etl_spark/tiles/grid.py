@@ -97,7 +97,19 @@ def tile_grid(
 
     Defaults are the GCS program's constants (P:24-32); pass the S3
     variant's (S:23-34) — or any deployment's — to retarget.
+
+    The generated frame is memoized per (session, parameters) — it is a
+    pure function of its arguments, and every tile qid builds on it, so
+    rebuilding the bounds frame + two explodes (~60 ms of eager
+    analysis) per call is pure waste (same trick as io.load's memo).
     """
+    from tile_etl_spark.io import _memo_for
+
+    memo = _memo_for(spark)
+    key = ("__tile_grid__", levels, extent, delta, padding)
+    hit = memo.get(key)
+    if hit is not None:
+        return hit
     bounds = _bounds_df(spark, levels, extent, delta, padding)
     rows = bounds.select(
         "level",
@@ -130,9 +142,11 @@ def tile_grid(
         spark.sparkContext.defaultParallelism * 2, cells // 50_000 + 1
     ))
     rows = rows.repartition(width, "level", "row")
-    return rows.select(
+    grid = rows.select(
         "level", "row", F.explode(F.sequence("c0", "c1")).alias("col")
     )
+    memo[key] = grid
+    return grid
 
 
 def _grid_oracle_cte() -> str:
@@ -327,11 +341,21 @@ def tile_manifest(spark: SparkSession) -> DataFrame:
     """The 'present tiles' manifest — models the directory listing the
     reference probes per-tile with File.Exists (P:102-106). At 100 TB the
     real thing is a distributed listing (binaryFile source) or an
-    inventory table; either way it lands as a DataFrame like this one."""
+    inventory table; either way it lands as a DataFrame like this one.
+    Memoized per session like tile_grid (pure function of constants)."""
+    from tile_etl_spark.io import _memo_for
+
+    memo = _memo_for(spark)
+    key = ("__tile_manifest__",)
+    hit = memo.get(key)
+    if hit is not None:
+        return hit
     g = tile_grid(spark).withColumn("src_path", src_path_col())
-    return g.where(F.expr(_PRESENT_SQL)).withColumn(
+    m = g.where(F.expr(_PRESENT_SQL)).withColumn(
         "tile_len", F.expr(_TILE_LEN_SQL).cast("int")
     )
+    memo[key] = m
+    return m
 
 
 @query(
