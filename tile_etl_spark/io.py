@@ -56,9 +56,25 @@ _CLUSTER_KEY = {
 # improved TPC-H Q1 1.45→0.41 s).
 _RELAYOUT_MIN_ROWS = 300_000
 
+# Tables whose downstream operators are compute-bound PER ROW (text
+# tokenization / rolling-hash over `documents`, timestamp bucketing and
+# sessionization over `events`): for their zero-/one-shuffle pipelines
+# the scan splits ARE the compute parallelism, so they get a minimum
+# fan-out even below _RELAYOUT_MIN_ROWS — the lakehouse practice of
+# sizing files for the workload, not just the scan. Measured at sf0.1
+# (local[32], AQE off): q_text_fingerprint 200→92 ms and tumbling-agg
+# over events 125→90 ms with 8 files. Tiny fixtures (sf≤0.01) skip the
+# floor — a 500-row table gains nothing from 8 task launches.
+_RELAYOUT_MIN_FILES = {"documents": 8, "events": 8}
+_RELAYOUT_FLOOR_MIN_ROWS = 4_000
+
 # Target rows per re-laid-out file: enough that each task's decode time
 # dominates its launch overhead, small enough to use available cores.
-_RELAYOUT_ROWS_PER_FILE = 25_000
+# Measured on lineitem sf0.1 (600k rows, local[32], AQE off): 24 files
+# → Q6 106 ms / Q1 149 ms; 12 → 99/116; 8 → 72/96; 4 → 86/132. Eight
+# ~75k-row tasks amortize launch (~4 ms each) over ~10 ms of decode
+# while still feeding 8 cores — the round-6 sweet spot.
+_RELAYOUT_ROWS_PER_FILE = 75_000
 
 
 def _scan_path(spark: SparkSession, sf_dir: str, name: str) -> str:
@@ -84,10 +100,14 @@ def _scan_path(spark: SparkSession, sf_dir: str, name: str) -> str:
     except Exception:
         return path
     cores = spark.sparkContext.defaultParallelism
+    floor = (
+        _RELAYOUT_MIN_FILES.get(name, 0)
+        if meta.num_rows >= _RELAYOUT_FLOOR_MIN_ROWS
+        else 0
+    )
     if (
-        meta.num_rows < _RELAYOUT_MIN_ROWS
-        or meta.num_row_groups >= max(4, cores // 2)
-    ):
+        meta.num_rows < _RELAYOUT_MIN_ROWS and not floor
+    ) or meta.num_row_groups >= max(4, cores // 2):
         return path
     from tile_etl_spark.sources.files import (
         _art,
@@ -97,12 +117,23 @@ def _scan_path(spark: SparkSession, sf_dir: str, name: str) -> str:
     )
 
     fp = source_fingerprint(path)
-    dest = _art(os.path.join("scan_layout", f"{name}_{fp[:12]}"))
+    # Layout params are part of the artifact identity: changing
+    # _RELAYOUT_ROWS_PER_FILE must regenerate, not reuse, old layouts.
+    dest = _art(
+        os.path.join(
+            "scan_layout",
+            f"{name}_{fp[:12]}_r{_RELAYOUT_ROWS_PER_FILE // 1000}k",
+        )
+    )
     marker = dest + "._DONE"
     if not marker_current(marker, fp):
         raw = _read_raw(spark, path, name)
         key = _CLUSTER_KEY.get(name)
-        n = max(1, min(cores, meta.num_rows // _RELAYOUT_ROWS_PER_FILE))
+        n = max(
+            1,
+            floor,
+            min(cores, meta.num_rows // _RELAYOUT_ROWS_PER_FILE),
+        )
         out = (
             raw.repartitionByRange(n, key).sortWithinPartitions(key)
             if key
