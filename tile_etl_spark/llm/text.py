@@ -106,12 +106,19 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     df table → window. The df (document-frequency) table is vocabulary-
     sized — always broadcastable."""
     ensure_session_determinism(spark)
+    scope(f"q_text_tfidf:{sf_dir}")
     d = load(spark, sf_dir, "documents")
     # N as a broadcast 1-row aggregate (the oracle's CROSS JOIN n) — no
     # extra driver-side job per plan build.
     n_docs = d.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
     terms = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
-    tfc = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # Persisted because BOTH sides consume it: the broadcast df table
+    # aggregates it AND the scored path joins against it — without the
+    # persist the broadcast-side job re-runs the full corpus explode +
+    # (doc,term) aggregation (two corpus passes at any scale).
+    tfc = persist_scoped(
+        terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    )
     # df derived FROM tfc, not from a second aggregation over the raw
     # terms: tfc is already unique per (doc, term), so rows-per-term IS
     # the document frequency. The previous shape re-ran the full

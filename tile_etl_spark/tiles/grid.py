@@ -87,6 +87,7 @@ def tile_grid(
     extent: tuple[float, float, float, float] = EXTENT,
     delta: float = WEB_MERCATOR_DELTA,
     padding: tuple[int, int] = PADDING,
+    cells_per_task: int = 50_000,
 ) -> DataFrame:
     """A1–A4: every candidate (level, row, col) for the reference extent.
 
@@ -106,7 +107,7 @@ def tile_grid(
     from tile_etl_spark.io import _memo_for
 
     memo = _memo_for(spark)
-    key = ("__tile_grid__", levels, extent, delta, padding)
+    key = ("__tile_grid__", levels, extent, delta, padding, cells_per_task)
     hit = memo.get(key)
     if hit is not None:
         return hit
@@ -138,8 +139,14 @@ def tile_grid(
             for lvl in range(levels[0], levels[1] + 1)
         )
     )
+    # cells_per_task defaults to generation cost (~50k explode rows per
+    # task); callers whose downstream per-cell work is heavier (e.g.
+    # tile_manifest's hex-format + md5 + distinct-agg pipeline) pass a
+    # smaller target so the SAME repartition fans the pipeline wider —
+    # no extra shuffle, just more output splits of the existing one.
     width = max(1, min(
-        spark.sparkContext.defaultParallelism * 2, cells // 50_000 + 1
+        spark.sparkContext.defaultParallelism * 2,
+        cells // cells_per_task + 1,
     ))
     rows = rows.repartition(width, "level", "row")
     grid = rows.select(
@@ -350,7 +357,13 @@ def tile_manifest(spark: SparkSession) -> DataFrame:
     hit = memo.get(key)
     if hit is not None:
         return hit
-    g = tile_grid(spark).withColumn("src_path", src_path_col())
+    # Denser fan-out than the bare generator: every manifest consumer
+    # (stats, semi-join, sink) pays per-cell hex/md5/agg work, so ~5k
+    # cells per task keeps the pipeline parallel (37.8k cells → 8 tasks
+    # instead of 1) at zero extra shuffle cost.
+    g = tile_grid(spark, cells_per_task=5_000).withColumn(
+        "src_path", src_path_col()
+    )
     m = g.where(F.expr(_PRESENT_SQL)).withColumn(
         "tile_len", F.expr(_TILE_LEN_SQL).cast("int")
     )
