@@ -180,6 +180,9 @@ EXTRA = [
     "q_text_hapax",
     "q_ts_gap_stats",
     "q_join_skew_profile",
+    # round-6 rewrite coverage: the two-pass global-rank/sweep rewrites
+    "q_peak_concurrency",
+    "q_cumulative_uniques",
 ]
 
 

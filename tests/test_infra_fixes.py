@@ -123,3 +123,45 @@ def test_kmeans_empty_corpus_raises_cleanly(spark):
     )
     with pytest.raises(ValueError, match="empty corpus"):
         kmeans_centroids(empty, n_cells=4, iters=1)
+
+
+def test_persist_scoped_dedupes_identical_plans(spark):
+    """Round-6: re-persisting a semantically identical plan under the
+    same tag returns the EXISTING handle (no CacheManager 'already
+    cached' WARN storm on bench best-of-N reruns); a different tag or a
+    different plan still gets its own persist."""
+    cache_mod.scope("dedupe_q")
+    a = cache_mod.persist_scoped(spark.range(10).selectExpr("id * 2 AS x"))
+    b = cache_mod.persist_scoped(spark.range(10).selectExpr("id * 2 AS x"))
+    assert a is b
+    c = cache_mod.persist_scoped(spark.range(10).selectExpr("id * 3 AS x"))
+    assert c is not a
+    cache_mod.scope("other")  # release
+    cache_mod.release_cached()
+
+
+def test_table_view_is_memoized_and_plan_identical(spark, sf_dir):
+    """table_view returns a stable name per (session, sf_dir, table) and
+    the view resolves to the SAME memoized scan plan load() serves —
+    the single-spark.sql builders see identical logical plans."""
+    v1 = io_mod.table_view(spark, sf_dir, "orders")
+    v2 = io_mod.table_view(spark, sf_dir, "orders")
+    assert v1 == v2
+    via_view = spark.sql(f"SELECT * FROM {v1}")
+    direct = io_mod.load(spark, sf_dir, "orders")
+    assert via_view.schema == direct.schema
+    assert via_view.count() == direct.count()
+
+
+def test_relayout_floor_fans_out_compute_bound_tables(spark):
+    """Round-6 layout policy: events (100k rows at sf0.1, but already
+    >=4k at sf0.01) gets the 8-file fan-out floor; tiny sf0.001 tables
+    stay raw single-file (8 task launches buy nothing at 1k rows)."""
+    import glob
+
+    p01 = io_mod._scan_path(spark, "/root/testdata/sf0.01", "events")
+    assert p01 != "/root/testdata/sf0.01/events.parquet"
+    n_files = len(glob.glob(os.path.join(p01, "part-*")))
+    assert n_files == 8, n_files
+    p001 = io_mod._scan_path(spark, "/root/testdata/sf0.001", "events")
+    assert p001 == "/root/testdata/sf0.001/events.parquet"
