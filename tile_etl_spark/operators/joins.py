@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from tile_etl_spark.io import as_double, dec, load
+from tile_etl_spark.io import as_double, dec, load, table_view
 from tile_etl_spark.registry import query
 from tile_etl_spark.session import ensure_session_determinism
 
@@ -326,6 +326,31 @@ def interval_self_join(events: DataFrame, band_us: int = BAND_US) -> DataFrame:
     )
 
 
+# Spark-dialect SQL twin of interval_self_join — the SAME banding plan
+# (explode ±1 bucket, equi-join on (user, bucket), exact |Δt| residual)
+# issued as one spark.sql() call; the generic DataFrame helper above
+# remains the composable API. Bucket arithmetic matches the helper
+# bit-for-bit: bigint/int division is DOUBLE in both paths, truncated
+# by the bigint cast.
+_INTERVAL_SELF_SQL = f"""
+    WITH l AS (
+      SELECT user_id, event_id AS id1, unix_micros(ts) AS us1,
+             explode(sequence(
+               CAST(unix_micros(ts) / {BAND_US} AS BIGINT) - 1,
+               CAST(unix_micros(ts) / {BAND_US} AS BIGINT) + 1)) AS bucket
+      FROM {{t}}
+    ),
+    r AS (
+      SELECT user_id, event_id AS id2, unix_micros(ts) AS us2,
+             CAST(unix_micros(ts) / {BAND_US} AS BIGINT) AS bucket
+      FROM {{t}}
+    )
+    SELECT l.user_id, id1, id2
+    FROM l JOIN r ON l.user_id = r.user_id AND l.bucket = r.bucket
+    WHERE id1 < id2 AND abs(us1 - us2) <= {BAND_US}
+"""
+
+
 @query(
     "q_join_interval",
     oracle=f"""
@@ -339,9 +364,12 @@ def interval_self_join(events: DataFrame, band_us: int = BAND_US) -> DataFrame:
 )
 def q_join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event pairs of the same user within 5 minutes — via the banding
-    rewrite (oracle states the naive theta join; results identical)."""
+    rewrite (oracle states the naive theta join; results identical).
+    Issued as the single-spark.sql twin of interval_self_join."""
     ensure_session_determinism(spark)
-    return interval_self_join(load(spark, sf_dir, "events"))
+    return spark.sql(
+        _INTERVAL_SELF_SQL.format(t=table_view(spark, sf_dir, "events"))
+    )
 
 
 def asof_join(
@@ -424,16 +452,43 @@ def asof_join(
 )
 def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Each 'error' event → most recent prior-or-same-instant 'click'
-    of the same user (oracle = correlated top-1 subquery twin)."""
+    of the same user (oracle = correlated top-1 subquery twin).
+    Issued as the single-spark.sql twin of asof_join's union-tag +
+    running last(ignorenulls) shape — same plan, right rows ordering
+    before left at equal instants, right ties to the highest id."""
     ensure_session_determinism(spark)
-    e = load(spark, sf_dir, "events")
-    errors = e.where(F.col("event_type") == "error").select(
-        "event_id", "user_id", "ts"
+    return spark.sql(
+        _ASOF_BACKWARD_SQL.format(t=table_view(spark, sf_dir, "events"))
     )
-    clicks = e.where(F.col("event_type") == "click").select(
-        "user_id", "ts", F.col("event_id").alias("__right_id")
+
+
+# Spark-dialect SQL twin of asof_join(direction='backward') for the
+# events fixture — ONE parse+analyze round trip instead of the
+# helper's ~20 eagerly-analyzed steps (measured ~200 ms of build at
+# sf0.1). The generic asof_join above remains the composable API (and
+# the forward variant still uses it).
+_ASOF_BACKWARD_SQL = """
+    WITH u AS (
+      SELECT user_id AS k, ts AS o_ts, 1 AS is_left,
+             CAST(NULL AS BIGINT) AS rid, CAST(NULL AS TIMESTAMP) AS rts,
+             event_id, ts
+      FROM {t} WHERE event_type = 'error'
+      UNION ALL
+      SELECT user_id, ts, 0, event_id, ts,
+             CAST(NULL AS BIGINT), CAST(NULL AS TIMESTAMP)
+      FROM {t} WHERE event_type = 'click'
+    ),
+    m AS (
+      SELECT *,
+             last(rid, true) OVER w AS asof_id,
+             last(rts, true) OVER w AS asof_ts
+      FROM u
+      WINDOW w AS (PARTITION BY k ORDER BY o_ts ASC, is_left ASC, rid ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
     )
-    return asof_join(errors, clicks, on="user_id")
+    SELECT event_id, k AS user_id, ts, asof_id, asof_ts
+    FROM m WHERE is_left = 1
+"""
 
 
 @query(
