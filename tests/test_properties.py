@@ -543,3 +543,42 @@ def test_pq_adc_ranks_against_exact(spark, sf_dir):
             a["adc_micro2"] <= b["adc_micro2"]
             for a, b in zip(adc_sorted, adc_sorted[1:])
         )
+
+
+@given(
+    vals=st.lists(
+        st.integers(min_value=-1000, max_value=1000), min_size=1, max_size=120
+    ),
+    buckets=st.integers(min_value=1, max_value=9),
+)
+@settings(max_examples=25, deadline=None)
+def test_global_rank_and_ntile_match_window_semantics(spark, vals, buckets):
+    """Round-6 helpers: global_rank must equal an unpartitioned
+    row_number over the same total order, and ntile_from_rank must
+    equal SQL ntile(b), for random value lists (duplicates included —
+    the id tiebreak totalizes the order) and random bucket counts."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from tile_etl_spark import cache
+    from tile_etl_spark.operators.windows import global_rank, ntile_from_rank
+
+    cache.scope("prop_global_rank")
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "id long, v long"
+    )
+    order = [F.col("v").asc(), F.col("id").asc()]
+    got = (
+        global_rank(df, order)
+        .withColumn("q", ntile_from_rank(F.col("rn"), F.col("n"), buckets))
+        .select("id", "rn", "q")
+    )
+    w = Window.orderBy(*order)
+    want = df.select(
+        "id",
+        F.row_number().over(w).alias("rn"),
+        F.ntile(buckets).over(w).alias("q"),
+    )
+    diff = got.exceptAll(want).count() + want.exceptAll(got).count()
+    assert diff == 0
+    cache.scope("prop_done")

@@ -325,6 +325,42 @@ def main() -> None:
     out["stream_s"] = round(dt, 3)
     out["stream_events_per_s"] = int(n_events / dt)
 
+    # --- stress 7: two-pass global rank at volume -----------------------
+    # The round-6 rewrites (mixture interleave, RFM ntiles, equi-depth,
+    # sweep-line) all stand on global_rank's range-partition +
+    # broadcast-offset pattern. Rank the ×K amplified fact on a
+    # near-uniform synthetic key and report rows/s; the plan must keep
+    # every data-bearing window pid-partitioned (asserted, not eyeballed)
+    # and the offset table stays n_parts rows regardless of volume.
+    from tile_etl_spark import cache
+    from tile_etl_spark.operators.windows import global_rank
+
+    cache.scope("stress_global_rank")
+    keyed = amp.select(
+        (F.xxhash64("l_orderkey", "l_linenumber", "rep")).alias("k"),
+        F.monotonically_increasing_id().alias("rid"),
+    )
+    t0 = time.monotonic()
+    ranked = global_rank(keyed, [F.col("k").asc(), F.col("rid").asc()])
+    plan = ranked._jdf.queryExecution().executedPlan().toString()
+    for ln in plan.splitlines():
+        if "Window" in ln and "k#" in ln:
+            assert "pid" in ln, f"unpartitioned data window:\n{ln}"
+    agg = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max("rn").alias("max_rn"),
+        F.sum(F.col("rn").cast("double")).alias("rank_sum"),
+    )
+    row = agg.first()
+    dt = time.monotonic() - t0
+    assert row["n"] == row["max_rn"] == n_rows, (row, n_rows)
+    # sum(1..n) — the ranks are exactly a permutation of 1..n
+    assert row["rank_sum"] == n_rows * (n_rows + 1) / 2
+    out["grank_rows"] = n_rows
+    out["grank_s"] = round(dt, 3)
+    out["grank_rows_per_s"] = int(n_rows / dt)
+    cache.scope("stress_done")
+
     print(json.dumps(out))
 
 
