@@ -194,6 +194,44 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def plan_memo(*tables: str):
+    """Memoize a PURE query builder's DataFrame per (session, sf_dir,
+    source fingerprints) — the engine's prepared-plan cache.
+
+    Eligible builders are pure functions of (spark, sf_dir) with no
+    internal persist/scope state: re-running them re-derives the exact
+    same plan (and, for probe-broadcast builders like cosine_topk,
+    re-runs a driver-side probe-collect job) for nothing. The memo key
+    includes each declared source table's (size, mtime) fingerprint so
+    a regenerated fixture rebuilds the plan. NOT applicable to builders
+    that persist scoped intermediates (their scope lifecycle must
+    re-run per call) or that have build-time side effects."""
+
+    def deco(fn):
+        import functools
+
+        @functools.wraps(fn)
+        def wrapper(spark: SparkSession, sf_dir: str) -> DataFrame:
+            memo = _memo_for(spark)
+            fps = []
+            for t in tables:
+                try:
+                    st = os.stat(os.path.join(sf_dir, f"{t}.parquet"))
+                    fps.append(f"{st.st_size}:{st.st_mtime_ns}")
+                except OSError:
+                    fps.append("missing")
+            key = ("__plan__", fn.__name__, sf_dir, tuple(fps))
+            hit = memo.get(key)
+            if hit is None:
+                hit = fn(spark, sf_dir)
+                memo[key] = hit
+            return hit
+
+        return wrapper
+
+    return deco
+
+
 def table_view(spark: SparkSession, sf_dir: str, name: str) -> str:
     """Register (once) and return a temp-view name for a fixture table.
 

@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from tile_etl_spark.io import load
+from tile_etl_spark.io import load, plan_memo
 from tile_etl_spark.registry import query
 from tile_etl_spark.session import ensure_session_determinism
 
@@ -220,36 +220,45 @@ def lsh_candidate_pairs(
     # inlines the signature expression into every reference, so 16
     # bands × 4 getItems would evaluate the full 64-perm MinHash 64
     # times per row (measured 50× slowdown at sf0.01). A single
-    # transform keeps one evaluation. One parsed SQL expression — the
-    # nested-lambda Column tree was ~0.1 s of driver-side Py4J per
-    # builder call.
-    bands = F.expr(
-        f"transform(sequence(0, {n_bands - 1}), b -> struct("
-        "cast(b as int) AS band_id, "
-        f"xxhash64(array_join(transform(slice(sig, b * {rows_per_band}"
-        f" + 1, {rows_per_band}), x -> cast(x as string)), ',')) "
-        "AS band_hash))"
-    )
-    bucketed = sigs.select(
-        "doc_id", F.explode(bands).alias("band")
-    ).select("doc_id", "band.band_id", "band.band_hash")
-    members = (
-        bucketed.groupBy("band_id", "band_hash")
-        .agg(F.array_sort(F.collect_set("doc_id")).alias("ms"))
-        .where((F.size("ms") >= 2) & (F.size("ms") <= max_bucket))
-    )
-    # ms is a materialized aggregate output (aggregation is a collapse
-    # barrier), so the four references below are cheap bound
-    # attributes, not re-evaluated expression trees.
-    pairs = F.expr(
-        "flatten(transform(ms, (x, i) -> "
-        "transform(slice(ms, i + 2, size(ms)), "
-        "y -> struct(x AS d1, y AS d2))))"
-    )
-    return (
-        members.select(F.explode(pairs).alias("p"))
-        .select("p.d1", "p.d2")
-        .distinct()
+    # transform keeps one evaluation; `ms` is a materialized aggregate
+    # output (aggregation is a collapse barrier), so the pair-gen
+    # references to it are cheap bound attributes. Issued as ONE
+    # spark.sql over a temp view of the signature frame: the chained
+    # DataFrame form paid ~6 eager analysis passes over plans embedding
+    # the 64-perm MinHash tree (~75 ms of driver build at sf0.1).
+    # Fixed view name is safe — spark.sql resolves views eagerly here.
+    spark = sigs.sparkSession
+    sigs.createOrReplaceTempView("__lsh_sigs")
+    return spark.sql(
+        f"""
+        WITH bucketed AS (
+          SELECT doc_id, band.band_id AS band_id, band.band_hash AS band_hash
+          FROM __lsh_sigs
+          LATERAL VIEW explode(transform(sequence(0, {n_bands - 1}),
+            b -> struct(
+              cast(b as int) AS band_id,
+              xxhash64(array_join(transform(
+                slice(sig, b * {rows_per_band} + 1, {rows_per_band}),
+                x -> cast(x as string)), ',')) AS band_hash
+            ))) t AS band
+        ),
+        members AS (
+          SELECT band_id, band_hash,
+                 array_sort(collect_set(doc_id)) AS ms
+          FROM bucketed GROUP BY band_id, band_hash
+        ),
+        capped AS (
+          SELECT ms FROM members
+          WHERE size(ms) >= 2 AND size(ms) <= {max_bucket}
+        ),
+        pairs AS (
+          SELECT explode(flatten(transform(ms, (x, i) ->
+            transform(slice(ms, i + 2, size(ms)),
+                      y -> struct(x AS d1, y AS d2))))) AS p
+          FROM capped
+        )
+        SELECT DISTINCT p.d1 AS d1, p.d2 AS d2 FROM pairs
+        """
     )
 
 
@@ -306,43 +315,37 @@ def exact_jaccard(
     sh = (
         _persist(shingles_df(docs)) if shingles is None else shingles
     )  # consumers: inter (×2 sides) + sizes
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    inter = (
-        pairs.join(
-            sh.select(F.col("doc_id").alias("d1"), "shingle"), "d1"
+    # The sizes/intersection/union composition is issued as ONE
+    # spark.sql over temp views of the two input frames: the chained
+    # DataFrame form paid ~8 eager analysis passes over plans that
+    # already embed the shingle HOF trees (~120 ms of driver build at
+    # sf0.1); one SQL statement is one parse+analyze. Fixed view names
+    # are safe: spark.sql resolves views EAGERLY at this call, so a
+    # later exact_jaccard call re-pointing the names cannot affect an
+    # already-built frame. Plan shape is unchanged — the shingle
+    # equality stays part of the second JOIN KEY (the intermediate is
+    # the intersection itself, never a per-pair shingle cross).
+    spark = sh.sparkSession
+    sh.createOrReplaceTempView("__ej_sh")
+    pairs.createOrReplaceTempView("__ej_pairs")
+    return spark.sql(
+        """
+        WITH sizes AS (
+          SELECT doc_id, count(*) AS n FROM __ej_sh GROUP BY doc_id
+        ),
+        inter AS (
+          SELECT p.d1, p.d2, count(*) AS i
+          FROM __ej_pairs p
+          JOIN __ej_sh a ON a.doc_id = p.d1
+          JOIN __ej_sh b ON b.doc_id = p.d2 AND b.shingle = a.shingle
+          GROUP BY p.d1, p.d2
         )
-        .join(
-            sh.select(F.col("doc_id").alias("d2"), "shingle"),
-            ["d2", "shingle"],
-        )
-        .groupBy("d1", "d2")
-        .agg(F.count(F.lit(1)).alias("i"))
-    )
-    # select-with-alias, not withColumnRenamed: every DataFrame step is
-    # eagerly ANALYZED (execution stays lazy), so four rename steps over
-    # an already-deep plan pay four extra full analysis passes on the
-    # driver.
-    return (
-        inter.join(
-            sizes.select(
-                F.col("doc_id").alias("d1"), F.col("n").alias("n1")
-            ),
-            "d1",
-        )
-        .join(
-            sizes.select(
-                F.col("doc_id").alias("d2"), F.col("n").alias("n2")
-            ),
-            "d2",
-        )
-        .select(
-            "d1",
-            "d2",
-            (
-                F.col("i").cast("double")
-                / (F.col("n1") + F.col("n2") - F.col("i"))
-            ).alias("jaccard"),
-        )
+        SELECT it.d1, it.d2,
+               CAST(it.i AS DOUBLE) / (na.n + nb.n - it.i) AS jaccard
+        FROM inter it
+        JOIN sizes na ON it.d1 = na.doc_id
+        JOIN sizes nb ON it.d2 = nb.doc_id
+        """
     )
 
 
@@ -702,6 +705,7 @@ N_EMBED_BLOCKS = 8
              * sqrt(list_dot_product(b.e, b.e))) >= 0.4
     """,
 )
+@plan_memo("embeddings")
 def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup (cos ≥ threshold), exact all-pairs tier.
     Threshold 0.4 (the synthetic fixture's max pairwise cosine is ~0.5;

@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from tile_etl_spark import cache
-from tile_etl_spark.io import load
+from tile_etl_spark.io import load, plan_memo
 from tile_etl_spark.registry import query
 from tile_etl_spark.session import ensure_session_determinism
 
@@ -145,6 +145,7 @@ def cosine_topk(
     FROM ranked WHERE rank <= {TOP_K}
     """,
 )
+@plan_memo("embeddings")
 def q_sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-5 for 10 probe vectors, vec_id tiebreak,
     similarity rounded 6 dp (H-checked against DuckDB list ops)."""
