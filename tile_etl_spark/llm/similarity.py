@@ -1265,6 +1265,7 @@ def _hybrid_rrf_oracle() -> str:
 
 
 @query("q_hybrid_rrf", oracle=_hybrid_rrf_oracle())
+@plan_memo("documents", "embeddings")
 def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HYBRID RETRIEVAL with reciprocal-rank fusion — the standard way
     production RAG / training-data retrieval stacks combine a lexical
@@ -1373,6 +1374,7 @@ _TRUNC_DIM = 32  # evaluate the first half of the 64-dim fixture vectors
     LEFT JOIN ov ON p.probe_id = ov.probe_id
     """,
 )
+@plan_memo("embeddings")
 def q_embed_truncation_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EMBEDDING-TRUNCATION EVALUATION (Matryoshka representation
     learning, Kusupati et al. 2022): per probe, how much of the
@@ -1517,6 +1519,7 @@ def _context_pack_oracle() -> str:
 
 
 @query("q_context_pack", oracle=_context_pack_oracle())
+@plan_memo("documents", "embeddings")
 def q_context_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CONTEXT PACKING — fill a fixed token budget from the hybrid
     retrieval ranking in rank order: the last step of a RAG pipeline,

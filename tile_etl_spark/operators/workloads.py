@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from tile_etl_spark.io import as_double, dec, load
+from tile_etl_spark.io import as_double, dec, load, plan_memo
 from tile_etl_spark.registry import query
 from tile_etl_spark.session import ensure_session_determinism
 
@@ -2190,6 +2190,7 @@ def q_ivm_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM lineitem
     """,
 )
+@plan_memo("lineitem")
 def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """COLUMN PROFILER — the ANALYZE TABLE / data-catalog statistics
     pass: min, max, null count, exact NDV and mean per numeric column,

@@ -22,6 +22,7 @@ import math
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from tile_etl_spark.io import plan_memo
 from tile_etl_spark.registry import query
 from tile_etl_spark.session import ensure_session_determinism
 
@@ -937,6 +938,7 @@ def q_tile_quadkey(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM cand WHERE rn <= 3
     """,
 )
+@plan_memo()
 def q_tile_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPATIAL k-NEAREST-NEIGHBORS over the present-tile set (level 7,
     k=3, candidates from the Chebyshev-2 ring): for every present
