@@ -63,9 +63,12 @@ _RELAYOUT_MIN_ROWS = 300_000
 # fan-out even below _RELAYOUT_MIN_ROWS — the lakehouse practice of
 # sizing files for the workload, not just the scan. Measured at sf0.1
 # (local[32], AQE off): q_text_fingerprint 200→92 ms and tumbling-agg
-# over events 125→90 ms with 8 files. Tiny fixtures (sf≤0.01) skip the
-# floor — a 500-row table gains nothing from 8 task launches.
-_RELAYOUT_MIN_FILES = {"documents": 8, "events": 8}
+# over events 125→90 ms with 8 files; grouped-top-k over orders
+# 242→123 ms and the rank family 162→106 ms with 4 files (orders'
+# per-row work is lighter, so fewer/larger splits win there). Tiny
+# fixtures skip the floor — a 500-row table gains nothing from 8 task
+# launches.
+_RELAYOUT_MIN_FILES = {"documents": 8, "events": 8, "orders": 4}
 _RELAYOUT_FLOOR_MIN_ROWS = 4_000
 
 # Target rows per re-laid-out file: enough that each task's decode time
