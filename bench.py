@@ -186,10 +186,23 @@ EXTRA = [
 ]
 
 
+def _loadavg() -> list[float]:
+    """1/5/15-min load averages — recorded in the bench output because
+    this box shows ambient load bursts (1-min load 4-9 with zero of our
+    processes running; r5's driver record was ~+21% vs the committed
+    record for exactly this reason). A record taken at load ≳ 2 should
+    be read with that context."""
+    try:
+        return [round(x, 2) for x in os.getloadavg()]
+    except OSError:
+        return []
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
+    load_start = _loadavg()
 
     registry.load_all()
     qids = [q for q in HEADLINE if q in registry.QUERIES]
@@ -301,6 +314,8 @@ def main() -> None:
         "duck_queries": duck_times,
         "ratios": ratios,
         "sf": sf,
+        "loadavg_start": load_start,
+        "loadavg_end": _loadavg(),
     }
     try:
         out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -320,6 +335,7 @@ def main() -> None:
                 "ratios": {q: r for q, r in ratios.items() if q in times},
                 "full_record": "BENCH_FULL.json",
                 "sf": sf,
+                "loadavg": [load_start, _loadavg()],
             }
         )
     )
