@@ -8,7 +8,7 @@ one shuffle on the group key, per-group heap via window sort.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from tile_etl_spark.io import load, table_view
