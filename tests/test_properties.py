@@ -582,3 +582,19 @@ def test_global_rank_and_ntile_match_window_semantics(spark, vals, buckets):
     diff = got.exceptAll(want).count() + want.exceptAll(got).count()
     assert diff == 0
     cache.scope("prop_done")
+
+
+def test_global_rank_empty_frame(spark):
+    """Zero-row input must flow through the two-pass rank without error
+    (empty histogram → empty offsets → empty result, same schema)."""
+    from pyspark.sql import functions as F
+
+    from tile_etl_spark import cache
+    from tile_etl_spark.operators.windows import global_rank
+
+    cache.scope("prop_empty_rank")
+    empty = spark.createDataFrame([], "id long, v long")
+    r = global_rank(empty, [F.col("v").asc(), F.col("id").asc()])
+    assert r.count() == 0
+    assert [f.name for f in r.schema.fields] == ["id", "v", "n", "rn"]
+    cache.scope("prop_empty_done")
