@@ -712,51 +712,63 @@ def q_dq_partition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_rel_division",
     oracle="""
-    WITH brand_parts AS (
-      SELECT p_partkey FROM part WHERE p_brand = 'Brand#1'
+    WITH cust_brand AS (
+      SELECT DISTINCT o.o_custkey AS custkey, p.p_brand AS brand
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN part p ON l.l_partkey = p.p_partkey
     ),
-    supply AS (
-      SELECT DISTINCT l_suppkey, l_partkey FROM lineitem
-      WHERE l_partkey IN (SELECT p_partkey FROM brand_parts)
-    ),
-    need AS (SELECT count(*) AS n FROM brand_parts)
-    SELECT s.l_suppkey AS suppkey,
-           CAST(count(*) AS BIGINT) AS n_brand_parts
-    FROM supply s CROSS JOIN need
-    GROUP BY s.l_suppkey, need.n
+    need AS (SELECT count(DISTINCT p_brand) AS n FROM part)
+    SELECT cb.custkey,
+           CAST(count(*) AS BIGINT) AS n_brands
+    FROM cust_brand cb CROSS JOIN need
+    GROUP BY cb.custkey, need.n
     HAVING count(*) = need.n
     """,
 )
 def q_rel_division(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """RELATIONAL DIVISION — "suppliers who ship EVERY part of
-    Brand#1": the universal-quantifier query (FOR ALL) that plain
-    joins cannot express. Spelled as the standard count-match rewrite:
-    distinct (supplier, part) pairs restricted to the divisor set,
-    grouped per supplier, kept iff the count equals the divisor
-    cardinality — set containment becomes integer equality, with the
-    divisor size broadcast as a 1-row aggregate. The double-NOT-EXISTS
-    formulation is semantically identical but plans as two correlated
-    anti-joins; the count-match form is one aggregate over an already-
-    reduced pair set — the shape that survives 100 TB.
+    """RELATIONAL DIVISION — "customers who ordered parts of EVERY
+    brand": the universal-quantifier query (FOR ALL) that plain joins
+    cannot express. Spelled as the standard count-match rewrite:
+    distinct (customer, brand) pairs, grouped per customer, kept iff
+    the count equals the divisor cardinality — set containment becomes
+    integer equality, with the divisor size broadcast as a 1-row
+    aggregate. The double-NOT-EXISTS formulation is semantically
+    identical but plans as two correlated anti-joins; the count-match
+    form is one aggregate over an already-reduced pair set — the shape
+    that survives 100 TB.
+
+    The divisor is deliberately the BRAND domain (25 values, constant
+    across scale factors), not a partkey set: a divisor that grows
+    with SF makes coverage probability collapse toward zero as data
+    scales (the original Brand#1-partkey form returned 0 rows at every
+    SF — a vacuously-true query), while a fixed enum divisor keeps the
+    quantifier satisfiable and the answer non-empty at any scale
+    (21/1500 customers at sf0.01, 325/15000 at sf0.1).
     """
     ensure_session_determinism(spark)
     part = load(spark, sf_dir, "part")
+    orders = load(spark, sf_dir, "orders")
     li = load(spark, sf_dir, "lineitem")
-    brand = part.where(F.col("p_brand") == "Brand#1").select("p_partkey")
-    supply = (
-        li.join(F.broadcast(brand), li["l_partkey"] == brand["p_partkey"])
-        .select("l_suppkey", "l_partkey")
+    brand_of = F.broadcast(part.select("p_partkey", "p_brand"))
+    pairs = (
+        li.select("l_orderkey", "l_partkey")
+        .join(orders.select("o_orderkey", "o_custkey"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(brand_of, F.col("l_partkey") == F.col("p_partkey"))
+        .select(F.col("o_custkey").alias("custkey"),
+                F.col("p_brand").alias("brand"))
         .distinct()
     )
-    need = brand.agg(F.count(F.lit(1)).alias("n"))
+    need = part.agg(F.countDistinct("p_brand").alias("n"))
     return (
-        supply.crossJoin(F.broadcast(need))
-        .groupBy("l_suppkey", "n")
+        pairs.crossJoin(F.broadcast(need))
+        .groupBy("custkey", "n")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .where(F.col("cnt") == F.col("n"))
         .select(
-            F.col("l_suppkey").alias("suppkey"),
-            F.col("cnt").cast("bigint").alias("n_brand_parts"),
+            "custkey",
+            F.col("cnt").cast("bigint").alias("n_brands"),
         )
     )
 

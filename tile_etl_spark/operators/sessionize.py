@@ -988,8 +988,8 @@ def q_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(value AS DOUBLE) AS value,
            ts AS valid_from
     FROM chg
-    WHERE ts <= TIMESTAMP '1995-07-01 00:00:00'
-      AND (next_ts IS NULL OR next_ts > TIMESTAMP '1995-07-01 00:00:00')
+    WHERE ts <= TIMESTAMP '2024-01-15 00:00:00'
+      AND (next_ts IS NULL OR next_ts > TIMESTAMP '2024-01-15 00:00:00')
     """,
 )
 def q_scd2_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1005,9 +1005,14 @@ def q_scd2_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-row filter — no join at all; the snapshot timestamp prunes
     everything after T at the scan (pushed predicate on ts ≤ T). A
     repeated-snapshot workload would materialize the intervals once
-    and serve every T from the same table."""
+    and serve every T from the same table.
+
+    T sits mid-range of the events fixture (Jan 2024) so the snapshot
+    is non-empty at every SF: an out-of-range T made both engines
+    agree on 0 rows — a vacuously green check that proves nothing
+    (150 rows at sf0.01, ~1.5k at sf0.1 with this T)."""
     ensure_session_determinism(spark)
-    t = "1995-07-01 00:00:00"
+    t = "2024-01-15 00:00:00"
     e = load(spark, sf_dir, "events").where(
         (F.col("event_type") == "purchase") & (F.col("ts") <= t)
     )
