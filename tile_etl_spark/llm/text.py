@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from tile_etl_spark.cache import persist_scoped, scope
 from tile_etl_spark.io import load
+from tile_etl_spark.operators.windows import pid_hist_window
 from tile_etl_spark.registry import query
 from tile_etl_spark.session import ensure_session_determinism
 
@@ -1054,7 +1055,7 @@ def q_text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("pid", F.spark_partition_id())
     )
     totals = part.groupBy("pid").agg(F.sum("new_terms").alias("psum"))
-    w_off = Window.orderBy("pid").rowsBetween(
+    w_off = pid_hist_window().rowsBetween(
         Window.unboundedPreceding, Window.currentRow - 1
     )
     offsets = totals.select(

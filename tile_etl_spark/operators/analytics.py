@@ -28,7 +28,11 @@ from pyspark.sql import functions as F
 
 from tile_etl_spark import cache
 from tile_etl_spark.io import as_double, dec, load
-from tile_etl_spark.operators.windows import global_rank, ntile_from_rank
+from tile_etl_spark.operators.windows import (
+    global_rank,
+    ntile_from_rank,
+    pid_hist_window,
+)
 from tile_etl_spark.registry import query
 from tile_etl_spark.session import ensure_session_determinism
 
@@ -234,10 +238,10 @@ def q_hist_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     hist = part.groupBy("pid").agg(F.count(F.lit(1)).alias("cnt"))
-    w_off = Window.orderBy("pid").rowsBetween(
+    w_off = pid_hist_window().rowsBetween(
         Window.unboundedPreceding, Window.currentRow - 1
     )
-    w_all = Window.orderBy("pid").rowsBetween(
+    w_all = pid_hist_window().rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
     offsets = hist.select(
@@ -897,7 +901,7 @@ def q_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
             n_parts, F.col("us").asc(), F.col("delta").asc()
         ).withColumn("pid", F.spark_partition_id())
     )
-    w_off = Window.orderBy("pid").rowsBetween(
+    w_off = pid_hist_window().rowsBetween(
         Window.unboundedPreceding, Window.currentRow - 1
     )
     offsets = (

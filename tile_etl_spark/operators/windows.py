@@ -18,6 +18,21 @@ from tile_etl_spark.registry import query
 from tile_etl_spark.session import ensure_session_determinism
 
 
+def pid_hist_window():
+    """Window spec for cumulating over a ``pid`` HISTOGRAM (one row
+    per shuffle partition, ≤ defaultParallelism rows) — the offset
+    table of every two-pass global rank/sum in the engine. The frame
+    is deliberately a single partition (it's tiny by construction),
+    but an empty partitionSpec makes WindowExec log 'No Partition
+    Defined … serious performance degradation' on every run — a false
+    scale alarm in bench/driver tails. ``pmod(pid, 1)`` is constant 0
+    yet NOT foldable (pid is an attribute), so Catalyst keeps it as a
+    partition key: identical single-partition physical shape, no
+    warning. (A plain ``lit(0)`` is constant-folded out of the spec
+    and the warning stays.)"""
+    return Window.partitionBy(F.pmod(F.col("pid"), F.lit(1))).orderBy("pid")
+
+
 def global_rank(df: DataFrame, order: list) -> DataFrame:
     """Attach a global ``rn`` (1-based row number) and total ``n`` over
     a total ORDER without a single-reducer sort — the reusable form of
@@ -31,7 +46,16 @@ def global_rank(df: DataFrame, order: list) -> DataFrame:
     histogram pass and the rank pass see the SAME sampled boundaries —
     the range sampler is not guaranteed stable across evaluations.
     ``order`` must be a TOTAL order (unique tiebreak) for deterministic
-    ranks."""
+    ranks. The input schema must be disjoint from the working/output
+    names ({pid, rn, n, __lrn, __off}) — withColumn would silently
+    replace a caller's column of the same name."""
+    reserved = {"pid", "rn", "n", "__lrn", "__off"}
+    clash = reserved.intersection(df.columns)
+    if clash:
+        raise ValueError(
+            "global_rank: input columns collide with its working/output "
+            f"names {sorted(clash)}; rename them before calling"
+        )
     spark = df.sparkSession
     n_parts = spark.sparkContext.defaultParallelism
     part = cache.persist_scoped(
@@ -40,10 +64,10 @@ def global_rank(df: DataFrame, order: list) -> DataFrame:
         )
     )
     hist = part.groupBy("pid").agg(F.count(F.lit(1)).alias("cnt"))
-    w_off = Window.orderBy("pid").rowsBetween(
+    w_off = pid_hist_window().rowsBetween(
         Window.unboundedPreceding, Window.currentRow - 1
     )
-    w_all = Window.orderBy("pid").rowsBetween(
+    w_all = pid_hist_window().rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
     offsets = hist.select(
@@ -205,7 +229,7 @@ def q_win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).withColumn("pid", F.spark_partition_id())
     )
     hist = part.groupBy("pid").agg(F.count(F.lit(1)).alias("cnt"))
-    w_hist = Window.orderBy("pid").rowsBetween(
+    w_hist = pid_hist_window().rowsBetween(
         Window.unboundedPreceding, Window.currentRow - 1
     )
     offsets = hist.select(
@@ -213,7 +237,7 @@ def q_win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.sum("cnt").over(w_hist), F.lit(0)).alias("off"),
         F.sum("cnt")
         .over(
-            Window.orderBy("pid").rowsBetween(
+            pid_hist_window().rowsBetween(
                 Window.unboundedPreceding, Window.unboundedFollowing
             )
         )
