@@ -121,11 +121,14 @@ def _scan_path(spark: SparkSession, sf_dir: str, name: str) -> str:
 
     fp = source_fingerprint(path)
     # Layout params are part of the artifact identity: changing
-    # _RELAYOUT_ROWS_PER_FILE must regenerate, not reuse, old layouts.
+    # _RELAYOUT_ROWS_PER_FILE or the fan-out floor (_RELAYOUT_MIN_FILES
+    # / _RELAYOUT_FLOOR_MIN_ROWS, resolved into `floor` above) must
+    # regenerate, not reuse, old layouts.
     dest = _art(
         os.path.join(
             "scan_layout",
-            f"{name}_{fp[:12]}_r{_RELAYOUT_ROWS_PER_FILE // 1000}k",
+            f"{name}_{fp[:12]}_r{_RELAYOUT_ROWS_PER_FILE // 1000}k"
+            f"_f{floor}",
         )
     )
     marker = dest + "._DONE"

@@ -226,14 +226,18 @@ def lsh_candidate_pairs(
     # spark.sql over a temp view of the signature frame: the chained
     # DataFrame form paid ~6 eager analysis passes over plans embedding
     # the 64-perm MinHash tree (~75 ms of driver build at sf0.1).
-    # Fixed view name is safe — spark.sql resolves views eagerly here.
+    # View name is derived from the frame's identity (like
+    # io.table_view) so two in-flight builds in one session can never
+    # race between createOrReplaceTempView and spark.sql and bind the
+    # wrong input; spark.sql resolves the view eagerly at this call.
     spark = sigs.sparkSession
-    sigs.createOrReplaceTempView("__lsh_sigs")
+    v_sigs = f"__lsh_sigs_{id(sigs)}"
+    sigs.createOrReplaceTempView(v_sigs)
     return spark.sql(
         f"""
         WITH bucketed AS (
           SELECT doc_id, band.band_id AS band_id, band.band_hash AS band_hash
-          FROM __lsh_sigs
+          FROM {v_sigs}
           LATERAL VIEW explode(transform(sequence(0, {n_bands - 1}),
             b -> struct(
               cast(b as int) AS band_id,
@@ -319,25 +323,26 @@ def exact_jaccard(
     # spark.sql over temp views of the two input frames: the chained
     # DataFrame form paid ~8 eager analysis passes over plans that
     # already embed the shingle HOF trees (~120 ms of driver build at
-    # sf0.1); one SQL statement is one parse+analyze. Fixed view names
-    # are safe: spark.sql resolves views EAGERLY at this call, so a
-    # later exact_jaccard call re-pointing the names cannot affect an
-    # already-built frame. Plan shape is unchanged — the shingle
+    # sf0.1); one SQL statement is one parse+analyze. View names are
+    # derived from the frames' identities so concurrent builds in one
+    # session cannot bind the wrong input (spark.sql resolves views
+    # eagerly at this call). Plan shape is unchanged — the shingle
     # equality stays part of the second JOIN KEY (the intermediate is
     # the intersection itself, never a per-pair shingle cross).
     spark = sh.sparkSession
-    sh.createOrReplaceTempView("__ej_sh")
-    pairs.createOrReplaceTempView("__ej_pairs")
+    v_sh, v_pairs = f"__ej_sh_{id(sh)}", f"__ej_pairs_{id(pairs)}"
+    sh.createOrReplaceTempView(v_sh)
+    pairs.createOrReplaceTempView(v_pairs)
     return spark.sql(
-        """
+        f"""
         WITH sizes AS (
-          SELECT doc_id, count(*) AS n FROM __ej_sh GROUP BY doc_id
+          SELECT doc_id, count(*) AS n FROM {v_sh} GROUP BY doc_id
         ),
         inter AS (
           SELECT p.d1, p.d2, count(*) AS i
-          FROM __ej_pairs p
-          JOIN __ej_sh a ON a.doc_id = p.d1
-          JOIN __ej_sh b ON b.doc_id = p.d2 AND b.shingle = a.shingle
+          FROM {v_pairs} p
+          JOIN {v_sh} a ON a.doc_id = p.d1
+          JOIN {v_sh} b ON b.doc_id = p.d2 AND b.shingle = a.shingle
           GROUP BY p.d1, p.d2
         )
         SELECT it.d1, it.d2,
@@ -729,7 +734,10 @@ def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole corpus in one process — fine at test SF, fatal at 100 M
     vectors.)"""
     ensure_session_determinism(spark)
-    _scope(f"q_dedup_embed:{sf_dir}")
+    # No cache scope here: the builder persists nothing, and @plan_memo
+    # skips the body on a hit — a scope switch (which unpersists other
+    # scopes) would run on the first call only, giving memoized calls
+    # different side effects. plan_memo requires side-effect-free.
     import numpy as np
 
     e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
