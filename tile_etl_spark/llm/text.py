@@ -12,10 +12,30 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from tile_etl_spark.cache import persist_scoped, scope
-from tile_etl_spark.io import load
+from tile_etl_spark.io import load, table_view
 from tile_etl_spark.operators.windows import pid_hist_window
 from tile_etl_spark.registry import query
 from tile_etl_spark.session import ensure_session_determinism
+
+# Corpus row counts collected once per (session, sf_dir, source
+# fingerprint) — a bounded broadcast-build step (1 row) like the probe
+# collects in similarity.py; the fingerprint key means a changed source
+# file recounts instead of reusing a stale N.
+_CORPUS_N: dict[tuple, int] = {}
+
+
+def _corpus_count(spark: SparkSession, sf_dir: str, view: str) -> int:
+    import os
+
+    from tile_etl_spark.sources.files import source_fingerprint
+
+    fp = source_fingerprint(os.path.join(sf_dir, "documents.parquet"))
+    key = (id(spark), sf_dir, fp)
+    if key not in _CORPUS_N:
+        _CORPUS_N[key] = spark.sql(
+            f"SELECT count(*) FROM {view}"
+        ).collect()[0][0]
+    return _CORPUS_N[key]
 
 
 @query(
@@ -102,49 +122,68 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top tf-idf term per doc: tfidf = tf · ln(N/df), ranked (tfidf
-    desc, term asc). Explode → two aggregations → broadcast join of the
-    df table → window. The df (document-frequency) table is vocabulary-
-    sized — always broadcastable."""
+    """Top tf-idf term per doc: tfidf = tf · idf, idf = ln(N/df),
+    argmaxed per doc on (tfidf desc, term asc).
+
+    Shape (the 100 TB inverted-index decomposition):
+    - ``tfc`` (doc, term, tf) is the persisted term-frequency pair set;
+      BOTH the idf build and the scoring pass consume it — without the
+      persist the idf side re-runs the full corpus explode.
+    - ``idf`` (term, idf) is a persisted VOCABULARY-sized table —
+      rows-per-term in tfc IS the document frequency, and the ln(N/df)
+      is evaluated once per term here, not once per (doc, term) pair.
+      Always broadcastable (vocabulary ≪ corpus at any scale).
+    - N (corpus cardinality) is a driver-collected literal, memoized
+      per (session, sf_dir, source fingerprint) like every other
+      bounded broadcast-build step — one count job per session instead
+      of one 1-row-aggregate job per call.
+    - Scoring is ONE job: cached tfc ⋈ broadcast(idf), tf·idf, then a
+      per-doc argmax via min_by on (-tfidf, term) — the struct key
+      reproduces the (tfidf DESC, term ASC) ranking, and the partial
+      aggregate reduces map-side to ≤1 row per doc per partition (the
+      row_number form fully sorted the pair set per doc partition).
+    Issued as single spark.sql statements over identity-named views of
+    the persisted frames (one parse+analyze each; the chained
+    DataFrame form paid ~90 ms of eager analysis per call).
+
+    Per-term idf is bit-identical to the oracle's per-pair
+    ln(N/df): N and df are the same doubles either way and ln is
+    deterministic, so factoring it out of the pair loop cannot change
+    a single output bit."""
     ensure_session_determinism(spark)
     scope(f"q_text_tfidf:{sf_dir}")
-    d = load(spark, sf_dir, "documents")
-    # N as a broadcast 1-row aggregate (the oracle's CROSS JOIN n) — no
-    # extra driver-side job per plan build.
-    n_docs = d.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
-    terms = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
-    # Persisted because BOTH sides consume it: the broadcast df table
-    # aggregates it AND the scored path joins against it — without the
-    # persist the broadcast-side job re-runs the full corpus explode +
-    # (doc,term) aggregation (two corpus passes at any scale).
+    t = table_view(spark, sf_dir, "documents")
     tfc = persist_scoped(
-        terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    )
-    # df derived FROM tfc, not from a second aggregation over the raw
-    # terms: tfc is already unique per (doc, term), so rows-per-term IS
-    # the document frequency. The previous shape re-ran the full
-    # explode (two corpus passes — exchange reuse can't merge the two
-    # different grouping keys) plus a countDistinct expand; this is one
-    # corpus pass and a plain count over the much smaller pair set.
-    dfc = tfc.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    scored = (
-        tfc.join(F.broadcast(dfc), "term")
-        .crossJoin(F.broadcast(n_docs))
-        .selectExpr("doc_id", "term", "tf * ln(n_docs / df) AS tfidf")
-    )
-    # Per-doc argmax as a min_by aggregate on (-tfidf, term) — the
-    # struct key reproduces the (tfidf DESC, term ASC) ranking, and the
-    # partial aggregate reduces map-side to ≤1 row per doc per
-    # partition. The previous row_number window fully sorted the pair
-    # set inside each doc partition — an avoidable wide sort at 100 TB.
-    return (
-        scored.groupBy("doc_id")
-        .agg(
-            F.expr(
-                "min_by(struct(term, tfidf), struct(-tfidf, term))"
-            ).alias("s")
+        spark.sql(
+            f"SELECT doc_id, term, count(*) AS tf FROM (SELECT doc_id,"
+            f" explode(split(text, ' ')) AS term FROM {t})"
+            f" GROUP BY doc_id, term"
         )
-        .selectExpr("doc_id", "s.term AS top_term", "round(s.tfidf, 6) AS tfidf")
+    )
+    v = f"__tfidf_tfc_{id(tfc)}"
+    tfc.createOrReplaceTempView(v)
+    n_docs = _corpus_count(spark, sf_dir, t)
+    idf = persist_scoped(
+        spark.sql(
+            f"SELECT term, ln(CAST({n_docs} AS DOUBLE) / count(*)) AS"
+            f" idf FROM {v} GROUP BY term"
+        )
+    )
+    vi = f"__tfidf_idf_{id(idf)}"
+    idf.createOrReplaceTempView(vi)
+    return spark.sql(
+        f"""
+        SELECT /*+ BROADCAST(i) */ doc_id, s.term AS top_term,
+               round(s.tfidf, 6) AS tfidf
+        FROM (
+          SELECT doc_id,
+                 min_by(struct(term, tfidf), struct(-tfidf, term)) AS s
+          FROM (
+            SELECT p.doc_id, p.term, p.tf * i.idf AS tfidf
+            FROM {v} p JOIN {vi} i ON p.term = i.term
+          ) GROUP BY doc_id
+        )
+        """
     )
 
 

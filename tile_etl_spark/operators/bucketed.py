@@ -66,6 +66,41 @@ def bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFr
         return None
 
 
+def orders_by_custkey(spark: SparkSession, sf_dir: str) -> str | None:
+    """``orders`` as a custkey-bucketed external table (written once
+    per sf; fingerprint-keyed like the orderkey buckets above) — the
+    zero-exchange layout for every per-customer window/aggregate:
+    the bucketed scan's HashPartitioning(o_custkey) already satisfies
+    the window's ClusteredDistribution, so rank-per-customer plans as
+    scan → in-partition sort → WindowGroupLimit with NO shuffle at any
+    scale. Returns the table name, or None without a metastore."""
+    from tile_etl_spark.sources.files import (
+        ART_DIR,
+        marker_current,
+        source_fingerprint,
+        write_marker,
+    )
+
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    tbl = f"orders_ck_{tag}"
+    try:
+        marker = os.path.join(ART_DIR, f"{tbl}_FPR")
+        fpr = source_fingerprint(os.path.join(sf_dir, "orders.parquet"))
+        if not (spark.catalog.tableExists(tbl) and marker_current(marker, fpr)):
+            (
+                load(spark, sf_dir, "orders")
+                .write.mode("overwrite")
+                .option("path", os.path.join(ART_DIR, tbl))
+                .bucketBy(N_BUCKETS, "o_custkey")
+                .sortBy("o_custkey", "o_orderkey")
+                .saveAsTable(tbl)
+            )
+            write_marker(marker, fpr)
+        return tbl
+    except Exception:
+        return None
+
+
 @query(
     "q_join_bucketed",
     oracle="""

@@ -81,11 +81,21 @@ def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 orders per customer: row_number window + filter. Spark
     pushes the rank limit into the sort (WindowGroupLimit) so each
     group materializes only its top rows. Issued as ONE dialect-shared
-    spark.sql() over the memoized scan view (_TOPK_PER_GROUP_SQL)."""
+    spark.sql() (_TOPK_PER_GROUP_SQL), preferentially over the
+    custkey-BUCKETED orders table: its HashPartitioning(o_custkey)
+    satisfies the window's required distribution, so the plan is
+    scan → in-partition sort → WindowGroupLimit with ZERO exchanges —
+    the shape a repeated per-customer workload wants at 100 TB
+    (the fact table shuffles once at write time, never per query).
+    Falls back to the plain scan view (one shuffle) where the
+    environment has no metastore; identical rows either way."""
     ensure_session_determinism(spark)
-    return spark.sql(
-        _TOPK_PER_GROUP_SQL.format(t=table_view(spark, sf_dir, "orders"))
+    from tile_etl_spark.operators.bucketed import orders_by_custkey
+
+    t = orders_by_custkey(spark, sf_dir) or table_view(
+        spark, sf_dir, "orders"
     )
+    return spark.sql(_TOPK_PER_GROUP_SQL.format(t=t))
 
 
 @query(
