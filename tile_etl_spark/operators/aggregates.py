@@ -77,22 +77,31 @@ _Q1_SQL = """
 # Net: the per-row hot loop is round+multiply on doubles and compact
 # long adds in a codegen hash-agg — measured -21% wall vs canonical at
 # sf0.1 (257->202 ms), sorted output identical.
+#
+# The two levels are stitched with a coalesce(1) between them: the
+# cell table is ≤ ~594 rows at ANY scale, so merging the reduce
+# partitions into one task lets the second aggregate run in the SAME
+# stage (SinglePartition satisfies its required clustering) — the plan
+# is scan+partial → one exchange → final+reduce-to-6, exactly the
+# stage count of canonical Q1. Without it the second GROUP BY adds a
+# third stage for a 594-row shuffle.
 _Q1_CELLS_SQL = """
-    WITH cells AS (
-      SELECT l_returnflag, l_linestatus, l_discount, l_tax,
-             sum(CAST(round(l_quantity * 100) AS BIGINT)) AS qc,
-             sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS pc,
-             count(*) AS n
-      FROM {t}
-      GROUP BY l_returnflag, l_linestatus, l_discount, l_tax
-    ),
-    cells2 AS (
+    SELECT l_returnflag, l_linestatus, l_discount, l_tax,
+           sum(CAST(round(l_quantity * 100) AS BIGINT)) AS qc,
+           sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS pc,
+           count(*) AS n
+    FROM {t}
+    GROUP BY l_returnflag, l_linestatus, l_discount, l_tax
+"""
+
+_Q1_FROM_CELLS_SQL = """
+    WITH cells2 AS (
       SELECT l_returnflag, l_linestatus,
              CAST(qc AS DECIMAL(30,0)) * CAST(0.01 AS DECIMAL(3,2)) AS s_qty,
              CAST(pc AS DECIMAL(30,0)) * CAST(0.01 AS DECIMAL(3,2)) AS s_price,
              CAST(l_discount AS DECIMAL(18,2)) AS disc,
              CAST(l_tax AS DECIMAL(18,2)) AS tax, n
-      FROM cells
+      FROM {cells}
     )
     SELECT l_returnflag, l_linestatus,
            CAST(sum(s_qty) AS DOUBLE) AS sum_qty,
@@ -141,17 +150,22 @@ def q_agg_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 shape — the engine's flagship query (entry()).
 
     Partial aggregation reduces the shuffle to (#partitions × #cells)
-    rows regardless of input scale. Runs the cell rewrite
-    (_Q1_CELLS_SQL): first pass groups by (returnflag, linestatus,
-    discount, tax) with exact BIGINT cent sums, second pass does the
-    decimal products on the ~594 cell rows — bit-identical to the
+    rows regardless of input scale. Runs the cell rewrite: first pass
+    (_Q1_CELLS_SQL) groups by (returnflag, linestatus, discount, tax)
+    with exact BIGINT cent sums; a coalesce(1) then feeds the ~594
+    cell rows to the second pass (_Q1_FROM_CELLS_SQL), which does the
+    decimal products in the same stage — bit-identical to the
     canonical _Q1_SQL the oracle runs (see the derivation note on
-    _Q1_CELLS_SQL), with zero per-row BigDecimal work.
+    _Q1_CELLS_SQL), with zero per-row BigDecimal work and the same
+    stage count as the canonical plan.
     """
     ensure_session_determinism(spark)
-    return spark.sql(
+    cells = spark.sql(
         _Q1_CELLS_SQL.format(t=table_view(spark, sf_dir, "lineitem"))
-    )
+    ).coalesce(1)
+    v = f"__q1_cells_{id(cells)}"
+    cells.createOrReplaceTempView(v)
+    return spark.sql(_Q1_FROM_CELLS_SQL.format(cells=v))
 
 
 @query(
