@@ -104,11 +104,11 @@ def test_cache_scope_context_restores_previous_tag(spark, sf_dir):
         assert cache_mod._SCOPE[0] == "inner_helper"
     assert cache_mod._SCOPE[0] == "outer_q"
     outer_df = cache_mod.persist_scoped(df.selectExpr("id + 1 AS y"))
-    tags = [t for t, _ in cache_mod._CACHED]
+    tags = [t for t, _, _ in cache_mod._CACHED]
     assert tags[-1] == "outer_q"
     # entering another scope releases both older tags' handles
     cache_mod.scope("next_q")
-    assert all(t == "next_q" for t, _ in cache_mod._CACHED)
+    assert all(t == "next_q" for t, _, _ in cache_mod._CACHED)
     assert outer_df.storageLevel.useMemory is False
     cache_mod.release_cached()
 

@@ -22,7 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
-_CACHED: list[tuple[str, DataFrame]] = []
+_CACHED: list[tuple[str, str | None, DataFrame]] = []
 _SCOPE: list[str] = [""]
 
 
@@ -47,16 +47,18 @@ def scope(tag: str) -> _ScopeCtx:
     _SCOPE[0] = tag
     keep = []
     while _CACHED:
-        t, df = _CACHED.pop()
+        t, k, df = _CACHED.pop()
         if t == tag:
-            keep.append((t, df))
+            keep.append((t, k, df))
         else:
             df.unpersist()
     _CACHED.extend(keep)
     return _ScopeCtx(prev)
 
 
-def persist_scoped(df: DataFrame, tag: str | None = None) -> DataFrame:
+def persist_scoped(
+    df: DataFrame, tag: str | None = None, key: str | None = None
+) -> DataFrame:
     """Persist ``df`` under ``tag`` (default: the current scope).
 
     Re-persisting a semantically identical plan under the same tag
@@ -66,16 +68,33 @@ def persist_scoped(df: DataFrame, tag: str | None = None) -> DataFrame:
     CacheManager would dedupe the storage anyway but logs a WARN per
     call ("Asked to cache already cached data"), and the stale new
     handle would otherwise shadow the tracked one in unpersist order.
+
+    ``key`` is the dedupe identity for plans ``sameSemantics`` cannot
+    match: lambda-variable ids inside higher-order functions (transform
+    / LATERAL VIEW lambdas) are NOT normalized by plan
+    canonicalization, so two builds of the identical HOF query compare
+    unequal — to sameSemantics AND to Spark's CacheManager, which
+    therefore allocates fresh storage per rebuild (measured: the LSH
+    candidate cache re-materialized on every bench rerun). A caller
+    that persists a HOF-bearing plan must pass a key that uniquely
+    names the plan it builds (include every input that changes the
+    result, e.g. the input frame's semanticHash); same (tag, key) →
+    the existing handle is returned without building-side work.
     """
     want = tag if tag is not None else _SCOPE[0]
-    for t, cached in _CACHED:
-        if t == want and cached.sameSemantics(df):
-            return cached
-    _CACHED.append((want, df))
+    if key is not None:
+        for t, k, cached in _CACHED:
+            if t == want and k == key:
+                return cached
+    else:
+        for t, k, cached in _CACHED:
+            if t == want and k is None and cached.sameSemantics(df):
+                return cached
+    _CACHED.append((want, key, df))
     return df.persist()
 
 
 def release_cached() -> None:
     """Unpersist every intermediate cached through this module."""
     while _CACHED:
-        _CACHED.pop()[1].unpersist()
+        _CACHED.pop()[2].unpersist()

@@ -175,7 +175,11 @@ def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     comp = connected_components(pairs)
     # persisted: feeds BOTH the size aggregate and the final join —
-    # without it the doc scan + component join execute twice
+    # without it the doc scan + component join execute twice. Explicit
+    # dedupe key: connected_components checkpoints its iterations, so
+    # every rebuild has a fresh lineage that sameSemantics can never
+    # match (see persist_scoped); the components are a deterministic
+    # function of the input docs, so the input's hash names the plan.
     assign = _persist(
         d.select("doc_id")
         .join(
@@ -189,7 +193,8 @@ def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             F.coalesce("cluster_rep", F.col("doc_id")).alias("cluster_rep"),
-        )
+        ),
+        key=f"cc_assign:{d.semanticHash()}",
     )
     sizes = assign.groupBy("cluster_rep").agg(
         F.count(F.lit(1)).alias("cluster_size")
@@ -1143,6 +1148,9 @@ def q_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("d1").alias("src"), F.col("d2").alias("dst")
     )
     comp = connected_components(pairs)
+    # keyed like q_dedup_cluster's assign: the checkpointed component
+    # lineage defeats sameSemantics; the result is a deterministic
+    # function of docs2.
     cluster_surv = _persist(
         docs2.join(
             comp.select(
@@ -1153,7 +1161,8 @@ def q_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             "left",
         ).where(
             F.coalesce("cluster_rep", F.col("doc_id")) == F.col("doc_id")
-        ).select("doc_id", "text", "lang", "n_chars")
+        ).select("doc_id", "text", "lang", "n_chars"),
+        key=f"cc_cluster_surv:{docs2.semanticHash()}",
     )
 
     words = F.split("text", " ")
@@ -1181,7 +1190,8 @@ def q_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("max_n").cast("double") / F.col("n_words") <= 0.2)
             & (stop > 0)
         )
-        .select("doc_id", "n_chars")
+        .select("doc_id", "n_chars"),
+        key=f"cc_quality_ok:{docs2.semanticHash()}",
     )
 
     b2 = F.substring(

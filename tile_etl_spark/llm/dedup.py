@@ -226,12 +226,18 @@ def lsh_candidate_pairs(
     # spark.sql over a temp view of the signature frame: the chained
     # DataFrame form paid ~6 eager analysis passes over plans embedding
     # the 64-perm MinHash tree (~75 ms of driver build at sf0.1).
-    # View name is derived from the frame's identity (like
-    # io.table_view) so two in-flight builds in one session can never
-    # race between createOrReplaceTempView and spark.sql and bind the
-    # wrong input; spark.sql resolves the view eagerly at this call.
+    # View name is derived from the input PLAN's semantic hash: two
+    # in-flight builds over different inputs can never race between
+    # createOrReplaceTempView and spark.sql and bind the wrong frame
+    # (spark.sql resolves the view eagerly at this call), while
+    # rebuilds of the SAME plan reuse the same name — the resolved
+    # plan embeds the view name in a SubqueryAlias, so an
+    # object-identity name (id(df)) would make every rebuild
+    # semantically distinct and defeat persist_scoped's sameSemantics
+    # dedupe downstream (measured: the bench re-materialized the
+    # candidate cache on every run, +40% on q_dedup_near).
     spark = sigs.sparkSession
-    v_sigs = f"__lsh_sigs_{id(sigs)}"
+    v_sigs = f"__lsh_sigs_{sigs.semanticHash() & 0xFFFFFFFF:x}"
     sigs.createOrReplaceTempView(v_sigs)
     return spark.sql(
         f"""
@@ -324,13 +330,16 @@ def exact_jaccard(
     # DataFrame form paid ~8 eager analysis passes over plans that
     # already embed the shingle HOF trees (~120 ms of driver build at
     # sf0.1); one SQL statement is one parse+analyze. View names are
-    # derived from the frames' identities so concurrent builds in one
-    # session cannot bind the wrong input (spark.sql resolves views
-    # eagerly at this call). Plan shape is unchanged — the shingle
+    # derived from the frames' semantic hashes: concurrent builds over
+    # different inputs cannot bind the wrong frame (spark.sql resolves
+    # views eagerly at this call), and rebuilds of the same plan keep
+    # the same name so downstream sameSemantics checks still match
+    # (see lsh_candidate_pairs). Plan shape is unchanged — the shingle
     # equality stays part of the second JOIN KEY (the intermediate is
     # the intersection itself, never a per-pair shingle cross).
     spark = sh.sparkSession
-    v_sh, v_pairs = f"__ej_sh_{id(sh)}", f"__ej_pairs_{id(pairs)}"
+    v_sh = f"__ej_sh_{sh.semanticHash() & 0xFFFFFFFF:x}"
+    v_pairs = f"__ej_pairs_{pairs.semanticHash() & 0xFFFFFFFF:x}"
     sh.createOrReplaceTempView(v_sh)
     pairs.createOrReplaceTempView(v_pairs)
     return spark.sql(
@@ -370,7 +379,13 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     # every doc) was previously computed twice, once per stage.
     sh = _persist(shingles_df(d))
     sigs = minhash_signatures(d, shingles=sh)
-    cand = _persist(lsh_candidate_pairs(sigs))
+    # Explicit dedupe key: the LSH plan's LATERAL VIEW lambdas defeat
+    # sameSemantics (see persist_scoped), so rebuilds would otherwise
+    # re-materialize the candidate cache on every run.
+    cand = _persist(
+        lsh_candidate_pairs(sigs),
+        key=f"lsh_cand:{sigs.semanticHash()}:{N_BANDS}",
+    )
     j = exact_jaccard(d, cand, shingles=sh)
     return j.where(F.col("jaccard") >= 0.8).select(
         "d1", "d2", F.round("jaccard", 6).alias("jaccard")

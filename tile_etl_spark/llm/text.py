@@ -160,7 +160,7 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" GROUP BY doc_id, term"
         )
     )
-    v = f"__tfidf_tfc_{id(tfc)}"
+    v = f"__tfidf_tfc_{tfc.semanticHash() & 0xFFFFFFFF:x}"
     tfc.createOrReplaceTempView(v)
     n_docs = _corpus_count(spark, sf_dir, t)
     idf = persist_scoped(
@@ -169,7 +169,7 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" idf FROM {v} GROUP BY term"
         )
     )
-    vi = f"__tfidf_idf_{id(idf)}"
+    vi = f"__tfidf_idf_{idf.semanticHash() & 0xFFFFFFFF:x}"
     idf.createOrReplaceTempView(vi)
     return spark.sql(
         f"""

@@ -163,7 +163,7 @@ def q_agg_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells = spark.sql(
         _Q1_CELLS_SQL.format(t=table_view(spark, sf_dir, "lineitem"))
     ).coalesce(1)
-    v = f"__q1_cells_{id(cells)}"
+    v = f"__q1_cells_{cells.semanticHash() & 0xFFFFFFFF:x}"
     cells.createOrReplaceTempView(v)
     return spark.sql(_Q1_FROM_CELLS_SQL.format(cells=v))
 
