@@ -359,6 +359,112 @@ def main() -> None:
     out["grank_rows"] = n_rows
     out["grank_s"] = round(dt, 3)
     out["grank_rows_per_s"] = int(n_rows / dt)
+
+    # --- stress 8: two-level sweep line at volume ------------------------
+    # q_peak_concurrency's shape (range-partition the ±1 boundary
+    # stream, shard-local prefix sums, broadcast shard-total offsets)
+    # against a synthetic interval set with a KNOWN peak: n_flat
+    # pairwise-disjoint intervals (peak 1 each) plus n_hot intervals
+    # covering the whole span — true peak = n_hot + 1 exactly. The
+    # invariant is exact at any volume, so a wrong shard handoff or a
+    # boundary-ordering bug surfaces as a hard assert, not a drift.
+    from pyspark.sql import Window
+
+    from tile_etl_spark.operators.windows import pid_hist_window
+
+    cache.scope("stress_sweep")
+    n_flat = n_rows  # reuse the xK fact volume
+    n_hot = 1000
+    flat = spark.range(n_flat).select(
+        (F.col("id") * 2_000_000).alias("s"),
+        (F.col("id") * 2_000_000 + 1_000_000).alias("t"),
+    )
+    hot = spark.range(n_hot).select(
+        F.lit(0).cast("bigint").alias("s"),
+        F.lit(n_flat * 2_000_000 + 1).cast("bigint").alias("t"),
+    )
+    spans = flat.unionByName(hot)
+    deltas = spans.select(
+        F.col("s").alias("us"), F.lit(1).alias("delta")
+    ).unionByName(
+        spans.select((F.col("t") + 1).alias("us"), F.lit(-1).alias("delta"))
+    )
+    n_parts = spark.sparkContext.defaultParallelism
+    t0 = time.monotonic()
+    part = cache.persist_scoped(
+        deltas.repartitionByRange(
+            n_parts, F.col("us").asc(), F.col("delta").asc()
+        ).withColumn("pid", F.spark_partition_id())
+    )
+    w_off = pid_hist_window().rowsBetween(
+        Window.unboundedPreceding, Window.currentRow - 1
+    )
+    offsets = (
+        part.groupBy("pid")
+        .agg(F.sum("delta").alias("dsum"))
+        .select(
+            "pid",
+            F.coalesce(F.sum("dsum").over(w_off), F.lit(0)).alias("off"),
+        )
+    )
+    w_local = (
+        Window.partitionBy("pid")
+        .orderBy("us", "delta")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    sweep = (
+        part.withColumn("lsum", F.sum("delta").over(w_local))
+        .join(F.broadcast(offsets), "pid")
+        .select((F.col("off") + F.col("lsum")).alias("live"))
+    )
+    srow = sweep.agg(
+        F.max("live").alias("peak"), F.count(F.lit(1)).alias("nb")
+    ).first()
+    dt = time.monotonic() - t0
+    n_bound = 2 * (n_flat + n_hot)
+    assert srow["nb"] == n_bound, (srow, n_bound)
+    assert srow["peak"] == n_hot + 1, (srow["peak"], n_hot + 1)
+    out["sweep_boundaries"] = n_bound
+    out["sweep_s"] = round(dt, 3)
+    out["sweep_rows_per_s"] = int(n_bound / dt)
+
+    # --- stress 9: chained two-pass ntiles (the RFM shape) at volume -----
+    # q_rfm_segments chains three independent global_rank→ntile passes;
+    # here each pass runs over the xK fact on a distinct synthetic key
+    # and the bucket histogram is checked EXACTLY: SQL ntile gives the
+    # first n%b buckets ceil(n/b) rows and the rest floor(n/b).
+    from tile_etl_spark.operators.windows import global_rank, ntile_from_rank
+
+    n_buckets = 5
+    base, rem = divmod(n_rows, n_buckets)
+    expect = {
+        b: base + 1 if b <= rem else base for b in range(1, n_buckets + 1)
+    }
+    t0 = time.monotonic()
+    for salt in ("r", "f", "m"):
+        cache.scope(f"stress_ntile_{salt}")
+        keyed = amp.select(
+            F.xxhash64(F.lit(salt), "l_orderkey", "l_linenumber", "rep")
+            .alias("k"),
+            F.monotonically_increasing_id().alias("rid"),
+        )
+        ranked = global_rank(keyed, [F.col("k").asc(), F.col("rid").asc()])
+        hist = (
+            ranked.select(
+                ntile_from_rank(F.col("rn"), F.col("n"), n_buckets).alias(
+                    "bucket"
+                )
+            )
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        )
+        got = {int(r["bucket"]): r["cnt"] for r in hist}
+        assert got == expect, (salt, got, expect)
+    dt = time.monotonic() - t0
+    out["ntile_chain_rows"] = 3 * n_rows
+    out["ntile_chain_s"] = round(dt, 3)
+    out["ntile_chain_rows_per_s"] = int(3 * n_rows / dt)
     cache.scope("stress_done")
 
     print(json.dumps(out))
