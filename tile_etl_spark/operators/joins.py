@@ -179,18 +179,39 @@ def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit broadcast hint: `part` is dimension-sized at every SF
     the reference workload implies — the fact side streams map-side with
-    zero shuffle before the final agg."""
+    zero shuffle before the final agg.
+
+    The revenue sum uses the Q1 cell decomposition (see
+    aggregates._Q1_CELLS_SQL): per-row decimal multiplies route
+    through java BigDecimal, but brand x discount has ~275 distinct
+    cells, so the map side sums exact BIGINT cents per (brand,
+    discount) and the decimal products run on the cell rows —
+    bit-identical by distributivity, zero per-row BigDecimal. The
+    coalesce(1) folds the brand re-aggregation into the reduce stage
+    (cells are bounded at any scale)."""
     ensure_session_determinism(spark)
-    li = load(spark, sf_dir, "lineitem")
-    p = load(spark, sf_dir, "part")
-    revenue = dec("l_extendedprice") * (1 - dec("l_discount"))
-    return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .groupBy("p_brand")
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_extendedprice", "l_discount"
+    )
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    cells = (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "l_discount")
         .agg(
-            F.count(F.lit(1)).alias("n_lines"),
-            as_double(F.sum(revenue)).alias("revenue"),
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100).cast("bigint")
+            ).alias("pc"),
+            F.count(F.lit(1)).alias("n"),
         )
+        .coalesce(1)
+    )
+    s_price = F.col("pc").cast("decimal(30,0)") * F.lit(0.01).cast(
+        "decimal(3,2)"
+    )
+    revenue = s_price * (1 - dec("l_discount"))
+    return cells.groupBy("p_brand").agg(
+        F.sum("n").cast("bigint").alias("n_lines"),
+        as_double(F.sum(revenue)).alias("revenue"),
     )
 
 
