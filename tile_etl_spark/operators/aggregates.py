@@ -85,13 +85,22 @@ _Q1_SQL = """
 # is scan+partial → one exchange → final+reduce-to-6, exactly the
 # stage count of canonical Q1. Without it the second GROUP BY adds a
 # third stage for a 594-row shuffle.
+# The discount/tax group keys are int CENTS, not the raw doubles:
+# double group keys get wrapped in knownfloatingpointnormalized(
+# normalizenanandzero(...)) in the hash, and int equality is cheaper —
+# measured a further -22% on the scan+partial stage. round(x*100) is
+# the same exact-integer argument as qc/pc; the cell-level
+# reconstruction CAST(dc AS DECIMAL(4,0)) * 0.01 is exact (values are
+# 0.00-0.10 / 0.00-0.08, two decimal digits).
 _Q1_CELLS_SQL = """
-    SELECT l_returnflag, l_linestatus, l_discount, l_tax,
+    SELECT l_returnflag, l_linestatus,
+           CAST(round(l_discount * 100) AS INT) AS dc,
+           CAST(round(l_tax * 100) AS INT) AS tc,
            sum(CAST(round(l_quantity * 100) AS BIGINT)) AS qc,
            sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS pc,
            count(*) AS n
     FROM {t}
-    GROUP BY l_returnflag, l_linestatus, l_discount, l_tax
+    GROUP BY l_returnflag, l_linestatus, dc, tc
 """
 
 _Q1_FROM_CELLS_SQL = """
@@ -99,8 +108,8 @@ _Q1_FROM_CELLS_SQL = """
       SELECT l_returnflag, l_linestatus,
              CAST(qc AS DECIMAL(30,0)) * CAST(0.01 AS DECIMAL(3,2)) AS s_qty,
              CAST(pc AS DECIMAL(30,0)) * CAST(0.01 AS DECIMAL(3,2)) AS s_price,
-             CAST(l_discount AS DECIMAL(18,2)) AS disc,
-             CAST(l_tax AS DECIMAL(18,2)) AS tax, n
+             CAST(dc AS DECIMAL(4,0)) * CAST(0.01 AS DECIMAL(3,2)) AS disc,
+             CAST(tc AS DECIMAL(4,0)) * CAST(0.01 AS DECIMAL(3,2)) AS tax, n
       FROM {cells}
     )
     SELECT l_returnflag, l_linestatus,
