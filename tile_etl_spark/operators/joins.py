@@ -196,7 +196,12 @@ def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
     cells = (
         li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
-        .groupBy("p_brand", "l_discount")
+        .groupBy(
+            "p_brand",
+            # int-cent key: avoids the NaN/zero-normalization wrapper a
+            # raw double group key gets in the hash (see _Q1_CELLS_SQL)
+            F.round(F.col("l_discount") * 100).cast("int").alias("dc"),
+        )
         .agg(
             F.sum(
                 F.round(F.col("l_extendedprice") * 100).cast("bigint")
@@ -208,7 +213,10 @@ def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
     s_price = F.col("pc").cast("decimal(30,0)") * F.lit(0.01).cast(
         "decimal(3,2)"
     )
-    revenue = s_price * (1 - dec("l_discount"))
+    disc = F.col("dc").cast("decimal(4,0)") * F.lit(0.01).cast(
+        "decimal(3,2)"
+    )
+    revenue = s_price * (1 - disc)
     return cells.groupBy("p_brand").agg(
         F.sum("n").cast("bigint").alias("n_lines"),
         as_double(F.sum(revenue)).alias("revenue"),
