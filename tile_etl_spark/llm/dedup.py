@@ -363,6 +363,18 @@ def exact_jaccard(
     )
 
 
+# (session id, sf_dir, source fingerprint) → (sh, cand_key, cand,
+# final). q_dedup_near cannot use io.plan_memo (its scope+persist side
+# effects must re-run per call), but the EXPENSIVE part of a rebuild is
+# ~90 Py4J round trips of plan construction (~300 ms warm), all pure
+# given the same source — so the built frames are memoized here and
+# the side effects are REPLAYED on every hit: re-enter the scope, then
+# re-pin both persists (persist_scoped re-persists a handle that an
+# intervening scope switch evicted — the data lazily rematerializes on
+# the next action, exactly as a fresh build would).
+_NEAR_MEMO: dict[tuple, tuple] = {}
+
+
 @query("q_dedup_near")
 def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(64) → LSH(16 bands) → exact-Jaccard verify ≥ 0.8.
@@ -371,8 +383,23 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dup pairs plus precision of the verified output (the MinHash
     signatures themselves are exercised through the pipeline, not
     independently recomputed)."""
+    import os
+
+    from tile_etl_spark.sources.files import source_fingerprint
+
     ensure_session_determinism(spark)
     _scope(f"q_dedup_near:{sf_dir}")
+    memo_key = (
+        id(spark),
+        sf_dir,
+        source_fingerprint(os.path.join(sf_dir, "documents.parquet")),
+    )
+    hit = _NEAR_MEMO.get(memo_key)
+    if hit is not None:
+        sh, cand_key, cand, final = hit
+        _persist(sh)
+        _persist(cand, key=cand_key)
+        return final
     d = _parallelize_docs(load(spark, sf_dir, "documents"))
     # ONE persisted shingle explode feeds both the signature build and
     # the exact-Jaccard verify tier — the explode (interpreted HOF over
@@ -382,14 +409,14 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Explicit dedupe key: the LSH plan's LATERAL VIEW lambdas defeat
     # sameSemantics (see persist_scoped), so rebuilds would otherwise
     # re-materialize the candidate cache on every run.
-    cand = _persist(
-        lsh_candidate_pairs(sigs),
-        key=f"lsh_cand:{sigs.semanticHash()}:{N_BANDS}",
-    )
+    cand_key = f"lsh_cand:{sigs.semanticHash()}:{N_BANDS}"
+    cand = _persist(lsh_candidate_pairs(sigs), key=cand_key)
     j = exact_jaccard(d, cand, shingles=sh)
-    return j.where(F.col("jaccard") >= 0.8).select(
+    final = j.where(F.col("jaccard") >= 0.8).select(
         "d1", "d2", F.round("jaccard", 6).alias("jaccard")
     )
+    _NEAR_MEMO[memo_key] = (sh, cand_key, cand, final)
+    return final
 
 
 # --- n-gram Jaccard (exact, H-checked) ----------------------------------
