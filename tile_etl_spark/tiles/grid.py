@@ -351,13 +351,21 @@ def tile_manifest(spark: SparkSession) -> DataFrame:
     real thing is a distributed listing (binaryFile source) or an
     inventory table; either way it lands as a DataFrame like this one.
     Memoized per session like tile_grid (pure function of constants)."""
+    from tile_etl_spark import cache
     from tile_etl_spark.io import _memo_for
 
     memo = _memo_for(spark)
     key = ("__tile_manifest__",)
     hit = memo.get(key)
     if hit is not None:
-        return hit
+        # Re-pin the persist on every call: an intervening scope switch
+        # (another qid's builder) may have evicted it — persist_scoped
+        # re-registers the same handle and the data lazily
+        # rematerializes, exactly like an inventory table re-cached on
+        # first touch.
+        return cache.persist_scoped(
+            hit, tag="tiles_manifest", key="tile_manifest"
+        )
     # Denser fan-out than the bare generator: every manifest consumer
     # (stats, semi-join, sink) pays per-cell hex/md5/agg work, so ~5k
     # cells per task keeps the pipeline parallel (37.8k cells → 8 tasks
@@ -368,6 +376,12 @@ def tile_manifest(spark: SparkSession) -> DataFrame:
     m = g.where(F.expr(_PRESENT_SQL)).withColumn(
         "tile_len", F.expr(_TILE_LEN_SQL).cast("int")
     )
+    # Persisted (bounded: one row per PRESENT tile of the reference
+    # extent) — the manifest is this workload's inventory table: every
+    # consumer (stats, semi-join, sink, e2e) re-reads it, and a real
+    # deployment materializes the listing once rather than re-deriving
+    # it per query.
+    m = cache.persist_scoped(m, tag="tiles_manifest", key="tile_manifest")
     memo[key] = m
     return m
 
