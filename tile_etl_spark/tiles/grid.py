@@ -105,12 +105,28 @@ def tile_grid(
     rebuilding the bounds frame + two explodes (~60 ms of eager
     analysis) per call is pure waste (same trick as io.load's memo).
     """
+    from tile_etl_spark import cache
     from tile_etl_spark.io import _memo_for
 
+    # Only the DEFAULT-parameter grid (the reference extent, 37,819
+    # rows) is persisted — it is the inventory every tile qid builds
+    # on, and it is bounded. Parameterized variants (deep stress
+    # pyramids, S3 retargets) stay lazy: they can be arbitrarily large.
+    default = (
+        levels == LEVELS
+        and extent == EXTENT
+        and delta == WEB_MERCATOR_DELTA
+        and padding == PADDING
+        and cells_per_task == 50_000
+    )
     memo = _memo_for(spark)
     key = ("__tile_grid__", levels, extent, delta, padding, cells_per_task)
     hit = memo.get(key)
     if hit is not None:
+        if default:
+            return cache.persist_scoped(
+                hit, tag="tiles_manifest", key="tile_grid_default"
+            )
         return hit
     bounds = _bounds_df(spark, levels, extent, delta, padding)
     rows = bounds.select(
@@ -153,6 +169,10 @@ def tile_grid(
     grid = rows.select(
         "level", "row", F.explode(F.sequence("c0", "c1")).alias("col")
     )
+    if default:
+        grid = cache.persist_scoped(
+            grid, tag="tiles_manifest", key="tile_grid_default"
+        )
     memo[key] = grid
     return grid
 
