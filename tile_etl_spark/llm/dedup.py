@@ -733,7 +733,30 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- embedding cosine near-dup ------------------------------------------
 
-N_EMBED_BLOCKS = 8
+# Target rows per GEMM block at scale: a (2048 x 2048) pair matrix is
+# ~34 MB of doubles — comfortably in-executor. B = max(8, ceil(n/2048)):
+# the floor of 8 keeps B(B+1)/2 = 36 block pairs so small corpora still
+# fan across the executor threads (measured at sf0.1/2000 vectors:
+# B=1 448 ms, B=8 274 ms — one big single-task GEMM loses to the
+# parallel grid), while past ~16k vectors B grows with the corpus and
+# bounds per-task memory exactly as the kernel's O((n/B)^2) argument
+# requires.
+_EMBED_BLOCK_ROWS = 2048
+
+
+def _n_embed_blocks(sf_dir: str) -> int:
+    """Block count from the parquet footer's row count (no job)."""
+    import os
+
+    try:
+        import pyarrow.parquet as pq
+
+        n = pq.ParquetFile(
+            os.path.join(sf_dir, "embeddings.parquet")
+        ).metadata.num_rows
+    except Exception:
+        return 8
+    return max(8, -(-n // _EMBED_BLOCK_ROWS))
 
 
 @query(
@@ -783,7 +806,7 @@ def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
 
     e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    B = N_EMBED_BLOCKS
+    B = _n_embed_blocks(sf_dir)
     b = F.pmod(F.col("vec_id"), F.lit(B)).cast("int")
     other = F.explode(F.sequence(F.lit(0), F.lit(B - 1))).alias("ob")
     tagged = e.select("vec_id", "embedding", b.alias("b"), other)
