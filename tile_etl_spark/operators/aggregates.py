@@ -239,16 +239,42 @@ def q_agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP hierarchy with explicit grouping-bit id (identical bit
-    formula both engines)."""
+    formula both engines).
+
+    Cell decomposition (see _Q1_CELLS_SQL): Spark plans ROLLUP as an
+    Expand that replicates EVERY input row once per grouping set, so
+    the canonical form evaluated 3x rows worth of double->decimal
+    casts and decimal adds. Instead the finest grain (status,
+    priority — ~15 cells) aggregates exact BIGINT cents first; the
+    ROLLUP (with its 3x Expand and the decimal reconstruction) runs
+    over the coalesced cell rows. Bit-identical by additivity of the
+    per-cell sums over every grouping set."""
     ensure_session_determinism(spark)
     o = load(spark, sf_dir, "orders")
+    cells = (
+        o.groupBy("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("bigint")
+            ).alias("pc"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .coalesce(1)
+    )
+    spend = F.col("pc").cast("decimal(30,0)") * F.lit(0.01).cast(
+        "decimal(3,2)"
+    )
     gid = (
         F.grouping("o_orderstatus") * 2 + F.grouping("o_orderpriority")
     ).cast("int")
-    return o.rollup("o_orderstatus", "o_orderpriority").agg(
-        gid.alias("gid"),
-        F.count(F.lit(1)).alias("n_orders"),
-        as_double(F.sum(dec("o_totalprice"))).alias("total_spend"),
+    return (
+        cells.select("o_orderstatus", "o_orderpriority", spend.alias("s"), "n")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            gid.alias("gid"),
+            F.sum("n").cast("bigint").alias("n_orders"),
+            as_double(F.sum("s")).alias("total_spend"),
+        )
     )
 
 
