@@ -290,14 +290,21 @@ def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE: all grouping combinations via a single Expand — one pass
-    over the input regardless of the number of sets."""
+    over the input regardless of the number of sets. Like q_agg_rollup,
+    the Expand runs over the ~15 pre-aggregated (status, priority)
+    cells, not the fact rows — identical by additivity of counts."""
     ensure_session_determinism(spark)
     o = load(spark, sf_dir, "orders")
+    cells = (
+        o.groupBy("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .coalesce(1)
+    )
     gid = (
         F.grouping("o_orderstatus") * 2 + F.grouping("o_orderpriority")
     ).cast("int")
-    return o.cube("o_orderstatus", "o_orderpriority").agg(
-        gid.alias("gid"), F.count(F.lit(1)).alias("n_orders")
+    return cells.cube("o_orderstatus", "o_orderpriority").agg(
+        gid.alias("gid"), F.sum("n").cast("bigint").alias("n_orders")
     )
 
 
@@ -311,14 +318,21 @@ def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_agg_gsets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Explicit GROUPING SETS via Spark SQL — same Expand machinery."""
+    """Explicit GROUPING SETS via Spark SQL — same Expand machinery,
+    over the ~15 pre-aggregated cells (see q_agg_rollup)."""
     ensure_session_determinism(spark)
-    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_gsets")
+    t = table_view(spark, sf_dir, "orders")
+    cells = spark.sql(
+        f"SELECT o_orderstatus, o_orderpriority, count(*) AS n"
+        f" FROM {t} GROUP BY o_orderstatus, o_orderpriority"
+    ).coalesce(1)
+    v = f"__gsets_cells_{cells.semanticHash() & 0xFFFFFFFF:x}"
+    cells.createOrReplaceTempView(v)
     return spark.sql(
-        """
+        f"""
         SELECT o_orderstatus, o_orderpriority,
-               count(*) AS n_orders
-        FROM orders_gsets
+               CAST(sum(n) AS BIGINT) AS n_orders
+        FROM {v}
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         """
     )

@@ -33,15 +33,36 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot on an EXPLICIT value list — the only scale-safe form (an
     unlisted pivot needs a distinct-values pre-pass over the fact
     table). Planned as one aggregate with conditional expressions, same
-    as the oracle's FILTER clauses."""
+    as the oracle's FILTER clauses.
+
+    The pivot's conditional aggregates run over the ~15 pre-aggregated
+    (priority, status) cells with exact BIGINT cent sums (the Q1 cell
+    decomposition — see aggregates._Q1_CELLS_SQL), not the fact rows:
+    bit-identical by additivity, no per-row decimal casts."""
     ensure_session_determinism(spark)
     o = load(spark, sf_dir, "orders")
+    cells = (
+        o.groupBy("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("bigint")
+            ).alias("pc"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        .coalesce(1)
+    )
+    spend = F.col("pc").cast("decimal(30,0)") * F.lit(0.01).cast(
+        "decimal(3,2)"
+    )
     piv = (
-        o.groupBy("o_orderpriority")
+        cells.select(
+            "o_orderpriority", "o_orderstatus", spend.alias("s"), "cnt"
+        )
+        .groupBy("o_orderpriority")
         .pivot("o_orderstatus", ["F", "O", "P"])
         .agg(
-            F.count(F.lit(1)).alias("n"),
-            as_double(F.sum(dec("o_totalprice"))).alias("spend"),
+            F.sum("cnt").cast("bigint").alias("n"),
+            as_double(F.sum("s")).alias("spend"),
         )
     )
     return piv.select(
