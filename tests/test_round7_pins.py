@@ -1,0 +1,121 @@
+"""Round-7 regression pins.
+
+Each test pins a specific round-7 win so a future change cannot
+silently undo it:
+
+- the cell-decomposed money aggregates are value-identical to their
+  canonical single-pass forms (the exactness argument, checked
+  in-engine, independent of the DuckDB oracle);
+- the bucketed top-k plan stays exchange-free and cell-Q1 keeps the
+  canonical stage budget;
+- the window interval rewrite matches the banding helper;
+- persist dedupe holds for the HOF/checkpoint plans that
+  sameSemantics cannot match (the round-7 cache blind-spot fix);
+- the persisted tile inventory re-pins itself after a scope eviction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tile_etl_spark import cache, registry
+from tile_etl_spark.io import table_view
+from tile_etl_spark.operators.aggregates import _Q1_SQL
+
+registry.load_all()
+
+
+def rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def executed(df) -> str:
+    """Final executed plan only — AQE's toString appends the
+    '== Initial Plan ==' section, which double-counts every node."""
+    df.collect()
+    p = df._jdf.queryExecution().executedPlan().toString()
+    return p.split("== Initial Plan ==")[0]
+
+
+def test_cells_q1_equals_canonical_in_engine(spark, sf_dir):
+    """The cents/cells rewrite must reproduce canonical Q1 BIT-forBIT
+    inside Spark itself (the driver's oracle check only compares
+    against DuckDB; this pins the distributivity argument in-engine)."""
+    t = table_view(spark, sf_dir, "lineitem")
+    canonical = spark.sql(_Q1_SQL.format(t=t))
+    cells = registry.QUERIES["q_agg_group"](spark, sf_dir)
+    assert rows(canonical) == rows(cells)
+
+
+def test_interval_window_equals_banding_helper(spark, sf_dir):
+    """q_join_interval's range-frame window form ≡ the banding
+    equi-join helper on the same events."""
+    from tile_etl_spark.io import load
+    from tile_etl_spark.operators.joins import interval_self_join
+
+    w = registry.QUERIES["q_join_interval"](spark, sf_dir)
+    b = interval_self_join(load(spark, sf_dir, "events"))
+    assert rows(w) == rows(b.select("user_id", "id1", "id2"))
+
+
+def test_topk_per_group_executes_exchange_free(spark, sf_dir):
+    """The custkey-bucketed orders table must satisfy the window's
+    distribution: zero Exchange nodes in the EXECUTED plan (sparkPlan
+    is pre-EnsureRequirements and would pass vacuously)."""
+    from tile_etl_spark.operators.bucketed import orders_by_custkey
+
+    if orders_by_custkey(spark, sf_dir) is None:
+        import pytest
+
+        pytest.skip("no metastore in this environment")
+    p = executed(registry.QUERIES["q_topk_per_group"](spark, sf_dir))
+    assert "Exchange" not in p, p[:1500]
+    assert "WindowGroupLimit" in p
+
+
+def test_cells_q1_has_canonical_stage_budget(spark, sf_dir):
+    """The coalesce(1) stitch must keep cell-Q1 at ONE exchange — the
+    canonical Q1 stage count — not add a shuffle per level."""
+    p = executed(registry.QUERIES["q_agg_group"](spark, sf_dir))
+    assert p.count("Exchange") <= 1, p[:2000]
+    assert "Coalesce" in p
+
+
+def test_hof_persist_dedupe_does_not_leak(spark, sf_dir):
+    """Building q_dedup_near twice must not grow the tracked cache:
+    its LSH plan's LATERAL VIEW lambdas defeat sameSemantics, so the
+    keyed-dedupe path is the only thing preventing one fresh candidate
+    cache per rebuild (the round-7 blind-spot fix)."""
+    fn = registry.QUERIES["q_dedup_near"]
+    fn(spark, sf_dir)
+    n1 = len(cache._CACHED)
+    fn(spark, sf_dir)
+    assert len(cache._CACHED) == n1
+
+
+def test_tile_inventory_repins_after_scope_eviction(spark, sf_dir):
+    """A foreign scope evicts the persisted grid/manifest; the next
+    tile call must re-pin (and still return correct counts)."""
+    from tile_etl_spark.tiles.grid import tile_grid, tile_manifest
+
+    g = tile_grid(spark)
+    n = g.count()
+    cache.scope("unrelated_q")  # evicts tiles_manifest handles
+    assert tile_grid(spark).count() == n
+    tags = {t for t, _, _ in cache._CACHED}
+    assert "tiles_manifest" in tags
+    m = tile_manifest(spark)
+    assert m.count() > 0
+
+
+def test_expand_aggregates_run_over_cells(spark, sf_dir):
+    """ROLLUP/CUBE/pivot must Expand over the pre-aggregated cells:
+    the executed plans show the Expand ABOVE an aggregate of the scan,
+    never directly over the fact scan (two HashAggregates below any
+    Expand/pivot projection)."""
+    for qid in ("q_agg_rollup", "q_agg_cube"):
+        p = executed(registry.QUERIES[qid](spark, sf_dir))
+        expand_at = p.find("Expand")
+        assert expand_at != -1, qid
+        below = p[expand_at:]
+        assert below.count("HashAggregate") >= 2, (qid, p[:2000])
