@@ -1,0 +1,86 @@
+"""Round-8 regression pins.
+
+- cells-Q1 must equal canonical Q1 even when the measure columns carry
+  NULLs (ADVICE r7: the old rewrite divided the averages by count(*)
+  instead of count(col), an identity that held only on fully non-null
+  fixtures — the denominators now carry per-cell non-null counts);
+- the q_join_interval range-frame rewrite must survive a pathological
+  hot key (one user with thousands of events inside one band) and
+  still equal the banding helper (VERDICT r7 ask #5).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tile_etl_spark import registry
+from tile_etl_spark.io import load
+from tile_etl_spark.operators.aggregates import _Q1_SQL, q1_from_cells
+
+registry.load_all()
+
+
+def rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_cells_q1_equals_canonical_with_nulls(spark, sf_dir):
+    """Inject NULLs into every Q1 measure column (quantity, price,
+    discount, tax — on overlapping-but-distinct row subsets, so cells
+    with partial NULLs, all-NULL measures, and NULL dc/tc keys all
+    occur) and pin bit-equality of the cells rewrite vs canonical Q1
+    in-engine."""
+    li = load(spark, sf_dir, "lineitem")
+    nullified = li.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.when(F.col("l_orderkey") % 7 != 0, F.col("l_quantity")).alias(
+            "l_quantity"
+        ),
+        F.when(F.col("l_orderkey") % 11 != 0, F.col("l_extendedprice")).alias(
+            "l_extendedprice"
+        ),
+        F.when(F.col("l_orderkey") % 5 != 0, F.col("l_discount")).alias(
+            "l_discount"
+        ),
+        F.when(F.col("l_orderkey") % 13 != 0, F.col("l_tax")).alias("l_tax"),
+    )
+    v = "__q1_nulls_pin"
+    nullified.createOrReplaceTempView(v)
+    # sanity: the fixture actually exercises NULLs in every column
+    nn = nullified.agg(
+        *[
+            F.sum(F.col(c).isNull().cast("int")).alias(c)
+            for c in ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        ]
+    ).first()
+    assert all(n > 0 for n in nn), nn
+    canonical = spark.sql(_Q1_SQL.format(t=v))
+    assert rows(canonical) == rows(q1_from_cells(spark, v))
+
+
+def test_interval_rewrite_survives_hot_key(spark):
+    """One user with 4000 events inside a single 5-minute band is the
+    worst case for the range-frame collect_list rewrite (the frame is
+    O(m) per event). The output must still equal the banding
+    equi-join helper row-for-row — and have the full m*(m-1)/2
+    cardinality, proving the frame did not truncate."""
+    from tile_etl_spark.operators.joins import (
+        interval_self_join,
+        interval_self_join_window,
+    )
+
+    m = 4000
+    ev = spark.range(m).select(
+        F.col("id").alias("event_id"),
+        F.lit(7).alias("user_id"),
+        # all inside one 5-min band: timestamps 0..29s apart
+        F.timestamp_seconds(F.lit(1700000000) + F.col("id") % 30).alias(
+            "ts"
+        ),
+    )
+    w = interval_self_join_window(ev).select("user_id", "id1", "id2")
+    b = interval_self_join(ev).select("user_id", "id1", "id2")
+    n_w = w.count()
+    assert n_w == m * (m - 1) // 2
+    assert rows(w) == rows(b)

@@ -85,6 +85,23 @@ _Q1_SQL = """
 # is scan+partial → one exchange → final+reduce-to-6, exactly the
 # stage count of canonical Q1. Without it the second GROUP BY adds a
 # third stage for a 594-row shuffle.
+# NULL measures keep the identity (not just on non-null fixtures):
+#   - the avg denominators carry per-cell NON-NULL counts (nq/np/nd =
+#     count(l_quantity/l_extendedprice/l_discount)), matching the
+#     canonical count(col) denominators exactly;
+#   - rows with NULL discount (tax) land in their own dc(tc)=NULL
+#     cell, where the reconstructed disc (tax) is NULL, so the cell's
+#     whole contribution to sum(s_price*(1-disc)[*(1+tax)]) is NULL
+#     and sum() skips it — precisely the rows canonical skips because
+#     their per-row product is NULL;
+#   - avg_disc sums disc*nd: within a cell, discount is non-null iff
+#     dc is non-null, so nd = n on non-NULL-dc cells and 0 on the
+#     NULL cell (disc*nd is NULL there and sum() skips it);
+#   - per-cell qc/pc are sums over non-null measures only (sum skips
+#     NULL addends), and an all-NULL cell yields a NULL cell sum that
+#     the outer sum skips — same rows excluded as canonical.
+# tests/test_round8_pins.py pins this against canonical Q1 on a
+# fixture with NULLs injected into every measure column.
 # The discount/tax group keys are int CENTS, not the raw doubles:
 # double group keys get wrapped in knownfloatingpointnormalized(
 # normalizenanandzero(...)) in the hash, and int equality is cheaper —
@@ -98,6 +115,9 @@ _Q1_CELLS_SQL = """
            CAST(round(l_tax * 100) AS INT) AS tc,
            sum(CAST(round(l_quantity * 100) AS BIGINT)) AS qc,
            sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS pc,
+           count(l_quantity) AS nq,
+           count(l_extendedprice) AS np,
+           count(l_discount) AS nd,
            count(*) AS n
     FROM {t}
     GROUP BY l_returnflag, l_linestatus, dc, tc
@@ -109,7 +129,8 @@ _Q1_FROM_CELLS_SQL = """
              CAST(qc AS DECIMAL(30,0)) * CAST(0.01 AS DECIMAL(3,2)) AS s_qty,
              CAST(pc AS DECIMAL(30,0)) * CAST(0.01 AS DECIMAL(3,2)) AS s_price,
              CAST(dc AS DECIMAL(4,0)) * CAST(0.01 AS DECIMAL(3,2)) AS disc,
-             CAST(tc AS DECIMAL(4,0)) * CAST(0.01 AS DECIMAL(3,2)) AS tax, n
+             CAST(tc AS DECIMAL(4,0)) * CAST(0.01 AS DECIMAL(3,2)) AS tax,
+             nq, np, nd, n
       FROM {cells}
     )
     SELECT l_returnflag, l_linestatus,
@@ -118,9 +139,9 @@ _Q1_FROM_CELLS_SQL = """
            CAST(sum(s_price * (1 - disc)) AS DOUBLE) AS sum_disc_price,
            CAST(sum(s_price * (1 - disc) * (1 + tax)) AS DOUBLE)
              AS sum_charge,
-           CAST(sum(s_qty) AS DOUBLE) / sum(n) AS avg_qty,
-           CAST(sum(s_price) AS DOUBLE) / sum(n) AS avg_price,
-           CAST(sum(disc * n) AS DOUBLE) / sum(n) AS avg_disc,
+           CAST(sum(s_qty) AS DOUBLE) / sum(nq) AS avg_qty,
+           CAST(sum(s_price) AS DOUBLE) / sum(np) AS avg_price,
+           CAST(sum(disc * nd) AS DOUBLE) / sum(nd) AS avg_disc,
            CAST(sum(n) AS BIGINT) AS count_order
     FROM cells2
     GROUP BY l_returnflag, l_linestatus
@@ -169,9 +190,14 @@ def q_agg_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage count as the canonical plan.
     """
     ensure_session_determinism(spark)
-    cells = spark.sql(
-        _Q1_CELLS_SQL.format(t=table_view(spark, sf_dir, "lineitem"))
-    ).coalesce(1)
+    return q1_from_cells(spark, table_view(spark, sf_dir, "lineitem"))
+
+
+def q1_from_cells(spark: SparkSession, t: str) -> DataFrame:
+    """Cell-decomposed Q1 over any lineitem-schema view ``t`` (split
+    out of q_agg_group so the NULL-fixture pin test can run it on a
+    synthetic table)."""
+    cells = spark.sql(_Q1_CELLS_SQL.format(t=t)).coalesce(1)
     v = f"__q1_cells_{cells.semanticHash() & 0xFFFFFFFF:x}"
     cells.createOrReplaceTempView(v)
     return spark.sql(_Q1_FROM_CELLS_SQL.format(cells=v))

@@ -410,6 +410,16 @@ _INTERVAL_WINDOW_SQL = f"""
 """
 
 
+def interval_self_join_window(events: DataFrame) -> DataFrame:
+    """Range-frame window form of interval_self_join over any events
+    DataFrame (needs user_id, event_id, ts) — the helper the hot-key
+    stress pins against the banding join."""
+    spark = events.sparkSession
+    v = f"__interval_win_{events.semanticHash() & 0xFFFFFFFF:x}"
+    events.createOrReplaceTempView(v)
+    return spark.sql(_INTERVAL_WINDOW_SQL.format(t=v))
+
+
 @query(
     "q_join_interval",
     oracle=f"""
