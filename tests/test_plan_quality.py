@@ -575,25 +575,18 @@ _BNLJ_OK = {
 # Python UDTFs execute via BatchEvalPythonUDTF — the API's execution
 # mode, declared once here; everything else must stay Arrow-vectorized.
 _ROW_PYTHON_OK = {"q_udtf", "q_udtf_analyze"}
-# Unpartitioned Window specs ("Moving all data to a single partition")
-# allowed ONLY where the window input is bounded by construction:
-#  - post-top-k rank windows over ≤ k rows (TakeOrdered runs first):
-#    q_bm25, q_context_pack, q_hybrid_rrf, q_session_paths
-#  - calendar-bounded day-grain series: q_cumulative_uniques,
-#    q_dq_partition_stats
-#  - q_skyline's global pass over locally-pruned frontier survivors
-# The pid-histogram windows of the two-pass global-rank/sweep pattern
-# (q_win_ntile, q_hist_equidepth, q_mixture_interleave,
-# q_peak_concurrency, q_rfm_segments, q_text_vocab_growth) no longer
-# need an exemption: pid_hist_window() gives them a constant
-# non-foldable partition key, so their specs are partitioned and the
-# WindowExec warning is gone (operators/windows.py).
-# Anything else is a single-reducer sort over data-proportional rows —
-# the exact regression class rounds 5/6 rewrote away.
-_SINGLETON_WINDOW_OK = {
-    "q_bm25", "q_context_pack", "q_hybrid_rrf", "q_session_paths",
-    "q_cumulative_uniques", "q_dq_partition_stats", "q_skyline",
-}
+# Unpartitioned Window specs ("Moving all data to a single partition"):
+# NO exemptions remain. The former allowlist (post-top-k rank windows,
+# calendar-grain day series, q_skyline's frontier pass — all bounded by
+# construction) now uses bounded_window_key() (operators/windows.py):
+# a constant non-foldable partition key, same single-partition physical
+# shape, no WindowExec warning. The pid-histogram windows of the
+# two-pass global-rank/sweep pattern use pid_hist_window() likewise.
+# Any qid tripping this check is a single-reducer sort over
+# data-proportional rows — the exact regression class rounds 5/6
+# rewrote away — OR a bounded frame that should say so via
+# bounded_window_key.
+_SINGLETON_WINDOW_OK: set[str] = set()
 
 
 def _unpartitioned_window_specs(p: str) -> list[str]:

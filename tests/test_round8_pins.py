@@ -70,7 +70,7 @@ def test_interval_rewrite_survives_hot_key(spark):
         interval_self_join_window,
     )
 
-    m = 4000
+    m = 1500
     ev = spark.range(m).select(
         F.col("id").alias("event_id"),
         F.lit(7).alias("user_id"),

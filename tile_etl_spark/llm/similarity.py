@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from tile_etl_spark import cache
 from tile_etl_spark.io import load, plan_memo
+from tile_etl_spark.operators.windows import bounded_window_key
 from tile_etl_spark.registry import query
 from tile_etl_spark.session import ensure_session_determinism
 
@@ -1306,7 +1307,9 @@ def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("dense_rank"), F.lit(0)).cast("bigint").alias("dense_rank"),
         rrf.alias("rrf_raw"),
     )
-    w = Window.orderBy(F.col("rrf_raw").desc(), F.col("doc_id").asc())
+    w = Window.partitionBy(bounded_window_key("doc_id")).orderBy(
+        F.col("rrf_raw").desc(), F.col("doc_id").asc()
+    )
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .where(F.col("rank") <= RRF_TOPK)
@@ -1542,7 +1545,8 @@ def q_context_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sized = fused.join(d, "doc_id")
     w = (
-        Window.orderBy("rank")
+        Window.partitionBy(bounded_window_key("doc_id"))
+        .orderBy("rank")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     run = sized.select(

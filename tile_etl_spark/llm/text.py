@@ -13,7 +13,10 @@ from pyspark.sql import functions as F
 
 from tile_etl_spark.cache import persist_scoped, scope
 from tile_etl_spark.io import load, table_view
-from tile_etl_spark.operators.windows import pid_hist_window
+from tile_etl_spark.operators.windows import (
+    bounded_window_key,
+    pid_hist_window,
+)
 from tile_etl_spark.registry import query
 from tile_etl_spark.session import ensure_session_determinism
 
@@ -935,7 +938,9 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = scored.orderBy(
         F.col("score_raw").desc(), F.col("doc_id").asc()
     ).limit(_BM25_TOPK)
-    w = Window.orderBy(F.col("score_raw").desc(), F.col("doc_id").asc())
+    w = Window.partitionBy(bounded_window_key("doc_id")).orderBy(
+        F.col("score_raw").desc(), F.col("doc_id").asc()
+    )
     return (
         top.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .selectExpr("doc_id", "round(score_raw, 6) AS score", "rank")

@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 from tile_etl_spark import cache
 from tile_etl_spark.io import as_double, dec, load
 from tile_etl_spark.operators.windows import (
+    bounded_window_key,
     global_rank,
     ntile_from_rank,
     pid_hist_window,
@@ -425,7 +426,9 @@ def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).drop("prev_min")
 
     local = frontier(pts.withColumn("pid", F.spark_partition_id()), "pid")
-    return frontier(local.drop("pid")).select(
+    return frontier(
+        local.drop("pid"), bounded_window_key("odate")
+    ).select(
         F.col("price").cast("double").alias("price"),
         F.col("odate").alias("o_orderdate"),
         "n_orders",
@@ -691,7 +694,11 @@ def q_dq_partition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = e.groupBy(F.col("ts").cast("date").alias("event_date")).agg(
         F.count(F.lit(1)).alias("n")
     )
-    t = Window.orderBy("event_date").rowsBetween(-7, -1)
+    t = (
+        Window.partitionBy(bounded_window_key("event_date"))
+        .orderBy("event_date")
+        .rowsBetween(-7, -1)
+    )
     nn = F.col("n").cast("double")
     w = daily.select(
         "event_date",
@@ -813,7 +820,11 @@ def q_cumulative_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = firsts.groupBy(F.col("first_day").alias("d")).agg(
         F.count(F.lit(1)).alias("new_users")
     )
-    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    w = (
+        Window.partitionBy(bounded_window_key("d"))
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
     return daily.select(
         "d",
         F.col("new_users").cast("bigint").alias("new_users"),

@@ -9,6 +9,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from tile_etl_spark.io import as_double, load, table_view
+from tile_etl_spark.operators.windows import bounded_window_key
 from tile_etl_spark.registry import query
 from tile_etl_spark.session import ensure_session_determinism
 
@@ -801,7 +802,9 @@ def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = counted.orderBy(
         F.col("n_sessions").desc(), F.col("path").asc()
     ).limit(PATH_TOPK)
-    wr = Window.orderBy(F.col("n_sessions").desc(), F.col("path").asc())
+    wr = Window.partitionBy(bounded_window_key("path")).orderBy(
+        F.col("n_sessions").desc(), F.col("path").asc()
+    )
     return top.withColumn("rank", F.row_number().over(wr).cast("bigint"))
 
 

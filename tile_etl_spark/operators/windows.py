@@ -33,6 +33,21 @@ def pid_hist_window():
     return Window.partitionBy(F.pmod(F.col("pid"), F.lit(1))).orderBy("pid")
 
 
+def bounded_window_key(col_name: str):
+    """Constant-0 partition key for window specs whose input is BOUNDED
+    by construction (post-top-k rank windows, calendar-grain day
+    series, locally-pruned frontier survivors). A deliberately empty
+    partitionSpec is semantically fine there, but WindowExec logs
+    'No Partition Defined … serious performance degradation' on every
+    run — a false scale alarm that pollutes bench/driver tails.
+    ``pmod(xxhash64(attr), 1)`` is 0 for every row yet NOT foldable
+    (it hangs off a real attribute), so Catalyst keeps the partition
+    key and the warning disappears; the physical shape is unchanged
+    (still one partition — exactly right for bounded input). Same
+    trick as pid_hist_window; any column of the frame works."""
+    return F.pmod(F.xxhash64(F.col(col_name)), F.lit(1))
+
+
 def global_rank(df: DataFrame, order: list) -> DataFrame:
     """Attach a global ``rn`` (1-based row number) and total ``n`` over
     a total ORDER without a single-reducer sort — the reusable form of

@@ -80,6 +80,7 @@ def main() -> None:
     ap.add_argument("--dedup-amplify", type=int, default=8)
     ap.add_argument("--emb-amplify", type=int, default=16)
     ap.add_argument("--stream-amplify", type=int, default=8)
+    ap.add_argument("--hot-events", type=int, default=20_000)
     ap.add_argument(
         "--sf-dir",
         default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
@@ -465,6 +466,51 @@ def main() -> None:
     out["ntile_chain_rows"] = 3 * n_rows
     out["ntile_chain_s"] = round(dt, 3)
     out["ntile_chain_rows_per_s"] = int(3 * n_rows / dt)
+
+    # --- stress 10: hot-key interval window (VERDICT r7 #5) --------------
+    # The q_join_interval range-frame rewrite buffers each event's
+    # in-band forward neighbours via collect_list; a pathologically hot
+    # (user, band) makes that frame O(m) per event. Worst case by
+    # construction: ONE user, --hot-events events all inside a single
+    # 5-minute band → output is exactly m*(m-1)/2 pairs, the same
+    # cardinality the banding equi-join must produce (the blowup is the
+    # JOIN RESULT, not the rewrite). Row-level equality at m=1500 is
+    # pinned in tests/test_round8_pins.py; here the volume run checks
+    # count + an order-insensitive pair checksum against the banding
+    # helper and records pairs/s.
+    from tile_etl_spark.operators.joins import (
+        interval_self_join,
+        interval_self_join_window,
+    )
+
+    cache.scope("stress_hot_interval")
+    m = args.hot_events
+    ev = spark.range(m).select(
+        F.col("id").alias("event_id"),
+        F.lit(7).cast("bigint").alias("user_id"),
+        F.timestamp_seconds(F.lit(1_700_000_000) + F.col("id") % 30).alias(
+            "ts"
+        ),
+    )
+    expect_pairs = m * (m - 1) // 2
+
+    def pair_digest(df):
+        r = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64("user_id", "id1", "id2")).alias("cksum"),
+        ).first()
+        return r["n"], r["cksum"]
+
+    t0 = time.monotonic()
+    n_win, ck_win = pair_digest(interval_self_join_window(ev))
+    dt = time.monotonic() - t0
+    n_band, ck_band = pair_digest(interval_self_join(ev))
+    assert n_win == expect_pairs, (n_win, expect_pairs)
+    assert (n_win, ck_win) == (n_band, ck_band), "window != banding"
+    out["hot_interval_events"] = m
+    out["hot_interval_pairs"] = n_win
+    out["hot_interval_s"] = round(dt, 3)
+    out["hot_interval_pairs_per_s"] = int(n_win / dt)
     cache.scope("stress_done")
 
     print(json.dumps(out))
