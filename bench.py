@@ -186,6 +186,32 @@ EXTRA = [
 ]
 
 
+# Ratio classes (VERDICT r7 ask #7): a Spark/DuckDB wall ratio is only
+# a meaningful gate for qids where both engines do equivalent work.
+#  - "sink": the Spark side writes data out (distributed PUT / parquet
+#    / compaction); the DuckDB twin only recomputes final status rows.
+#  - "stream_twin": the Spark side runs the streaming engine
+#    (micro-batch planning, state stores, offset tracking); the twin
+#    recomputes final state as one batch query.
+#  - "artifact_cached": the timed region reads a persisted derived
+#    artifact (the lakehouse tile inventory) while the twin regenerates
+#    from scratch each run — the engine's real serving path, but not an
+#    execution-speed comparison. The honest derivation cost is the
+#    qid's cold_queries entry (first build of the round, timed).
+#  - "fair": everything else; the ≤2x gate applies.
+_ARTIFACT_CACHED = {"q_tile_grid", "q_tile_stats"}
+
+
+def ratio_class(qid: str) -> str:
+    if qid.startswith("sink_") or qid == "sink_objectstore":
+        return "sink"
+    if qid.startswith(("s_", "src_python_ds_stream")):
+        return "stream_twin"
+    if qid in _ARTIFACT_CACHED:
+        return "artifact_cached"
+    return "fair"
+
+
 def _loadavg() -> list[float]:
     """1/5/15-min load averages — recorded in the bench output because
     this box shows ambient load bursts (1-min load 4-9 with zero of our
@@ -233,15 +259,35 @@ def main() -> None:
     # query, not session bootstrap.
     force(spark.read.parquet(f"{sf_dir}/lineitem.parquet"))
 
-    # Warm pass: run every headline qid once UNTIMED. Fingerprinted
-    # artifact caches (tile fixtures, MinHash signatures, IVF index)
-    # rebuild when source mtimes change — BENCH_r02 showed that rebuild
-    # landing inside the timed window inflates q_tile_stats /
-    # sink_objectstore by 2-3×. The warm pass pays all one-time builds
-    # (plus whole-stage-codegen compile) before any clock starts.
+    # Explicit setup step (ADVICE r7): the custkey-bucketed orders copy
+    # that gives q_topk_per_group its zero-exchange plan is an ingest
+    # artifact, not a query side effect — build it (or detect its
+    # absence) here, before any warm/timed pass, and record which path
+    # the timed query actually takes.
+    from tile_etl_spark.operators.bucketed import orders_by_custkey
+
+    topk_path = (
+        "bucketed"
+        if orders_by_custkey(spark, sf_dir) is not None
+        else "plain_view"
+    )
+
+    # Warm pass: run every headline qid once, timed as its COLD build.
+    # Fingerprinted artifact caches (tile fixtures, MinHash signatures,
+    # IVF index) rebuild when source mtimes change — BENCH_r02 showed
+    # that rebuild landing inside the timed window inflates
+    # q_tile_stats / sink_objectstore by 2-3×. The warm pass pays all
+    # one-time builds (plus whole-stage-codegen compile) before any
+    # warm clock starts; its per-qid wall is recorded as cold_queries
+    # in BENCH_FULL.json (ADVICE r7: warm-run numbers alone hide what a
+    # first run costs — tile-inventory derivation, LSH candidate
+    # build, plan construction).
+    cold_times: dict[str, float] = {}
     for qid in qids + extra_qids:
         try:
+            t0 = time.perf_counter()
             force(registry.QUERIES[qid](spark, sf_dir))
+            cold_times[qid] = round(time.perf_counter() - t0, 4)
         except Exception as ex:  # keep the bench runnable every round
             print(f"WARM ERROR {qid}: {str(ex)[:120]}", file=sys.stderr)
 
@@ -300,6 +346,18 @@ def main() -> None:
         for q, d in duck_times.items()
         if q in all_times
     }
+    classes = {q: ratio_class(q) for q in all_times}
+    fair_head = [q for q in ratios if q in times and classes[q] == "fair"]
+    fair_all = [q for q in ratios if classes[q] == "fair"]
+    gate = {
+        "fair_under_2x": sum(1 for q in fair_head if ratios[q] <= 2.0),
+        "fair_total": len(fair_head),
+        "excluded": sorted(
+            q for q in ratios if q in times and classes[q] != "fair"
+        ),
+        "full_fair_under_2x": sum(1 for q in fair_all if ratios[q] <= 2.0),
+        "full_fair_total": len(fair_all),
+    }
     # Full record (extras + DuckDB twins + every ratio) goes to a FILE:
     # BENCH_r04.json lost its headline because the one print line grew
     # past the driver's stdout-tail capture. The final stdout line is now
@@ -311,8 +369,12 @@ def main() -> None:
         "unit": "sec",
         "queries": times,
         "extra_queries": extra_times,
+        "cold_queries": cold_times,
         "duck_queries": duck_times,
         "ratios": ratios,
+        "ratio_class": classes,
+        "gate": gate,
+        "topk_per_group_path": topk_path,
         "sf": sf,
         "loadavg_start": load_start,
         "loadavg_end": _loadavg(),
@@ -333,6 +395,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "ratios": {q: r for q, r in ratios.items() if q in times},
+                "gate": gate,
+                "topk_per_group_path": topk_path,
                 "full_record": "BENCH_FULL.json",
                 "sf": sf,
                 "loadavg": [load_start, _loadavg()],

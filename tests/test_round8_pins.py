@@ -59,6 +59,45 @@ def test_cells_q1_equals_canonical_with_nulls(spark, sf_dir):
     assert rows(canonical) == rows(q1_from_cells(spark, v))
 
 
+def test_near_memo_is_bounded(spark, sf_dir):
+    """_NEAR_MEMO keeps exactly ONE entry per sf_dir (ADVICE r7: the
+    old (session, sf_dir, fingerprint) keying grew unboundedly and
+    pinned dead sessions alive); a stale session id in the stored
+    entry forces a rebuild that REPLACES it."""
+    from tile_etl_spark.llm import dedup
+
+    fn = registry.QUERIES["q_dedup_near"]
+    fn(spark, sf_dir)
+    fn(spark, sf_dir)
+    assert list(dedup._NEAR_MEMO) == [sf_dir]
+    ent = dedup._NEAR_MEMO[sf_dir]
+    dedup._NEAR_MEMO[sf_dir] = (-1,) + ent[1:]  # simulate dead session
+    fn(spark, sf_dir)
+    assert list(dedup._NEAR_MEMO) == [sf_dir]
+    assert dedup._NEAR_MEMO[sf_dir][0] == id(spark)
+
+
+def test_persist_scoped_key_collision_fails_loudly(spark):
+    """A (tag, key) hit whose cached schema differs from the caller's
+    plan must raise, not silently return the wrong frame (ADVICE r7:
+    the key string was trusted as full plan identity)."""
+    import pytest
+
+    from tile_etl_spark import cache
+
+    cache.scope("collision_pin")
+    a = spark.range(3).selectExpr(
+        "id", "transform(array(id), x -> x + 1) AS arr"
+    )
+    b = spark.range(3).selectExpr(
+        "id AS other", "transform(array(id), x -> x + 2) AS brr"
+    )
+    assert cache.persist_scoped(a, key="pin_k1") is not None
+    with pytest.raises(RuntimeError, match="key collision"):
+        cache.persist_scoped(b, key="pin_k1")
+    cache.scope("collision_pin_done")
+
+
 def test_interval_rewrite_survives_hot_key(spark):
     """One user with 4000 events inside a single 5-minute band is the
     worst case for the range-frame collect_list rewrite (the frame is

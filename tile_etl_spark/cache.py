@@ -85,6 +85,20 @@ def persist_scoped(
     if key is not None:
         for t, k, cached in _CACHED:
             if t == want and k == key:
+                # The key string is trusted as plan identity (that's
+                # the point — sameSemantics can't see HOF plans), but a
+                # key collision or a caller omitting a result-changing
+                # input from its key would silently return the WRONG
+                # frame. Schemas are free to compare driver-side and
+                # catch the gross form of both failure modes loudly.
+                if cached.schema != df.schema:
+                    raise RuntimeError(
+                        f"persist_scoped key collision: ({want!r}, "
+                        f"{key!r}) maps to a cached plan with schema "
+                        f"{cached.schema.simpleString()} but the caller "
+                        f"built {df.schema.simpleString()} — the key "
+                        "does not uniquely name the plan"
+                    )
                 return cached
     else:
         for t, k, cached in _CACHED:

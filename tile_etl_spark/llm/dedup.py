@@ -363,7 +363,7 @@ def exact_jaccard(
     )
 
 
-# (session id, sf_dir, source fingerprint) → (sh, cand_key, cand,
+# sf_dir → (session id, source fingerprint, sh, cand_key, cand,
 # final). q_dedup_near cannot use io.plan_memo (its scope+persist side
 # effects must re-run per call), but the EXPENSIVE part of a rebuild is
 # ~90 Py4J round trips of plan construction (~300 ms warm), all pure
@@ -372,7 +372,12 @@ def exact_jaccard(
 # re-pin both persists (persist_scoped re-persists a handle that an
 # intervening scope switch evicted — the data lazily rematerializes on
 # the next action, exactly as a fresh build would).
-_NEAR_MEMO: dict[tuple, tuple] = {}
+# BOUNDED (ADVICE r7): one entry per sf_dir, replaced when the session
+# or source fingerprint changes — a stopped SparkSession is never kept
+# alive by stored frames, and the memo cannot grow without bound.
+# Cold-build cost stays visible: bench.py times the warm pass per qid
+# and records it as cold_queries in BENCH_FULL.json.
+_NEAR_MEMO: dict[str, tuple] = {}
 
 
 @query("q_dedup_near")
@@ -389,14 +394,10 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ensure_session_determinism(spark)
     _scope(f"q_dedup_near:{sf_dir}")
-    memo_key = (
-        id(spark),
-        sf_dir,
-        source_fingerprint(os.path.join(sf_dir, "documents.parquet")),
-    )
-    hit = _NEAR_MEMO.get(memo_key)
-    if hit is not None:
-        sh, cand_key, cand, final = hit
+    fpr = source_fingerprint(os.path.join(sf_dir, "documents.parquet"))
+    hit = _NEAR_MEMO.get(sf_dir)
+    if hit is not None and hit[0] == id(spark) and hit[1] == fpr:
+        _, _, sh, cand_key, cand, final = hit
         _persist(sh)
         _persist(cand, key=cand_key)
         return final
@@ -415,7 +416,7 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     final = j.where(F.col("jaccard") >= 0.8).select(
         "d1", "d2", F.round("jaccard", 6).alias("jaccard")
     )
-    _NEAR_MEMO[memo_key] = (sh, cand_key, cand, final)
+    _NEAR_MEMO[sf_dir] = (id(spark), fpr, sh, cand_key, cand, final)
     return final
 
 
