@@ -59,6 +59,58 @@ def test_cells_q1_equals_canonical_with_nulls(spark, sf_dir):
     assert rows(canonical) == rows(q1_from_cells(spark, v))
 
 
+def test_redefined_oracles_agree_with_independent_forms():
+    """ADVICE r7: the r7-redefined q_rel_division / q_scd2_snapshot
+    oracles were authored by the same change they verify. Cross-check
+    each against a STRUCTURALLY DIFFERENT formulation (double
+    NOT-EXISTS for the division; argmax-per-key instead of lead() for
+    the snapshot) in DuckDB at sf0.01, where both queries are
+    non-vacuous (21 and 150 rows)."""
+    import duckdb
+
+    con = duckdb.connect()
+    for t in ("part", "orders", "lineitem", "events"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('/root/testdata/sf0.01/{t}.parquet')"
+        )
+    alt_div = """
+    SELECT c.custkey,
+           (SELECT count(DISTINCT p_brand) FROM part) AS n_brands
+    FROM (SELECT DISTINCT o_custkey AS custkey FROM orders) c
+    WHERE NOT EXISTS (
+      SELECT 1 FROM (SELECT DISTINCT p_brand AS brand FROM part) b
+      WHERE NOT EXISTS (
+        SELECT 1 FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE o.o_custkey = c.custkey AND p.p_brand = b.brand))
+    ORDER BY custkey
+    """
+    alt_scd2 = """
+    WITH ranked AS (
+      SELECT user_id, event_id, CAST(value AS DOUBLE) AS value, ts,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+      WHERE event_type = 'purchase'
+        AND ts <= TIMESTAMP '2024-01-15 00:00:00'
+    )
+    SELECT user_id, event_id, value, ts AS valid_from
+    FROM ranked WHERE rn = 1 ORDER BY user_id, event_id
+    """
+    div = con.execute(
+        registry.ORACLES["q_rel_division"] + " ORDER BY custkey"
+    ).fetchall()
+    assert div == con.execute(alt_div).fetchall()
+    assert len(div) == 21
+    scd = con.execute(
+        registry.ORACLES["q_scd2_snapshot"] + " ORDER BY user_id, event_id"
+    ).fetchall()
+    assert scd == con.execute(alt_scd2).fetchall()
+    assert len(scd) == 150
+
+
 def test_near_memo_is_bounded(spark, sf_dir):
     """_NEAR_MEMO keeps exactly ONE entry per sf_dir (ADVICE r7: the
     old (session, sf_dir, fingerprint) keying grew unboundedly and
