@@ -183,6 +183,11 @@ EXTRA = [
     # round-6 rewrite coverage: the two-pass global-rank/sweep rewrites
     "q_peak_concurrency",
     "q_cumulative_uniques",
+    # round-8 additions (lakehouse ops + governance)
+    "q_merge_audit",
+    "q_table_changes",
+    "q_kanon_audit",
+    "q_table_checksum",
 ]
 
 

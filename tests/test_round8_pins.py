@@ -59,6 +59,81 @@ def test_cells_q1_equals_canonical_with_nulls(spark, sf_dir):
     assert rows(canonical) == rows(q1_from_cells(spark, v))
 
 
+def executed(df) -> str:
+    df.collect()
+    p = df._jdf.queryExecution().executedPlan().toString()
+    return p.split("== Initial Plan ==")[0]
+
+
+def test_round8_additions_plan_shapes(spark, sf_dir):
+    """The four round-8 qids must keep their declared scale shapes:
+    - q_merge_audit / q_table_changes: ONE full-outer join pass (no
+      4-way re-read of the join), no nested loop;
+    - q_table_changes: explode (Generate), not a union of re-joins;
+    - q_kanon_audit / q_table_checksum: single-aggregation pipelines —
+      exactly one exchange, no join at all."""
+    p = executed(registry.QUERIES["q_merge_audit"](spark, sf_dir))
+    assert p.count("FullOuter") == 1, p[:1500]
+    assert "NestedLoop" not in p and "CartesianProduct" not in p
+    p = executed(registry.QUERIES["q_table_changes"](spark, sf_dir))
+    assert p.count("FullOuter") == 1, p[:1500]
+    assert "Generate" in p
+    for qid in ("q_kanon_audit", "q_table_checksum"):
+        p = executed(registry.QUERIES[qid](spark, sf_dir))
+        assert "Join" not in p, (qid, p[:1500])
+        assert p.count("Exchange") == 1, (qid, p[:1500])
+
+
+def test_table_checksum_localizes_a_mutation(spark, sf_dir):
+    """The reconciliation property the operator exists for: mutating
+    ONE row's value changes EXACTLY that row's bucket fingerprint and
+    no other bucket."""
+    from tile_etl_spark.io import load
+
+    o = load(spark, sf_dir, "orders")
+    first = o.select("o_orderkey").orderBy("o_orderkey").first()[0]
+    mutated = o.withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") == first, F.col("o_totalprice") + 0.01
+        ).otherwise(F.col("o_totalprice")),
+    )
+    base = {
+        r["bucket"]: (r["n_rows"], r["content_xor"], r["total_cents"])
+        for r in registry.QUERIES["q_table_checksum"](
+            spark, sf_dir
+        ).collect()
+    }
+
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    row_h = (
+        (F.col("o_orderkey") * F.lit(2654435761))
+        .bitwiseXOR(F.col("o_custkey") * F.lit(40503))
+        .bitwiseXOR(
+            (cents * F.lit(69069)).bitwiseXOR(
+                F.ascii("o_orderstatus").cast("bigint")
+            )
+        )
+    )
+    mut = {
+        r["bucket"]: (r["n_rows"], r["content_xor"], r["total_cents"])
+        for r in mutated.select(
+            (F.col("o_orderkey") % 16).alias("bucket"),
+            row_h.alias("row_h"),
+            cents.alias("cents"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.bit_xor("row_h").cast("bigint").alias("content_xor"),
+            F.sum("cents").cast("bigint").alias("total_cents"),
+        )
+        .collect()
+    }
+    diff = {b for b in base if base[b] != mut.get(b)}
+    assert diff == {first % 16}, diff
+
+
 def test_redefined_oracles_agree_with_independent_forms():
     """ADVICE r7: the r7-redefined q_rel_division / q_scd2_snapshot
     oracles were authored by the same change they verify. Cross-check

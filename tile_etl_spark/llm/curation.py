@@ -338,6 +338,53 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+K_ANON = 5
+
+
+@query(
+    "q_kanon_audit",
+    oracle=f"""
+    WITH g AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+             count(*) AS group_size
+      FROM customer GROUP BY 1, 2, 3
+    )
+    SELECT c_nationkey, c_mktsegment, bal_band,
+           CAST(group_size AS BIGINT) AS group_size
+    FROM g WHERE group_size < {K_ANON}
+    """,
+)
+def q_kanon_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-ANONYMITY AUDIT — the governance check BEHIND q_pii_scrub's
+    generalization step: under the quasi-identifier combination
+    (nation, market segment, $1000 balance band), any equivalence
+    class with fewer than k=5 (K_ANON) members is a re-identification
+    risk (Sweeney, IJUFKS'02 — an attacker joining public attributes
+    singles those rows out). Emits the risky classes with their sizes
+    — the actionable worklist a release gate either suppresses or
+    coarsens further; publishable iff the result is empty.
+
+    Shape: one map-side-combined groupBy on the quasi-identifier
+    tuple, then a size filter — a single shuffle whose reduce side is
+    |QI-combination space| rows (bounded: 25 nations × 5 segments ×
+    ~11 bands), never data-sized. The same audit at 100 TB costs one
+    pass."""
+    ensure_session_determinism(spark)
+    c = load(spark, sf_dir, "customer")
+    return (
+        c.groupBy(
+            "c_nationkey",
+            "c_mktsegment",
+            F.floor(F.col("c_acctbal") / 1000)
+            .cast("bigint")
+            .alias("bal_band"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("group_size"))
+        .where(F.col("group_size") < K_ANON)
+    )
+
+
 # --- deterministic dataset splits ---------------------------------------
 
 

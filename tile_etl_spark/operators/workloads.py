@@ -347,6 +347,269 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# q_merge_upsert's deterministic source snapshot (10% rebalanced, ~14%
+# absent, 5% new keys) — shared text so the MERGE-family qids agree on
+# the merge input by construction. q_merge_audit appends a third branch
+# of DUPLICATE-key rows (k % 50 = 3, also present in the base branch)
+# to exercise Delta's "multiple source rows matched" conflict class.
+_MERGE_SRC_SQL = """
+      SELECT c_custkey AS k,
+             c_acctbal + CASE WHEN c_custkey % 10 = 0
+                              THEN 100.0 ELSE 0.0 END AS bal
+      FROM customer WHERE c_custkey % 7 <> 0
+      UNION ALL
+      SELECT c_custkey + 100000, 50.0
+      FROM customer WHERE c_custkey % 20 = 5
+"""
+
+
+@query(
+    "q_merge_audit",
+    oracle=f"""
+    WITH src AS (
+      {_MERGE_SRC_SQL}
+      UNION ALL
+      SELECT c_custkey, c_acctbal + 7.0
+      FROM customer WHERE c_custkey % 50 = 3
+    ),
+    sagg AS (
+      SELECT k, count(*) AS n_src, max(bal) AS bal FROM src GROUP BY k
+    ),
+    tgt AS (SELECT c_custkey AS k, c_acctbal AS bal FROM customer),
+    merged AS (
+      SELECT CASE WHEN t.k IS NULL THEN 'insert'
+                  WHEN s.k IS NULL THEN 'expire'
+                  WHEN s.bal <> t.bal THEN 'update'
+                  ELSE 'keep' END AS action,
+             CAST(coalesce(s.bal, 0) AS DECIMAL(18,2))
+               - CAST(coalesce(t.bal, 0) AS DECIMAL(18,2)) AS delta
+      FROM tgt t
+      FULL OUTER JOIN (SELECT k, bal FROM sagg WHERE n_src = 1) s
+        ON t.k = s.k
+    )
+    SELECT action, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(delta) AS DOUBLE) AS net_bal_delta
+    FROM merged GROUP BY action
+    UNION ALL
+    SELECT 'conflict', CAST(count(*) AS BIGINT), CAST(NULL AS DOUBLE)
+    FROM sagg WHERE n_src > 1
+    """,
+)
+def q_merge_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE OPERATION METRICS — the Delta-style audit row a real MERGE
+    job logs (operationMetrics: numTargetRowsInserted/Updated/Deleted)
+    plus the CONFLICT class Delta aborts on: target keys matched by
+    MULTIPLE source rows. The source extends q_merge_upsert's snapshot
+    with a deterministic duplicate-key branch (k % 50 = 3 rows appear
+    twice when also in the base branch); conflicted keys are EXCLUDED
+    from the merge and reported as their own metric row — report, not
+    abort, so the audit is the gate a pipeline checks before retrying
+    with a deduplicated source.
+
+    Shape: one map-side-combined groupBy of the source (the conflict
+    count falls out of the same aggregate that dedupes), one full-outer
+    key join against the target, then a ≤5-row metrics aggregate — the
+    same single co-partitioned pass as q_merge_upsert at any scale,
+    with exact DECIMAL deltas per the engine's money rule."""
+    ensure_session_determinism(spark)
+    c = load(spark, sf_dir, "customer")
+    base = c.where(F.col("c_custkey") % 7 != 0).select(
+        F.col("c_custkey").alias("k"),
+        (
+            F.col("c_acctbal")
+            + F.when(F.col("c_custkey") % 10 == 0, 100.0).otherwise(0.0)
+        ).alias("bal"),
+    )
+    new_keys = c.where(F.col("c_custkey") % 20 == 5).select(
+        (F.col("c_custkey") + 100000).alias("k"), F.lit(50.0).alias("bal")
+    )
+    dups = c.where(F.col("c_custkey") % 50 == 3).select(
+        F.col("c_custkey").alias("k"),
+        (F.col("c_acctbal") + 7.0).alias("bal"),
+    )
+    sagg = (
+        base.unionByName(new_keys)
+        .unionByName(dups)
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n_src"), F.max("bal").alias("bal"))
+    )
+    tgt = c.select(
+        F.col("c_custkey").alias("k"), F.col("c_acctbal").alias("bal")
+    )
+    t = tgt.alias("t")
+    s = sagg.where(F.col("n_src") == 1).select("k", "bal").alias("s")
+    action = (
+        F.when(F.col("t.k").isNull(), "insert")
+        .when(F.col("s.k").isNull(), "expire")
+        .when(F.col("s.bal") != F.col("t.bal"), "update")
+        .otherwise("keep")
+    )
+    delta = F.coalesce(F.col("s.bal"), F.lit(0)).cast(
+        "decimal(18,2)"
+    ) - F.coalesce(F.col("t.bal"), F.lit(0)).cast("decimal(18,2)")
+    metrics = (
+        t.join(s, F.col("t.k") == F.col("s.k"), "full_outer")
+        .select(action.alias("action"), delta.alias("delta"))
+        .groupBy("action")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            as_double(F.sum("delta")).alias("net_bal_delta"),
+        )
+    )
+    conflicts = sagg.where(F.col("n_src") > 1).agg(
+        F.lit("conflict").alias("action"),
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.lit(None).cast("double").alias("net_bal_delta"),
+    )
+    return metrics.unionByName(conflicts)
+
+
+@query(
+    "q_table_changes",
+    oracle=f"""
+    WITH src AS (
+      {_MERGE_SRC_SQL}
+    ),
+    tgt AS (SELECT c_custkey AS k, c_acctbal AS bal FROM customer),
+    j AS (
+      SELECT t.k AS tk, s.k AS sk, t.bal AS old_bal, s.bal AS new_bal
+      FROM tgt t FULL OUTER JOIN src s ON t.k = s.k
+    )
+    SELECT sk AS k, CAST(new_bal AS DOUBLE) AS bal,
+           'insert' AS change_type
+    FROM j WHERE tk IS NULL
+    UNION ALL
+    SELECT tk, CAST(old_bal AS DOUBLE), 'delete' FROM j WHERE sk IS NULL
+    UNION ALL
+    SELECT tk, CAST(old_bal AS DOUBLE), 'update_preimage'
+    FROM j WHERE tk IS NOT NULL AND sk IS NOT NULL AND old_bal <> new_bal
+    UNION ALL
+    SELECT tk, CAST(new_bal AS DOUBLE), 'update_postimage'
+    FROM j WHERE tk IS NOT NULL AND sk IS NOT NULL AND old_bal <> new_bal
+    """,
+)
+def q_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHANGE DATA FEED — the Delta ``table_changes()`` / Iceberg
+    changelog row set between two table versions: inserts and deletes
+    as single rows, updates as a PREIMAGE + POSTIMAGE pair (the shape
+    downstream incremental consumers and CDC sinks expect). Versions
+    are the q_merge_upsert target (customer) and its deterministic
+    source snapshot, so the MERGE family agrees on the input by
+    construction.
+
+    Shape: ONE full-outer key join computes every change class; the
+    pre/post pair comes from exploding a per-row array of change
+    structs built with CASE — the oracle's 4-way UNION re-reads the
+    join four times, the engine reads it once. Unchanged rows emit an
+    empty array and vanish in the explode (Generate outer=false)."""
+    ensure_session_determinism(spark)
+    c = load(spark, sf_dir, "customer")
+    tgt = c.select(
+        F.col("c_custkey").alias("tk"), F.col("c_acctbal").alias("old_bal")
+    )
+    src = (
+        c.where(F.col("c_custkey") % 7 != 0)
+        .select(
+            F.col("c_custkey").alias("sk"),
+            (
+                F.col("c_acctbal")
+                + F.when(F.col("c_custkey") % 10 == 0, 100.0).otherwise(0.0)
+            ).alias("new_bal"),
+        )
+        .unionByName(
+            c.where(F.col("c_custkey") % 20 == 5).select(
+                (F.col("c_custkey") + 100000).alias("sk"),
+                F.lit(50.0).alias("new_bal"),
+            )
+        )
+    )
+    j = tgt.join(src, F.col("tk") == F.col("sk"), "full_outer")
+    changes = F.expr(
+        """
+        CASE
+          WHEN tk IS NULL THEN
+            array(struct(new_bal AS bal, 'insert' AS change_type))
+          WHEN sk IS NULL THEN
+            array(struct(old_bal AS bal, 'delete' AS change_type))
+          WHEN old_bal <> new_bal THEN
+            array(struct(old_bal AS bal,
+                         'update_preimage' AS change_type),
+                  struct(new_bal AS bal,
+                         'update_postimage' AS change_type))
+          ELSE array()
+        END
+        """
+    )
+    return j.select(
+        F.coalesce("tk", "sk").alias("k"), F.explode(changes).alias("c")
+    ).select(
+        "k",
+        F.col("c.bal").cast("double").alias("bal"),
+        F.col("c.change_type").alias("change_type"),
+    )
+
+
+@query(
+    "q_table_checksum",
+    oracle="""
+    WITH h AS (
+      SELECT o_orderkey % 16 AS bucket,
+             xor(xor(o_orderkey * 2654435761,
+                     o_custkey * 40503),
+                 xor(CAST(round(o_totalprice * 100) AS BIGINT) * 69069,
+                     CAST(ascii(o_orderstatus) AS BIGINT))) AS row_h,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    )
+    SELECT bucket,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(bit_xor(row_h) AS BIGINT) AS content_xor,
+           CAST(sum(cents) AS BIGINT) AS total_cents
+    FROM h GROUP BY bucket
+    """,
+)
+def q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TABLE RECONCILIATION CHECKSUM — the migration/replication audit
+    run after copying a 100 TB table between systems: per key-bucket,
+    an ORDER-INSENSITIVE content fingerprint (count, bit_xor of a
+    deterministic per-row hash, exact cent total). Two systems agree
+    on every bucket row ⟺ contents match, and a mismatch localizes to
+    1/16th of the table — re-copy one bucket, not the world. The
+    per-row hash is engine-portable arithmetic (multiply + xor over
+    exact BIGINTs: keys, int cents, the status byte) rather than an
+    engine hash builtin, so ANY two SQL systems can compute it — the
+    point of a reconciliation format. xor, unlike sum, cannot overflow
+    and is insensitive to both row order and partitioning.
+
+    Shape: one map-side-combined groupBy into 16 bucket rows — a
+    single scan, one tiny shuffle, at any scale."""
+    ensure_session_determinism(spark)
+    o = load(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    row_h = (
+        (F.col("o_orderkey") * F.lit(2654435761))
+        .bitwiseXOR(F.col("o_custkey") * F.lit(40503))
+        .bitwiseXOR(
+            (cents * F.lit(69069)).bitwiseXOR(
+                F.ascii("o_orderstatus").cast("bigint")
+            )
+        )
+    )
+    return (
+        o.select(
+            (F.col("o_orderkey") % 16).alias("bucket"),
+            row_h.alias("row_h"),
+            cents.alias("cents"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.bit_xor("row_h").cast("bigint").alias("content_xor"),
+            F.sum("cents").cast("bigint").alias("total_cents"),
+        )
+    )
+
+
 PR_ITERS = 10
 PR_DAMP = 0.85
 
