@@ -19,6 +19,7 @@ from tile_etl_spark.io import (
     load,
     money_avg,
     money_sum,
+    plan_memo,
     table_view,
 )
 from tile_etl_spark.registry import query
@@ -176,6 +177,7 @@ def q_agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query("q_agg_group", oracle=_Q1_SQL.format(t="lineitem"))
+@plan_memo("lineitem")
 def q_agg_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 shape — the engine's flagship query (entry()).
 

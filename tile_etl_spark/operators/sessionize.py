@@ -8,7 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from tile_etl_spark.io import as_double, load, table_view
+from tile_etl_spark.io import as_double, load, plan_memo, table_view
 from tile_etl_spark.operators.windows import bounded_window_key
 from tile_etl_spark.registry import query
 from tile_etl_spark.session import ensure_session_determinism
@@ -68,6 +68,7 @@ _SESSIONIZE_SQL = f"""
     "q_sessionize",
     oracle=_SESSIONIZE_SQL.format(epoch="epoch_us", t="events"),
 )
+@plan_memo("events")
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """30-minute-gap sessions per user: id, size, span. The streaming
     twin (s_session) uses F.session_window and must agree. Issued as

@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from tile_etl_spark.io import load, table_view
+from tile_etl_spark.io import load, plan_memo, table_view
 from tile_etl_spark.registry import query
 from tile_etl_spark.session import ensure_session_determinism
 
@@ -77,6 +77,7 @@ def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query("q_topk_per_group", oracle=_TOPK_PER_GROUP_SQL.format(t="orders"))
+@plan_memo("orders")
 def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 orders per customer: row_number window + filter. Spark
     pushes the rank limit into the sort (WindowGroupLimit) so each
