@@ -239,7 +239,9 @@ def test_interval_rewrite_survives_hot_key(spark):
     m = 1500
     ev = spark.range(m).select(
         F.col("id").alias("event_id"),
-        F.lit(7).alias("user_id"),
+        # pmod-anchored constant (a bare lit would fold out of the
+        # window PARTITION BY and trigger the WindowExec warning)
+        (F.pmod(F.col("id"), F.lit(1)) + 7).alias("user_id"),
         # all inside one 5-min band: timestamps 0..29s apart
         F.timestamp_seconds(F.lit(1700000000) + F.col("id") % 30).alias(
             "ts"

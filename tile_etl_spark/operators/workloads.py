@@ -412,7 +412,13 @@ def q_merge_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     same single co-partitioned pass as q_merge_upsert at any scale,
     with exact DECIMAL deltas per the engine's money rule."""
     ensure_session_determinism(spark)
-    c = load(spark, sf_dir, "customer")
+    return merge_audit_metrics(load(spark, sf_dir, "customer"))
+
+
+def merge_audit_metrics(c: DataFrame) -> DataFrame:
+    """q_merge_audit's pipeline over any customer-schema frame — split
+    out so the volume stress (tools/scale_stress.py) can run it on an
+    amplified target."""
     base = c.where(F.col("c_custkey") % 7 != 0).select(
         F.col("c_custkey").alias("k"),
         (

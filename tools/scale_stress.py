@@ -81,6 +81,7 @@ def main() -> None:
     ap.add_argument("--emb-amplify", type=int, default=16)
     ap.add_argument("--stream-amplify", type=int, default=8)
     ap.add_argument("--hot-events", type=int, default=20_000)
+    ap.add_argument("--merge-amplify", type=int, default=640)
     ap.add_argument(
         "--sf-dir",
         default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
@@ -90,6 +91,7 @@ def main() -> None:
     spark = get_spark(app_name="tile-etl-spark-scale-stress")
     out: dict = {"metric": "scale_stress"}
 
+    print("[stress 1]", file=sys.stderr)
     # --- stress 1: deep tile pyramid ------------------------------------
     t0 = time.monotonic()
     grid = tile_grid(spark, levels=(5, args.max_level))
@@ -117,6 +119,7 @@ def main() -> None:
     out["pipeline_s"] = round(dt, 3)
     out["cells_per_s"] = int(n_cells / dt)
 
+    print("[stress 2]", file=sys.stderr)
     # --- stress 2: amplified fact table ---------------------------------
     li = spark.read.parquet(os.path.join(args.sf_dir, "lineitem.parquet"))
     # The fixture parquet is a single row group → a bare scan+explode
@@ -166,6 +169,7 @@ def main() -> None:
     out["bjoin_s"] = round(dt, 3)
     out["bjoin_rows_per_s"] = int(n_rows / dt)
 
+    print("[stress 3:]", file=sys.stderr)
     # --- stress 3: near-dup dedup over an amplified corpus --------------
     from tile_etl_spark.llm.dedup import (
         exact_jaccard,
@@ -208,6 +212,7 @@ def main() -> None:
     out["dedup_s"] = round(dt, 3)
     out["dedup_docs_per_s"] = int(n_docs / dt)
 
+    print("[stress 3b]", file=sys.stderr)
     # --- stress 3b: the PRUNED verify path (the 100 TB plan) ------------
     # exact_jaccard's adaptive prune only engages when it builds the
     # shingles itself; force it here so the candidate semi-join +
@@ -226,6 +231,7 @@ def main() -> None:
     out["dedup_pruned_s"] = round(dt, 3)
     out["dedup_pruned_match"] = bool(pruned_pairs == n_pairs)
 
+    print("[stress 4]", file=sys.stderr)
     # --- stress 4: embedding GEMM over an amplified corpus --------------
     from tile_etl_spark.llm.similarity import cosine_topk
 
@@ -248,6 +254,7 @@ def main() -> None:
     out["gemm_s"] = round(dt, 3)
     out["gemm_vecs_per_s"] = int(n_vecs / dt)
 
+    print("[stress 5]", file=sys.stderr)
     # --- stress 5: text-pipeline ops over the amplified corpus ----------
     # The per-row array paths (fingerprint, language-ID) must scale
     # linearly with docs — they are narrow expressions, so docs/s at ×K
@@ -270,6 +277,7 @@ def main() -> None:
     out["langid_docs_per_s"] = int(n_docs / dt)
     out["langid_s"] = round(dt, 3)
 
+    print("[stress 6]", file=sys.stderr)
     # --- stress 6: streaming micro-batch throughput ---------------------
     # Replay events ×K through a watermarked tumbling-window aggregate
     # (availableNow, 4 micro-batches). The number under test is
@@ -326,6 +334,7 @@ def main() -> None:
     out["stream_s"] = round(dt, 3)
     out["stream_events_per_s"] = int(n_events / dt)
 
+    print("[stress 7]", file=sys.stderr)
     # --- stress 7: two-pass global rank at volume -----------------------
     # The round-6 rewrites (mixture interleave, RFM ntiles, equi-depth,
     # sweep-line) all stand on global_rank's range-partition +
@@ -361,6 +370,7 @@ def main() -> None:
     out["grank_s"] = round(dt, 3)
     out["grank_rows_per_s"] = int(n_rows / dt)
 
+    print("[stress 8]", file=sys.stderr)
     # --- stress 8: two-level sweep line at volume ------------------------
     # q_peak_concurrency's shape (range-partition the ±1 boundary
     # stream, shard-local prefix sums, broadcast shard-total offsets)
@@ -429,6 +439,7 @@ def main() -> None:
     out["sweep_s"] = round(dt, 3)
     out["sweep_rows_per_s"] = int(n_bound / dt)
 
+    print("[stress 9]", file=sys.stderr)
     # --- stress 9: chained two-pass ntiles (the RFM shape) at volume -----
     # q_rfm_segments chains three independent global_rank→ntile passes;
     # here each pass runs over the xK fact on a distinct synthetic key
@@ -467,6 +478,7 @@ def main() -> None:
     out["ntile_chain_s"] = round(dt, 3)
     out["ntile_chain_rows_per_s"] = int(3 * n_rows / dt)
 
+    print("[stress 10]", file=sys.stderr)
     # --- stress 10: hot-key interval window (VERDICT r7 #5) --------------
     # The q_join_interval range-frame rewrite buffers each event's
     # in-band forward neighbours via collect_list; a pathologically hot
@@ -487,7 +499,10 @@ def main() -> None:
     m = args.hot_events
     ev = spark.range(m).select(
         F.col("id").alias("event_id"),
-        F.lit(7).cast("bigint").alias("user_id"),
+        # pmod-anchored constant: a bare lit(7) user_id would be
+        # constant-folded OUT of the window's PARTITION BY (the
+        # bounded_window_key problem) and WindowExec would warn
+        (F.pmod(F.col("id"), F.lit(1)) + 7).cast("bigint").alias("user_id"),
         F.timestamp_seconds(F.lit(1_700_000_000) + F.col("id") % 30).alias(
             "ts"
         ),
@@ -511,6 +526,58 @@ def main() -> None:
     out["hot_interval_pairs"] = n_win
     out["hot_interval_s"] = round(dt, 3)
     out["hot_interval_pairs_per_s"] = int(n_win / dt)
+
+    print("[stress 11]", file=sys.stderr)
+    # --- stress 11: full-outer MERGE audit at volume ---------------------
+    # Replicate customer xK with per-replica key offsets that preserve
+    # every modulus the source derivation uses (OFFSET = 7,000,000 is a
+    # multiple of lcm(7,10,20,50) = 700 and clears the +100000 new-key
+    # branch), so each replica's merge behaves EXACTLY like the base
+    # fixture and the amplified metrics must be K x the base metrics —
+    # an exact invariant at any volume. The thing under test: the
+    # source groupBy + full-outer key join + metrics aggregate hold
+    # their shape and throughput as both merge sides grow.
+    from tile_etl_spark.operators.workloads import merge_audit_metrics
+
+    cache.scope("stress_merge")
+    cust = spark.read.parquet(os.path.join(args.sf_dir, "customer.parquet"))
+    k_m = args.merge_amplify
+    base_rows = {
+        r["action"]: (r["n_rows"], r["net_bal_delta"])
+        for r in merge_audit_metrics(cust).collect()
+    }
+    # rep * 7M MUST be bigint arithmetic: as int32 it wraps silently at
+    # replica 307 (307 x 7e6 > 2^31) in non-ANSI mode and the wrapped
+    # offsets collide keys across replicas — caught because the exact
+    # K-multiple invariant failed, which is what this stress is FOR.
+    amp_c = (
+        cust.repartition(width)
+        .withColumn(
+            "rep", F.explode(F.sequence(F.lit(0), F.lit(k_m - 1)))
+        )
+        .select(
+            (
+                F.col("c_custkey")
+                + F.col("rep").cast("bigint") * F.lit(7_000_000)
+            ).alias("c_custkey"),
+            "c_acctbal",
+        )
+    )
+    t0 = time.monotonic()
+    amp_rows = {
+        r["action"]: (r["n_rows"], r["net_bal_delta"])
+        for r in merge_audit_metrics(amp_c).collect()
+    }
+    dt = time.monotonic() - t0
+    for act, (n, delta) in base_rows.items():
+        an, ad = amp_rows[act]
+        assert an == n * k_m, (act, an, n, k_m)
+        if delta is not None:
+            assert abs(ad - delta * k_m) < 1e-6, (act, ad, delta, k_m)
+    n_merge = cust.count() * k_m
+    out["merge_rows"] = n_merge
+    out["merge_s"] = round(dt, 3)
+    out["merge_rows_per_s"] = int(n_merge / dt)
     cache.scope("stress_done")
 
     print(json.dumps(out))
