@@ -152,7 +152,12 @@ def q_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
                 yield i + 1, w
 
     d = load(spark, sf_dir, "documents")
-    spark.udtf.register("word_split", WordSplit)
+    from tile_etl_spark.io import register_once
+
+    register_once(
+        spark, "udtf", "word_split",
+        lambda: spark.udtf.register("word_split", WordSplit),
+    )
     d.select("doc_id", "text").createOrReplaceTempView("docs_for_udtf")
     return spark.sql(
         """
@@ -343,7 +348,12 @@ def q_udtf_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (parts[i] if i < len(parts) else None) for i in range(n)
             )
 
-    spark.udtf.register("first_tokens", FirstTokens)
+    from tile_etl_spark.io import register_once
+
+    register_once(
+        spark, "udtf", "first_tokens",
+        lambda: spark.udtf.register("first_tokens", FirstTokens),
+    )
     load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     return spark.sql(
         """

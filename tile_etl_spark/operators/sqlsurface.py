@@ -56,22 +56,35 @@ def q_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same as any expression: no serialization boundary, no Arrow
     batches, no Python workers."""
     ensure_session_determinism(spark)
+    from tile_etl_spark.io import register_once
+
     load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
-    spark.sql(
-        """
-        CREATE OR REPLACE TEMPORARY FUNCTION qty_tier(q DOUBLE)
-        RETURNS STRING
-        RETURN CASE WHEN q < 10 THEN 'low'
-                    WHEN q < 30 THEN 'mid'
-                    ELSE 'high' END
-        """
+    register_once(
+        spark,
+        "sqludf",
+        "qty_tier",
+        lambda: spark.sql(
+            """
+            CREATE OR REPLACE TEMPORARY FUNCTION qty_tier(q DOUBLE)
+            RETURNS STRING
+            RETURN CASE WHEN q < 10 THEN 'low'
+                        WHEN q < 30 THEN 'mid'
+                        ELSE 'high' END
+            """
+        ),
     )
-    spark.sql(
-        """
-        CREATE OR REPLACE TEMPORARY FUNCTION disc_price(p DOUBLE, d DOUBLE)
-        RETURNS DECIMAL(18,4)
-        RETURN CAST(p * (1 - d) AS DECIMAL(18,4))
-        """
+    register_once(
+        spark,
+        "sqludf",
+        "disc_price",
+        lambda: spark.sql(
+            """
+            CREATE OR REPLACE TEMPORARY FUNCTION disc_price(
+              p DOUBLE, d DOUBLE)
+            RETURNS DECIMAL(18,4)
+            RETURN CAST(p * (1 - d) AS DECIMAL(18,4))
+            """
+        ),
     )
     return spark.sql(
         """

@@ -827,7 +827,12 @@ def src_python_ds(spark: SparkSession, sf_dir: str) -> DataFrame:
         def reader(self, schema):
             return TileManifestReader(bounds)
 
-    spark.dataSource.register(TileManifestDataSource)
+    from tile_etl_spark.io import register_once
+
+    register_once(
+        spark, "datasource", "tile_manifest",
+        lambda: spark.dataSource.register(TileManifestDataSource),
+    )
     return spark.read.format("tile_manifest").load()
 
 
@@ -902,7 +907,12 @@ def src_python_ds_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         def streamReader(self, schema):
             return TileManifestStreamReader(bounds, lo, hi)
 
-    spark.dataSource.register(TileManifestStreamSource)
+    from tile_etl_spark.io import register_once
+
+    register_once(
+        spark, "datasource", "tile_manifest_stream",
+        lambda: spark.dataSource.register(TileManifestStreamSource),
+    )
     name = "pyds_" + _uuid.uuid4().hex[:8]
     ckpt = _art(f"checkpoints_{name}")
     q = (
