@@ -208,7 +208,7 @@ _ARTIFACT_CACHED = {"q_tile_grid", "q_tile_stats"}
 
 
 def ratio_class(qid: str) -> str:
-    if qid.startswith("sink_") or qid == "sink_objectstore":
+    if qid.startswith("sink_"):
         return "sink"
     if qid.startswith(("s_", "src_python_ds_stream")):
         return "stream_twin"

@@ -5,8 +5,9 @@
   instead of count(col), an identity that held only on fully non-null
   fixtures — the denominators now carry per-cell non-null counts);
 - the q_join_interval range-frame rewrite must survive a pathological
-  hot key (one user with thousands of events inside one band) and
-  still equal the banding helper (VERDICT r7 ask #5).
+  hot key (one user, 1500 events inside one band; the 20k-event volume
+  twin is stress 10) and still equal the banding helper (VERDICT r7
+  ask #5).
 """
 
 from __future__ import annotations
@@ -88,8 +89,6 @@ def test_table_checksum_localizes_a_mutation(spark, sf_dir):
     """The reconciliation property the operator exists for: mutating
     ONE row's value changes EXACTLY that row's bucket fingerprint and
     no other bucket."""
-    from tile_etl_spark.io import load
-
     o = load(spark, sf_dir, "orders")
     first = o.select("o_orderkey").orderBy("o_orderkey").first()[0]
     mutated = o.withColumn(
@@ -226,11 +225,13 @@ def test_persist_scoped_key_collision_fails_loudly(spark):
 
 
 def test_interval_rewrite_survives_hot_key(spark):
-    """One user with 4000 events inside a single 5-minute band is the
+    """One user with 1500 events inside a single 5-minute band — the
     worst case for the range-frame collect_list rewrite (the frame is
-    O(m) per event). The output must still equal the banding
-    equi-join helper row-for-row — and have the full m*(m-1)/2
-    cardinality, proving the frame did not truncate."""
+    O(m) per event). The output must equal the banding equi-join
+    helper ROW-FOR-ROW and have the full m*(m-1)/2 cardinality,
+    proving the frame did not truncate. The volume run (20k events,
+    200M pairs, checksum equality) is stress 10 in
+    tools/scale_stress.py."""
     from tile_etl_spark.operators.joins import (
         interval_self_join,
         interval_self_join_window,

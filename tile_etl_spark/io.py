@@ -282,6 +282,27 @@ def _memo_for(spark: SparkSession) -> dict:
     return ent[1]
 
 
+def source_memo(memo: dict, spark: SparkSession, sf_dir: str, fpr: str,
+                build, replay):
+    """Bounded per-source build memo shared by q_dedup_near and
+    q_text_tfidf (llm/dedup.py, llm/text.py): builders whose
+    scope/persist side effects must re-run per call can't use
+    plan_memo, but their ~40-300 ms of Py4J plan construction is pure
+    given the same source. One entry per sf_dir, replaced when the
+    session or source fingerprint changes (a stopped session is never
+    pinned by stored frames); ``build()`` returns the payload tuple,
+    ``replay(payload)`` re-enters persists on a hit. Cold builds stay
+    visible as the qid's cold_queries entry in BENCH_FULL.json."""
+    hit = memo.get(sf_dir)
+    if hit is not None and hit[0] == id(spark) and hit[1] == fpr:
+        payload = hit[2]
+        replay(payload)
+        return payload
+    payload = build()
+    memo[sf_dir] = (id(spark), fpr, payload)
+    return payload
+
+
 def register_once(spark: SparkSession, kind: str, name: str, register) -> None:
     """Idempotent per-session registration for Python UDTFs, Python
     data sources, and SQL temp functions: Spark logs a '... replaced a

@@ -363,20 +363,15 @@ def exact_jaccard(
     )
 
 
-# sf_dir → (session id, source fingerprint, sh, cand_key, cand,
-# final). q_dedup_near cannot use io.plan_memo (its scope+persist side
-# effects must re-run per call), but the EXPENSIVE part of a rebuild is
-# ~90 Py4J round trips of plan construction (~300 ms warm), all pure
-# given the same source — so the built frames are memoized here and
-# the side effects are REPLAYED on every hit: re-enter the scope, then
-# re-pin both persists (persist_scoped re-persists a handle that an
-# intervening scope switch evicted — the data lazily rematerializes on
-# the next action, exactly as a fresh build would).
-# BOUNDED (ADVICE r7): one entry per sf_dir, replaced when the session
-# or source fingerprint changes — a stopped SparkSession is never kept
-# alive by stored frames, and the memo cannot grow without bound.
-# Cold-build cost stays visible: bench.py times the warm pass per qid
-# and records it as cold_queries in BENCH_FULL.json.
+# io.source_memo store: sf_dir → (session id, source fingerprint,
+# (sh, cand_key, cand, final)). q_dedup_near cannot use io.plan_memo
+# (its scope+persist side effects must re-run per call), but ~90 Py4J
+# round trips of plan construction (~300 ms warm) are pure given the
+# same source — the built frames are memoized and the persists
+# REPLAYED on every hit (persist_scoped re-pins a handle an
+# intervening scope switch evicted; data lazily rematerializes on the
+# next action, exactly as a fresh build would). Bounding/replacement
+# semantics live in io.source_memo (ADVICE r7).
 _NEAR_MEMO: dict[str, tuple] = {}
 
 
@@ -395,29 +390,34 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_session_determinism(spark)
     _scope(f"q_dedup_near:{sf_dir}")
     fpr = source_fingerprint(os.path.join(sf_dir, "documents.parquet"))
-    hit = _NEAR_MEMO.get(sf_dir)
-    if hit is not None and hit[0] == id(spark) and hit[1] == fpr:
-        _, _, sh, cand_key, cand, final = hit
+
+    def build():
+        d = _parallelize_docs(load(spark, sf_dir, "documents"))
+        # ONE persisted shingle explode feeds both the signature build
+        # and the exact-Jaccard verify tier — the explode (interpreted
+        # HOF over every doc) was previously computed twice, once per
+        # stage.
+        sh = _persist(shingles_df(d))
+        sigs = minhash_signatures(d, shingles=sh)
+        # Explicit dedupe key: the LSH plan's LATERAL VIEW lambdas
+        # defeat sameSemantics (see persist_scoped), so rebuilds would
+        # otherwise re-materialize the candidate cache on every run.
+        cand_key = f"lsh_cand:{sigs.semanticHash()}:{N_BANDS}"
+        cand = _persist(lsh_candidate_pairs(sigs), key=cand_key)
+        j = exact_jaccard(d, cand, shingles=sh)
+        final = j.where(F.col("jaccard") >= 0.8).select(
+            "d1", "d2", F.round("jaccard", 6).alias("jaccard")
+        )
+        return (sh, cand_key, cand, final)
+
+    def replay(payload):
+        sh, cand_key, cand, _ = payload
         _persist(sh)
         _persist(cand, key=cand_key)
-        return final
-    d = _parallelize_docs(load(spark, sf_dir, "documents"))
-    # ONE persisted shingle explode feeds both the signature build and
-    # the exact-Jaccard verify tier — the explode (interpreted HOF over
-    # every doc) was previously computed twice, once per stage.
-    sh = _persist(shingles_df(d))
-    sigs = minhash_signatures(d, shingles=sh)
-    # Explicit dedupe key: the LSH plan's LATERAL VIEW lambdas defeat
-    # sameSemantics (see persist_scoped), so rebuilds would otherwise
-    # re-materialize the candidate cache on every run.
-    cand_key = f"lsh_cand:{sigs.semanticHash()}:{N_BANDS}"
-    cand = _persist(lsh_candidate_pairs(sigs), key=cand_key)
-    j = exact_jaccard(d, cand, shingles=sh)
-    final = j.where(F.col("jaccard") >= 0.8).select(
-        "d1", "d2", F.round("jaccard", 6).alias("jaccard")
-    )
-    _NEAR_MEMO[sf_dir] = (id(spark), fpr, sh, cand_key, cand, final)
-    return final
+
+    from tile_etl_spark.io import source_memo
+
+    return source_memo(_NEAR_MEMO, spark, sf_dir, fpr, build, replay)[-1]
 
 
 # --- n-gram Jaccard (exact, H-checked) ----------------------------------

@@ -28,13 +28,9 @@ from tile_etl_spark.session import ensure_session_determinism
 # file recounts instead of reusing a stale N.
 _CORPUS_N: dict[tuple, int] = {}
 
-# sf_dir → (session id, source fingerprint, tfc, idf, final): the
-# q_dedup_near build-memo pattern (llm/dedup.py) — ~40-80 ms of Py4J
-# plan construction per call is pure given the same source, so the
-# built frames are reused and the scope/persist side effects replayed
-# on every hit. Bounded to ONE entry per sf_dir, replaced when the
-# session or fingerprint changes; the cold build stays visible as the
-# qid's cold_queries entry in BENCH_FULL.json.
+# io.source_memo store: sf_dir → (session id, source fingerprint,
+# (tfc, idf, final)) — the same bounded build-memo protocol as
+# q_dedup_near's _NEAR_MEMO (semantics live in io.source_memo).
 _TFIDF_MEMO: dict[str, tuple] = {}
 
 
@@ -170,47 +166,51 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tile_etl_spark.sources.files import source_fingerprint
 
     fpr = source_fingerprint(os.path.join(sf_dir, "documents.parquet"))
-    hit = _TFIDF_MEMO.get(sf_dir)
-    if hit is not None and hit[0] == id(spark) and hit[1] == fpr:
-        _, _, tfc, idf, final = hit
+
+    def build():
+        tfc = persist_scoped(
+            spark.sql(
+                f"SELECT doc_id, term, count(*) AS tf FROM (SELECT doc_id,"
+                f" explode(split(text, ' ')) AS term FROM {t})"
+                f" GROUP BY doc_id, term"
+            )
+        )
+        v = f"__tfidf_tfc_{tfc.semanticHash() & 0xFFFFFFFF:x}"
+        tfc.createOrReplaceTempView(v)
+        n_docs = _corpus_count(spark, sf_dir, t)
+        idf = persist_scoped(
+            spark.sql(
+                f"SELECT term, ln(CAST({n_docs} AS DOUBLE) / count(*)) AS"
+                f" idf FROM {v} GROUP BY term"
+            )
+        )
+        vi = f"__tfidf_idf_{idf.semanticHash() & 0xFFFFFFFF:x}"
+        idf.createOrReplaceTempView(vi)
+        final = spark.sql(
+            f"""
+            SELECT doc_id, s.term AS top_term,
+                   round(s.tfidf, 6) AS tfidf
+            FROM (
+              SELECT doc_id,
+                     min_by(struct(term, tfidf), struct(-tfidf, term)) AS s
+              FROM (
+                SELECT /*+ BROADCAST(i) */ p.doc_id, p.term,
+                       p.tf * i.idf AS tfidf
+                FROM {v} p JOIN {vi} i ON p.term = i.term
+              ) GROUP BY doc_id
+            )
+            """
+        )
+        return (tfc, idf, final)
+
+    def replay(payload):
+        tfc, idf, _ = payload
         persist_scoped(tfc)
         persist_scoped(idf)
-        return final
-    tfc = persist_scoped(
-        spark.sql(
-            f"SELECT doc_id, term, count(*) AS tf FROM (SELECT doc_id,"
-            f" explode(split(text, ' ')) AS term FROM {t})"
-            f" GROUP BY doc_id, term"
-        )
-    )
-    v = f"__tfidf_tfc_{tfc.semanticHash() & 0xFFFFFFFF:x}"
-    tfc.createOrReplaceTempView(v)
-    n_docs = _corpus_count(spark, sf_dir, t)
-    idf = persist_scoped(
-        spark.sql(
-            f"SELECT term, ln(CAST({n_docs} AS DOUBLE) / count(*)) AS"
-            f" idf FROM {v} GROUP BY term"
-        )
-    )
-    vi = f"__tfidf_idf_{idf.semanticHash() & 0xFFFFFFFF:x}"
-    idf.createOrReplaceTempView(vi)
-    final = spark.sql(
-        f"""
-        SELECT doc_id, s.term AS top_term,
-               round(s.tfidf, 6) AS tfidf
-        FROM (
-          SELECT doc_id,
-                 min_by(struct(term, tfidf), struct(-tfidf, term)) AS s
-          FROM (
-            SELECT /*+ BROADCAST(i) */ p.doc_id, p.term,
-                   p.tf * i.idf AS tfidf
-            FROM {v} p JOIN {vi} i ON p.term = i.term
-          ) GROUP BY doc_id
-        )
-        """
-    )
-    _TFIDF_MEMO[sf_dir] = (id(spark), fpr, tfc, idf, final)
-    return final
+
+    from tile_etl_spark.io import source_memo
+
+    return source_memo(_TFIDF_MEMO, spark, sf_dir, fpr, build, replay)[-1]
 
 
 # Deterministic lang-ID scoring rule shared with the oracle: score each

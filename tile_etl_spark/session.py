@@ -66,6 +66,10 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
+        # Wide plans (64-col MinHash structs) trip the 25-field default
+        # and log a SparkStringUtils WARN per run; plan STRINGS are only
+        # built for explain/debug, so raising the cap costs nothing.
+        .config("spark.sql.debug.maxToStringFields", "2000")
     )
     return builder.getOrCreate()
 

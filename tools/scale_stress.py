@@ -169,7 +169,7 @@ def main() -> None:
     out["bjoin_s"] = round(dt, 3)
     out["bjoin_rows_per_s"] = int(n_rows / dt)
 
-    print("[stress 3:]", file=sys.stderr)
+    print("[stress 3]", file=sys.stderr)
     # --- stress 3: near-dup dedup over an amplified corpus --------------
     from tile_etl_spark.llm.dedup import (
         exact_jaccard,
@@ -573,7 +573,11 @@ def main() -> None:
         an, ad = amp_rows[act]
         assert an == n * k_m, (act, an, n, k_m)
         if delta is not None:
-            assert abs(ad - delta * k_m) < 1e-6, (act, ad, delta, k_m)
+            # relative tolerance: ad and delta*k_m are independently
+            # rounded doubles of the same exact decimal — at sf>=1 the
+            # amplified magnitude makes 1 ulp exceed an absolute 1e-6
+            tol = max(1e-6, 4e-12 * abs(delta * k_m))
+            assert abs(ad - delta * k_m) <= tol, (act, ad, delta, k_m)
     n_merge = cust.count() * k_m
     out["merge_rows"] = n_merge
     out["merge_s"] = round(dt, 3)
