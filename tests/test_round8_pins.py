@@ -133,6 +133,59 @@ def test_table_checksum_localizes_a_mutation(spark, sf_dir):
     assert diff == {first % 16}, diff
 
 
+def test_foreachbatch_upsert_epoch_replay_is_idempotent(spark, tmp_path):
+    """The exactly-once contract of the foreachBatch upsert sink under
+    a CRASH-REPLAY: epoch N retried after v{N} was written but before
+    the checkpoint committed. The merge baseline must be the newest
+    version STRICTLY BELOW the epoch — reading versions()[-1] (the
+    retried epoch's own output) both corrupts the baseline when v{N}
+    was partial and makes Spark refuse to overwrite a path it is
+    reading from."""
+    import os
+    from datetime import datetime
+
+    from tile_etl_spark.streaming.queries import make_upsert_sink
+
+    base = str(tmp_path / "upsert")
+    os.makedirs(base)
+    upsert, versions = make_upsert_sink(spark, base)
+    schema = "user_id bigint, value double, ts timestamp, event_id bigint"
+    b0 = spark.createDataFrame(
+        [(1, 10.0, datetime(2024, 1, 1), 1), (2, 20.0, datetime(2024, 1, 1), 2)],
+        schema,
+    )
+    b1 = spark.createDataFrame(
+        [(1, 11.0, datetime(2024, 1, 2), 3), (3, 30.0, datetime(2024, 1, 2), 4)],
+        schema,
+    )
+    upsert(b0, 0)
+    upsert(b1, 1)
+    expect = sorted(map(tuple, spark.read.parquet(versions()[-1]).collect()))
+    assert len(expect) == 3  # users 1 (updated), 2 (kept), 3 (inserted)
+
+    # clean replay of the committed epoch: state unchanged, no error
+    upsert(b1, 1)
+    assert sorted(
+        map(tuple, spark.read.parquet(versions()[-1]).collect())
+    ) == expect
+
+    # poisoned replay: v00001 was only PARTIALLY written before the
+    # crash (one bogus row); the retry must rebuild it from v00000 +
+    # the batch, not from the partial output
+    spark.createDataFrame(
+        [(1, 99.0, datetime(2024, 1, 3), 9)], schema
+    ).selectExpr(
+        "user_id",
+        "value AS last_value",
+        "ts AS last_ts",
+        "event_id AS last_event_id",
+    ).write.mode("overwrite").parquet(os.path.join(base, "v00001"))
+    upsert(b1, 1)
+    assert sorted(
+        map(tuple, spark.read.parquet(versions()[-1]).collect())
+    ) == expect
+
+
 def test_redefined_oracles_agree_with_independent_forms():
     """ADVICE r7: the r7-redefined q_rel_division / q_scd2_snapshot
     oracles were authored by the same change they verify. Cross-check
@@ -183,6 +236,33 @@ def test_redefined_oracles_agree_with_independent_forms():
     ).fetchall()
     assert scd == con.execute(alt_scd2).fetchall()
     assert len(scd) == 150
+
+
+def test_lsh_two_pass_equals_single_pass(spark, sf_dir):
+    """The count-gated (memory-bounded) LSH bucket plan must produce
+    exactly the single-pass plan's candidate pairs — the plan-stats
+    gate flips between them by corpus size, so they must be
+    interchangeable (and the two-pass form is what ships at 100 TB,
+    where collect_set buffers must never exceed max_bucket members)."""
+    from tile_etl_spark import cache
+    from tile_etl_spark.io import load
+    from tile_etl_spark.llm.dedup import (
+        _parallelize_docs,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    cache.scope("lsh_two_pass_pin")
+    d = _parallelize_docs(load(spark, sf_dir, "documents"))
+    sigs = minhash_signatures(d)
+    one = sorted(
+        map(tuple, lsh_candidate_pairs(sigs, two_pass=False).collect())
+    )
+    two = sorted(
+        map(tuple, lsh_candidate_pairs(sigs, two_pass=True).collect())
+    )
+    assert one and one == two
+    cache.scope("lsh_two_pass_pin_done")
 
 
 def test_near_memo_is_bounded(spark, sf_dir):

@@ -32,9 +32,35 @@ def test_s_sliding_equals_batch(spark, sf_dir):
 
 
 def test_s_session_equals_batch(spark, sf_dir):
+    """s_session's TRUE batch twin is q_session_native — the same
+    native session_window operator, which CLOSES a session when the
+    next event lands exactly at prev + gap, while q_sessionize's
+    manual lag/cumsum uses `> gap` (see q_session_native's docstring:
+    the two conventions diverge only on microsecond-exact 30-minute
+    ties). Assert the exact twin first; then assert the fixture has no
+    exact-gap ties, which is the precondition making the q_sessionize
+    comparison meaningful rather than vacuously transferable."""
     s = registry.QUERIES["s_session"](spark, sf_dir)
-    b = registry.QUERIES["q_sessionize"](spark, sf_dir)
+    native = registry.QUERIES["q_session_native"](spark, sf_dir)
     cols = ["user_id", "session_start", "n_events"]
+    assert rows_set(s, cols) == rows_set(native, cols)
+
+    from pyspark.sql import Window
+
+    from tile_etl_spark.io import load
+    from tile_etl_spark.operators.sessionize import GAP_US
+
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.unix_micros("ts"), F.col("event_id")
+    )
+    gap = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+    n_exact = e.select(gap.alias("g")).where(F.col("g") == GAP_US).count()
+    assert n_exact == 0, (
+        f"{n_exact} microsecond-exact 30-min gaps: the q_sessionize "
+        "comparison below no longer holds by construction"
+    )
+    b = registry.QUERIES["q_sessionize"](spark, sf_dir)
     assert rows_set(s, cols) == rows_set(b, cols)
 
 

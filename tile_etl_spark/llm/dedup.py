@@ -197,21 +197,44 @@ def minhash_signatures(
     return hashed.groupBy("doc_id").agg(F.expr(f"array({mins}) AS sig"))
 
 
+# lsh_candidate_pairs flips to the two-pass (count-gated) bucket plan
+# once the signature frame's plan-stats estimate crosses this size: the
+# single-pass collect_set materializes each bucket's FULL member list
+# before the size(ms) <= max_bucket filter runs, so a degenerate bucket
+# (a 10M-duplicate cluster) would build a 10M-element aggregation
+# buffer — the cap bounds pair GENERATION, not collection memory. The
+# two-pass form counts buckets first and joins only qualifying buckets
+# into the collect, bounding the aggregate state at max_bucket rows by
+# construction; it costs ~+50% at sf0.1 (the HOF band expressions
+# defeat exchange reuse, so `bucketed` evaluates twice — measured
+# 0.39 → 0.58 s), which is why small corpora keep the single-pass plan
+# (their buckets are provably nowhere near the cap). At the 100 TB
+# design point the estimate is orders of magnitude past this line, so
+# the memory-safe plan is the one that ships.
+_LSH_TWOPASS_BYTES = 256 * 1024 * 1024
+
+
 def lsh_candidate_pairs(
-    sigs: DataFrame, n_bands: int = N_BANDS, max_bucket: int = 1000
+    sigs: DataFrame,
+    n_bands: int = N_BANDS,
+    max_bucket: int = 1000,
+    two_pass: bool | None = None,
 ) -> DataFrame:
     """(d1, d2) candidate pairs sharing at least one LSH band bucket.
 
     Explode each signature into n_bands (band_id, band_hash) keys, then
     ONE hash-aggregate collects each bucket's (sorted, deduped) member
-    list and the pairs are generated IN-ARRAY — no bucket self-join, no
-    separate bucket-count pass. ``max_bucket`` caps degenerate buckets
-    (a 10M-duplicate cluster would otherwise create a quadratic
-    bucket) by filtering on the collected size directly — capped
-    buckets are still pairwise-connected through transitivity of
-    smaller buckets in practice; at the test SFs no bucket ever hits
-    the cap. Per-bucket memory is bounded at max_bucket·8 B, so the
-    collect_set is shuffle-safe at any corpus size; one wide shuffle
+    list and the pairs are generated IN-ARRAY — no bucket self-join
+    and, on small corpora, no separate bucket-count pass. ``max_bucket``
+    caps degenerate buckets (a 10M-duplicate cluster would otherwise
+    create a quadratic bucket); capped buckets are still pairwise-
+    connected through transitivity of smaller buckets in practice; at
+    the test SFs no bucket ever hits the cap. ``two_pass`` (default:
+    plan-stats gated, see _LSH_TWOPASS_BYTES) bounds the COLLECTION
+    memory too: count buckets first, join only qualifying buckets into
+    the collect, so no aggregation buffer ever exceeds max_bucket
+    members — the scale-safe plan; both forms produce identical pairs
+    (pinned by test). One wide shuffle
     (bucket key) + one distinct shuffle replaces the previous
     count-join-selfjoin chain (3 shuffles → 2, measured 2.0→0.9 s at
     sf0.1 where tiny per-stage data makes stage count the cost)."""
@@ -237,11 +260,20 @@ def lsh_candidate_pairs(
     # dedupe downstream (measured: the bench re-materialized the
     # candidate cache on every run, +40% on q_dedup_near).
     spark = sigs.sparkSession
+    if two_pass is None:
+        try:
+            est = int(
+                sigs._jdf.queryExecution()
+                .optimizedPlan()
+                .stats()
+                .sizeInBytes()
+            )
+        except Exception:
+            est = 0
+        two_pass = est > _LSH_TWOPASS_BYTES
     v_sigs = f"__lsh_sigs_{sigs.semanticHash() & 0xFFFFFFFF:x}"
     sigs.createOrReplaceTempView(v_sigs)
-    return spark.sql(
-        f"""
-        WITH bucketed AS (
+    bucketed = f"""
           SELECT doc_id, band.band_id AS band_id, band.band_hash AS band_hash
           FROM {v_sigs}
           LATERAL VIEW explode(transform(sequence(0, {n_bands - 1}),
@@ -251,21 +283,45 @@ def lsh_candidate_pairs(
                 slice(sig, b * {rows_per_band} + 1, {rows_per_band}),
                 x -> cast(x as string)), ',')) AS band_hash
             ))) t AS band
+    """
+    if two_pass:
+        # count-gated collect: no aggregation buffer ever exceeds
+        # max_bucket members (count(*) == bucket cardinality — one row
+        # per (doc, band) by construction of sigs)
+        members = f"""
+        ok AS (
+          SELECT band_id, band_hash FROM bucketed
+          GROUP BY band_id, band_hash
+          HAVING count(*) >= 2 AND count(*) <= {max_bucket}
         ),
         members AS (
+          SELECT b.band_id, b.band_hash,
+                 array_sort(collect_set(b.doc_id)) AS ms
+          FROM bucketed b JOIN ok USING (band_id, band_hash)
+          GROUP BY b.band_id, b.band_hash
+        )
+        """
+    else:
+        members = f"""
+        full_members AS (
           SELECT band_id, band_hash,
                  array_sort(collect_set(doc_id)) AS ms
           FROM bucketed GROUP BY band_id, band_hash
         ),
-        capped AS (
-          SELECT ms FROM members
+        members AS (
+          SELECT ms FROM full_members
           WHERE size(ms) >= 2 AND size(ms) <= {max_bucket}
-        ),
+        )
+        """
+    return spark.sql(
+        f"""
+        WITH bucketed AS ({bucketed}),
+        {members},
         pairs AS (
           SELECT explode(flatten(transform(ms, (x, i) ->
             transform(slice(ms, i + 2, size(ms)),
                       y -> struct(x AS d1, y AS d2))))) AS p
-          FROM capped
+          FROM members
         )
         SELECT DISTINCT p.d1 AS d1, p.d2 AS d2 FROM pairs
         """

@@ -874,12 +874,13 @@ def q_embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id", _as_double_vec("embedding").alias("e")
     )
-    d = 64
 
     def moments(batches):
         import pandas as _pd
 
         for pdf in batches:
+            if not len(pdf):  # Spark may hand a 0-row Arrow batch
+                continue
             X = np.stack(pdf["e"].to_numpy())
             yield _pd.DataFrame(
                 {
@@ -892,6 +893,9 @@ def q_embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     parts = emb.mapInPandas(
         moments, "xtx array<double>, sx array<double>, n bigint"
     ).collect()
+    # dimension from the data, not a hardcoded 64 — any embedding
+    # width projects correctly
+    d = len(parts[0]["sx"])
     xtx = np.zeros((d, d))
     sx = np.zeros(d)
     n = 0
@@ -915,6 +919,8 @@ def q_embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         C, m = comp_bc.value, mu_bc.value
         for pdf in batches:
+            if not len(pdf):
+                continue
             X = np.stack(pdf["e"].to_numpy()) - m
             P = X @ C.T
             out = {"vec_id": pdf["vec_id"]}

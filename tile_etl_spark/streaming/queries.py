@@ -243,6 +243,73 @@ def s_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rows.groupBy("user_id").agg(F.max("n_events").alias("n_events"))
 
 
+def make_upsert_sink(spark: SparkSession, base: str):
+    """The foreachBatch exactly-once upsert sink as a testable factory:
+    returns ``(upsert, versions)`` over the batch-versioned directory
+    ``base``. Exactly-once contract (pinned by the epoch-replay test in
+    tests/test_round8_pins.py):
+
+    - epoch N always lands at ``v{N:05d}`` in overwrite mode, so a
+      replayed batch rewrites rather than double-applies;
+    - the merge baseline is the newest version STRICTLY BELOW the
+      current epoch — versions()[-1] would be the retried epoch's OWN
+      (possibly partial) output after a crash between the data write
+      and the checkpoint commit, which both corrupts the baseline and
+      makes Spark refuse to overwrite a path it is reading from.
+    """
+    import glob as _glob
+
+    key = F.struct("ts", "event_id")
+
+    def latest(df: DataFrame) -> DataFrame:
+        return df.groupBy("user_id").agg(
+            F.max_by("value", key).alias("last_value"),
+            F.max("ts").alias("last_ts"),
+            F.max_by("event_id", key).alias("last_event_id"),
+        )
+
+    def versions() -> list[str]:
+        return sorted(_glob.glob(os.path.join(base, "v*")))
+
+    def upsert(batch_df: DataFrame, epoch_id: int) -> None:
+        b = latest(batch_df)
+        prior = [
+            p
+            for p in versions()
+            if int(os.path.basename(p)[1:]) < int(epoch_id)
+        ]
+        if prior:
+            cur = spark.read.parquet(prior[-1])
+            newer = F.struct(b["last_ts"], b["last_event_id"]) > F.struct(
+                cur["last_ts"], cur["last_event_id"]
+            )
+            merged = (
+                cur.alias("c")
+                .join(b.alias("b"), "user_id", "full_outer")
+                .select(
+                    "user_id",
+                    *[
+                        F.when(
+                            F.col("b.last_ts").isNotNull()
+                            & (F.col("c.last_ts").isNull() | newer),
+                            F.col(f"b.{c}"),
+                        )
+                        .otherwise(F.col(f"c.{c}"))
+                        .alias(c)
+                        for c in ("last_value", "last_ts", "last_event_id")
+                    ],
+                )
+            )
+        else:
+            merged = b
+        merged.write.mode("overwrite").parquet(
+            os.path.join(base, f"v{int(epoch_id):05d}")
+        )
+
+    return upsert, versions
+
+
+
 @query(
     "s_foreachbatch",
     oracle="""
@@ -273,56 +340,13 @@ def s_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     MERGE INTO on a table format); state stays columnar on disk, never
     on the driver."""
     ensure_session_determinism(spark)
-    import glob as _glob
     import uuid as _uuid
 
     base = os.path.join(
         _art_root(), "febatch", _uuid.uuid4().hex[:12]
     )
     os.makedirs(base, exist_ok=True)
-    key = F.struct("ts", "event_id")
-
-    def latest(df: DataFrame) -> DataFrame:
-        return df.groupBy("user_id").agg(
-            F.max_by("value", key).alias("last_value"),
-            F.max("ts").alias("last_ts"),
-            F.max_by("event_id", key).alias("last_event_id"),
-        )
-
-    def versions() -> list[str]:
-        return sorted(_glob.glob(os.path.join(base, "v*")))
-
-    def upsert(batch_df: DataFrame, epoch_id: int) -> None:
-        b = latest(batch_df)
-        vs = versions()
-        if vs:
-            cur = spark.read.parquet(vs[-1])
-            newer = F.struct(b["last_ts"], b["last_event_id"]) > F.struct(
-                cur["last_ts"], cur["last_event_id"]
-            )
-            merged = (
-                cur.alias("c")
-                .join(b.alias("b"), "user_id", "full_outer")
-                .select(
-                    "user_id",
-                    *[
-                        F.when(
-                            F.col("b.last_ts").isNotNull()
-                            & (F.col("c.last_ts").isNull() | newer),
-                            F.col(f"b.{c}"),
-                        )
-                        .otherwise(F.col(f"c.{c}"))
-                        .alias(c)
-                        for c in ("last_value", "last_ts", "last_event_id")
-                    ],
-                )
-            )
-        else:
-            merged = b
-        # idempotent: epoch N always lands at v{N:05d}, overwrite mode
-        merged.write.mode("overwrite").parquet(
-            os.path.join(base, f"v{int(epoch_id):05d}")
-        )
+    upsert, versions = make_upsert_sink(spark, base)
 
     # 2 chunk files per trigger → 4 micro-batches: the upsert chain's
     # contract (merge + idempotent overwrite across batch BOUNDARIES)
