@@ -41,6 +41,17 @@ class _ScopeCtx:
         _SCOPE[0] = self._prev
 
 
+def _session_alive(df: DataFrame) -> bool:
+    """True iff the frame's owning session is still usable. Entries
+    from a stopped session must be DROPPED, not unpersisted (the Py4J
+    call would raise) and never returned from a dedupe lookup (a new
+    session would receive a dead plan)."""
+    try:
+        return not df.sparkSession.sparkContext._jsc.sc().isStopped()
+    except Exception:
+        return False
+
+
 def scope(tag: str) -> _ScopeCtx:
     """Enter cache scope ``tag``, unpersisting all other scopes."""
     prev = _SCOPE[0]
@@ -48,6 +59,8 @@ def scope(tag: str) -> _ScopeCtx:
     keep = []
     while _CACHED:
         t, k, df = _CACHED.pop()
+        if not _session_alive(df):
+            continue  # dead session: storage is already gone
         if t == tag:
             keep.append((t, k, df))
         else:
@@ -82,8 +95,15 @@ def persist_scoped(
     the existing handle is returned without building-side work.
     """
     want = tag if tag is not None else _SCOPE[0]
+    # A driver retry may stop and recreate the SparkSession while this
+    # process-global list survives; a dedupe hit from another session
+    # would hand the caller a dead plan. Same-session check is cheap
+    # (object identity) and prunes nothing — dead entries are swept by
+    # the next scope() switch.
     if key is not None:
         for t, k, cached in _CACHED:
+            if cached.sparkSession is not df.sparkSession:
+                continue
             if t == want and k == key:
                 # The key string is trusted as plan identity (that's
                 # the point — sameSemantics can't see HOF plans), but a
@@ -102,6 +122,8 @@ def persist_scoped(
                 return cached
     else:
         for t, k, cached in _CACHED:
+            if cached.sparkSession is not df.sparkSession:
+                continue
             if t == want and k is None and cached.sameSemantics(df):
                 return cached
     _CACHED.append((want, key, df))
@@ -111,4 +133,6 @@ def persist_scoped(
 def release_cached() -> None:
     """Unpersist every intermediate cached through this module."""
     while _CACHED:
-        _CACHED.pop()[2].unpersist()
+        df = _CACHED.pop()[2]
+        if _session_alive(df):
+            df.unpersist()

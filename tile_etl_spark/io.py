@@ -79,6 +79,19 @@ _RELAYOUT_FLOOR_MIN_ROWS = 4_000
 # while still feeding 8 cores — the round-6 sweet spot.
 _RELAYOUT_ROWS_PER_FILE = 75_000
 
+# File-count cap independent of the BUILDING session's core count: the
+# artifact is shared across sessions (its name is content+params keyed,
+# not session keyed), so a layout built by a 4-core test session must
+# not cap a 32-core bench session's scan parallelism. Same guard
+# constant gates whether a multi-row-group source needs re-laying at
+# all.
+_RELAYOUT_MAX_FILES = 32
+
+# Bump when _read_raw's normalization recipe changes (e.g. the events
+# nanos→µs handling): materialized layouts embed the recipe's OUTPUT,
+# so an old artifact must not satisfy a new recipe's marker.
+_RELAYOUT_RECIPE = "v2"
+
 
 def _scan_path(spark: SparkSession, sf_dir: str, name: str) -> str:
     """Path to scan for a table: the raw fixture parquet, or a compacted
@@ -102,7 +115,6 @@ def _scan_path(spark: SparkSession, sf_dir: str, name: str) -> str:
         meta = pq.ParquetFile(path).metadata
     except Exception:
         return path
-    cores = spark.sparkContext.defaultParallelism
     floor = (
         _RELAYOUT_MIN_FILES.get(name, 0)
         if meta.num_rows >= _RELAYOUT_FLOOR_MIN_ROWS
@@ -110,42 +122,43 @@ def _scan_path(spark: SparkSession, sf_dir: str, name: str) -> str:
     )
     if (
         meta.num_rows < _RELAYOUT_MIN_ROWS and not floor
-    ) or meta.num_row_groups >= max(4, cores // 2):
+    ) or meta.num_row_groups >= max(4, _RELAYOUT_MAX_FILES // 2):
         return path
     from tile_etl_spark.sources.files import (
         _art,
         marker_current,
+        publish_parquet,
         source_fingerprint,
         write_marker,
     )
 
     fp = source_fingerprint(path)
-    # Layout params are part of the artifact identity: changing
-    # _RELAYOUT_ROWS_PER_FILE or the fan-out floor (_RELAYOUT_MIN_FILES
-    # / _RELAYOUT_FLOOR_MIN_ROWS, resolved into `floor` above) must
-    # regenerate, not reuse, old layouts.
+    # EVERY layout param is part of the artifact identity — rows/file,
+    # the fan-out floor, the (session-independent) file count, and the
+    # normalization recipe version: changing any must regenerate, not
+    # reuse, old layouts.
+    n = max(
+        1,
+        floor,
+        min(_RELAYOUT_MAX_FILES, meta.num_rows // _RELAYOUT_ROWS_PER_FILE),
+    )
     dest = _art(
         os.path.join(
             "scan_layout",
             f"{name}_{fp[:12]}_r{_RELAYOUT_ROWS_PER_FILE // 1000}k"
-            f"_f{floor}",
+            f"_f{floor}_n{n}_{_RELAYOUT_RECIPE}",
         )
     )
     marker = dest + "._DONE"
     if not marker_current(marker, fp):
         raw = _read_raw(spark, path, name)
         key = _CLUSTER_KEY.get(name)
-        n = max(
-            1,
-            floor,
-            min(cores, meta.num_rows // _RELAYOUT_ROWS_PER_FILE),
-        )
         out = (
             raw.repartitionByRange(n, key).sortWithinPartitions(key)
             if key
             else raw.repartition(n)
         )
-        out.write.mode("overwrite").parquet(dest)
+        publish_parquet(out, dest)
         write_marker(marker, fp)
     return dest
 
@@ -289,10 +302,18 @@ def source_memo(memo: dict, spark: SparkSession, sf_dir: str, fpr: str,
     scope/persist side effects must re-run per call can't use
     plan_memo, but their ~40-300 ms of Py4J plan construction is pure
     given the same source. One entry per sf_dir, replaced when the
-    session or source fingerprint changes (a stopped session is never
-    pinned by stored frames); ``build()`` returns the payload tuple,
-    ``replay(payload)`` re-enters persists on a hit. Cold builds stay
-    visible as the qid's cold_queries entry in BENCH_FULL.json."""
+    session or source fingerprint changes; ``build()`` returns the
+    payload tuple, ``replay(payload)`` re-enters persists on a hit.
+    Cold builds stay visible as the qid's cold_queries entry in
+    BENCH_FULL.json.
+
+    The stored payload frames DELIBERATELY hold a strong reference to
+    their session until replaced: that reference is what makes the
+    ``id(spark)`` equality below safe (CPython cannot reuse the
+    address of an object that is still alive). Mirroring _memo_for's
+    weakref pattern here would free a stopped session sooner but would
+    also reopen the id-reuse hazard — if you weaken the payload, key
+    on a weakref identity instead."""
     hit = memo.get(sf_dir)
     if hit is not None and hit[0] == id(spark) and hit[1] == fpr:
         payload = hit[2]

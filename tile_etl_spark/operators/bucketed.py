@@ -49,7 +49,12 @@ def bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFr
             # regenerated fixture rebuilds the bucketed table instead
             # of silently joining stale data.
             marker = os.path.join(ART_DIR, f"{tbl}_FPR")
-            fpr = source_fingerprint(os.path.join(sf_dir, f"{src}.parquet"))
+            # layout params are part of the identity: changing
+            # N_BUCKETS or the sort spec must rebuild, not reuse
+            fpr = (
+                source_fingerprint(os.path.join(sf_dir, f"{src}.parquet"))
+                + f":b{N_BUCKETS}:sort={key}"
+            )
             if spark.catalog.tableExists(tbl) and marker_current(marker, fpr):
                 continue
             (
@@ -62,7 +67,10 @@ def bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFr
             )
             write_marker(marker, fpr)
         return spark.table(t_o), spark.table(t_l)
-    except Exception:
+    except Exception as ex:
+        import sys
+
+        print(f"bucketed_tables unavailable: {ex!r:.200}", file=sys.stderr)
         return None
 
 
@@ -85,7 +93,10 @@ def orders_by_custkey(spark: SparkSession, sf_dir: str) -> str | None:
     tbl = f"orders_ck_{tag}"
     try:
         marker = os.path.join(ART_DIR, f"{tbl}_FPR")
-        fpr = source_fingerprint(os.path.join(sf_dir, "orders.parquet"))
+        fpr = (
+            source_fingerprint(os.path.join(sf_dir, "orders.parquet"))
+            + f":b{N_BUCKETS}:sort=o_custkey,o_orderkey"
+        )
         if not (spark.catalog.tableExists(tbl) and marker_current(marker, fpr)):
             (
                 load(spark, sf_dir, "orders")
@@ -97,7 +108,10 @@ def orders_by_custkey(spark: SparkSession, sf_dir: str) -> str | None:
             )
             write_marker(marker, fpr)
         return tbl
-    except Exception:
+    except Exception as ex:
+        import sys
+
+        print(f"orders_by_custkey unavailable: {ex!r:.200}", file=sys.stderr)
         return None
 
 

@@ -65,6 +65,36 @@ def write_marker(marker: str, fingerprint: str) -> None:
         f.write(fingerprint + "\n")
 
 
+def publish_parquet(df, dest: str, partition_by: list[str] | None = None) -> None:
+    """Atomically publish a parquet artifact directory: build into a
+    uniquely named sibling, then rename into place. Two concurrent
+    builders (bench + test run, driver retries) each produce a COMPLETE
+    build and the loser discards — a bare overwrite to the shared dest
+    lets the second job's commit delete/interleave the first's files
+    mid-write, after which both write the _DONE marker and every later
+    session serves the corrupted artifact. Writes are forced to static
+    partitionOverwriteMode: under dynamic mode (a conf the external
+    driver session may carry) a rebuild after fixture regeneration
+    would only replace partitions present in the NEW data, leaving
+    orphan partitions from the old generation under a fresh marker."""
+    import shutil
+    import uuid
+
+    tmp = f"{dest}.build-{uuid.uuid4().hex[:8]}"
+    w = df.write.mode("overwrite").option(
+        "partitionOverwriteMode", "static"
+    )
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(tmp)
+    try:
+        shutil.rmtree(dest, ignore_errors=True)
+        os.rename(tmp, dest)
+    except OSError:
+        # a concurrent builder renamed its complete build first
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 @query(
     "src_csv_json",
     oracle="""
@@ -245,8 +275,16 @@ def materialize_tile_cache(spark: SparkSession, base: str) -> None:
     deterministic md5-repeat string, so every engine can recompute it.
     The marker records the generating formula: if the content recipe
     changes, the cache rebuilds instead of serving stale tiles."""
+    from tile_etl_spark.tiles.grid import EXTENT, level_bounds
+
     marker = os.path.join(base, "_DONE")
-    recipe = hashlib.md5(f"{_K_SQL}|{_PRESENT_SQL}|v1".encode()).hexdigest()
+    # the recipe hash covers EVERY input that shapes the file set: the
+    # key/present formulas AND the grid definition (extent + per-level
+    # bounds) — a bounds change must rebuild, or src_binary would list
+    # a stale file set under a current marker
+    recipe = hashlib.md5(
+        f"{_K_SQL}|{_PRESENT_SQL}|{EXTENT}|{level_bounds(5)}|v1".encode()
+    ).hexdigest()
     if marker_current(marker, recipe):
         return
     import shutil
@@ -262,8 +300,19 @@ def materialize_tile_cache(spark: SparkSession, base: str) -> None:
     write_marker(marker, recipe)
 
 
-_GRID5_ORACLE = """
-    WITH bounds(level, r0, r1, c0, c1) AS (VALUES (5, 4, 20, -2, 14)),
+def _grid5_bounds_sql() -> str:
+    """Level-5 bounds DERIVED from the same level_bounds() the engine
+    uses (like _manifest_oracle) — a hardcoded (4, 20, -2, 14) would
+    keep agreeing with a STALE tile cache if the grid definition ever
+    changed, masking the drift the recipe marker exists to catch."""
+    from tile_etl_spark.tiles.grid import level_bounds
+
+    r0, r1, c0, c1 = level_bounds(5)
+    return f"(VALUES (5, {r0}, {r1}, {c0}, {c1}))"
+
+
+_GRID5_ORACLE = f"""
+    WITH bounds(level, r0, r1, c0, c1) AS {_grid5_bounds_sql()},
     rows_ AS (
       SELECT level, unnest(generate_series(r0, r1)) AS "row", c0, c1
       FROM bounds
@@ -325,16 +374,18 @@ def _events_partitioned(spark: SparkSession, sf_dir: str) -> str:
     qids."""
     e = load(spark, sf_dir, "events")
     tag = os.path.basename(os.path.normpath(sf_dir))
-    out = _art(f"events_by_date_{tag}")
-    marker = os.path.join(out, "_DONE")
     fpr = source_fingerprint(os.path.join(sf_dir, "events.parquet"))
+    # fingerprint in the NAME (like io._scan_path): two sf_dirs sharing
+    # a basename, or an alternating old/new fixture, get distinct dirs
+    # instead of in-place rebuilds that stale-ify held DataFrames
+    out = _art(f"events_by_date_{tag}_{fpr[:12]}")
+    marker = os.path.join(out, "_DONE")
     if not marker_current(marker, fpr):
-        (
+        publish_parquet(
             e.withColumn("event_date", F.col("ts").cast("date"))
-            .repartition("event_date")
-            .write.mode("overwrite")
-            .partitionBy("event_date")
-            .parquet(out)
+            .repartition("event_date"),
+            out,
+            partition_by=["event_date"],
         )
         write_marker(marker, fpr)
     return out
@@ -414,18 +465,17 @@ def q_join_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_session_determinism(spark)
     fact = spark.read.parquet(_events_partitioned(spark, sf_dir))
     tag = os.path.basename(os.path.normpath(sf_dir))
-    dim_dir = _art(f"date_dim_{tag}")
-    marker = os.path.join(dim_dir, "_DONE")
     fpr = source_fingerprint(os.path.join(sf_dir, "events.parquet"))
+    dim_dir = _art(f"date_dim_{tag}_{fpr[:12]}")
+    marker = os.path.join(dim_dir, "_DONE")
     if not marker_current(marker, fpr):
-        (
+        publish_parquet(
             load(spark, sf_dir, "events")
             .select(F.col("ts").cast("date").alias("event_date"))
             .distinct()
             .withColumn("dom", F.dayofmonth("event_date"))
-            .coalesce(1)
-            .write.mode("overwrite")
-            .parquet(dim_dir)
+            .coalesce(1),
+            dim_dir,
         )
         write_marker(marker, fpr)
     dim = spark.read.parquet(dim_dir).where(F.col("dom") <= 5)
@@ -602,22 +652,32 @@ def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_session_determinism(spark)
     o = load(spark, sf_dir, "orders")
     tag = os.path.basename(os.path.normpath(sf_dir))
-    base = _art(f"orders_evolving_{tag}")
-    marker = os.path.join(base, "_DONE")
     fpr = source_fingerprint(os.path.join(sf_dir, "orders.parquet"))
+    base = _art(f"orders_evolving_{tag}_{fpr[:12]}")
+    marker = os.path.join(base, "_DONE")
     if not marker_current(marker, fpr):
+        # two-generation artifact published atomically as ONE rename
+        import shutil as _shutil
+        import uuid as _uuid
+
+        tmp = f"{base}.build-{_uuid.uuid4().hex[:8]}"
         (
             o.where(F.col("o_orderkey") % 2 == 0)
             .select("o_orderkey", "o_totalprice")
             .write.mode("overwrite")
-            .parquet(os.path.join(base, "gen=1"))
+            .parquet(os.path.join(tmp, "gen=1"))
         )
         (
             o.where(F.col("o_orderkey") % 2 == 1)
             .select("o_orderkey", "o_totalprice", "o_orderpriority")
             .write.mode("overwrite")
-            .parquet(os.path.join(base, "gen=2"))
+            .parquet(os.path.join(tmp, "gen=2"))
         )
+        try:
+            _shutil.rmtree(base, ignore_errors=True)
+            os.rename(tmp, base)
+        except OSError:
+            _shutil.rmtree(tmp, ignore_errors=True)
         write_marker(marker, fpr)
     merged = (
         spark.read.option("mergeSchema", True)
@@ -727,16 +787,16 @@ def sink_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     applies under a partition predicate."""
     ensure_session_determinism(spark)
     e = load(spark, sf_dir, "events")
-    frag = _art("events_fragmented")
+    fpr = source_fingerprint(os.path.join(sf_dir, "events.parquet"))
+    frag = _art(f"events_fragmented_{fpr[:12]}")
     compacted = _art("events_compacted")
     # produce the small-file problem once per fixture: 64 splinters.
     # The fragmentation is test SETUP (a real pipeline inherits its
     # fragments from the ingest), so it's fingerprint-cached; the
     # compaction rewrite below is the operator and always runs.
     marker = os.path.join(frag, "_DONE")
-    fpr = source_fingerprint(os.path.join(sf_dir, "events.parquet"))
     if not marker_current(marker, fpr):
-        e.repartition(64).write.mode("overwrite").parquet(frag)
+        publish_parquet(e.repartition(64), frag)
         write_marker(marker, fpr)
     # the compaction job: few range-clustered files, bounded size
     (
@@ -836,6 +896,11 @@ def src_python_ds(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.format("tile_manifest").load()
 
 
+# last (memory-sink table, checkpoint dir) per session for
+# src_python_ds_stream — see the leak note inside the builder
+_PYDS_STREAM_LAST: dict[int, tuple[str, str]] = {}
+
+
 @query("src_python_ds_stream", oracle=_manifest_oracle())
 def src_python_ds_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUSTOM PYTHON STREAMING SOURCE (Spark 4 DataSourceStreamReader):
@@ -913,6 +978,24 @@ def src_python_ds_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, "datasource", "tile_manifest_stream",
         lambda: spark.dataSource.register(TileManifestStreamSource),
     )
+    # Each invocation needs a FRESH memory sink + checkpoint (reusing a
+    # checkpoint under availableNow resumes from committed offsets and
+    # drains zero rows), but the previous invocation's pair must not
+    # leak: under the driver pattern (one long session, retries, bench
+    # best-of-N) uuid-named memory tables pin their rows in driver
+    # memory and checkpoint trees accumulate under ART_DIR for the
+    # process lifetime. Drop the prior invocation's pair first — at
+    # most ONE set is ever live.
+    prev = _PYDS_STREAM_LAST.pop(id(spark), None)
+    if prev is not None:
+        import shutil as _shutil
+
+        prev_name, prev_ckpt = prev
+        try:
+            spark.catalog.dropTempView(prev_name)
+        except Exception:
+            pass
+        _shutil.rmtree(prev_ckpt, ignore_errors=True)
     name = "pyds_" + _uuid.uuid4().hex[:8]
     ckpt = _art(f"checkpoints_{name}")
     q = (
@@ -926,6 +1009,7 @@ def src_python_ds_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
+    _PYDS_STREAM_LAST[id(spark)] = (name, ckpt)
     return spark.table(name)
 
 

@@ -22,7 +22,6 @@ import math
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from tile_etl_spark.io import plan_memo
 from tile_etl_spark.registry import query
 from tile_etl_spark.session import ensure_session_determinism
 
@@ -972,7 +971,6 @@ def q_tile_quadkey(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM cand WHERE rn <= 3
     """,
 )
-@plan_memo()
 def q_tile_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPATIAL k-NEAREST-NEIGHBORS over the present-tile set (level 7,
     k=3, candidates from the Chebyshev-2 ring): for every present
@@ -982,6 +980,12 @@ def q_tile_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     come from a BOUNDED neighbor-cell ring (24 offset keys — a literal
     broadcast dimension), turning geometry into exact equi-join key
     arithmetic — never a cross join of the point set against itself.
+
+    Deliberately NOT @plan_memo: the builder persists the grid via
+    tile_grid (cache.persist_scoped under the tiles_manifest tag), and
+    a memo hit would skip the hit-path re-pin that restores the
+    persist after a foreign scope evicts it — plan_memo's contract
+    excludes builders with scoped-persist side effects.
     Boundary tiles with fewer than k in-ring neighbors emit what
     exists (coverage edges are visible as short result groups, the
     same signal q_tile_neighbors' ``interior`` flag exposes).
