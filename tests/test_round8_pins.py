@@ -238,6 +238,42 @@ def test_redefined_oracles_agree_with_independent_forms():
     assert len(scd) == 150
 
 
+def test_connected_components_raises_on_nonconvergence(spark):
+    """An exhausted round budget must FAIL LOUDLY, not return labels
+    that silently split one true component into several (multiple
+    survivors per near-dup cluster). A 0-1-...-10 chain needs 10
+    propagation rounds; 3 must raise, 15 must converge to one
+    component."""
+    import pytest
+
+    from tile_etl_spark.llm.curation import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(10)], "src bigint, dst bigint"
+    )
+    with pytest.raises(RuntimeError, match="star-contraction"):
+        connected_components(chain, max_rounds=3)
+    out = connected_components(chain, max_rounds=15)
+    assert out.where(F.col("component") != 0).count() == 0
+    assert out.count() == 11
+
+
+def test_dedup_cluster_warm_build_skips_the_cc_loop(spark, sf_dir):
+    """The pre-build cache lookup must make a warm q_dedup_cluster
+    BUILD job-free: connected_components runs its checkpoint/count
+    jobs during plan construction, so without the lookup every warm
+    rerun re-paid the whole fixpoint (persist-time dedupe can only
+    skip storage)."""
+    fn = registry.QUERIES["q_dedup_cluster"]
+    fn(spark, sf_dir).count()  # cold: runs and caches the assignment
+    sc = spark.sparkContext
+    sc.setJobGroup("cc_warm_probe", "probe")
+    fn(spark, sf_dir)  # builder only — no action
+    ids = sc.statusTracker().getJobIdsForGroup("cc_warm_probe")
+    sc.setJobGroup(None, None)
+    assert not ids, f"warm q_dedup_cluster build ran {len(ids)} job(s)"
+
+
 def test_lsh_two_pass_equals_single_pass(spark, sf_dir):
     """The count-gated (memory-bounded) LSH bucket plan must produce
     exactly the single-pass plan's candidate pairs — the plan-stats

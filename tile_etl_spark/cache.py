@@ -130,6 +130,36 @@ def persist_scoped(
     return df.persist()
 
 
+def lookup(key: str, df_session, tag: str | None = None) -> DataFrame | None:
+    """Pre-build cache check for builders whose CONSTRUCTION is itself
+    expensive (eager iterative loops like connected_components run
+    checkpoint + count jobs during plan building): persist_scoped's
+    dedupe can only skip storage, because it runs after the caller has
+    already paid the build. Returns the cached frame for (tag, key) if
+    present and owned by ``df_session``, else None."""
+    want = tag if tag is not None else _SCOPE[0]
+    for t, k, cached in _CACHED:
+        if t == want and k == key and cached.sparkSession is df_session:
+            return cached
+    return None
+
+
+def release_tag(tag: str) -> None:
+    """Unpersist every entry tracked under ``tag`` without touching
+    other scopes — for freeing intermediates that a later checkpoint
+    made unreachable (e.g. the corpus-sized shingle cache once the
+    edge frame is checkpointed)."""
+    keep = []
+    while _CACHED:
+        t, k, df = _CACHED.pop()
+        if t == tag:
+            if _session_alive(df):
+                df.unpersist()
+        else:
+            keep.append((t, k, df))
+    _CACHED.extend(keep)
+
+
 def release_cached() -> None:
     """Unpersist every intermediate cached through this module."""
     while _CACHED:

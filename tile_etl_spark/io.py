@@ -324,6 +324,37 @@ def source_memo(memo: dict, spark: SparkSession, sf_dir: str, fpr: str,
     return payload
 
 
+def free_local_checkpoint(df: DataFrame) -> None:
+    """Release a SUPERSEDED localCheckpoint's storage blocks.
+
+    Spark only frees checkpoint RDD blocks when driver GC +
+    ContextCleaner eventually collect the plan — nondeterministic and
+    typically not mid-loop — so an iterative algorithm otherwise
+    accumulates O(rounds) full-graph snapshots in executor storage
+    (label rounds in connected_components, rank rounds in PageRank).
+    The frame is UNUSABLE afterwards (its blocks are gone and the
+    lineage was truncated): only call on round k-1's frame after round
+    k's checkpoint has materialized and nothing else references it.
+
+    Spark logs a WARN per freed checkpoint ('lineage has been
+    truncated and cannot be recomputed after unpersisting') — that is
+    precisely this helper's documented contract, not an anomaly, so
+    the emitting logger is raised to ERROR once per session (it logs
+    nothing else in normal operation)."""
+    try:
+        jvm = df.sparkSession.sparkContext._jvm
+        jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+            "org.apache.spark.rdd.MapPartitionsRDD",
+            jvm.org.apache.logging.log4j.Level.ERROR,
+        )
+    except Exception:
+        pass  # non-log4j2 logging backend: the WARN stays, harmless
+    try:
+        df._jdf.queryExecution().logical().rdd().unpersist(False)
+    except Exception:
+        pass  # not a checkpointed plan, or already freed
+
+
 def register_once(spark: SparkSession, kind: str, name: str, register) -> None:
     """Idempotent per-session registration for Python UDTFs, Python
     data sources, and SQL temp functions: Spark logs a '... replaced a

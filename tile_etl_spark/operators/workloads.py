@@ -19,7 +19,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from tile_etl_spark.io import as_double, dec, load, plan_memo
+from tile_etl_spark.io import (
+    as_double,
+    dec,
+    free_local_checkpoint,
+    load,
+    plan_memo,
+)
 from tile_etl_spark.registry import query
 from tile_etl_spark.session import ensure_session_determinism
 
@@ -663,6 +669,7 @@ def _pr_oracle() -> str:
 
 
 @query("q_graph_pagerank", oracle=_pr_oracle())
+@plan_memo("orders")
 def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PAGERANK — iterative message-passing dataflow (damping 0.85,
     {PR_ITERS} fixed iterations) over a deterministic 100-node graph
@@ -705,10 +712,19 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("src", "dst", "deg")
         .localCheckpoint(eager=True)
     )
+    free_local_checkpoint(edges)  # contrib_edges supersedes it
     n_nodes = nodes.count()  # scalar graph size (drives the teleport term)
+    if n_nodes == 0:
+        # empty derived graph: the teleport term below divides by
+        # n_nodes in PYTHON (eager ZeroDivisionError); the oracle's
+        # answer is simply the empty rank set
+        return nodes.select(
+            "node", F.lit(0.0).alias("rank")
+        ).where(F.lit(False))
     ranks = nodes.select(
         "node", (F.lit(1.0) / n_nodes).alias("r")
     ).localCheckpoint(eager=True)
+    prev = ranks
     for _ in range(PR_ITERS):
         inc = (
             contrib_edges.join(ranks, contrib_edges["src"] == ranks["node"])
@@ -727,6 +743,10 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint(eager=True)
         )
+        # superseded rank snapshot: free it or the loop pins
+        # O(PR_ITERS) full rank frames in executor storage
+        free_local_checkpoint(prev)
+        prev = ranks
     return ranks.select("node", F.round("r", 6).alias("rank"))
 
 
@@ -2606,6 +2626,7 @@ _BFS_EDGE_FILTER = "l_quantity < 4 AND l_linenumber <= 2"
     FROM bfs GROUP BY node
     """,
 )
+@plan_memo("lineitem")
 def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SINGLE-SOURCE BFS shortest hops (bounded frontier expansion)
     over the part↔supplier bipartite graph (sparse edge subset so the
@@ -2626,10 +2647,14 @@ def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ≤6-hop walks ≡ BFS layering."""
     ensure_session_determinism(spark)
     li = load(spark, sf_dir, "lineitem")
+    # checkpoint BEFORE symmetrizing (the connected_components
+    # discipline): the union's two branches would each re-execute the
+    # lineitem scan + distinct shuffle otherwise
     e = (
         li.where(_BFS_EDGE_FILTER)
         .select("l_partkey", "l_suppkey")
         .distinct()
+        .localCheckpoint(eager=True)
     )
     g = (
         e.select(
@@ -2644,6 +2669,7 @@ def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint()
     )
+    free_local_checkpoint(e)  # g supersedes it
     frontier = spark.createDataFrame(
         [(_BFS_SEED, 0)], "node BIGINT, dist INT"
     )
