@@ -300,19 +300,10 @@ def materialize_tile_cache(spark: SparkSession, base: str) -> None:
     write_marker(marker, recipe)
 
 
-def _grid5_bounds_sql() -> str:
-    """Level-5 bounds DERIVED from the same level_bounds() the engine
-    uses (like _manifest_oracle) — a hardcoded (4, 20, -2, 14) would
-    keep agreeing with a STALE tile cache if the grid definition ever
-    changed, masking the drift the recipe marker exists to catch."""
-    from tile_etl_spark.tiles.grid import level_bounds
-
-    r0, r1, c0, c1 = level_bounds(5)
-    return f"(VALUES (5, {r0}, {r1}, {c0}, {c1}))"
-
+from tile_etl_spark.tiles.grid import grid5_bounds_values_sql
 
 _GRID5_ORACLE = f"""
-    WITH bounds(level, r0, r1, c0, c1) AS {_grid5_bounds_sql()},
+    WITH bounds(level, r0, r1, c0, c1) AS {grid5_bounds_values_sql()},
     rows_ AS (
       SELECT level, unnest(generate_series(r0, r1)) AS "row", c0, c1
       FROM bounds

@@ -57,18 +57,31 @@ def replay_dir(spark: SparkSession, sf_dir: str, n_chunks: int = N_CHUNKS) -> st
     tag = os.path.basename(os.path.normpath(sf_dir))
     base = os.path.join(_art_root(), f"events_stream_{tag}")
     marker = os.path.join(base, "_DONE")
-    # keyed on the source parquet's size+mtime: a regenerated fixture
-    # under the same sf path rebuilds the replay chunks instead of
-    # silently streaming stale data.
-    fpr = source_fingerprint(os.path.join(sf_dir, "events.parquet"))
+    # keyed on the source parquet's size+mtime PLUS a recipe token: a
+    # regenerated fixture OR a chunking-recipe change rebuilds the
+    # replay chunks instead of silently streaming stale data.
+    fpr = (
+        source_fingerprint(os.path.join(sf_dir, "events.parquet"))
+        + ":exact-pct-v2"
+    )
     if marker_current(marker, fpr):
         return base
-    shutil.rmtree(base, ignore_errors=True)
-    os.makedirs(base, exist_ok=True)
-    e = load(spark, sf_dir, "events")
+    # EXACT percentile bounds: percentile_approx's Greenwald-Khanna
+    # merge is shuffle-arrival-order dependent past its accuracy
+    # parameter, so two rebuilds could cut chunks differently (and a
+    # concurrent-rebuild race could interleave two cuts). The exact
+    # aggregate is deterministic; this is a once-per-fingerprint
+    # fixture builder, so the exact sort cost is fine (a 100 TB replay
+    # builder would repartitionByRange instead). Source persisted so
+    # the n_chunks filtered writes scan it once, and the chunk set is
+    # published ATOMICALLY (tmp sibling + rename, the publish_parquet
+    # discipline) so a concurrent builder can never commit a mixed cut.
+    tmp = f"{base}.build-{uuid.uuid4().hex[:8]}"
+    os.makedirs(tmp, exist_ok=True)
+    e = load(spark, sf_dir, "events").persist()
     fracs = ",".join(str((i + 1) / n_chunks) for i in range(n_chunks - 1))
     bounds = e.selectExpr(
-        f"percentile_approx(unix_micros(ts), array({fracs}), 100000) AS b"
+        f"percentile(unix_micros(ts), array({fracs})) AS b"
     ).first()["b"]
     lo = None
     for i in range(n_chunks):
@@ -79,8 +92,14 @@ def replay_dir(spark: SparkSession, sf_dir: str, n_chunks: int = N_CHUNKS) -> st
             chunk = chunk.where(us > lo)
         if hi is not None:
             chunk = chunk.where(us <= hi)
-        _write_chunk(chunk, base, i)
+        _write_chunk(chunk, tmp, i)
         lo = hi
+    e.unpersist()
+    try:
+        shutil.rmtree(base, ignore_errors=True)
+        os.rename(tmp, base)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
     write_marker(marker, fpr)
     return base
 
@@ -93,9 +112,30 @@ def read_stream(spark: SparkSession, base: str) -> DataFrame:
     )
 
 
+# Recent (memory-sink table, checkpoint dir) pairs per session — each
+# run_to_table call needs a fresh pair (a reused checkpoint under
+# availableNow resumes from committed offsets and drains nothing), but
+# old pairs must not leak: uuid memory tables pin their rows in driver
+# memory and checkpoint trees accumulate under ART_DIR for the process
+# lifetime under the driver/bench usage pattern (hundreds of streaming
+# runs). A bounded keep-last window (not drop-immediately-previous)
+# lets tests hold a few un-collected streaming results at once.
+_RUN_RECENT: dict[int, list[tuple[str, str]]] = {}
+_RUN_KEEP = 8
+
+
 def run_to_table(df: DataFrame, mode: str) -> DataFrame:
     """Execute a streaming DataFrame to completion (availableNow) into
     an in-memory table; return it as a batch DataFrame."""
+    spark_s = df.sparkSession
+    recent = _RUN_RECENT.setdefault(id(spark_s), [])
+    while len(recent) >= _RUN_KEEP:
+        old_name, old_ckpt = recent.pop(0)
+        try:
+            spark_s.catalog.dropTempView(old_name)
+        except Exception:
+            pass
+        shutil.rmtree(old_ckpt, ignore_errors=True)
     name = "s_" + uuid.uuid4().hex[:12]
     ckpt = os.path.join(_art_root(), "checkpoints", name)
     q = (
@@ -107,8 +147,8 @@ def run_to_table(df: DataFrame, mode: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    spark = df.sparkSession
-    return spark.table(name)
+    recent.append((name, ckpt))
+    return df.sparkSession.table(name)
 
 
 def replay_dir_with_flush(
@@ -136,16 +176,20 @@ def replay_dir_with_flush(
         write_marker,
     )
 
-    fpr = source_fingerprint(os.path.join(sf_dir, "events.parquet"))
+    fpr = (
+        source_fingerprint(os.path.join(sf_dir, "events.parquet"))
+        + ":exact-pct-v2"
+    )
     if marker_current(marker, fpr):
         return out
-    shutil.rmtree(out, ignore_errors=True)
-    os.makedirs(out, exist_ok=True)
+    # atomic publish, like replay_dir
+    tmp = f"{out}.build-{uuid.uuid4().hex[:8]}"
+    os.makedirs(tmp, exist_ok=True)
     chunks = sorted(
         f for f in os.listdir(base) if f.endswith(".parquet")
     )
     for i, f in enumerate(chunks):
-        dst = os.path.join(out, f)
+        dst = os.path.join(tmp, f)
         shutil.copy2(os.path.join(base, f), dst)
         os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
     e = load(spark, sf_dir, "events")
@@ -162,7 +206,12 @@ def replay_dir_with_flush(
         F.lit(0.0).alias("value"),
         F.lit("{}").alias("props"),
     )
-    _write_chunk(flush, out, len(chunks))
+    _write_chunk(flush, tmp, len(chunks))
+    try:
+        shutil.rmtree(out, ignore_errors=True)
+        os.rename(tmp, out)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
     write_marker(marker, fpr)
     return out
 
@@ -194,8 +243,8 @@ def replay_docs_dir(
     fpr = source_fingerprint(os.path.join(sf_dir, "documents.parquet"))
     if marker_current(marker, fpr):
         return base
-    shutil.rmtree(base, ignore_errors=True)
-    os.makedirs(base, exist_ok=True)
+    tmp = f"{base}.build-{uuid.uuid4().hex[:8]}"
+    os.makedirs(tmp, exist_ok=True)
     from pyspark.sql import Window
 
     # one pass derives the chunk index (ntile over doc_id order — the
@@ -217,9 +266,14 @@ def replay_docs_dir(
     n_used = d.select("chunk_id").distinct().count()
     for i in range(min(n_chunks, n_used)):
         _write_chunk(
-            d.where(F.col("chunk_id") == i).drop("chunk_id"), base, i
+            d.where(F.col("chunk_id") == i).drop("chunk_id"), tmp, i
         )
     d.unpersist()
+    try:
+        shutil.rmtree(base, ignore_errors=True)
+        os.rename(tmp, base)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
     write_marker(marker, fpr)
     return base
 

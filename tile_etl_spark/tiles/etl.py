@@ -19,14 +19,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from tile_etl_spark.registry import query
+from tile_etl_spark.tiles.grid import grid5_bounds_values_sql
 from tile_etl_spark.session import ensure_session_determinism
 from tile_etl_spark.tiles.sink import objectstore_sink
 
 
 @query(
     "q_tile_etl_e2e",
-    oracle="""
-    WITH bounds(level, r0, r1, c0, c1) AS (VALUES (5, 4, 20, -2, 14)),
+    oracle=f"""
+    WITH bounds(level, r0, r1, c0, c1) AS {grid5_bounds_values_sql()},
     rows_ AS (
       SELECT level, unnest(generate_series(r0, r1)) AS "row", c0, c1
       FROM bounds

@@ -56,6 +56,15 @@ def level_bounds(
     return start_row, end_row, start_col, end_col
 
 
+def grid5_bounds_values_sql() -> str:
+    """DuckDB VALUES clause of the level-5 bounds DERIVED from
+    level_bounds() — oracles that hardcoded (4, 20, -2, 14) would keep
+    agreeing with a stale tile set if the grid definition changed,
+    masking exactly the drift the artifact recipe markers catch."""
+    r0, r1, c0, c1 = level_bounds(5)
+    return f"(VALUES (5, {r0}, {r1}, {c0}, {c1}))"
+
+
 def grid_counts() -> dict[int, int]:
     """Per-level candidate-cell counts (golden values in BASELINE.md)."""
     out = {}

@@ -47,6 +47,15 @@ RETRYABLE = frozenset({429, 500, 502, 503, 504})
 
 
 class ObjectStoreError(Exception):
+    """PUT failure; ``attempts`` records how many requests were
+    actually made (1 for a non-retryable status, max_attempts when
+    retries are exhausted) so dead-letter accounting reconciles with
+    server-side request counts."""
+
+    def __init__(self, msg: str, attempts: int = 0) -> None:
+        super().__init__(msg)
+        self.attempts = attempts
+
     """PUT permanently failed (non-retryable status or retries spent)."""
 
 
@@ -222,7 +231,8 @@ class HttpPutClient:
                 if resp.status not in RETRYABLE:
                     raise ObjectStoreError(
                         f"PUT {key}: {last} (non-retryable, "
-                        f"attempt {attempt})"
+                        f"attempt {attempt})",
+                        attempts=attempt,
                     )
                 retry_after = resp.getheader("Retry-After")
             except ObjectStoreError:
@@ -244,7 +254,8 @@ class HttpPutClient:
                 time.sleep(delay)
         raise ObjectStoreError(
             f"PUT {key}: retries exhausted after "
-            f"{self.max_attempts} attempts ({last})"
+            f"{self.max_attempts} attempts ({last})",
+            attempts=self.max_attempts,
         )
 
     def close(self) -> None:
@@ -291,8 +302,17 @@ def objectstore_sink_http(
                         )
                         out.append((key, "ok", None, n))
                     except ObjectStoreError as ex:
+                        # true attempt count: 1 for a non-retryable
+                        # status, max_attempts when exhausted
+                        out.append((key, "err", str(ex)[:200], ex.attempts))
+                    except Exception as ex:
+                        # per-ROW containment, same contract as
+                        # objectstore_sink: a malformed row (NULL key
+                        # or content) dead-letters instead of killing
+                        # the task and losing the batch's statuses
                         out.append(
-                            (key, "err", str(ex)[:200], client.max_attempts)
+                            (str(key), "err", f"{type(ex).__name__}: "
+                             f"{str(ex)[:160]}", 0)
                         )
                 yield pd.DataFrame(
                     out,

@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from tile_etl_spark.registry import query
+from tile_etl_spark.tiles.grid import grid5_bounds_values_sql
 from tile_etl_spark.session import ensure_session_determinism
 
 # Deterministic injected PUT failure: ~1/16 of keys, recomputable by
@@ -107,8 +108,9 @@ def objectstore_sink(
     Returns ``(object_key, status, error)`` where status ∈ {ok, err}.
     """
 
-    fail_sql = _FAIL_SQL  # capture as local so the closure is self-contained
-
+    # NOTE: the injected-failure predicate below (md5(key)[0] == '0')
+    # is the hashlib twin of _FAIL_SQL — the oracle evaluates the SQL
+    # form; keep the two in sync if the failure rule ever changes.
     def put_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
 
@@ -146,8 +148,8 @@ def objectstore_sink(
 
 @query(
     "sink_objectstore",
-    oracle="""
-    WITH bounds(level, r0, r1, c0, c1) AS (VALUES (5, 4, 20, -2, 14)),
+    oracle=f"""
+    WITH bounds(level, r0, r1, c0, c1) AS {grid5_bounds_values_sql()},
     rows_ AS (
       SELECT level, unnest(generate_series(r0, r1)) AS "row", c0, c1
       FROM bounds
