@@ -588,6 +588,92 @@ _ROW_PYTHON_OK = {"q_udtf", "q_udtf_analyze"}
 # bounded_window_key.
 _SINGLETON_WINDOW_OK: set[str] = set()
 
+# bounded_window_key / pid_hist_window REGISTERED CALL SITES.
+# Those helpers deliberately silence both Spark's 'No Partition
+# Defined' warning and the singleton-window sweep above, so the sweep
+# alone can no longer catch a data-proportional single-reducer window
+# disguised behind them. This registry closes that hole: every call
+# site, keyed (module-relative path, enclosing function), must appear
+# here WITH a one-line proof of why its input is bounded. A new call
+# site fails test_bounded_window_call_sites_are_registered until its
+# boundedness argument is written down and reviewed.
+_BOUNDED_WINDOW_SITES: dict[tuple[str, str], str] = {
+    ("tile_etl_spark/llm/similarity.py", "q_hybrid_rrf"):
+        "rank window over the union of two fixed top-K retrieval lists"
+        " (≤ 2·SIM_TOPK rows by construction)",
+    ("tile_etl_spark/llm/similarity.py", "q_context_pack"):
+        "running token sum over q_hybrid_rrf's fused list (≤ 2·SIM_TOPK"
+        " rows)",
+    ("tile_etl_spark/operators/analytics.py", "q_skyline"):
+        "second frontier pass runs on per-partition skyline survivors"
+        " only (local prune first; survivors ≤ skyline size × n_parts)",
+    ("tile_etl_spark/operators/analytics.py", "q_dq_partition_stats"):
+        "calendar-day grain: one row per event date after groupBy,"
+        " bounded by the time domain, not data volume",
+    ("tile_etl_spark/operators/analytics.py", "q_cumulative_uniques"):
+        "calendar-day grain: one row per first-seen date after groupBy",
+    ("tile_etl_spark/operators/sessionize.py", "q_session_paths"):
+        "rank window runs AFTER .limit(PATH_TOPK)"
+        " (TakeOrderedAndProject), over ≤ PATH_TOPK rows",
+    ("tile_etl_spark/llm/text.py", "q_bm25"):
+        "rank window runs AFTER .limit(_BM25_TOPK), over ≤ _BM25_TOPK"
+        " rows",
+    ("tile_etl_spark/operators/windows.py", "global_rank"):
+        "pid histogram: one row per input partition (≤ n_parts)",
+    ("tile_etl_spark/operators/windows.py", "q_win_ntile"):
+        "pid histogram of the range-partitioned block (≤ n_parts rows)",
+    ("tile_etl_spark/operators/analytics.py", "q_hist_equidepth"):
+        "pid histogram of the range-partitioned block (≤ n_parts rows)",
+    ("tile_etl_spark/operators/analytics.py", "q_peak_concurrency"):
+        "pid histogram of the range-partitioned block (≤ n_parts rows)",
+    ("tile_etl_spark/llm/text.py", "q_text_vocab_growth"):
+        "pid histogram of the range-partitioned block (≤ n_parts rows)",
+}
+
+
+def test_bounded_window_call_sites_are_registered():
+    """Every bounded_window_key()/pid_hist_window() call site in the
+    source tree must be registered in _BOUNDED_WINDOW_SITES with a
+    non-empty boundedness justification — the helpers suppress the
+    single-reducer-window warning AND the plan sweep, so an
+    unregistered call site is an unreviewed scale claim."""
+    import os
+    import re
+
+    root = os.path.join(os.path.dirname(__file__), "..")
+    found: set[tuple[str, str]] = set()
+    for dirpath, _dirs, files in os.walk(
+        os.path.join(root, "tile_etl_spark")
+    ):
+        if "__pycache__" in dirpath:
+            continue
+        for fname in files:
+            if not fname.endswith(".py"):
+                continue
+            path = os.path.join(dirpath, fname)
+            rel = os.path.relpath(path, root)
+            lines = open(path).read().splitlines()
+            for i, ln in enumerate(lines):
+                if re.search(
+                    r"(?<!def )\b(bounded_window_key|pid_hist_window)\(",
+                    ln,
+                ):
+                    func = "<module>"
+                    for j in range(i, -1, -1):
+                        m = re.match(r"def (\w+)", lines[j])
+                        if m:
+                            func = m.group(1)
+                            break
+                    found.add((rel, func))
+    registered = set(_BOUNDED_WINDOW_SITES)
+    assert found == registered, {
+        "unregistered (add with a boundedness proof)": sorted(
+            found - registered
+        ),
+        "stale (remove)": sorted(registered - found),
+    }
+    assert all(v.strip() for v in _BOUNDED_WINDOW_SITES.values())
+
 
 def _unpartitioned_window_specs(p: str) -> list[str]:
     """windowspecdefinition(...) occurrences whose first top-level arg

@@ -106,7 +106,7 @@ def test_table_checksum_localizes_a_mutation(spark, sf_dir):
 
     cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
     row_h = (
-        (F.col("o_orderkey") * F.lit(2654435761))
+        ((F.col("o_orderkey") % F.lit(2147483647)) * F.lit(2654435761))
         .bitwiseXOR(F.col("o_custkey") * F.lit(40503))
         .bitwiseXOR(
             (cents * F.lit(69069)).bitwiseXOR(

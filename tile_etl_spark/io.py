@@ -338,21 +338,37 @@ def free_local_checkpoint(df: DataFrame) -> None:
 
     Spark logs a WARN per freed checkpoint ('lineage has been
     truncated and cannot be recomputed after unpersisting') — that is
-    precisely this helper's documented contract, not an anomaly, so
-    the emitting logger is raised to ERROR once per session (it logs
-    nothing else in normal operation)."""
+    precisely this helper's documented contract, not an anomaly. The
+    suppression is SCOPED: the emitting logger's effective level is
+    captured, raised to ERROR around the unpersist call only (the WARN
+    is emitted synchronously on the driver inside RDD.unpersist), and
+    restored afterwards — a genuine unexpected WARN from that logger
+    elsewhere in the session stays visible."""
+    logger_name = "org.apache.spark.rdd.MapPartitionsRDD"
+    jvm = None
+    prior = None
     try:
         jvm = df.sparkSession.sparkContext._jvm
+        prior = jvm.org.apache.logging.log4j.LogManager.getLogger(
+            logger_name
+        ).getLevel()
         jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
-            "org.apache.spark.rdd.MapPartitionsRDD",
-            jvm.org.apache.logging.log4j.Level.ERROR,
+            logger_name, jvm.org.apache.logging.log4j.Level.ERROR
         )
     except Exception:
-        pass  # non-log4j2 logging backend: the WARN stays, harmless
+        jvm = None  # non-log4j2 logging backend: the WARN stays, harmless
     try:
         df._jdf.queryExecution().logical().rdd().unpersist(False)
     except Exception:
         pass  # not a checkpointed plan, or already freed
+    finally:
+        if jvm is not None and prior is not None:
+            try:
+                jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+                    logger_name, prior
+                )
+            except Exception:
+                pass
 
 
 def register_once(spark: SparkSession, kind: str, name: str, register) -> None:

@@ -893,6 +893,11 @@ def q_embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     parts = emb.mapInPandas(
         moments, "xtx array<double>, sx array<double>, n bigint"
     ).collect()
+    if not parts:
+        raise ValueError(
+            "q_embed_pca: embeddings source is empty — PCA needs at "
+            "least one row to estimate the covariance"
+        )
     # dimension from the data, not a hardcoded 64 — any embedding
     # width projects correctly
     d = len(parts[0]["sx"])

@@ -566,7 +566,7 @@ def q_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH h AS (
       SELECT o_orderkey % 16 AS bucket,
-             xor(xor(o_orderkey * 2654435761,
+             xor(xor((o_orderkey % 2147483647) * 2654435761,
                      o_custkey * 40503),
                  xor(CAST(round(o_totalprice * 100) AS BIGINT) * 69069,
                      CAST(ascii(o_orderstatus) AS BIGINT))) AS row_h,
@@ -590,8 +590,14 @@ def q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-row hash is engine-portable arithmetic (multiply + xor over
     exact BIGINTs: keys, int cents, the status byte) rather than an
     engine hash builtin, so ANY two SQL systems can compute it — the
-    point of a reconciliation format. xor, unlike sum, cannot overflow
-    and is insensitive to both row order and partitioning.
+    point of a reconciliation format. The order key is reduced mod
+    2^31−1 BEFORE the multiply so every product stays under int64
+    ((2^31−2)·2654435761 ≈ 5.7e18 < 2^63−1) — without the reduction,
+    orderkeys above ~3.5e9 (reached at large TPC-H SFs, i.e. exactly
+    the 100 TB design point) would silently wrap in non-ANSI Spark but
+    ABORT in checked-arithmetic engines (DuckDB, ANSI mode), breaking
+    the cross-system contract. xor, unlike sum, cannot overflow and is
+    insensitive to both row order and partitioning.
 
     Shape: one map-side-combined groupBy into 16 bucket rows — a
     single scan, one tiny shuffle, at any scale."""
@@ -599,7 +605,7 @@ def q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")
     cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
     row_h = (
-        (F.col("o_orderkey") * F.lit(2654435761))
+        ((F.col("o_orderkey") % F.lit(2147483647)) * F.lit(2654435761))
         .bitwiseXOR(F.col("o_custkey") * F.lit(40503))
         .bitwiseXOR(
             (cents * F.lit(69069)).bitwiseXOR(

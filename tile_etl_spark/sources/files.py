@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import hashlib
 import os
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -887,9 +888,30 @@ def src_python_ds(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.format("tile_manifest").load()
 
 
-# last (memory-sink table, checkpoint dir) per session for
-# src_python_ds_stream — see the leak note inside the builder
-_PYDS_STREAM_LAST: dict[int, tuple[str, str]] = {}
+# Last (memory-sink table, checkpoint dir) per session for
+# src_python_ds_stream — see the leak note inside the builder. Keyed
+# like io._memo_for: each value carries a weakref to its session, so a
+# NEW session that reuses a dead session's id() never inherits a stale
+# pair, and dead sessions' entries (plus their checkpoint trees) are
+# purged on access instead of leaking for the process lifetime.
+_PYDS_STREAM_LAST: dict[int, tuple[weakref.ref, tuple[str, str]]] = {}
+
+
+def _pyds_pop_prev(spark: SparkSession) -> tuple[str, str] | None:
+    """Pop THIS session's previous (table, ckpt) pair, if any; purge
+    entries whose session is gone (their memory-table rows died with
+    the session, but the checkpoint trees are on disk — remove them)."""
+    import shutil as _shutil
+
+    for sid in list(_PYDS_STREAM_LAST):
+        ref, (_name, ckpt) = _PYDS_STREAM_LAST[sid]
+        if ref() is None:
+            _shutil.rmtree(ckpt, ignore_errors=True)
+            del _PYDS_STREAM_LAST[sid]
+    ent = _PYDS_STREAM_LAST.pop(id(spark), None)
+    if ent is None or ent[0]() is not spark:
+        return None
+    return ent[1]
 
 
 @query("src_python_ds_stream", oracle=_manifest_oracle())
@@ -977,7 +999,7 @@ def src_python_ds_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # memory and checkpoint trees accumulate under ART_DIR for the
     # process lifetime. Drop the prior invocation's pair first — at
     # most ONE set is ever live.
-    prev = _PYDS_STREAM_LAST.pop(id(spark), None)
+    prev = _pyds_pop_prev(spark)
     if prev is not None:
         import shutil as _shutil
 
@@ -1000,7 +1022,7 @@ def src_python_ds_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    _PYDS_STREAM_LAST[id(spark)] = (name, ckpt)
+    _PYDS_STREAM_LAST[id(spark)] = (weakref.ref(spark), (name, ckpt))
     return spark.table(name)
 
 

@@ -11,6 +11,7 @@ from __future__ import annotations
 import os
 import shutil
 import uuid
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -120,15 +121,33 @@ def read_stream(spark: SparkSession, base: str) -> DataFrame:
 # lifetime under the driver/bench usage pattern (hundreds of streaming
 # runs). A bounded keep-last window (not drop-immediately-previous)
 # lets tests hold a few un-collected streaming results at once.
-_RUN_RECENT: dict[int, list[tuple[str, str]]] = {}
+# Keyed like io._memo_for: each value carries a weakref to its session,
+# so a NEW session reusing a dead session's id() never inherits stale
+# pairs, and dead sessions' entries (plus their on-disk checkpoint
+# trees) are purged on access instead of leaking for the process life.
+_RUN_RECENT: dict[int, tuple[weakref.ref, list[tuple[str, str]]]] = {}
 _RUN_KEEP = 8
+
+
+def _recent_for(spark_s: SparkSession) -> list[tuple[str, str]]:
+    for sid in list(_RUN_RECENT):
+        ref, pairs = _RUN_RECENT[sid]
+        if ref() is None:
+            for _name, ckpt in pairs:
+                shutil.rmtree(ckpt, ignore_errors=True)
+            del _RUN_RECENT[sid]
+    ent = _RUN_RECENT.get(id(spark_s))
+    if ent is None or ent[0]() is not spark_s:
+        ent = (weakref.ref(spark_s), [])
+        _RUN_RECENT[id(spark_s)] = ent
+    return ent[1]
 
 
 def run_to_table(df: DataFrame, mode: str) -> DataFrame:
     """Execute a streaming DataFrame to completion (availableNow) into
     an in-memory table; return it as a batch DataFrame."""
     spark_s = df.sparkSession
-    recent = _RUN_RECENT.setdefault(id(spark_s), [])
+    recent = _recent_for(spark_s)
     while len(recent) >= _RUN_KEEP:
         old_name, old_ckpt = recent.pop(0)
         try:
