@@ -203,8 +203,29 @@ EXTRA = [
 #    from scratch each run — the engine's real serving path, but not an
 #    execution-speed comparison. The honest derivation cost is the
 #    qid's cold_queries entry (first build of the round, timed).
+#  - "asymmetric_twin" (r9, VERDICT r8 #4): the DuckDB oracle does
+#    STRUCTURALLY LESS WORK than the Spark side — the multimodal
+#    header qids build AND parse real binary WAV/PNG headers in Spark
+#    while the twin derives the same metadata arithmetically, never
+#    touching bytes. The ratio is not a performance signal either way;
+#    absolute walls stay recorded.
 #  - "fair": everything else; the ≤2x gate applies.
-_ARTIFACT_CACHED = {"q_tile_grid", "q_tile_stats"}
+# r9 audit (VERDICT r8 #4): q_tile_sync_delta joined artifact_cached —
+# its warm Spark run reads the persisted tile inventory (tiles/grid.py
+# memo) on BOTH join sides while the twin regenerates the grid per
+# run, the same property as q_tile_grid/q_tile_stats. q_embed_quality
+# audited and kept FAIR: both engines fold the full embedding arrays
+# (list_dot_product vs zip_with/aggregate) — the gap is Spark's
+# interpreted HOF fold, a real execution-speed signal.
+# q_dedup_near enters the ratio set in r9 (its verified output gained
+# an exact oracle): its warm run reads the persisted shingle/LSH
+# artifacts while the twin re-shingles and re-joins from scratch —
+# artifact_cached by the same r8 rule; the honest derivation cost is
+# its cold_queries entry.
+_ARTIFACT_CACHED = {
+    "q_tile_grid", "q_tile_stats", "q_tile_sync_delta", "q_dedup_near",
+}
+_ASYMMETRIC_TWIN = {"q_multimodal_wavmeta", "q_multimodal_pngmeta"}
 
 
 def ratio_class(qid: str) -> str:
@@ -214,6 +235,8 @@ def ratio_class(qid: str) -> str:
         return "stream_twin"
     if qid in _ARTIFACT_CACHED:
         return "artifact_cached"
+    if qid in _ASYMMETRIC_TWIN:
+        return "asymmetric_twin"
     return "fair"
 
 
@@ -301,6 +324,22 @@ def main() -> None:
     # Best-of-3: this box shows ~1.6× whole-run noise windows (periodic
     # harness ticks); with 3 runs at least one lands clean.
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+
+    # Fixed-cost FLOOR probe (VERDICT r8 #2): the wall of a near-empty
+    # job through the same force() path — job submission, one stage of
+    # scheduling, noop commit protocol, Py4J round trips. Every ratio
+    # pairs a Spark wall that contains this floor against an in-process
+    # DuckDB run that has none, so the record carries BOTH the raw
+    # ratio and ratio_floor_adjusted = (t_spark − floor)/t_duck; the
+    # gate is reported both ways. Measured identically to the qids
+    # (best of `runs` after one untimed warm).
+    force(spark.range(1).toDF("x"))
+    floor = float("inf")
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        force(spark.range(1).toDF("x"))
+        floor = min(floor, time.perf_counter() - t0)
+    floor = round(floor, 4)
     times: dict[str, float] = {}
     extra_times: dict[str, float] = {}
     for qid in qids + extra_qids:
@@ -351,6 +390,11 @@ def main() -> None:
         for q, d in duck_times.items()
         if q in all_times
     }
+    ratios_floor_adj = {
+        q: round(max(all_times[q] - floor, 0.0) / max(d, 1e-6), 2)
+        for q, d in duck_times.items()
+        if q in all_times
+    }
     classes = {q: ratio_class(q) for q in all_times}
     fair_head = [q for q in ratios if q in times and classes[q] == "fair"]
     fair_all = [q for q in ratios if classes[q] == "fair"]
@@ -362,6 +406,13 @@ def main() -> None:
         ),
         "full_fair_under_2x": sum(1 for q in fair_all if ratios[q] <= 2.0),
         "full_fair_total": len(fair_all),
+        "floor_sec": floor,
+        "fair_under_2x_floor_adj": sum(
+            1 for q in fair_head if ratios_floor_adj[q] <= 2.0
+        ),
+        "full_fair_under_2x_floor_adj": sum(
+            1 for q in fair_all if ratios_floor_adj[q] <= 2.0
+        ),
     }
     # Full record (extras + DuckDB twins + every ratio) goes to a FILE:
     # BENCH_r04.json lost its headline because the one print line grew
@@ -377,6 +428,8 @@ def main() -> None:
         "cold_queries": cold_times,
         "duck_queries": duck_times,
         "ratios": ratios,
+        "ratios_floor_adjusted": ratios_floor_adj,
+        "floor_sec": floor,
         "ratio_class": classes,
         "gate": gate,
         "topk_per_group_path": topk_path,
