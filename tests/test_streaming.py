@@ -90,6 +90,28 @@ def test_s_stateful_equals_batch_counts(spark, sf_dir):
     assert got == want
 
 
+def test_s_stateful_tws_equals_batch_counts(spark, sf_dir):
+    """transformWithStateInPandas twin of s_stateful (stream ≡ batch).
+    The API's Python worker needs the google.protobuf runtime, which
+    the sandbox image does not ship (and the build rules forbid
+    installing) — the qid registers, and this test runs, only where
+    the environment provides it."""
+    import pytest
+
+    from tile_etl_spark.streaming.queries import _has_protobuf
+
+    if not _has_protobuf():
+        assert "s_stateful_tws" not in registry.QUERIES
+        pytest.skip("google.protobuf runtime not in this image")
+    s = registry.QUERIES["s_stateful_tws"](spark, sf_dir)
+    from tile_etl_spark.io import load
+
+    b = load(spark, sf_dir, "events").groupBy("user_id").count()
+    got = {r["user_id"]: r["n_events"] for r in s.collect()}
+    want = {r["user_id"]: r["count"] for r in b.collect()}
+    assert got == want
+
+
 def test_s_watermark_is_subset_of_batch(spark, sf_dir):
     """Append mode emits only watermark-closed windows, each with the
     full (late-rows-excluded) count — a subset of the batch result."""

@@ -243,6 +243,84 @@ def s_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rows.groupBy("user_id").agg(F.max("n_events").alias("n_events"))
 
 
+def _has_protobuf() -> bool:
+    """transformWithStateInPandas' Python worker speaks the state-store
+    protocol over protobuf (pyspark/sql/streaming/proto/
+    StateMessage_pb2.py imports the google.protobuf runtime). The
+    sandbox image does not ship it and the build rules forbid
+    installing packages, so the TWS surface is GATED: real code below,
+    registered and tested only where the environment provides
+    google.protobuf (any standard cluster image does)."""
+    import importlib.util
+
+    try:
+        return importlib.util.find_spec("google.protobuf") is not None
+    except (ImportError, ModuleNotFoundError, ValueError):
+        return False
+
+
+def s_stateful_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """s_stateful's twin on the Spark 4 transformWithStateInPandas API
+    (SPARK-46815): the same per-user running event counter, but with
+    typed ValueState on the new OSS state-v2 store instead of the
+    single-tuple GroupState of applyInPandasWithState. The processor
+    model (init/handleInputRows/close, named state variables, TTL,
+    timers) is the Spark-native replacement for custom stateful
+    operators; at 100 TB the state store partitions by the grouping
+    key exactly like the rest of the shuffle, so state size scales
+    with distinct keys per partition, not stream length.
+
+    Final figure per user ≡ batch groupBy(user).count() — the same
+    stream≡batch contract as s_stateful (asserted in tests where the
+    API is available)."""
+    ensure_session_determinism(spark)
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    class RunningCount(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._n = handle.getValueState(
+                "n_events",
+                StructType([StructField("n", LongType(), True)]),
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            running = self._n.get()[0] if self._n.exists() else 0
+            for pdf in rows:
+                running += len(pdf)
+            self._n.update((running,))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [running]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    # the state-v2 store requires the RocksDB provider (JVM-bundled)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    stream = read_stream(spark, replay_dir(spark, sf_dir))
+    counted = stream.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=RunningCount(),
+        outputStructType="user_id BIGINT, n_events BIGINT",
+        outputMode="Update",
+        timeMode="None",
+    )
+    rows = run_to_table(counted, "update")
+    return rows.groupBy("user_id").agg(F.max("n_events").alias("n_events"))
+
+
+if _has_protobuf():  # see _has_protobuf: sandbox lacks the runtime
+    query("s_stateful_tws")(s_stateful_tws)
+
+
 def make_upsert_sink(spark: SparkSession, base: str):
     """The foreachBatch exactly-once upsert sink as a testable factory:
     returns ``(upsert, versions)`` over the batch-versioned directory

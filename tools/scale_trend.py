@@ -1,0 +1,197 @@
+#!/usr/bin/env python
+"""Scale-trend proof (VERDICT r8 ask #1): run the headline qids plus
+the r8 worst-fair-ratio qids at sf0.1 AND sf1 (the amplified fixture
+set from tools/make_scale_fixtures.py), Spark and DuckDB twin side by
+side, and record how each qid's Spark/DuckDB ratio MOVES with scale.
+
+The claim under test is the one every VERDICT so far accepts on plan
+shape alone: the over-2× mass at sf0.1 is a fixed-cost floor, so
+ratios should FALL (or at worst hold) as data grows 10×. Any qid whose
+ratio *grows* with SF is flagged in the output — that is the signature
+of a plan that does not scale (per-row Python, driver round trips
+proportional to data, a join degrading to quadratic work), exactly
+what the floor story cannot explain away.
+
+Protocol: per SF, the bench.py policy applies (sf ≤ 0.2 → shuffle 8 +
+AQE off; bigger → engine defaults with AQE on — the config the engine
+would really use at that SF); untimed-ish cold pass first (recorded),
+then best-of-N warm runs per qid for BOTH engines; a floor probe per
+SF so floor-adjusted ratios ride along. Output: BENCH_SCALE.json.
+
+Usage: python tools/scale_trend.py [--runs 3] [--sf1-dir DIR]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+from bench import HEADLINE, force, ratio_class  # noqa: E402
+from tile_etl_spark import registry  # noqa: E402
+from tile_etl_spark.session import get_spark  # noqa: E402
+
+# the 10 worst fair-ratio qids named in VERDICT r8 (q_multimodal_wavmeta
+# and q_tile_sync_delta were reclassed asymmetric_twin/artifact_cached
+# this round — kept here so the record shows their trend anyway)
+WORST_R8 = [
+    "q_multimodal_wavmeta",
+    "q_join_skew_profile",
+    "q_tile_sync_delta",
+    "q_embed_quality",
+    "q_dedup_url",
+    "q_rolling_distinct",
+    "q_mixture_interleave",
+    "q_diff_in_diff",
+    "q_merge_audit",
+    "q_cuped",
+]
+
+
+def _sf_of(sf_dir: str) -> float:
+    import re
+
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return float(m.group(1)) if m else 0.0
+
+
+def run_sf(spark, qids, sf_dir: str, runs: int) -> dict:
+    sf = _sf_of(sf_dir)
+    # bench.py per-SF policy, applied as runtime conf
+    small = sf <= 0.2
+    spark.conf.set("spark.sql.shuffle.partitions", "8" if small else "32")
+    spark.conf.set("spark.sql.adaptive.enabled", str(not small).lower())
+
+    force(spark.read.parquet(f"{sf_dir}/lineitem.parquet"))
+    from tile_etl_spark.operators.bucketed import orders_by_custkey
+
+    orders_by_custkey(spark, sf_dir)
+
+    force(spark.range(1).toDF("x"))
+    floor = float("inf")
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        force(spark.range(1).toDF("x"))
+        floor = min(floor, time.perf_counter() - t0)
+
+    cold, spark_t = {}, {}
+    for qid in qids:
+        try:
+            t0 = time.perf_counter()
+            force(registry.QUERIES[qid](spark, sf_dir))
+            cold[qid] = round(time.perf_counter() - t0, 4)
+        except Exception as ex:
+            print(f"COLD ERROR {qid}@{sf}: {str(ex)[:120]}", file=sys.stderr)
+            continue
+        best = float("inf")
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            force(registry.QUERIES[qid](spark, sf_dir))
+            best = min(best, time.perf_counter() - t0)
+        spark_t[qid] = round(best, 4)
+
+    duck_t = {}
+    import duckdb
+
+    con = duckdb.connect()
+    tables = (
+        "region nation customer supplier part orders lineitem "
+        "events documents embeddings"
+    ).split()
+    for t in tables:
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(path):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
+            )
+    for qid in qids:
+        sql = registry.ORACLES.get(qid)
+        if not sql or qid not in spark_t:
+            continue
+        best = float("inf")
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            con.execute(sql).fetchall()
+            best = min(best, time.perf_counter() - t0)
+        duck_t[qid] = round(best, 4)
+    con.close()
+    return {
+        "sf": sf,
+        "floor_sec": round(floor, 4),
+        "spark": spark_t,
+        "duck": duck_t,
+        "cold": cold,
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument("--sf01-dir", default="/root/testdata/sf0.1")
+    ap.add_argument("--sf1-dir", default="/tmp/tile_etl_spark_scale/sf1")
+    args = ap.parse_args()
+
+    registry.load_all()
+    qids = [
+        q
+        for q in dict.fromkeys(HEADLINE + WORST_R8)
+        if q in registry.QUERIES
+    ]
+    spark = get_spark(app_name="tile-etl-spark-scale-trend")
+    t_all = time.perf_counter()
+    lo = run_sf(spark, qids, args.sf01_dir, args.runs)
+    hi = run_sf(spark, qids, args.sf1_dir, args.runs)
+    spark.stop()
+
+    per_qid = {}
+    for q in qids:
+        row = {"class": ratio_class(q)}
+        for tag, rec in (("sf01", lo), ("sf1", hi)):
+            s, d = rec["spark"].get(q), rec["duck"].get(q)
+            row[f"spark_{tag}"] = s
+            row[f"duck_{tag}"] = d
+            if s is not None and d is not None:
+                row[f"ratio_{tag}"] = round(s / max(d, 1e-6), 2)
+                row[f"ratio_adj_{tag}"] = round(
+                    max(s - rec["floor_sec"], 0.0) / max(d, 1e-6), 2
+                )
+        if "ratio_sf01" in row and "ratio_sf1" in row:
+            row["trend"] = round(
+                row["ratio_sf1"] / max(row["ratio_sf01"], 1e-6), 3
+            )
+        per_qid[q] = row
+
+    grew = sorted(
+        (q for q, r in per_qid.items() if r.get("trend", 0) > 1.15),
+        key=lambda q: -per_qid[q]["trend"],
+    )
+    out = {
+        "metric": "scale_trend_sf0.1_vs_sf1",
+        "runs": args.runs,
+        "sf01": {k: lo[k] for k in ("sf", "floor_sec")},
+        "sf1": {k: hi[k] for k in ("sf", "floor_sec")},
+        "per_qid": per_qid,
+        "ratio_grew_over_1p15": grew,
+        "wall_sec": round(time.perf_counter() - t_all, 1),
+        "loadavg": [round(x, 2) for x in os.getloadavg()],
+        "detail": {"sf01": lo, "sf1": hi},
+    }
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "BENCH_SCALE.json",
+    )
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+        f.write("\n")
+    slim = {k: out[k] for k in out if k != "detail"}
+    print(json.dumps(slim))
+
+
+if __name__ == "__main__":
+    main()
