@@ -1470,11 +1470,15 @@ def q_embed_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     ≤labels × 3 longs."""
     ensure_session_determinism(spark)
     e = load(spark, sf_dir, "embeddings")
-    ed = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    # single-pass fold: acc + x²  (r9 — was transform→zip_with→fold,
+    # which materialized two intermediate arrays per row in the
+    # interpreted HOF evaluator; same left-to-right fold order and
+    # per-element arithmetic (cast, square, add), so the micro-unit
+    # snap below is bit-identical)
     dot = F.aggregate(
-        F.zip_with(ed, ed, lambda a, b: a * b),
+        F.col("embedding"),
         F.lit(0.0),
-        lambda acc, x: acc + x,
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
     )
     nm = F.round(F.sqrt(dot) * 1000000).cast("bigint")
     v = e.select("label", nm.alias("nm"))
