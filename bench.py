@@ -60,6 +60,43 @@ def force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+# The driver-registered fixture tables; shared by the DuckDB twin
+# harness here, tools/scale_trend.py, and tools/make_scale_fixtures.py
+# so a fixture-set change lands in one place.
+TABLES = (
+    "region nation customer supplier part orders lineitem "
+    "events documents embeddings"
+).split()
+
+
+def measure_floor(spark, runs: int) -> float:
+    """Fixed-cost FLOOR probe (VERDICT r8 #2): the wall of a near-empty
+    job through the same force() path — job submission, one stage of
+    scheduling, noop commit protocol, Py4J round trips. Every ratio
+    pairs a Spark wall that contains this floor against an in-process
+    DuckDB run that has none; callers record both the raw ratio and
+    ratio_floor_adjusted = (t_spark − floor)/t_duck. Measured
+    identically to the qids (best of `runs` after one untimed warm)."""
+    force(spark.range(1).toDF("x"))
+    floor = float("inf")
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        force(spark.range(1).toDF("x"))
+        floor = min(floor, time.perf_counter() - t0)
+    return round(floor, 4)
+
+
+def duck_views(con, sf_dir: str) -> None:
+    """Register every fixture table present in sf_dir as a DuckDB view,
+    mirroring the driver's oracle harness."""
+    for t in TABLES:
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(path):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
+            )
+
+
 # Round-4 additions, timed separately so the headline total stays
 # comparable across rounds (same 24-query set since r1). Spark + DuckDB
 # twins both recorded; merged into the same ratios dict.
@@ -325,30 +362,24 @@ def main() -> None:
     # harness ticks); with 3 runs at least one lands clean.
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 
-    # Fixed-cost FLOOR probe (VERDICT r8 #2): the wall of a near-empty
-    # job through the same force() path — job submission, one stage of
-    # scheduling, noop commit protocol, Py4J round trips. Every ratio
-    # pairs a Spark wall that contains this floor against an in-process
-    # DuckDB run that has none, so the record carries BOTH the raw
-    # ratio and ratio_floor_adjusted = (t_spark − floor)/t_duck; the
-    # gate is reported both ways. Measured identically to the qids
-    # (best of `runs` after one untimed warm).
-    force(spark.range(1).toDF("x"))
-    floor = float("inf")
-    for _ in range(runs):
-        t0 = time.perf_counter()
-        force(spark.range(1).toDF("x"))
-        floor = min(floor, time.perf_counter() - t0)
-    floor = round(floor, 4)
+    # Floor probe: see measure_floor — the gate is reported both raw
+    # and floor-adjusted.
+    floor = measure_floor(spark, runs)
     times: dict[str, float] = {}
     extra_times: dict[str, float] = {}
     for qid in qids + extra_qids:
+        if qid not in cold_times:
+            continue  # cold run errored; don't abort the whole bench
         fn = registry.QUERIES[qid]
         best = float("inf")
-        for _ in range(runs):
-            t0 = time.perf_counter()
-            force(fn(spark, sf_dir))
-            best = min(best, time.perf_counter() - t0)
+        try:
+            for _ in range(runs):
+                t0 = time.perf_counter()
+                force(fn(spark, sf_dir))
+                best = min(best, time.perf_counter() - t0)
+        except Exception as ex:  # keep the bench runnable every round
+            print(f"TIMED ERROR {qid}: {str(ex)[:120]}", file=sys.stderr)
+            continue
         (times if qid in qids else extra_times)[qid] = round(best, 4)
 
     # DuckDB side of the BASELINE gate (Spark ≤ 2× DuckDB per qid):
@@ -359,16 +390,7 @@ def main() -> None:
         import duckdb
 
         con = duckdb.connect()
-        tables = (
-            "region nation customer supplier part orders lineitem "
-            "events documents embeddings"
-        ).split()
-        for t in tables:
-            path = f"{sf_dir}/{t}.parquet"
-            if os.path.exists(path):
-                con.execute(
-                    f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
-                )
+        duck_views(con, sf_dir)
         for qid in qids + extra_qids:
             sql = registry.ORACLES.get(qid)
             if not sql:
@@ -432,6 +454,9 @@ def main() -> None:
         "floor_sec": floor,
         "ratio_class": classes,
         "gate": gate,
+        # no-silent-caps: a qid that errored out of the timed set is
+        # named here, never just dropped from the totals
+        "errored": sorted(set(qids + extra_qids) - set(all_times)),
         "topk_per_group_path": topk_path,
         "sf": sf,
         "loadavg_start": load_start,

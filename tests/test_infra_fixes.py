@@ -89,9 +89,9 @@ def test_load_memo_is_per_session_weakref(spark):
         def __call__(self):
             return None
 
-    io_mod._LOAD_MEMO[-1] = (_Dead(), {"sentinel": object()})
+    io_mod._LOAD_MEMO._entries[-1] = (_Dead(), {"sentinel": object()})
     io_mod._memo_for(spark)  # any access sweeps dead entries
-    assert -1 not in io_mod._LOAD_MEMO
+    assert -1 not in io_mod._LOAD_MEMO._entries
 
 
 def test_cache_scope_context_restores_previous_tag(spark, sf_dir):

@@ -597,7 +597,9 @@ _SINGLETON_WINDOW_OK: set[str] = set()
 # here WITH a one-line proof of why its input is bounded. A new call
 # site fails test_bounded_window_call_sites_are_registered until its
 # boundedness argument is written down and reviewed.
-_BOUNDED_WINDOW_SITES: dict[tuple[str, str], str] = {
+_BOUNDED_WINDOW_SITES: dict[tuple[str, str], object] = {
+    # value: one-line boundedness proof, or (proof, n_calls) when the
+    # function legitimately makes more than one helper call
     ("tile_etl_spark/llm/similarity.py", "q_hybrid_rrf"):
         "rank window over the union of two fixed top-K retrieval lists"
         " (≤ 2·SIM_TOPK rows by construction)",
@@ -618,12 +620,21 @@ _BOUNDED_WINDOW_SITES: dict[tuple[str, str], str] = {
     ("tile_etl_spark/llm/text.py", "q_bm25"):
         "rank window runs AFTER .limit(_BM25_TOPK), over ≤ _BM25_TOPK"
         " rows",
-    ("tile_etl_spark/operators/windows.py", "global_rank"):
-        "pid histogram: one row per input partition (≤ n_parts)",
-    ("tile_etl_spark/operators/windows.py", "q_win_ntile"):
-        "pid histogram of the range-partitioned block (≤ n_parts rows)",
-    ("tile_etl_spark/operators/analytics.py", "q_hist_equidepth"):
-        "pid histogram of the range-partitioned block (≤ n_parts rows)",
+    ("tile_etl_spark/operators/windows.py", "global_rank"): (
+        "pid histogram: one row per input partition (≤ n_parts); two"
+        " frame variants (preceding-offset + full) of the same window",
+        2,
+    ),
+    ("tile_etl_spark/operators/windows.py", "q_win_ntile"): (
+        "pid histogram of the range-partitioned block (≤ n_parts rows);"
+        " two frame variants of the same window",
+        2,
+    ),
+    ("tile_etl_spark/operators/analytics.py", "q_hist_equidepth"): (
+        "pid histogram of the range-partitioned block (≤ n_parts rows);"
+        " two frame variants of the same window",
+        2,
+    ),
     ("tile_etl_spark/operators/analytics.py", "q_peak_concurrency"):
         "pid histogram of the range-partitioned block (≤ n_parts rows)",
     ("tile_etl_spark/llm/text.py", "q_text_vocab_growth"):
@@ -636,12 +647,46 @@ def test_bounded_window_call_sites_are_registered():
     source tree must be registered in _BOUNDED_WINDOW_SITES with a
     non-empty boundedness justification — the helpers suppress the
     single-reducer-window warning AND the plan sweep, so an
-    unregistered call site is an unreviewed scale claim."""
-    import os
-    import re
+    unregistered call site is an unreviewed scale claim.
 
+    AST-based (not line regex): mentions in comments/docstrings don't
+    create phantom sites, calls inside class methods or nested helpers
+    attribute to their real innermost enclosing function, and the call
+    COUNT per site is enforced — a second call added to an
+    already-registered function needs a fresh boundedness proof (bump
+    the count in the registry value), it can't ride the old one."""
+    import ast
+    import os
+    from collections import Counter
+
+    _HELPERS = {"bounded_window_key", "pid_hist_window"}
     root = os.path.join(os.path.dirname(__file__), "..")
-    found: set[tuple[str, str]] = set()
+    found: Counter[tuple[str, str]] = Counter()
+
+    class _CallScan(ast.NodeVisitor):
+        def __init__(self, rel: str) -> None:
+            self._rel = rel
+            self._stack: list[str] = []
+
+        def visit_FunctionDef(self, node: ast.AST) -> None:
+            self._stack.append(node.name)
+            self.generic_visit(node)
+            self._stack.pop()
+
+        visit_AsyncFunctionDef = visit_FunctionDef
+
+        def visit_Call(self, node: ast.Call) -> None:
+            fn = node.func
+            name = (
+                fn.id
+                if isinstance(fn, ast.Name)
+                else fn.attr if isinstance(fn, ast.Attribute) else None
+            )
+            if name in _HELPERS:
+                enclosing = self._stack[-1] if self._stack else "<module>"
+                found[(self._rel, enclosing)] += 1
+            self.generic_visit(node)
+
     for dirpath, _dirs, files in os.walk(
         os.path.join(root, "tile_etl_spark")
     ):
@@ -652,27 +697,24 @@ def test_bounded_window_call_sites_are_registered():
                 continue
             path = os.path.join(dirpath, fname)
             rel = os.path.relpath(path, root)
-            lines = open(path).read().splitlines()
-            for i, ln in enumerate(lines):
-                if re.search(
-                    r"(?<!def )\b(bounded_window_key|pid_hist_window)\(",
-                    ln,
-                ):
-                    func = "<module>"
-                    for j in range(i, -1, -1):
-                        m = re.match(r"def (\w+)", lines[j])
-                        if m:
-                            func = m.group(1)
-                            break
-                    found.add((rel, func))
-    registered = set(_BOUNDED_WINDOW_SITES)
-    assert found == registered, {
-        "unregistered (add with a boundedness proof)": sorted(
-            found - registered
-        ),
-        "stale (remove)": sorted(registered - found),
+            tree = ast.parse(open(path).read(), filename=rel)
+            _CallScan(rel).visit(tree)
+
+    # registry values: a proof string (1 call), or (proof, count)
+    registered = {
+        site: v[1] if isinstance(v, tuple) else 1
+        for site, v in _BOUNDED_WINDOW_SITES.items()
     }
-    assert all(v.strip() for v in _BOUNDED_WINDOW_SITES.values())
+    assert dict(found) == registered, {
+        "unregistered or count-changed (add/update with a boundedness"
+        " proof)": {
+            s: c for s, c in found.items() if registered.get(s) != c
+        },
+        "stale (remove)": sorted(set(registered) - set(found)),
+    }
+    for v in _BOUNDED_WINDOW_SITES.values():
+        text = v[0] if isinstance(v, tuple) else v
+        assert text.strip()
 
 
 def _unpartitioned_window_specs(p: str) -> list[str]:

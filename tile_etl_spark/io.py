@@ -275,24 +275,70 @@ def table_view(spark: SparkSession, sf_dir: str, name: str) -> str:
     return vname
 
 
+class SessionKeyed:
+    """Process-lifetime registry of per-SparkSession payloads, keyed on
+    ``id(session)`` but guarded by a weakref so the three hazards of
+    bare-id keying never bite: (1) a NEW session reusing a dead
+    session's address never inherits its payload (the stored ref is
+    identity-checked on every access), (2) dead sessions' entries are
+    purged on access instead of leaking for the process lifetime, and
+    (3) ``on_purge(payload)`` releases any on-disk state (checkpoint
+    trees) the payload owns. One implementation serves the load memo
+    (here), the streaming run window (streaming/replay.py), and the
+    Python-datasource stream pair (sources/files.py) — fix purge
+    semantics once, every user gets it."""
+
+    def __init__(self, on_purge=None) -> None:
+        self._entries: dict[int, tuple[weakref.ref, object]] = {}
+        self._on_purge = on_purge
+
+    def _purge_dead(self) -> None:
+        for sid in list(self._entries):
+            ref, payload = self._entries[sid]
+            if ref() is None:
+                if self._on_purge is not None:
+                    self._on_purge(payload)
+                del self._entries[sid]
+
+    def get_or_create(self, spark: SparkSession, factory):
+        """This session's payload, creating it via ``factory()`` on
+        first access (or when the slot holds a dead session's entry)."""
+        self._purge_dead()
+        ent = self._entries.get(id(spark))
+        if ent is None or ent[0]() is not spark:
+            ent = (weakref.ref(spark), factory())
+            self._entries[id(spark)] = ent
+        return ent[1]
+
+    def pop(self, spark: SparkSession):
+        """Remove and return this session's payload (None if absent or
+        if the slot belonged to a dead session at the same address)."""
+        self._purge_dead()
+        ent = self._entries.pop(id(spark), None)
+        if ent is None or ent[0]() is not spark:
+            return None
+        return ent[1]
+
+    def put(self, spark: SparkSession, payload) -> None:
+        self._entries[id(spark)] = (weakref.ref(spark), payload)
+
+    def clear(self) -> None:
+        """Drop every entry WITHOUT running on_purge (test isolation —
+        live sessions' payloads must not have their disk state removed)."""
+        self._entries.clear()
+
+
 # DataFrames are immutable; memoizing per (session, sf_dir, table)
 # saves re-listing files + re-reading parquet footers + re-analysis on
 # every one of the ~100 qids a driver sweep builds. Keyed on the source
 # file's (size, mtime) so a regenerated fixture invalidates the entry,
 # and held per-session behind a weakref so a stopped session's
 # DataFrames (and the session itself) can be GC'd.
-_LOAD_MEMO: dict[int, tuple[weakref.ref, dict]] = {}
+_LOAD_MEMO = SessionKeyed()
 
 
 def _memo_for(spark: SparkSession) -> dict:
-    for sid in list(_LOAD_MEMO):
-        if _LOAD_MEMO[sid][0]() is None:
-            del _LOAD_MEMO[sid]
-    ent = _LOAD_MEMO.get(id(spark))
-    if ent is None or ent[0]() is not spark:
-        ent = (weakref.ref(spark), {})
-        _LOAD_MEMO[id(spark)] = ent
-    return ent[1]
+    return _LOAD_MEMO.get_or_create(spark, dict)
 
 
 def source_memo(memo: dict, spark: SparkSession, sf_dir: str, fpr: str,
@@ -347,13 +393,24 @@ def free_local_checkpoint(df: DataFrame) -> None:
     logger_name = "org.apache.spark.rdd.MapPartitionsRDD"
     jvm = None
     prior = None
+    was_explicit = False
     try:
         jvm = df.sparkSession.sparkContext._jvm
-        prior = jvm.org.apache.logging.log4j.LogManager.getLogger(
-            logger_name
-        ).getLevel()
-        jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
-            logger_name, jvm.org.apache.logging.log4j.Level.ERROR
+        log4j = jvm.org.apache.logging.log4j
+        # getLevel() returns the EFFECTIVE level; restoring it blindly
+        # would pin an explicit per-logger level where the logger
+        # previously just inherited from root (a later root-level change
+        # would no longer propagate to it). Record whether the logger
+        # had its OWN LoggerConfig; if not, remove the one setLevel
+        # creates instead of restoring a level.
+        ctx = log4j.LogManager.getContext(False)
+        was_explicit = (
+            ctx.getConfiguration().getLoggerConfig(logger_name).getName()
+            == logger_name
+        )
+        prior = log4j.LogManager.getLogger(logger_name).getLevel()
+        log4j.core.config.Configurator.setLevel(
+            logger_name, log4j.Level.ERROR
         )
     except Exception:
         jvm = None  # non-log4j2 logging backend: the WARN stays, harmless
@@ -362,11 +419,18 @@ def free_local_checkpoint(df: DataFrame) -> None:
     except Exception:
         pass  # not a checkpointed plan, or already freed
     finally:
-        if jvm is not None and prior is not None:
+        if jvm is not None:
             try:
-                jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
-                    logger_name, prior
-                )
+                log4j = jvm.org.apache.logging.log4j
+                if was_explicit and prior is not None:
+                    log4j.core.config.Configurator.setLevel(
+                        logger_name, prior
+                    )
+                else:
+                    ctx = log4j.LogManager.getContext(False)
+                    conf = ctx.getConfiguration()
+                    conf.removeLogger(logger_name)
+                    ctx.updateLoggers()
             except Exception:
                 pass
 

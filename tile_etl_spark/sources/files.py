@@ -9,12 +9,11 @@ from __future__ import annotations
 
 import hashlib
 import os
-import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from tile_etl_spark.io import as_double, load
+from tile_etl_spark.io import SessionKeyed, as_double, load
 from tile_etl_spark.registry import query
 from tile_etl_spark.session import ensure_session_determinism
 from tile_etl_spark.tiles.grid import src_path_col, tile_grid
@@ -890,28 +889,22 @@ def src_python_ds(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Last (memory-sink table, checkpoint dir) per session for
 # src_python_ds_stream — see the leak note inside the builder. Keyed
-# like io._memo_for: each value carries a weakref to its session, so a
-# NEW session that reuses a dead session's id() never inherits a stale
-# pair, and dead sessions' entries (plus their checkpoint trees) are
-# purged on access instead of leaking for the process lifetime.
-_PYDS_STREAM_LAST: dict[int, tuple[weakref.ref, tuple[str, str]]] = {}
+# via io.SessionKeyed (shared with the load memo and the streaming run
+# window): id-reuse and dead-session leaks handled in one place; the
+# purge hook removes a dead session's on-disk checkpoint tree (its
+# memory-table rows died with the session).
+def _pyds_purge(pair: tuple[str, str]) -> None:
+    import shutil
+
+    shutil.rmtree(pair[1], ignore_errors=True)
+
+
+_PYDS_STREAM_LAST = SessionKeyed(on_purge=_pyds_purge)
 
 
 def _pyds_pop_prev(spark: SparkSession) -> tuple[str, str] | None:
-    """Pop THIS session's previous (table, ckpt) pair, if any; purge
-    entries whose session is gone (their memory-table rows died with
-    the session, but the checkpoint trees are on disk — remove them)."""
-    import shutil as _shutil
-
-    for sid in list(_PYDS_STREAM_LAST):
-        ref, (_name, ckpt) = _PYDS_STREAM_LAST[sid]
-        if ref() is None:
-            _shutil.rmtree(ckpt, ignore_errors=True)
-            del _PYDS_STREAM_LAST[sid]
-    ent = _PYDS_STREAM_LAST.pop(id(spark), None)
-    if ent is None or ent[0]() is not spark:
-        return None
-    return ent[1]
+    """Pop THIS session's previous (table, ckpt) pair, if any."""
+    return _PYDS_STREAM_LAST.pop(spark)
 
 
 @query("src_python_ds_stream", oracle=_manifest_oracle())
@@ -1022,7 +1015,7 @@ def src_python_ds_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    _PYDS_STREAM_LAST[id(spark)] = (weakref.ref(spark), (name, ckpt))
+    _PYDS_STREAM_LAST.put(spark, (name, ckpt))
     return spark.table(name)
 
 

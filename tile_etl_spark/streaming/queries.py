@@ -300,20 +300,34 @@ def s_stateful_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
         def close(self) -> None:
             pass
 
-    # the state-v2 store requires the RocksDB provider (JVM-bundled)
+    # the state-v2 store requires the RocksDB provider (JVM-bundled).
+    # SCOPED: the session default is captured and restored so the other
+    # stateful queries (s_stateful, s_watermark, s_dedup...) keep
+    # running on the provider they were verified and timed on.
+    _PROVIDER_KEY = "spark.sql.streaming.stateStore.providerClass"
+    try:
+        prior_provider = spark.conf.get(_PROVIDER_KEY)
+    except Exception:
+        prior_provider = None
     spark.conf.set(
-        "spark.sql.streaming.stateStore.providerClass",
+        _PROVIDER_KEY,
         "org.apache.spark.sql.execution.streaming.state."
         "RocksDBStateStoreProvider",
     )
-    stream = read_stream(spark, replay_dir(spark, sf_dir))
-    counted = stream.groupBy("user_id").transformWithStateInPandas(
-        statefulProcessor=RunningCount(),
-        outputStructType="user_id BIGINT, n_events BIGINT",
-        outputMode="Update",
-        timeMode="None",
-    )
-    rows = run_to_table(counted, "update")
+    try:
+        stream = read_stream(spark, replay_dir(spark, sf_dir))
+        counted = stream.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=RunningCount(),
+            outputStructType="user_id BIGINT, n_events BIGINT",
+            outputMode="Update",
+            timeMode="None",
+        )
+        rows = run_to_table(counted, "update")
+    finally:
+        if prior_provider is None:
+            spark.conf.unset(_PROVIDER_KEY)
+        else:
+            spark.conf.set(_PROVIDER_KEY, prior_provider)
     return rows.groupBy("user_id").agg(F.max("n_events").alias("n_events"))
 
 

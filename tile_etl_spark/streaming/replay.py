@@ -11,12 +11,11 @@ from __future__ import annotations
 import os
 import shutil
 import uuid
-import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from tile_etl_spark.io import load
+from tile_etl_spark.io import SessionKeyed, load
 
 EVENTS_SCHEMA = (
     "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, "
@@ -121,26 +120,18 @@ def read_stream(spark: SparkSession, base: str) -> DataFrame:
 # lifetime under the driver/bench usage pattern (hundreds of streaming
 # runs). A bounded keep-last window (not drop-immediately-previous)
 # lets tests hold a few un-collected streaming results at once.
-# Keyed like io._memo_for: each value carries a weakref to its session,
-# so a NEW session reusing a dead session's id() never inherits stale
-# pairs, and dead sessions' entries (plus their on-disk checkpoint
-# trees) are purged on access instead of leaking for the process life.
-_RUN_RECENT: dict[int, tuple[weakref.ref, list[tuple[str, str]]]] = {}
+# io.SessionKeyed handles the id-reuse/leak hazards; the purge hook
+# removes the dead session's on-disk checkpoint trees.
+_RUN_RECENT = SessionKeyed(
+    on_purge=lambda pairs: [
+        shutil.rmtree(ckpt, ignore_errors=True) for _name, ckpt in pairs
+    ]
+)
 _RUN_KEEP = 8
 
 
 def _recent_for(spark_s: SparkSession) -> list[tuple[str, str]]:
-    for sid in list(_RUN_RECENT):
-        ref, pairs = _RUN_RECENT[sid]
-        if ref() is None:
-            for _name, ckpt in pairs:
-                shutil.rmtree(ckpt, ignore_errors=True)
-            del _RUN_RECENT[sid]
-    ent = _RUN_RECENT.get(id(spark_s))
-    if ent is None or ent[0]() is not spark_s:
-        ent = (weakref.ref(spark_s), [])
-        _RUN_RECENT[id(spark_s)] = ent
-    return ent[1]
+    return _RUN_RECENT.get_or_create(spark_s, list)
 
 
 def run_to_table(df: DataFrame, mode: str) -> DataFrame:

@@ -154,10 +154,12 @@ def main() -> None:
 
     os.makedirs(args.out, exist_ok=True)
     con = duckdb.connect()
-    tables = (
-        "region nation customer supplier part orders lineitem "
-        "events documents embeddings"
-    ).split()
+    import sys
+
+    sys.path.insert(
+        0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    from bench import TABLES as tables  # one source of truth
     for t in tables:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * "

@@ -33,7 +33,13 @@ sys.path.insert(
     0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 )
 
-from bench import HEADLINE, force, ratio_class  # noqa: E402
+from bench import (  # noqa: E402
+    HEADLINE,
+    duck_views,
+    force,
+    measure_floor,
+    ratio_class,
+)
 from tile_etl_spark import registry  # noqa: E402
 from tile_etl_spark.session import get_spark  # noqa: E402
 
@@ -58,7 +64,15 @@ def _sf_of(sf_dir: str) -> float:
     import re
 
     m = re.search(r"sf([0-9.]+)", sf_dir)
-    return float(m.group(1)) if m else 0.0
+    if not m:
+        # refuse to guess: a 0.0 default would silently apply the
+        # small-SF config (shuffle 8, AQE off, no split sizing) to a
+        # big fixture set and mislabel the record
+        raise ValueError(
+            f"cannot infer scale factor from {sf_dir!r}: the fixture "
+            "dir name must contain 'sf<N>' (e.g. .../sf1)"
+        )
+    return float(m.group(1))
 
 
 def run_sf(spark, qids, sf_dir: str, runs: int) -> dict:
@@ -85,60 +99,54 @@ def run_sf(spark, qids, sf_dir: str, runs: int) -> dict:
 
     orders_by_custkey(spark, sf_dir)
 
-    force(spark.range(1).toDF("x"))
-    floor = float("inf")
-    for _ in range(runs):
-        t0 = time.perf_counter()
-        force(spark.range(1).toDF("x"))
-        floor = min(floor, time.perf_counter() - t0)
+    floor = measure_floor(spark, runs)
 
-    cold, spark_t = {}, {}
+    cold, spark_t, errors = {}, {}, {}
     for qid in qids:
         try:
             t0 = time.perf_counter()
             force(registry.QUERIES[qid](spark, sf_dir))
             cold[qid] = round(time.perf_counter() - t0, 4)
+            best = float("inf")
+            for _ in range(runs):
+                t0 = time.perf_counter()
+                force(registry.QUERIES[qid](spark, sf_dir))
+                best = min(best, time.perf_counter() - t0)
+            spark_t[qid] = round(best, 4)
         except Exception as ex:
-            print(f"COLD ERROR {qid}@{sf}: {str(ex)[:120]}", file=sys.stderr)
+            # a qid that fails AT SCALE is the strongest scale signal
+            # there is — record it in the artifact, not just stderr
+            errors[qid] = str(ex)[:200]
+            print(f"ERROR {qid}@{sf}: {str(ex)[:120]}", file=sys.stderr)
             continue
-        best = float("inf")
-        for _ in range(runs):
-            t0 = time.perf_counter()
-            force(registry.QUERIES[qid](spark, sf_dir))
-            best = min(best, time.perf_counter() - t0)
-        spark_t[qid] = round(best, 4)
 
     duck_t = {}
     import duckdb
 
     con = duckdb.connect()
-    tables = (
-        "region nation customer supplier part orders lineitem "
-        "events documents embeddings"
-    ).split()
-    for t in tables:
-        path = f"{sf_dir}/{t}.parquet"
-        if os.path.exists(path):
-            con.execute(
-                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
-            )
+    duck_views(con, sf_dir)
     for qid in qids:
         sql = registry.ORACLES.get(qid)
         if not sql or qid not in spark_t:
             continue
-        best = float("inf")
-        for _ in range(runs):
-            t0 = time.perf_counter()
-            con.execute(sql).fetchall()
-            best = min(best, time.perf_counter() - t0)
-        duck_t[qid] = round(best, 4)
+        try:
+            best = float("inf")
+            for _ in range(runs):
+                t0 = time.perf_counter()
+                con.execute(sql).fetchall()
+                best = min(best, time.perf_counter() - t0)
+            duck_t[qid] = round(best, 4)
+        except Exception as ex:
+            errors[qid] = f"duck: {str(ex)[:190]}"
+            print(f"DUCK ERROR {qid}@{sf}: {str(ex)[:120]}", file=sys.stderr)
     con.close()
     return {
         "sf": sf,
-        "floor_sec": round(floor, 4),
+        "floor_sec": floor,
         "spark": spark_t,
         "duck": duck_t,
         "cold": cold,
+        "errors": errors,
     }
 
 
@@ -147,14 +155,29 @@ def main() -> None:
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--sf01-dir", default="/root/testdata/sf0.1")
     ap.add_argument("--sf1-dir", default="/tmp/tile_etl_spark_scale/sf1")
+    ap.add_argument(
+        "--full",
+        action="store_true",
+        help="sweep EVERY oracle-backed registry qid (not just the "
+        "headline + r8 worst set) — the registry-wide scale-trend "
+        "proof; writes to --out (default BENCH_SCALE_FULL.json)",
+    )
+    ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
     registry.load_all()
-    qids = [
-        q
-        for q in dict.fromkeys(HEADLINE + WORST_R8)
-        if q in registry.QUERIES
-    ]
+    if args.full:
+        # every qid with a DuckDB twin: batch oracles only (streaming
+        # B/R qids have no denominator), every ratio class recorded —
+        # the grew-list gate below applies to fair-class qids; the
+        # cached/asymmetric classes ride along labeled.
+        qids = sorted(q for q in registry.QUERIES if q in registry.ORACLES)
+    else:
+        qids = [
+            q
+            for q in dict.fromkeys(HEADLINE + WORST_R8)
+            if q in registry.QUERIES
+        ]
     spark = get_spark(app_name="tile-etl-spark-scale-trend")
     t_all = time.perf_counter()
     lo = run_sf(spark, qids, args.sf01_dir, args.runs)
@@ -164,39 +187,70 @@ def main() -> None:
     per_qid = {}
     for q in qids:
         row = {"class": ratio_class(q)}
+        raw_ratio = {}
         for tag, rec in (("sf01", lo), ("sf1", hi)):
             s, d = rec["spark"].get(q), rec["duck"].get(q)
             row[f"spark_{tag}"] = s
             row[f"duck_{tag}"] = d
             if s is not None and d is not None:
-                row[f"ratio_{tag}"] = round(s / max(d, 1e-6), 2)
+                # keep the unrounded ratio for the trend division: a
+                # sub-0.005 sf0.1 ratio rounded to 0.00 would otherwise
+                # explode trend to ~ratio/1e-6 and report the
+                # best-scaling qid as the worst scale-killer
+                raw_ratio[tag] = s / max(d, 1e-6)
+                row[f"ratio_{tag}"] = round(raw_ratio[tag], 2)
                 row[f"ratio_adj_{tag}"] = round(
                     max(s - rec["floor_sec"], 0.0) / max(d, 1e-6), 2
                 )
-        if "ratio_sf01" in row and "ratio_sf1" in row:
+        if "sf01" in raw_ratio and "sf1" in raw_ratio:
             row["trend"] = round(
-                row["ratio_sf1"] / max(row["ratio_sf01"], 1e-6), 3
+                raw_ratio["sf1"] / max(raw_ratio["sf01"], 1e-9), 3
             )
         per_qid[q] = row
 
+    # the grew gate applies to FAIR-class qids (a cached/asymmetric
+    # qid's ratio is not a performance signal — recorded, labeled, but
+    # not flagged)
     grew = sorted(
-        (q for q, r in per_qid.items() if r.get("trend", 0) > 1.15),
+        (
+            q
+            for q, r in per_qid.items()
+            if r.get("trend", 0) > 1.15 and r["class"] == "fair"
+        ),
         key=lambda q: -per_qid[q]["trend"],
     )
+    # no-silent-caps: a qid missing its trend (errored or no oracle at
+    # either SF) must be visible in the top-level record, not inferred
+    # from null fields
+    errors = {
+        "sf01": lo.get("errors", {}),
+        "sf1": hi.get("errors", {}),
+    }
+    no_trend = sorted(q for q in qids if "trend" not in per_qid[q])
     out = {
-        "metric": "scale_trend_sf0.1_vs_sf1",
+        "metric": (
+            "scale_trend_full_registry_sf0.1_vs_sf1"
+            if args.full
+            else "scale_trend_sf0.1_vs_sf1"
+        ),
+        "n_qids": len(qids),
         "runs": args.runs,
         "sf01": {k: lo[k] for k in ("sf", "floor_sec")},
         "sf1": {k: hi[k] for k in ("sf", "floor_sec")},
         "per_qid": per_qid,
         "ratio_grew_over_1p15": grew,
+        "no_trend": no_trend,
+        "errors": errors,
         "wall_sec": round(time.perf_counter() - t_all, 1),
         "loadavg": [round(x, 2) for x in os.getloadavg()],
         "detail": {"sf01": lo, "sf1": hi},
     }
+    out_name = args.out or (
+        "BENCH_SCALE_FULL.json" if args.full else "BENCH_SCALE.json"
+    )
     path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "BENCH_SCALE.json",
+        out_name,
     )
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
