@@ -94,6 +94,41 @@ def test_load_memo_is_per_session_weakref(spark):
     assert -1 not in io_mod._LOAD_MEMO._entries
 
 
+def test_session_keyed_purge_and_id_reuse(spark):
+    """SessionKeyed must run on_purge exactly once per dead entry and
+    must never hand a dead session's payload to a new session that
+    reuses its id()."""
+    purged = []
+    reg = io_mod.SessionKeyed(on_purge=purged.append)
+
+    class _Dead:
+        def __call__(self):
+            return None
+
+    # dead entry at some id: purged (with hook) on any access
+    reg._entries[1234] = (_Dead(), "stale-payload")
+    assert reg.get_or_create(spark, list) == []
+    assert purged == ["stale-payload"]
+    assert 1234 not in reg._entries
+
+    # id-reuse guard: a dead entry AT THIS SESSION'S OWN id must not
+    # leak its payload into the live session via get_or_create or pop
+    reg._entries[id(spark)] = (_Dead(), "reused-address")
+    fresh = reg.get_or_create(spark, dict)
+    assert fresh == {} and purged == ["stale-payload", "reused-address"]
+
+    reg.put(spark, ("t", "ckpt"))
+    assert reg.pop(spark) == ("t", "ckpt")
+    assert reg.pop(spark) is None  # popped means gone
+
+    # clear() drops entries WITHOUT running on_purge (live payloads'
+    # disk state must survive test-isolation clears)
+    reg.put(spark, "live")
+    reg.clear()
+    assert purged == ["stale-payload", "reused-address"]
+    assert reg.pop(spark) is None
+
+
 def test_cache_scope_context_restores_previous_tag(spark, sf_dir):
     """Interleaving: a helper that persists AFTER a `with scope(...)`
     block must register under the OUTER tag, not the inner one."""
