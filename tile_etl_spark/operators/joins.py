@@ -565,11 +565,20 @@ _ASOF_BACKWARD_SQL = """
 @query(
     "q_join_fuzzy",
     oracle="""
-    SELECT a.p_partkey AS k1, b.p_partkey AS k2,
-           CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
-    FROM part a JOIN part b
-      ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
-    WHERE levenshtein(a.p_name, b.p_name) <= 4
+    WITH dn AS (SELECT DISTINCT p_brand, p_name FROM part),
+    name_pairs AS (
+      SELECT x.p_brand AS brand, x.p_name AS name_a, y.p_name AS name_b,
+             CAST(levenshtein(x.p_name, y.p_name) AS INT) AS dist
+      FROM dn x JOIN dn y
+        ON x.p_brand = y.p_brand
+       AND abs(length(x.p_name) - length(y.p_name)) <= 4
+      WHERE levenshtein(x.p_name, y.p_name) <= 4
+    )
+    SELECT a.p_partkey AS k1, b.p_partkey AS k2, p.dist
+    FROM part a
+    JOIN name_pairs p ON a.p_brand = p.brand AND a.p_name = p.name_a
+    JOIN part b ON p.brand = b.p_brand AND p.name_b = b.p_name
+               AND a.p_partkey < b.p_partkey
     """,
 )
 def q_join_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -578,41 +587,78 @@ def q_join_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     Levenshtein is a well-defined integer metric, so the H-check is
     exact across engines.
 
-    The brand equi-component is the BANDING key: Catalyst plans a hash
-    join on p_brand with the distance as a residual filter, so the
-    quadratic edit-distance work is confined to same-brand blocks —
-    the classic blocking strategy of record linkage. At 100 TB the
-    blocking key graduates to (brand, length-band, first-k-chars
-    prefix) exactly like the interval join's band columns; an
-    unblocked fuzzy join would be a cartesian scan, which the plan
+    Three scale defenses, each earned the hard way (the round-9
+    full-registry sf1 sweep caught the original brand-only blocking
+    red-handed: brand cardinality is FIXED at 25, so same-brand blocks
+    grow linearly with data, candidate pairs quadratically, and the
+    sweep sat in levenshtein inside that join for over an hour —
+    thread dump on record):
+
+    1. DEDUP-BEFORE-DISTANCE: real catalogs repeat names heavily (the
+       sf0.1 fixture: 20,000 parts, 1,600 distinct (brand, name)), so
+       the O(block²) edit-distance core runs on DISTINCT names only —
+       ~100× fewer DP calls here — and two equi-joins expand matched
+       name pairs back to key pairs, linear in output size.
+    2. LENGTH BANDING: every edit changes length by ≤ 1, so lev ≤ 4
+       implies |Δlen| ≤ 4; the right side explodes to its 9 admissible
+       lengths (the interval join's banding trick) and the hash key
+       becomes (brand, length) — block sizes shrink by the live length
+       range and the key cardinality grows with data instead of
+       saturating at 25.
+    3. THRESHOLD DP: levenshtein(a, b, 4) is the banded O(k·n) form
+       that abandons early (returns −1), not the full O(n·m) table.
+
+    At 100 TB the same pattern extends the key with q-gram prefixes;
+    an unblocked fuzzy join would be a cartesian scan, which the plan
     test forbids."""
     ensure_session_determinism(spark)
     p = load(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_name")
-    a, b = p.alias("a"), p.alias("b")
-    # |len(a)-len(b)| <= 4 is IMPLIED by levenshtein <= 4 (each edit
-    # changes length by at most 1) — a free pre-filter that short-
-    # circuits the O(len²) distance on length-incompatible pairs
-    # (measured 14.8 s → 5.4 s at sf0.1); result set unchanged.
-    len_ok = (
-        F.abs(F.length(F.col("a.p_name")) - F.length(F.col("b.p_name")))
-        <= 4
+    dn = (
+        p.select("p_brand", "p_name")
+        .distinct()
+        .withColumn("ln", F.length("p_name"))
     )
+    na = dn.alias("na")
+    nb = (
+        dn.withColumn("d", F.explode(F.sequence(F.lit(-4), F.lit(4))))
+        .withColumn("ln_join", F.col("ln") + F.col("d"))
+        .alias("nb")
+    )
+    dist = F.levenshtein(F.col("na.p_name"), F.col("nb.p_name"), 4)
+    # ordered distinct-name pairs (x == y included: dist 0 covers the
+    # exact-duplicate groups); each (k1, k2) key pair below expands
+    # from exactly one ordered name pair
+    name_pairs = (
+        na.join(
+            nb,
+            (F.col("na.p_brand") == F.col("nb.p_brand"))
+            & (F.col("na.ln") == F.col("nb.ln_join")),
+        )
+        .select(
+            F.col("na.p_brand").alias("brand"),
+            F.col("na.p_name").alias("name_a"),
+            F.col("nb.p_name").alias("name_b"),
+            dist.cast("int").alias("dist"),
+        )
+        .where(F.col("dist") >= 0)  # threshold form: -1 means > 4
+    )
+    a, b = p.alias("a"), p.alias("b")
     return (
         a.join(
-            b,
-            (F.col("a.p_brand") == F.col("b.p_brand"))
-            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+            F.broadcast(name_pairs),
+            (F.col("a.p_brand") == F.col("brand"))
+            & (F.col("a.p_name") == F.col("name_a")),
         )
-        .where(
-            len_ok
-            & (F.levenshtein(F.col("a.p_name"), F.col("b.p_name")) <= 4)
+        .join(
+            b,
+            (F.col("brand") == F.col("b.p_brand"))
+            & (F.col("name_b") == F.col("b.p_name"))
+            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
         )
         .select(
             F.col("a.p_partkey").alias("k1"),
             F.col("b.p_partkey").alias("k2"),
-            F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
-            .cast("int")
-            .alias("dist"),
+            F.col("dist"),
         )
     )
 

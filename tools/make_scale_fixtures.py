@@ -24,6 +24,16 @@ meaningful:
   never quadratically in K;
 - embeddings: replica r > 0 perturbs dimension 1 by r·1e-3 — no exact
   duplicate vectors, so top-k has no K-way ties.
+- part: replica r > 0 appends ' ' + 8 repeated digits of r to p_name
+  (v2). Verbatim copying made the fuzzy-join (lev ≤ 4) match set grow
+  QUADRATICALLY with k — every cross-replica copy pair matched, which
+  models nothing real and made the sf1 sweep output 109 M pairs. The
+  8-char digit tag breaks cross-replica matches soundly: digits never
+  occur in source names, so the bag-of-characters bound gives
+  ed ≥ 16/2 = 8 > 4 between distinct tags, and replica 0 vs tagged
+  differs by 9 in length (> 4). Within a replica the common suffix
+  preserves pairwise distances — the match set scales linearly, like
+  the documents cohort salting.
 
 Everything is pure SQL over the source parquet — seedless and
 deterministic; rerunning yields byte-identical logical content.
@@ -59,7 +69,7 @@ STRIDES = {
     "vec_id": 10_000,
 }
 
-_RECIPE_V = "v1"
+_RECIPE_V = "v2"
 
 
 def _amplified_sql(k: int) -> dict[str, str]:
@@ -80,7 +90,10 @@ def _amplified_sql(k: int) -> dict[str, str]:
         """,
         "part": f"""
             SELECT p_partkey + r * {s['partkey']} AS p_partkey,
-                   p_name, p_brand, p_type, p_size, p_retailprice
+                   CASE WHEN r = 0 THEN p_name
+                        ELSE p_name || ' ' || repeat(CAST(r AS VARCHAR), 8)
+                   END AS p_name,
+                   p_brand, p_type, p_size, p_retailprice
             FROM part CROSS JOIN {rep}
         """,
         "orders": f"""
