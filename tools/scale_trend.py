@@ -102,7 +102,7 @@ def run_sf(spark, qids, sf_dir: str, runs: int) -> dict:
     floor = measure_floor(spark, runs)
 
     cold, spark_t, errors = {}, {}, {}
-    for qid in qids:
+    for i, qid in enumerate(qids):
         try:
             t0 = time.perf_counter()
             force(registry.QUERIES[qid](spark, sf_dir))
@@ -113,11 +113,24 @@ def run_sf(spark, qids, sf_dir: str, runs: int) -> dict:
                 force(registry.QUERIES[qid](spark, sf_dir))
                 best = min(best, time.perf_counter() - t0)
             spark_t[qid] = round(best, 4)
+            # per-qid progress: the round-9 sweep sat invisible in one
+            # grinding qid for an hour before a thread dump named it —
+            # never run a long sweep blind again
+            print(
+                f"[{i + 1}/{len(qids)}] {qid}@{sf} "
+                f"cold={cold[qid]} warm={spark_t[qid]}",
+                file=sys.stderr,
+                flush=True,
+            )
         except Exception as ex:
             # a qid that fails AT SCALE is the strongest scale signal
             # there is — record it in the artifact, not just stderr
             errors[qid] = str(ex)[:200]
-            print(f"ERROR {qid}@{sf}: {str(ex)[:120]}", file=sys.stderr)
+            print(
+                f"ERROR {qid}@{sf}: {str(ex)[:120]}",
+                file=sys.stderr,
+                flush=True,
+            )
             continue
 
     duck_t = {}
