@@ -101,14 +101,40 @@ def run_sf(spark, qids, sf_dir: str, runs: int) -> dict:
 
     floor = measure_floor(spark, runs)
 
+    # Per-qid wall budget: one grinding qid must degrade to a RECORDED
+    # skip, never stall the whole sweep (the round-9 sf1 run sat in a
+    # quadratic fuzzy join for an hour, and its naive DuckDB twin for
+    # longer). Spark: a watchdog cancels all jobs; DuckDB:
+    # con.interrupt(). Timeouts land in errors{} — a qid too slow to
+    # measure at scale IS a scale finding, visibly recorded.
+    import threading
+
+    budget_s = float(os.environ.get("SPARK_GRAFT_SWEEP_BUDGET", "120"))
+
     cold, spark_t, errors = {}, {}, {}
     for i, qid in enumerate(qids):
         try:
+            cancelled = threading.Event()
+
+            def _cancel() -> None:
+                cancelled.set()
+                spark.sparkContext.cancelAllJobs()
+
             t0 = time.perf_counter()
-            force(registry.QUERIES[qid](spark, sf_dir))
+            watchdog = threading.Timer(budget_s, _cancel)
+            watchdog.start()
+            try:
+                force(registry.QUERIES[qid](spark, sf_dir))
+            finally:
+                watchdog.cancel()
+            if cancelled.is_set():
+                raise TimeoutError(f"spark wall > {budget_s}s (cancelled)")
             cold[qid] = round(time.perf_counter() - t0, 4)
-            best = float("inf")
-            for _ in range(runs):
+            best = cold[qid]
+            # a multi-second wall doesn't need best-of-N; spend warm
+            # runs only where run-to-run noise actually matters
+            n_warm = runs if cold[qid] < 30 else 1
+            for _ in range(n_warm):
                 t0 = time.perf_counter()
                 force(registry.QUERIES[qid](spark, sf_dir))
                 best = min(best, time.perf_counter() - t0)
@@ -138,20 +164,41 @@ def run_sf(spark, qids, sf_dir: str, runs: int) -> dict:
 
     con = duckdb.connect()
     duck_views(con, sf_dir)
-    for qid in qids:
-        sql = registry.ORACLES.get(qid)
-        if not sql or qid not in spark_t:
-            continue
+    oracle_qids = [
+        q for q in qids if q in spark_t and registry.ORACLES.get(q)
+    ]
+    for i, qid in enumerate(oracle_qids):
+        sql = registry.ORACLES[qid]
         try:
             best = float("inf")
             for _ in range(runs):
-                t0 = time.perf_counter()
-                con.execute(sql).fetchall()
-                best = min(best, time.perf_counter() - t0)
+                # interrupt() cancels the running query; the connection
+                # stays usable for the next qid
+                watchdog = threading.Timer(budget_s, con.interrupt)
+                watchdog.start()
+                try:
+                    t0 = time.perf_counter()
+                    con.execute(sql).fetchall()
+                    dt = time.perf_counter() - t0
+                finally:
+                    watchdog.cancel()
+                best = min(best, dt)
+                if dt >= 30:
+                    break  # multi-second walls don't need best-of-N
             duck_t[qid] = round(best, 4)
+            print(
+                f"[duck {i + 1}/{len(oracle_qids)}] {qid}@{sf} "
+                f"t={duck_t[qid]}",
+                file=sys.stderr,
+                flush=True,
+            )
         except Exception as ex:
             errors[qid] = f"duck: {str(ex)[:190]}"
-            print(f"DUCK ERROR {qid}@{sf}: {str(ex)[:120]}", file=sys.stderr)
+            print(
+                f"DUCK ERROR {qid}@{sf}: {str(ex)[:120]}",
+                file=sys.stderr,
+                flush=True,
+            )
     con.close()
     return {
         "sf": sf,
