@@ -37,8 +37,15 @@ FLAGSHIP = "q_agg_group"
 # (VERDICT r7 #6 discipline: every addition gets a driver row same-round).
 # Ordering only — no semantic changes in this list.
 _PRIORITY = [
-    # oracle changed THIS round (R→H promotion, VERDICT r8 #7):
-    # needs a fresh driver row same-round
+    # oracle/semantics changed THIS round: needs a fresh driver row
+    # same-round. q_join_fuzzy (dedup-before-distance restructure of
+    # query + oracle), q_join_theta (bounded probe set), and
+    # q_cogroup_pandas (1/200 key sample + pinned parallelism) were
+    # reworked after the sf1 scale sweep caught them; q_dedup_near is
+    # the VERDICT r8 #7 R→H promotion.
+    "q_join_fuzzy",
+    "q_join_theta",
+    "q_cogroup_pandas",
     "q_dedup_near",
     # q_table_checksum's row hash changed this round (overflow fix) —
     # its r8 row no longer reflects the shipped formula
@@ -162,7 +169,6 @@ _PRIORITY = [
     "q_bm25",
     "q_calendar_fill",
     "q_cdc_apply",
-    "q_cogroup_pandas",
     "q_cohort_ltv",
     "q_collation",
     "q_corr_pearson",
@@ -191,7 +197,6 @@ _PRIORITY = [
     "q_join_asof_fwd",
     "q_join_bloom",
     "q_join_dpp",
-    "q_join_fuzzy",
     "q_join_hints",
     "q_lateral_topn",
     "q_lm_doc_score",
@@ -271,7 +276,6 @@ _PRIORITY = [
     "q_join_nullsafe",
     "q_join_right",
     "q_join_semi",
-    "q_join_theta",
     "q_pivot",
     "q_rel_division",
     "q_scd2_snapshot",

@@ -289,10 +289,30 @@ def _loadavg() -> list[float]:
         return []
 
 
+def _wait_for_quiet(max_wait_s: int, threshold: float = 1.5) -> float:
+    """Bounded wait for the 1-min load to drop under ``threshold``
+    before the timed region starts. This box shows ambient load bursts
+    (BASELINE.md: ±13% r8 band attributed to them with per-run loadavg
+    evidence); a record taken mid-burst misreads as a regression. The
+    wait is BOUNDED — worst case we run anyway and the recorded
+    loadavg_start flags the context. Returns seconds waited."""
+    t0 = time.perf_counter()
+    deadline = t0 + max_wait_s
+    while time.perf_counter() < deadline:
+        la = _loadavg()
+        if not la or la[0] < threshold:
+            break
+        time.sleep(5)
+    return round(time.perf_counter() - t0, 1)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
+    # opt out with SPARK_GRAFT_QUIET_WAIT=0; default 120 s cap
+    quiet_wait = int(os.environ.get("SPARK_GRAFT_QUIET_WAIT", "120"))
+    waited = _wait_for_quiet(quiet_wait) if quiet_wait > 0 else 0.0
     load_start = _loadavg()
 
     registry.load_all()
@@ -459,6 +479,7 @@ def main() -> None:
         "errored": sorted(set(qids + extra_qids) - set(all_times)),
         "topk_per_group_path": topk_path,
         "sf": sf,
+        "quiet_wait_sec": waited,
         "loadavg_start": load_start,
         "loadavg_end": _loadavg(),
     }

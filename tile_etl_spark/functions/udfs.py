@@ -177,7 +177,7 @@ def q_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(max(CASE WHEN l.l_discount > 0 THEN 1 ELSE 0 END) AS INT)
              AS has_discount
     FROM orders o LEFT JOIN lineitem l ON o.o_orderkey = l.l_orderkey
-    WHERE o.o_orderkey % 50 = 0
+    WHERE o.o_orderkey % 200 = 0
     GROUP BY o.o_orderkey, o.o_totalprice
     """,
 )
@@ -194,13 +194,38 @@ def q_cogroup_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     All emitted stats are order-insensitive (count / max / any) so the
     pandas-side arithmetic is exact regardless of row order within the
-    Arrow batches. The key filter keeps the checked output small; the
-    plan shape (2 shuffles in, 1 Python stage) is scale-ready — state
-    is bounded by the largest single key group."""
+    Arrow batches. The plan shape (2 shuffles in, 1 Python stage) is
+    scale-ready — state is bounded by the largest single key group —
+    but the WALL scales with DISTINCT KEYS / cores: applyInPandas over
+    a cogroup invokes the Python function once per key, and the
+    round-9 sweep measured ~1.2 ms/key all-in (30k keys at sf1 ran
+    34.6 s). That per-key toll is the price of the API; the demo keys
+    are 1/200-sampled to keep the benchmark bounded, and real
+    pipelines should prefer join+agg whenever the logic is
+    expressible (the oracle here IS that join) and reserve cogroup
+    for logic that isn't.
+
+    The explicit repartition-by-key below is LOAD-BEARING: AQE's
+    byte-based partition coalescing sees a few-MB shuffle and collapses
+    the grouped-Python stage to ONE partition — every per-key UDF call
+    then runs on a single Python worker (round-9 sweep: 36 s at sf1,
+    one worker at 100%, 31 cores idle; 3.6 s with the pin). Bytes are
+    the wrong coalescing signal when per-key PYTHON cost dominates;
+    an explicit-count repartition is exempt from AQE coalescing and
+    pins the stage's parallelism. The same rule applies on a real
+    cluster — grouped-UDF stages should size partitions by key count,
+    not bytes."""
     ensure_session_determinism(spark)
-    o = load(spark, sf_dir, "orders").where(F.col("o_orderkey") % 50 == 0)
-    li = load(spark, sf_dir, "lineitem").where(
-        F.col("l_orderkey") % 50 == 0
+    par = spark.sparkContext.defaultParallelism
+    o = (
+        load(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") % 200 == 0)
+        .repartition(par, "o_orderkey")
+    )
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .where(F.col("l_orderkey") % 200 == 0)
+        .repartition(par, "l_orderkey")
     )
 
     def reconcile(key, odf: pd.DataFrame, ldf: pd.DataFrame) -> pd.DataFrame:
