@@ -117,15 +117,24 @@ def test_session_keyed_purge_and_id_reuse(spark):
     fresh = reg.get_or_create(spark, dict)
     assert fresh == {} and purged == ["stale-payload", "reused-address"]
 
+    # put() over a LIVE payload purges the replaced payload (ADVICE r9:
+    # a put-without-pop caller must not leak the old payload's disk
+    # state); the slot currently holds `fresh` from get_or_create above
     reg.put(spark, ("t", "ckpt"))
+    assert purged == ["stale-payload", "reused-address", fresh]
+    # re-putting the SAME payload object is a no-op purge-wise
+    same = reg._entries[id(spark)][1]
+    reg.put(spark, same)
+    assert len(purged) == 3
     assert reg.pop(spark) == ("t", "ckpt")
     assert reg.pop(spark) is None  # popped means gone
 
-    # clear() drops entries WITHOUT running on_purge (live payloads'
-    # disk state must survive test-isolation clears)
+    # put() over an EMPTY slot purges nothing; clear() drops entries
+    # WITHOUT running on_purge (live payloads' disk state must survive
+    # test-isolation clears)
     reg.put(spark, "live")
     reg.clear()
-    assert purged == ["stale-payload", "reused-address"]
+    assert purged == ["stale-payload", "reused-address", fresh]
     assert reg.pop(spark) is None
 
 

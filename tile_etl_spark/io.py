@@ -320,6 +320,17 @@ class SessionKeyed:
         return ent[1]
 
     def put(self, spark: SparkSession, payload) -> None:
+        """Install this session's payload, releasing whatever the slot
+        held. The current callers pop() first, but put() must not rely
+        on that: a replaced entry that still owned disk state (a
+        checkpoint tree) would silently leak it, so a live payload being
+        overwritten gets the same ``on_purge`` treatment a dead one
+        gets in ``_purge_dead`` (ADVICE r9)."""
+        self._purge_dead()
+        ent = self._entries.get(id(spark))
+        if (ent is not None and ent[0]() is spark
+                and ent[1] is not payload and self._on_purge is not None):
+            self._on_purge(ent[1])
         self._entries[id(spark)] = (weakref.ref(spark), payload)
 
     def clear(self) -> None:

@@ -626,7 +626,11 @@ def q_join_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     At 100 TB the same pattern extends the key with q-gram prefixes;
     an unblocked fuzzy join would be a cartesian scan, which the plan
-    test forbids."""
+    test forbids. The expand-back joins deliberately carry NO broadcast
+    hint (ADVICE r9): distinct (brand, name) pairs grow with the
+    catalog, so pinning name_pairs driver-side would trade the sweep's
+    quadratic bug for a broadcast OOM at large SF — AQE decides
+    broadcast-vs-shuffle from the measured size instead."""
     ensure_session_determinism(spark)
     p = load(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_name")
     dn = (
@@ -661,7 +665,7 @@ def q_join_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     a, b = p.alias("a"), p.alias("b")
     return (
         a.join(
-            F.broadcast(name_pairs),
+            name_pairs,
             (F.col("a.p_brand") == F.col("brand"))
             & (F.col("a.p_name") == F.col("name_a")),
         )

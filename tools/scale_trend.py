@@ -27,6 +27,7 @@ import argparse
 import json
 import os
 import sys
+import threading
 import time
 
 sys.path.insert(
@@ -107,37 +108,41 @@ def run_sf(spark, qids, sf_dir: str, runs: int) -> dict:
     # longer). Spark: a watchdog cancels all jobs; DuckDB:
     # con.interrupt(). Timeouts land in errors{} — a qid too slow to
     # measure at scale IS a scale finding, visibly recorded.
-    import threading
-
     budget_s = float(os.environ.get("SPARK_GRAFT_SWEEP_BUDGET", "120"))
+
+    def guarded_force(qid: str) -> float:
+        """One force() under the per-qid wall budget; returns the wall.
+        EVERY run goes through this — the round-9 version guarded only
+        the cold run, so a qid that hangs on a WARM run (state left by
+        the cold pass, cache-pressure flakiness) could still stall the
+        sweep forever (ADVICE r9)."""
+        cancelled = threading.Event()
+
+        def _cancel() -> None:
+            cancelled.set()
+            spark.sparkContext.cancelAllJobs()
+
+        t0 = time.perf_counter()
+        watchdog = threading.Timer(budget_s, _cancel)
+        watchdog.start()
+        try:
+            force(registry.QUERIES[qid](spark, sf_dir))
+        finally:
+            watchdog.cancel()
+        if cancelled.is_set():
+            raise TimeoutError(f"spark wall > {budget_s}s (cancelled)")
+        return time.perf_counter() - t0
 
     cold, spark_t, errors = {}, {}, {}
     for i, qid in enumerate(qids):
         try:
-            cancelled = threading.Event()
-
-            def _cancel() -> None:
-                cancelled.set()
-                spark.sparkContext.cancelAllJobs()
-
-            t0 = time.perf_counter()
-            watchdog = threading.Timer(budget_s, _cancel)
-            watchdog.start()
-            try:
-                force(registry.QUERIES[qid](spark, sf_dir))
-            finally:
-                watchdog.cancel()
-            if cancelled.is_set():
-                raise TimeoutError(f"spark wall > {budget_s}s (cancelled)")
-            cold[qid] = round(time.perf_counter() - t0, 4)
+            cold[qid] = round(guarded_force(qid), 4)
             best = cold[qid]
             # a multi-second wall doesn't need best-of-N; spend warm
             # runs only where run-to-run noise actually matters
             n_warm = runs if cold[qid] < 30 else 1
             for _ in range(n_warm):
-                t0 = time.perf_counter()
-                force(registry.QUERIES[qid](spark, sf_dir))
-                best = min(best, time.perf_counter() - t0)
+                best = min(best, guarded_force(qid))
             spark_t[qid] = round(best, 4)
             # per-qid progress: the round-9 sweep sat invisible in one
             # grinding qid for an hour before a thread dump named it —
@@ -173,15 +178,41 @@ def run_sf(spark, qids, sf_dir: str, runs: int) -> dict:
             best = float("inf")
             for _ in range(runs):
                 # interrupt() cancels the running query; the connection
-                # stays usable for the next qid
-                watchdog = threading.Timer(budget_s, con.interrupt)
+                # stays usable for the next qid. The timer is routed
+                # through a running-flag guard (ADVICE r9): a bare
+                # Timer(budget_s, con.interrupt) could fire in the gap
+                # between fetchall() returning and watchdog.cancel(),
+                # leaving a stale interrupt to kill the NEXT query —
+                # whether DuckDB resets that flag at query start is
+                # undocumented, so don't rely on it.
+                running = threading.Event()
+                running.set()
+                fired = threading.Event()
+
+                def _interrupt() -> None:
+                    if running.is_set():
+                        fired.set()
+                        con.interrupt()
+
+                watchdog = threading.Timer(budget_s, _interrupt)
                 watchdog.start()
                 try:
                     t0 = time.perf_counter()
                     con.execute(sql).fetchall()
                     dt = time.perf_counter() - t0
                 finally:
+                    running.clear()
                     watchdog.cancel()
+                if fired.is_set():
+                    # the timer fired in the sliver between fetchall()
+                    # returning and running.clear(): the interrupt flag
+                    # is now stale and would kill the NEXT query. Absorb
+                    # it on a throwaway statement so qid N's timeout can
+                    # never misattribute to qid N+1.
+                    try:
+                        con.execute("SELECT 1").fetchall()
+                    except Exception:
+                        pass
                 best = min(best, dt)
                 if dt >= 30:
                     break  # multi-second walls don't need best-of-N
