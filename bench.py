@@ -289,30 +289,44 @@ def _loadavg() -> list[float]:
         return []
 
 
-def _wait_for_quiet(max_wait_s: int, threshold: float = 1.5) -> float:
+QUIET_THRESHOLD = 4.0  # 1-min loadavg gate (BASELINE.md protocol row)
+
+
+def _wait_for_quiet(max_wait_s: int,
+                    threshold: float = QUIET_THRESHOLD) -> tuple[float, bool]:
     """Bounded wait for the 1-min load to drop under ``threshold``
     before the timed region starts. This box shows ambient load bursts
     (BASELINE.md: ±13% r8 band attributed to them with per-run loadavg
-    evidence); a record taken mid-burst misreads as a regression. The
-    wait is BOUNDED — worst case we run anyway and the recorded
-    loadavg_start flags the context. Returns seconds waited."""
+    evidence); the OFFICIAL r9 record started at loadavg 13-17 and
+    overstated the wall by ~30% vs the quiet band — VERDICT r9 #2 made
+    this an enforced gate. The wait is still BOUNDED — worst case we
+    run anyway — but the record now carries ``load_gated``: True means
+    the timed region started quiet; False flags the record as
+    load-contaminated so round-over-round comparisons can discount it.
+    Returns (seconds waited, load_gated)."""
     t0 = time.perf_counter()
     deadline = t0 + max_wait_s
-    while time.perf_counter() < deadline:
+    while True:
         la = _loadavg()
         if not la or la[0] < threshold:
-            break
+            return round(time.perf_counter() - t0, 1), True
+        if time.perf_counter() >= deadline:
+            return round(time.perf_counter() - t0, 1), False
         time.sleep(5)
-    return round(time.perf_counter() - t0, 1)
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
-    # opt out with SPARK_GRAFT_QUIET_WAIT=0; default 120 s cap
-    quiet_wait = int(os.environ.get("SPARK_GRAFT_QUIET_WAIT", "120"))
-    waited = _wait_for_quiet(quiet_wait) if quiet_wait > 0 else 0.0
+    # opt out with SPARK_GRAFT_QUIET_WAIT=0; default 600 s cap (the r9
+    # 120 s cap ran out mid-burst and produced the contaminated record)
+    quiet_wait = int(os.environ.get("SPARK_GRAFT_QUIET_WAIT", "600"))
+    if quiet_wait > 0:
+        waited, load_gated = _wait_for_quiet(quiet_wait)
+    else:
+        la = _loadavg()
+        waited, load_gated = 0.0, bool(not la or la[0] < QUIET_THRESHOLD)
     load_start = _loadavg()
 
     registry.load_all()
@@ -385,22 +399,51 @@ def main() -> None:
     # Floor probe: see measure_floor — the gate is reported both raw
     # and floor-adjusted.
     floor = measure_floor(spark, runs)
+    # Timed region: per-qid CONSECUTIVE best-of-N, the r2-r9 protocol.
+    # (A full-pass restructure was tried for the r10 band and measured
+    # 2-3x slower across the board: interleaving 130 distinct plans
+    # between repeats thrashes the whole-stage-codegen compilation
+    # cache, so every "warm" run recompiled. Consecutive repeats are
+    # the honest warm number; the cache is also raised in
+    # session.get_spark.) The per-run times are kept per column so the
+    # BAND (VERDICT r9 #6) derives from the same work: pass_i = sum
+    # over headline qids of each qid's i-th consecutive run — the
+    # six-run-style band now rides in the primary artifact instead of
+    # BASELINE.md prose. Raise SPARK_GRAFT_BENCH_RUNS for a wider band.
+    run_times: dict[str, list[float]] = {}
     times: dict[str, float] = {}
     extra_times: dict[str, float] = {}
     for qid in qids + extra_qids:
         if qid not in cold_times:
             continue  # cold run errored; don't abort the whole bench
         fn = registry.QUERIES[qid]
-        best = float("inf")
+        rs: list[float] = []
         try:
             for _ in range(runs):
                 t0 = time.perf_counter()
                 force(fn(spark, sf_dir))
-                best = min(best, time.perf_counter() - t0)
+                rs.append(time.perf_counter() - t0)
         except Exception as ex:  # keep the bench runnable every round
             print(f"TIMED ERROR {qid}: {str(ex)[:120]}", file=sys.stderr)
             continue
-        (times if qid in qids else extra_times)[qid] = round(best, 4)
+        run_times[qid] = rs
+        (times if qid in qids else extra_times)[qid] = round(min(rs), 4)
+    pass_walls = [
+        round(sum(run_times[q][i] for q in qids if q in run_times), 4)
+        for i in range(runs)
+    ]
+    walls = sorted(pass_walls)
+    band = {
+        "n": len(walls),
+        "min": walls[0],
+        "median": walls[len(walls) // 2],
+        "max": walls[-1],
+        "passes": pass_walls,
+        "note": "pass_i = sum over headline qids of each qid's i-th "
+        "consecutive run; 'value' remains sum of per-qid best-of-n. "
+        "pass_1 may carry residual first-run effects (codegen, "
+        "artifact cache fill) the later passes don't.",
+    }
 
     # DuckDB side of the BASELINE gate (Spark ≤ 2× DuckDB per qid):
     # time each headline qid's oracle twin on the same parquet so the
@@ -472,6 +515,7 @@ def main() -> None:
         "ratios": ratios,
         "ratios_floor_adjusted": ratios_floor_adj,
         "floor_sec": floor,
+        "band": band,
         "ratio_class": classes,
         "gate": gate,
         # no-silent-caps: a qid that errored out of the timed set is
@@ -480,6 +524,7 @@ def main() -> None:
         "topk_per_group_path": topk_path,
         "sf": sf,
         "quiet_wait_sec": waited,
+        "load_gated": load_gated,
         "loadavg_start": load_start,
         "loadavg_end": _loadavg(),
     }
@@ -503,6 +548,8 @@ def main() -> None:
                 "topk_per_group_path": topk_path,
                 "full_record": "BENCH_FULL.json",
                 "sf": sf,
+                "band": {k: band[k] for k in ("n", "min", "median", "max")},
+                "load_gated": load_gated,
                 "loadavg": [load_start, _loadavg()],
             }
         )

@@ -70,6 +70,14 @@ def get_spark(
         # and log a SparkStringUtils WARN per run; plan STRINGS are only
         # built for explain/debug, so raising the cap costs nothing.
         .config("spark.sql.debug.maxToStringFields", "2000")
+        # Whole-stage-codegen compilation cache: the 100-entry default
+        # thrashes under this package's multi-query sweeps (driver
+        # correctness runs and bench passes execute 130-300 distinct
+        # plans; measured: re-running q_agg_group after 40 other
+        # queries costs +40% from recompilation alone). Generated
+        # classes are small; 3000 entries keeps every sweep's codegen
+        # resident.
+        .config("spark.sql.codegen.cache.maxEntries", "3000")
     )
     return builder.getOrCreate()
 

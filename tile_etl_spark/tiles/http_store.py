@@ -33,6 +33,7 @@ admission envelope via task-slot admission (SURVEY §2A A12).
 from __future__ import annotations
 
 import http.client
+import socket
 import threading
 import time
 from collections.abc import Iterator
@@ -67,16 +68,34 @@ class ObjectStoreError(Exception):
 class LocalObjectStore:
     """In-process threaded HTTP object store with scriptable faults.
 
-    ``faults`` maps object key → list of status codes to serve (and
+    ``faults`` maps object key → list of fault entries to serve (and
     pop) BEFORE the PUT is accepted; e.g. ``{"a/b": [503, 503]}``
-    makes the first two attempts fail transiently. ``attempts`` counts
-    every PUT request per key, including failed ones.
+    makes the first two attempts fail transiently. A fault entry is an
+    int status code, ``"disconnect"`` (the socket is shut down with no
+    response bytes — a mid-stream disconnect as the client sees it), or
+    ``"stall:<seconds>"`` (the handler sleeps past the client's timeout
+    before answering — a server hang). ``burst_window_s`` scripts a
+    GLOBAL 503 burst: a wall-clock window, opened by the first PUT to
+    arrive, during which EVERY request fails — the way a real store
+    throttles a hot prefix. Time-windowed, not request-counted, on
+    purpose: a counted burst is drained by the victims' own retries,
+    so with few client threads one key's retry loop can eat the whole
+    budget and dead-letter spuriously; a time window is escaped by any
+    client whose cumulative backoff exceeds it, deterministically and
+    independent of concurrency. ``burst_hits`` counts requests the
+    burst rejected. ``attempts`` counts every PUT request per key,
+    including failed ones; ``stores`` counts ACCEPTED writes per key,
+    so a test can assert exactly-once storage under retries.
     """
 
     def __init__(self) -> None:
         self.objects: dict[str, tuple[bytes, dict[str, str]]] = {}
-        self.faults: dict[str, list[int]] = {}
+        self.faults: dict[str, list] = {}
         self.attempts: dict[str, int] = {}
+        self.stores: dict[str, int] = {}
+        self.burst_window_s: float = 0.0
+        self.burst_hits: int = 0
+        self._burst_until: float | None = None
         self._lock = threading.Lock()
         store = self
 
@@ -92,15 +111,48 @@ class LocalObjectStore:
                 body = self.rfile.read(length)
                 with store._lock:
                     store.attempts[key] = store.attempts.get(key, 0) + 1
-                    pending = store.faults.get(key)
-                    if pending:
-                        code = pending.pop(0)
-                        self.send_response(code)
-                        if code == 429:
+                    fault = None
+                    if store.burst_window_s > 0:
+                        now = time.monotonic()
+                        if store._burst_until is None:
+                            # first request opens the scripted window
+                            store._burst_until = now + store.burst_window_s
+                        if now < store._burst_until:
+                            store.burst_hits += 1
+                            fault = 503
+                    if fault is None:
+                        pending = store.faults.get(key)
+                        if pending:
+                            fault = pending.pop(0)
+                if fault == "disconnect":
+                    # no response bytes at all: the client sees a
+                    # reset/empty status on a connection it believed
+                    # healthy — the keep-alive worst case
+                    try:
+                        self.connection.shutdown(socket.SHUT_RDWR)
+                    except OSError:
+                        pass
+                    self.close_connection = True
+                    return
+                if isinstance(fault, str) and fault.startswith("stall:"):
+                    # server hang: sleep PAST the client timeout (the
+                    # fault must not hold the store lock — other
+                    # connections keep working), then answer a socket
+                    # the client has usually abandoned
+                    time.sleep(float(fault.split(":", 1)[1]))
+                    fault = 503
+                if fault is not None:
+                    try:
+                        self.send_response(fault)
+                        if fault == 429:
                             self.send_header("Retry-After", "0.01")
                         self.send_header("Content-Length", "0")
                         self.end_headers()
-                        return
+                    except OSError:
+                        # client gave up while we stalled
+                        self.close_connection = True
+                    return
+                with store._lock:
                     meta = {
                         "content-type": self.headers.get(
                             "Content-Type", ""
@@ -108,13 +160,17 @@ class LocalObjectStore:
                         "x-amz-acl": self.headers.get("x-amz-acl", ""),
                     }
                     store.objects[key] = (body, meta)
+                    store.stores[key] = store.stores.get(key, 0) + 1
                 import hashlib
 
                 etag = hashlib.md5(body).hexdigest()
-                self.send_response(200)
-                self.send_header("ETag", f'"{etag}"')
-                self.send_header("Content-Length", "0")
-                self.end_headers()
+                try:
+                    self.send_response(200)
+                    self.send_header("ETag", f'"{etag}"')
+                    self.send_header("Content-Length", "0")
+                    self.end_headers()
+                except OSError:
+                    self.close_connection = True
 
             def do_GET(self) -> None:
                 key = self.path.lstrip("/")
@@ -274,6 +330,7 @@ def objectstore_sink_http(
     acl: str = "public-read",
     max_attempts: int = 4,
     backoff_base_s: float = 0.02,
+    timeout_s: float = 10.0,
 ) -> DataFrame:
     """Distributed PUT of (object_key, content) rows over HTTP.
 
@@ -291,6 +348,7 @@ def objectstore_sink_http(
             endpoint,
             max_attempts=max_attempts,
             backoff_base_s=backoff_base_s,
+            timeout_s=timeout_s,
         )
         try:
             for pdf in it:
