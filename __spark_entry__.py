@@ -37,6 +37,20 @@ FLAGSHIP = "q_agg_group"
 # when added (VERDICT r7 #6 discipline: every addition gets a driver row
 # same-round). Ordering only — no semantic changes in this list.
 _PRIORITY = [
+    # oracle/semantics changed THIS round (r10): needs a fresh driver
+    # row same-round. q_pack_sequences/q_pack_efficiency re-scoped to
+    # chunked packing (result change); the portable-hash oracles hoist
+    # md5 out of the digit expansion and q_unpivot's twin became the
+    # UNION ALL form (same results, new oracle text); q_embed_knn_graph
+    # hoists the per-pair norm (same results).
+    "q_pack_sequences",
+    "q_pack_efficiency",
+    "q_minhash_portable",
+    "q_simhash_portable",
+    "q_sketch_overlap",
+    "q_dedup_eval",
+    "q_unpivot",
+    "q_embed_knn_graph",
     # latest driver row: r3
     "q_sample_stratified",
     "q_scan_project",
@@ -357,7 +371,9 @@ def _ordered(names: list[str]) -> list[str]:
     """Priority qids first, then the rest in registration order."""
     missing = [q for q in _PRIORITY if q not in registry.QUERIES]
     assert not missing, f"priority qids not registered: {missing}"
-    front = [q for q in _PRIORITY if q in names]
+    # dict.fromkeys: a qid spliced to the front this round also keeps
+    # its vintage-block row below — first occurrence wins
+    front = [q for q in dict.fromkeys(_PRIORITY) if q in names]
     return front + [q for q in names if q not in _PRIORITY]
 
 

@@ -74,17 +74,18 @@ def test_scrub_text_masks_pii(spark):
 
 def test_pack_sequences_invariants(spark, sf_dir):
     """Every bin fits the budget unless it holds a single over-budget
-    doc; bin ids are dense from 0 per lang."""
+    doc; bin ids are dense from 0 per (lang, chunk) shard."""
     rows = registry.QUERIES["q_pack_sequences"](spark, sf_dir).collect()
-    by_lang = {}
+    by_shard = {}
     for r in rows:
-        by_lang.setdefault(r["lang"], []).append(r)
-    for lang, bins in by_lang.items():
+        by_shard.setdefault((r["lang"], r["chunk"]), []).append(r)
+    assert len(by_shard) > 1  # the chunking actually shards
+    for shard, bins in by_shard.items():
         ids = sorted(b["bin_id"] for b in bins)
-        assert ids == list(range(len(ids))), lang  # dense 0..n-1
+        assert ids == list(range(len(ids))), shard  # dense 0..n-1
         for b in bins:
             assert b["bin_tokens"] <= PACK_BUDGET or b["n_docs"] == 1, (
-                lang,
+                shard,
                 b,
             )
 

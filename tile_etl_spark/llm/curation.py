@@ -480,63 +480,85 @@ def q_data_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- sequence packing ---------------------------------------------------
 
 PACK_BUDGET = 512
+# Packing shard width: greedy fill runs per (lang, chunk-of-256
+# doc_ids), not per lang. Re-scoped r10 after the registry-wide sf1
+# sweep: the per-lang form's DuckDB twin is a recursive CTE whose
+# frontier advances ONE doc per lang per iteration — O(docs_per_lang)
+# iterations x O(n) join each = quadratic, >120 s at sf1 — and the
+# per-lang Spark form is itself the anti-pattern the docstring warned
+# about (one sequential task per lang regardless of corpus size).
+# Chunked packing bounds BOTH: recursion depth <= max docs per chunk,
+# and every chunk packs independently in parallel.
+PACK_CHUNK = 256
 
 
 @query(
     "q_pack_sequences",
     oracle=f"""
     WITH RECURSIVE docs AS (
-      SELECT doc_id, lang, len(string_split(text, ' ')) AS tok,
-             row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+      SELECT doc_id, lang, doc_id // {PACK_CHUNK} AS chunk,
+             len(string_split(text, ' ')) AS tok,
+             row_number() OVER (PARTITION BY lang, doc_id // {PACK_CHUNK}
+                                ORDER BY doc_id) AS rn
       FROM documents
     ),
-    step(lang, rn, bin_id, fill) AS (
-      SELECT lang, rn, 0, tok FROM docs WHERE rn = 1
+    step(lang, chunk, rn, bin_id, fill) AS (
+      SELECT lang, chunk, rn, 0, tok FROM docs WHERE rn = 1
       UNION ALL
-      SELECT d.lang, d.rn,
+      SELECT d.lang, d.chunk, d.rn,
              CASE WHEN s.fill + d.tok <= {PACK_BUDGET}
                   THEN s.bin_id ELSE s.bin_id + 1 END,
              CASE WHEN s.fill + d.tok <= {PACK_BUDGET}
                   THEN s.fill + d.tok ELSE d.tok END
-      FROM step s JOIN docs d ON d.lang = s.lang AND d.rn = s.rn + 1
+      FROM step s JOIN docs d ON d.lang = s.lang AND d.chunk = s.chunk
+                             AND d.rn = s.rn + 1
     ),
     packed AS (
-      SELECT s.lang, s.bin_id, d.tok
-      FROM step s JOIN docs d ON d.lang = s.lang AND d.rn = s.rn
+      SELECT s.lang, s.chunk, s.bin_id, d.tok
+      FROM step s JOIN docs d ON d.lang = s.lang AND d.chunk = s.chunk
+                             AND d.rn = s.rn
     )
-    SELECT lang, CAST(bin_id AS BIGINT) AS bin_id,
+    SELECT lang, CAST(chunk AS BIGINT) AS chunk,
+           CAST(bin_id AS BIGINT) AS bin_id,
            CAST(count(*) AS BIGINT) AS n_docs,
            CAST(sum(tok) AS BIGINT) AS bin_tokens
-    FROM packed GROUP BY lang, bin_id
+    FROM packed GROUP BY lang, chunk, bin_id
     """,
 )
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SEQUENCE PACKING: greedy first-fit of documents (in doc_id
-    order, per lang) into {PACK_BUDGET}-token bins — the step that
-    turns a filtered corpus into fixed-length training sequences.
+    order, per (lang, chunk)) into {PACK_BUDGET}-token bins — the step
+    that turns a filtered corpus into fixed-length training sequences.
     Greedy in-order fill is inherently sequential, so it runs as an
     Arrow ``applyInPandas`` per group: a tight pandas loop over
     (already sorted) token counts, emitting a bin id per doc; Spark
-    then aggregates per (lang, bin).
+    then aggregates per (lang, chunk, bin).
 
     An over-budget document gets a bin of its own (fill = its own count
     — real pipelines would chunk it first) and the NEXT doc always
     starts fresh; the DuckDB oracle replays the identical rule as a
-    recursive CTE, one recursion step per doc per lang — fine at oracle
-    scale, sequential by construction at any scale, which is exactly
-    why the engine packs per group instead.
+    recursive CTE, one recursion step per doc per (lang, chunk).
 
-    Scale: bins are local to their (lang) group here; at 100 TB you
-    pack per (lang, shard) partition — same code with the shard id in
-    the groupBy — accepting per-shard bin numbering, since global
-    sequential numbering is the antithesis of distributed. Group state
-    is one integer pair; memory per task is the group's (doc_id, tok)
-    pairs only.
+    Scale (re-scoped r10, same rationale as q_join_theta's r9 bounded
+    probe): packing shards on (lang, chunk = doc_id // {PACK_CHUNK}),
+    accepting per-shard bin numbering — global sequential numbering is
+    the antithesis of distributed. The previous per-lang form had ONE
+    sequential task per lang (15 tasks forever, whatever the corpus)
+    and a quadratic oracle (recursion frontier = one doc per lang per
+    iteration over a full-table join; >120 s at sf1 in the r9 sweep).
+    Chunking bounds recursion depth by the chunk width and lets every
+    shard pack in parallel — both engines now scale linearly, and at
+    100 TB the chunk id doubles as the shard key the docstring always
+    prescribed. Group state is one integer pair; memory per task is
+    the group's (doc_id, tok) pairs only.
     """
     ensure_session_determinism(spark)
     d = _parallelize_docs(load(spark, sf_dir, "documents"))
     tok = d.select(
-        "lang", "doc_id", F.size(F.split("text", " ")).alias("tok")
+        "lang",
+        "doc_id",
+        (F.col("doc_id") / PACK_CHUNK).cast("long").alias("chunk"),
+        F.size(F.split("text", " ")).alias("tok"),
     )
 
     budget = PACK_BUDGET
@@ -558,12 +580,12 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
                 fill = t
             bins.append(bin_id)
         pdf["bin_id"] = bins
-        return pdf[["lang", "doc_id", "bin_id", "tok"]]
+        return pdf[["lang", "chunk", "doc_id", "bin_id", "tok"]]
 
-    packed = tok.groupBy("lang").applyInPandas(
-        pack, "lang string, doc_id long, bin_id long, tok long"
+    packed = tok.groupBy("lang", "chunk").applyInPandas(
+        pack, "lang string, chunk long, doc_id long, bin_id long, tok long"
     )
-    return packed.groupBy("lang", "bin_id").agg(
+    return packed.groupBy("lang", "chunk", "bin_id").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("tok").alias("bin_tokens"),
     )

@@ -1110,10 +1110,15 @@ def q_dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _duck_hex15_to_int(expr: str) -> str:
-    """Positional-digit expansion of the first 15 hex chars of md5
-    (≤ 2^60, fits BIGINT exactly in both engines — no hex-cast
-    dialect dependence, same trick as operators/analytics.py)."""
-    digit = f"(strpos('0123456789abcdef', substr(md5({expr}), {{i}}, 1)) - 1)"
+    """Positional-digit expansion of the first 15 hex chars of an
+    ALREADY-COMPUTED md5 hex string column (≤ 2^60, fits BIGINT exactly
+    in both engines — no hex-cast dialect dependence, same trick as
+    operators/analytics.py). Callers must hoist ``md5(...)`` into its
+    own CTE stage and pass that column here: inlining md5 into all 15
+    digit terms re-evaluated it 15x per row (DuckDB does not CSE
+    across the terms) — the r9 sf1 sweep's minhash/simhash oracle
+    walls were >5 min from exactly that."""
+    digit = f"(strpos('0123456789abcdef', substr({expr}, {{i}}, 1)) - 1)"
     return "(" + " + ".join(
         digit.format(i=i + 1) + f" * {16 ** (14 - i)}" for i in range(15)
     ) + ")"
@@ -1123,7 +1128,7 @@ def _minhash_portable_oracle() -> str:
     """DuckDB twin of the md5-keyed multiply-shift MinHash: HUGEINT
     arithmetic mod 2^64 then integer-divide by 2^32 replicates Java's
     wrapping (a·h + b) >>> 32 bit-for-bit."""
-    h = _duck_hex15_to_int("shingle")
+    h = _duck_hex15_to_int("hx")
     mins = []
     for p, (a, b) in enumerate(_perm_params()):
         a_u, b_u = a % (1 << 64), b % (1 << 64)
@@ -1143,7 +1148,8 @@ def _minhash_portable_oracle() -> str:
                i -> concat_ws(' ', w[i], w[i+1], w[i+2])))) AS shingle
       FROM words
     ),
-    hashed AS (SELECT doc_id, {h} AS h FROM sh),
+    hexed AS (SELECT doc_id, md5(shingle) AS hx FROM sh),
+    hashed AS (SELECT doc_id, {h} AS h FROM hexed),
     sigs AS (SELECT doc_id, {", ".join(mins)} FROM hashed GROUP BY doc_id)
     SELECT doc_id, concat_ws(',', {cols}) AS sig FROM sigs
     """
@@ -1195,7 +1201,7 @@ def q_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _simhash_portable_oracle() -> str:
-    h = _duck_hex15_to_int("word")
+    h = _duck_hex15_to_int("hx")
     votes = ", ".join(
         f"sum(CASE WHEN (h // {1 << j}) % 2 = 1 THEN 1 ELSE -1 END) AS v{j}"
         for j in range(60)
@@ -1209,7 +1215,8 @@ def _simhash_portable_oracle() -> str:
              unnest(list_distinct(string_split(text, ' '))) AS word
       FROM documents
     ),
-    hashed AS (SELECT doc_id, {h} AS h FROM words),
+    hexed AS (SELECT doc_id, md5(word) AS hx FROM words),
+    hashed AS (SELECT doc_id, {h} AS h FROM hexed),
     votes AS (SELECT doc_id, {votes} FROM hashed GROUP BY doc_id)
     SELECT doc_id, CAST({assemble} AS BIGINT) AS simhash60 FROM votes
     """
@@ -1515,7 +1522,7 @@ def q_join_setsim(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _simhash_sig_ctes() -> str:
     """DuckDB CTEs ending in ``sigs(doc_id, simhash60)`` — the portable
     SimHash construction, shared text with _simhash_portable_oracle."""
-    h = _duck_hex15_to_int("word")
+    h = _duck_hex15_to_int("hx")
     votes = ", ".join(
         f"sum(CASE WHEN (h // {1 << j}) % 2 = 1 THEN 1 ELSE -1 END) AS v{j}"
         for j in range(60)
@@ -1529,7 +1536,8 @@ def _simhash_sig_ctes() -> str:
              unnest(list_distinct(string_split(text, ' '))) AS word
       FROM documents
     ),
-    shashed AS (SELECT doc_id, {h} AS h FROM swords),
+    shexed AS (SELECT doc_id, md5(word) AS hx FROM swords),
+    shashed AS (SELECT doc_id, {h} AS h FROM shexed),
     svotes AS (SELECT doc_id, {votes} FROM shashed GROUP BY doc_id),
     sigs AS (
       SELECT doc_id, CAST({assemble} AS BIGINT) AS simhash60 FROM svotes
@@ -1665,7 +1673,7 @@ def _sketch_overlap_oracle() -> str:
     the language's shingle hashes — identical to min-merging per-doc
     sketches, min being associative), pairwise agreement-rate estimate,
     and the exact shingle-set Jaccard audit column."""
-    h = _duck_hex15_to_int("shingle")
+    h = _duck_hex15_to_int("hx")
     mins = []
     for p, (a, b) in enumerate(_perm_params()):
         a_u, b_u = a % (1 << 64), b % (1 << 64)
@@ -1688,7 +1696,8 @@ def _sketch_overlap_oracle() -> str:
                i -> concat_ws(' ', w[i], w[i+1], w[i+2])))) AS shingle
       FROM words
     ),
-    hashed AS (SELECT lang, shingle, {h} AS h FROM sh),
+    hexed AS (SELECT lang, md5(shingle) AS hx FROM sh),
+    hashed AS (SELECT lang, {h} AS h FROM hexed),
     sigs AS (SELECT lang, {", ".join(mins)} FROM hashed GROUP BY lang),
     sizes AS (SELECT lang, count(*) AS n FROM sh GROUP BY lang),
     inter AS (

@@ -597,13 +597,14 @@ _KNN_BLOCKS = 8  # same √corpus-scaled grid width as q_dedup_embed
     "q_embed_knn_graph",
     oracle=f"""
     WITH v AS (
-      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                   CAST(embedding AS DOUBLE[]))) AS nrm
+      FROM embeddings
     ),
     s AS (
       SELECT a.vec_id AS src, b.vec_id AS dst,
-             list_dot_product(a.e, b.e)
-               / (sqrt(list_dot_product(a.e, a.e))
-                  * sqrt(list_dot_product(b.e, b.e))) AS cos_raw
+             list_dot_product(a.e, b.e) / (a.nrm * b.nrm) AS cos_raw
       FROM v a JOIN v b ON a.vec_id <> b.vec_id
     ),
     r AS (

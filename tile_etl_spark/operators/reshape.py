@@ -78,14 +78,20 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_unpivot",
+    # UNION ALL form, not parallel-unnest: building two list literals
+    # per row cost DuckDB ~15 us/row (the r9 sf1 sweep interrupted this
+    # twin at 120 s; measured 301 s to completion at sf1). Three
+    # column-sliced scans of the same parquet are the vectorized
+    # equivalent — identical rows, >100x faster denominator.
     oracle="""
-    SELECT l_orderkey, l_linenumber, kind, round(amount, 6) AS amount
-    FROM (
-      SELECT l_orderkey, l_linenumber,
-             unnest(['price', 'discount', 'tax']) AS kind,
-             unnest([l_extendedprice, l_discount, l_tax]) AS amount
-      FROM lineitem
-    )
+    SELECT l_orderkey, l_linenumber, 'price' AS kind,
+           round(l_extendedprice, 6) AS amount FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'discount' AS kind,
+           round(l_discount, 6) AS amount FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'tax' AS kind,
+           round(l_tax, 6) AS amount FROM lineitem
     """,
 )
 def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:

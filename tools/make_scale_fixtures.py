@@ -69,7 +69,7 @@ STRIDES = {
     "vec_id": 10_000,
 }
 
-_RECIPE_V = "v2"
+_RECIPE_V = "v3"  # v3: sized row groups (see ROW_GROUP note in main)
 
 
 def _amplified_sql(k: int) -> dict[str, str]:
@@ -182,9 +182,25 @@ def main() -> None:
     t_start = time.perf_counter()
     for t in tables:
         dest = os.path.join(args.out, f"{t}.parquet")
+        # ROW GROUPS SIZED FOR PARALLELISM (v3): DuckDB parallelizes
+        # scans (and everything fused above them) per row group, and
+        # the v2 files used the 122,880-row default — documents (50k
+        # rows) and embeddings (20k) came out SINGLE-row-group, which
+        # serialized every DuckDB twin built on them (VERDICT r9: "the
+        # sf0.1 fixtures ... kept DuckDB effectively single-threaded";
+        # measured here: the minhash twin ran one core for ~10 min at
+        # sf1). ~48 groups per table lets the 32-core twin actually
+        # use the box, the same way Spark's scan splits do — a fairness
+        # fix for the DENOMINATOR, not a Spark-side tweak. (The
+        # driver's read-only sf0.1 fixtures keep their layout; only
+        # this derived sf1 set is ours to size.)
+        n_src = con.execute(
+            f"SELECT count(*) FROM ({sqls[t]})"
+        ).fetchone()[0]
+        rg = max(1024, -(-n_src // 48))
         con.execute(
             f"COPY ({sqls[t]}) TO '{dest}' "
-            "(FORMAT PARQUET, COMPRESSION SNAPPY)"
+            f"(FORMAT PARQUET, COMPRESSION SNAPPY, ROW_GROUP_SIZE {rg})"
         )
         counts[t] = con.execute(
             f"SELECT count(*) FROM read_parquet('{dest}')"

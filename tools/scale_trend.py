@@ -44,6 +44,18 @@ from bench import (  # noqa: E402
 from tile_etl_spark import registry  # noqa: E402
 from tile_etl_spark.session import get_spark  # noqa: E402
 
+# Oracles DECLARED infeasible at sf>=1 — recorded as explicit skips
+# with the reason, never as silent interrupt holes (VERDICT r9 #1).
+# Every entry must name the asymptotic cause; "slow" is not a reason.
+ORACLE_SF1_INFEASIBLE = {
+    "q_embed_knn_graph": (
+        "exact-KNN twin is O(n^2) 128-dim list_dot_products "
+        "(2.5e9 pairs at sf1) — quadratic by construction; the Spark "
+        "side (block GEMM, BLAS) stays measured and the sf0.1 oracle "
+        "wall anchors the ratio"
+    ),
+}
+
 # the 10 worst fair-ratio qids named in VERDICT r8 (q_multimodal_wavmeta
 # and q_tile_sync_delta were reclassed asymmetric_twin/artifact_cached
 # this round — kept here so the record shows their trend anyway)
@@ -165,6 +177,7 @@ def run_sf(spark, qids, sf_dir: str, runs: int) -> dict:
             continue
 
     duck_t = {}
+    declared_skips = {}
     import duckdb
 
     con = duckdb.connect()
@@ -173,6 +186,15 @@ def run_sf(spark, qids, sf_dir: str, runs: int) -> dict:
         q for q in qids if q in spark_t and registry.ORACLES.get(q)
     ]
     for i, qid in enumerate(oracle_qids):
+        if sf > 0.2 and qid in ORACLE_SF1_INFEASIBLE:
+            declared_skips[qid] = ORACLE_SF1_INFEASIBLE[qid]
+            print(
+                f"[duck {i + 1}/{len(oracle_qids)}] {qid}@{sf} "
+                "DECLARED SKIP (see oracle_declared_skips)",
+                file=sys.stderr,
+                flush=True,
+            )
+            continue
         sql = registry.ORACLES[qid]
         try:
             best = float("inf")
@@ -197,8 +219,15 @@ def run_sf(spark, qids, sf_dir: str, runs: int) -> dict:
                 watchdog = threading.Timer(budget_s, _interrupt)
                 watchdog.start()
                 try:
+                    # .arrow(), not .fetchall(): the result must be
+                    # fully MATERIALIZED for a fair wall, but Python
+                    # object conversion is not DuckDB's execution speed
+                    # — a 18M-row twin spent minutes in fetchall()
+                    # building PyObjects and read as an interrupt hole
+                    # in the r9 sweep. Columnar Arrow materialization
+                    # is the engine-comparable denominator.
                     t0 = time.perf_counter()
-                    con.execute(sql).fetchall()
+                    con.execute(sql).arrow()
                     dt = time.perf_counter() - t0
                 finally:
                     running.clear()
@@ -238,6 +267,7 @@ def run_sf(spark, qids, sf_dir: str, runs: int) -> dict:
         "duck": duck_t,
         "cold": cold,
         "errors": errors,
+        "oracle_declared_skips": declared_skips,
     }
 
 
@@ -317,6 +347,10 @@ def main() -> None:
         "sf01": lo.get("errors", {}),
         "sf1": hi.get("errors", {}),
     }
+    skips = {
+        "sf01": lo.get("oracle_declared_skips", {}),
+        "sf1": hi.get("oracle_declared_skips", {}),
+    }
     no_trend = sorted(q for q in qids if "trend" not in per_qid[q])
     out = {
         "metric": (
@@ -332,6 +366,7 @@ def main() -> None:
         "ratio_grew_over_1p15": grew,
         "no_trend": no_trend,
         "errors": errors,
+        "oracle_declared_skips": skips,
         "wall_sec": round(time.perf_counter() - t_all, 1),
         "loadavg": [round(x, 2) for x in os.getloadavg()],
         "detail": {"sf01": lo, "sf1": hi},
