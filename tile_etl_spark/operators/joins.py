@@ -638,7 +638,17 @@ def q_join_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .withColumn("ln", F.length("p_name"))
     )
-    na = dn.alias("na")
+    # Pin the probe-side width of the levenshtein join with a NUMBERED
+    # repartition: the distinct-name exchange is byte-tiny, so AQE
+    # coalesces it to ~1 partition, and the CPU cost here lives in the
+    # join RESIDUAL (the O(k·n) DP per candidate pair) ABOVE that
+    # exchange — the r10 sweep caught the whole DP stage on one core
+    # (48 s at sf1; 31 idle). Numbered repartitions are exempt from
+    # AQE coalescing — the same fix as q_cogroup_pandas (r9) and
+    # tiles.grid's explode fan-out. CPU-bound-above-tiny-exchange is
+    # exactly the case byte-based coalescing cannot see.
+    width = spark.sparkContext.defaultParallelism
+    na = dn.repartition(width, "p_brand", "ln").alias("na")
     nb = (
         dn.withColumn("d", F.explode(F.sequence(F.lit(-4), F.lit(4))))
         .withColumn("ln_join", F.col("ln") + F.col("d"))

@@ -69,7 +69,7 @@ STRIDES = {
     "vec_id": 10_000,
 }
 
-_RECIPE_V = "v3"  # v3: sized row groups (see ROW_GROUP note in main)
+_RECIPE_V = "v4"  # v3/v4: sized row groups (see ROW_GROUP note in main)
 
 
 def _amplified_sql(k: int) -> dict[str, str]:
@@ -194,14 +194,15 @@ def main() -> None:
         # fix for the DENOMINATOR, not a Spark-side tweak. (The
         # driver's read-only sf0.1 fixtures keep their layout; only
         # this derived sf1 set is ours to size.)
-        n_src = con.execute(
-            f"SELECT count(*) FROM ({sqls[t]})"
-        ).fetchone()[0]
-        rg = max(1024, -(-n_src // 48))
-        con.execute(
-            f"COPY ({sqls[t]}) TO '{dest}' "
-            f"(FORMAT PARQUET, COMPRESSION SNAPPY, ROW_GROUP_SIZE {rg})"
-        )
+        # pyarrow writer, not DuckDB COPY: COPY rounds ROW_GROUP_SIZE
+        # up to its 2048-row vector minimum, which still leaves the
+        # small tables (embeddings: 2k rows at sf0.1) single-group.
+        import pyarrow.parquet as pq
+
+        tbl = con.execute(sqls[t]).arrow()
+        rg = max(256, -(-tbl.num_rows // 48))
+        pq.write_table(tbl, dest, compression="snappy",
+                       row_group_size=rg)
         counts[t] = con.execute(
             f"SELECT count(*) FROM read_parquet('{dest}')"
         ).fetchone()[0]

@@ -1,0 +1,169 @@
+#!/usr/bin/env python
+"""Per-qid wall decomposition for the perf-weak headline qids
+(VERDICT r9 #4): for each qid, measure on the same session and
+fixtures
+
+  floor    — the near-empty force() job (job submission + scheduling
+             + noop commit), bench.measure_floor;
+  scan     — a bare scan of exactly the columns the qid reads from its
+             source tables (column-pruned parquet decode through the
+             same noop sink), the per-core JVM decode constant VERDICT
+             r9 measured on q_agg_group;
+  full     — the qid itself (best-of-N, bench protocol);
+  residual — full − scan − floor: the qid's own exchange/agg/Python
+             work beyond decode and fixed cost.
+
+DuckDB twin walls ride along so every component can be read against
+the denominator. Output: one JSON line + BENCH_DECOMP.json.
+
+Usage: python tools/perf_decompose.py [--runs 3] [--sf-dir DIR]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+from bench import duck_views, force, measure_floor  # noqa: E402
+from tile_etl_spark import registry  # noqa: E402
+from tile_etl_spark.io import load  # noqa: E402
+from tile_etl_spark.session import get_spark  # noqa: E402
+
+# The r9/r10 perf-weak fair-class headline qids, with the (table,
+# columns) sets their plans actually scan (read from the pinned plans'
+# ReadSchema). The scan probe reads exactly those columns and forces
+# through the same noop sink.
+SCAN_SETS: dict[str, list[tuple[str, list[str]]]] = {
+    "q_join_inner": [
+        ("lineitem", ["l_orderkey", "l_partkey", "l_suppkey",
+                      "l_extendedprice", "l_discount"]),
+        ("orders", ["o_orderkey", "o_custkey"]),
+        ("customer", ["c_custkey", "c_nationkey"]),
+        ("part", ["p_partkey", "p_name"]),
+        ("supplier", ["s_suppkey", "s_name"]),
+    ],
+    "q_join_broadcast": [
+        ("lineitem", ["l_orderkey", "l_partkey", "l_extendedprice"]),
+        ("part", ["p_partkey", "p_name"]),
+    ],
+    "q_agg_group": [
+        ("lineitem", ["l_returnflag", "l_linestatus", "l_quantity",
+                      "l_extendedprice", "l_discount", "l_tax"]),
+    ],
+    "q_agg_rollup": [
+        ("orders", ["o_orderstatus", "o_orderpriority", "o_totalprice"]),
+    ],
+    "q_pivot": [
+        ("orders", ["o_orderpriority", "o_orderstatus", "o_totalprice"]),
+    ],
+    "q_window_tumbling": [
+        ("events", ["ts", "event_type", "value"]),
+    ],
+    "q_udaf_grouped": [
+        ("events", ["event_id", "user_id", "value"]),
+    ],
+    "q_dedup_exact": [
+        ("documents", ["doc_id", "text"]),
+    ],
+    "q_sim_cosine_topk": [
+        ("embeddings", ["vec_id", "embedding"]),
+    ],
+}
+
+
+def best_of(fn, runs: int) -> float:
+    best = float("inf")
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        fn()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 4)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    args = ap.parse_args()
+
+    registry.load_all()
+    spark = get_spark(
+        app_name="tile-etl-spark-decompose",
+        shuffle_partitions="8",
+        adaptive="false",
+    )
+    force(spark.read.parquet(f"{args.sf_dir}/lineitem.parquet"))
+    floor = measure_floor(spark, args.runs)
+
+    import duckdb
+
+    con = duckdb.connect()
+    duck_views(con, args.sf_dir)
+
+    out = {}
+    for qid, scans in SCAN_SETS.items():
+        if qid not in registry.QUERIES:
+            continue
+        fn = registry.QUERIES[qid]
+        force(fn(spark, args.sf_dir))  # warm: artifact builds + codegen
+
+        def scan_all():
+            for t, cols in scans:
+                force(load(spark, args.sf_dir, t).select(*cols))
+
+        scan_all()  # warm the scan path too
+        scan = best_of(scan_all, args.runs)
+        full = best_of(lambda: force(fn(spark, args.sf_dir)), args.runs)
+        duck = None
+        sql = registry.ORACLES.get(qid)
+        if sql:
+            duck = best_of(lambda: con.execute(sql).arrow(), args.runs)
+        out[qid] = {
+            "floor": floor,
+            "scan": scan,
+            "full": full,
+            "residual": round(max(full - scan - floor, 0.0), 4),
+            "duck": duck,
+            "ratio_raw": round(full / duck, 2) if duck else None,
+            "ratio_residual": (
+                round(max(full - scan - floor, 0.0) / duck, 2)
+                if duck
+                else None
+            ),
+        }
+        print(f"{qid}: {json.dumps(out[qid])}", file=sys.stderr, flush=True)
+    con.close()
+    spark.stop()
+
+    rec = {
+        "metric": "perf_decomposition",
+        "sf_dir": args.sf_dir,
+        "runs": args.runs,
+        "floor_sec": floor,
+        "per_qid": out,
+        "loadavg": [round(x, 2) for x in os.getloadavg()],
+        "note": "scan = bare column-pruned decode of the qid's own "
+        "ReadSchema through the same noop sink; residual = full - scan "
+        "- floor (exchange/agg/Python work). ratio_residual divides "
+        "only the residual by the DuckDB twin wall — the part of the "
+        "ratio a plan change could still move.",
+    }
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "BENCH_DECOMP.json",
+    )
+    with open(path, "w") as f:
+        json.dump(rec, f, indent=1)
+        f.write("\n")
+    print(json.dumps(rec))
+
+
+if __name__ == "__main__":
+    main()

@@ -274,7 +274,18 @@ def run_sf(spark, qids, sf_dir: str, runs: int) -> dict:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--runs", type=int, default=3)
-    ap.add_argument("--sf01-dir", default="/root/testdata/sf0.1")
+    # DEFAULT sf0.1 side is the v4-LAYOUT TWIN of the driver fixtures
+    # (make_scale_fixtures --k 1), not the driver files themselves: the
+    # driver's sf0.1 parquet is single-row-group, which serializes the
+    # DuckDB twins, while our sf1 set is row-group-sized — a trend
+    # computed across MIXED layouts measures DuckDB's parallelism
+    # unlock, not scaling. Identical logical content (k=1 amplification
+    # is the identity); only the physical layout matches the sf1 side.
+    # The BASELINE bench gate (bench.py) still runs on the driver's
+    # own files.
+    ap.add_argument(
+        "--sf01-dir", default="/tmp/tile_etl_spark_scale/sf0.1"
+    )
     ap.add_argument("--sf1-dir", default="/tmp/tile_etl_spark_scale/sf1")
     ap.add_argument(
         "--full",
