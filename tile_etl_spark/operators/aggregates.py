@@ -487,27 +487,81 @@ def q_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     run only the sketch). The DuckDB twin asserts the same contract
     trivially (exact-vs-exact), so a sketch drifting out of tolerance
     is a hard hash mismatch. ``n_rows`` is a real cross-engine value
-    check. The ±5%% unit test on the raw estimates also remains."""
+    check. The ±5%% unit test on the raw estimates also remains.
+
+    The exact-median leg runs DISTRIBUTED (r10): ``F.percentile`` over
+    one global group buffers EVERY value in a single final aggregation
+    state — the single-reducer anti-pattern, and the registry sweep's
+    worst absolute wall (17.5 s at sf1, flagged in VERDICT r9 #1).
+    Bracket-and-refine instead: pass 1 aggregates the sketches plus a
+    tight rank bracket around the median (``percentile_approx`` with
+    accuracy 10000 guarantees rank error ≤ n/10000, so the 0.497/0.503
+    quantiles ALWAYS bracket rank (n−1)/2); pass 2 counts values below
+    the bracket and collects only the ~0.6%-of-n in-bracket window,
+    from which Spark's exact-percentile interpolation (0-based rank
+    r = (n−1)·p; v[floor r] + (v[ceil r] − v[floor r])·(r − floor r))
+    is reconstructed by array index — exact to the bit, and no stage
+    ever holds more than the window. The two collected rows are bounded
+    scalars (the q_sim_cosine_topk pattern). approx_count_distinct runs
+    at rsd 0.02 — the 0.05 default IS the tolerance being asserted, so
+    the sketch must be strictly tighter than the gate for the check to
+    measure drift rather than luck."""
     ensure_session_determinism(spark)
+    import math
+
     li = load(spark, sf_dir, "lineitem")
-    return li.agg(
+    v = F.col("l_extendedprice")
+    # Two separate head jobs on purpose: mixing count_distinct with
+    # non-distinct aggregates in ONE agg plans an Expand that
+    # replicates every input row per aggregate class (measured: the
+    # combined form cost 18 s at sf1). The distinct count and its HLL
+    # estimate both run over the distinct set (HLL of a set == HLL of
+    # the multiset), which is a plain partial+final hash agg.
+    dk = (
+        li.select("l_partkey")
+        .distinct()
+        .agg(
+            F.count(F.lit(1)).alias("cd"),
+            F.approx_count_distinct("l_partkey", 0.02).alias("acd"),
+        )
+        .collect()[0]
+    )
+    head = li.agg(
+        F.percentile_approx(
+            "l_extendedprice", [0.497, 0.5, 0.503], 10000
+        ).alias("br"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    lo, approx_median, hi = head["br"]
+    n = head["n"]
+    r0 = 0.5 * (n - 1)
+    flo, fhi = math.floor(r0), math.ceil(r0)
+    frac = r0 - flo
+    mid_lo = F.element_at(
+        "mid", (F.lit(flo) - F.col("below") + 1).cast("int")
+    )
+    mid_hi = F.element_at(
+        "mid", (F.lit(fhi) - F.col("below") + 1).cast("int")
+    )
+    exact = li.agg(
+        F.count(F.when(v < lo, 1)).alias("below"),
+        F.sort_array(
+            F.collect_list(F.when((v >= lo) & (v <= hi), v))
+        ).alias("mid"),
+    ).select(
+        (mid_lo + (mid_hi - mid_lo) * F.lit(float(frac))).alias(
+            "exact_median"
+        )
+    )
+    ok_distinct = abs(dk["acd"] - dk["cd"]) / dk["cd"] < 0.05
+    return exact.select(
+        F.lit(bool(ok_distinct)).alias("ok_distinct"),
         (
-            F.abs(
-                F.approx_count_distinct("l_partkey")
-                - F.count_distinct("l_partkey")
-            )
-            / F.count_distinct("l_partkey")
-            < F.lit(0.05)
-        ).alias("ok_distinct"),
-        (
-            F.abs(
-                F.percentile_approx("l_extendedprice", 0.5, 10000)
-                - F.percentile("l_extendedprice", 0.5)
-            )
-            / F.percentile("l_extendedprice", 0.5)
+            F.abs(F.lit(float(approx_median)) - F.col("exact_median"))
+            / F.col("exact_median")
             < F.lit(0.05)
         ).alias("ok_median"),
-        F.count(F.lit(1)).alias("n_rows"),
+        F.lit(int(n)).cast("bigint").alias("n_rows"),
     )
 
 
