@@ -638,20 +638,26 @@ def q_join_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .withColumn("ln", F.length("p_name"))
     )
-    # Pin the probe-side width of the levenshtein join with a NUMBERED
-    # repartition: the distinct-name exchange is byte-tiny, so AQE
-    # coalesces it to ~1 partition, and the CPU cost here lives in the
-    # join RESIDUAL (the O(k·n) DP per candidate pair) ABOVE that
-    # exchange — the r10 sweep caught the whole DP stage on one core
+    # Pin BOTH sides' width for the levenshtein join with NUMBERED
+    # repartitions: the distinct-name exchanges are byte-tiny, so AQE
+    # coalesces them to ~1 partition, and the CPU cost here lives in
+    # the join RESIDUAL (the O(k·n) DP per candidate pair) ABOVE those
+    # exchanges — the r10 sweep caught the whole DP stage on one core
     # (48 s at sf1; 31 idle). Numbered repartitions are exempt from
     # AQE coalescing — the same fix as q_cogroup_pandas (r9) and
-    # tiles.grid's explode fan-out. CPU-bound-above-tiny-exchange is
-    # exactly the case byte-based coalescing cannot see.
+    # tiles.grid's explode fan-out. Both sides, not just one: the
+    # planner picks the broadcast BUILD side from measured sizes
+    # (either fits), and pinning only one side leaves a one-task probe
+    # whenever the pinned side happens to be chosen as the build — the
+    # sweep caught exactly that flip (warm 3.5 s one run, 33 s the
+    # next). CPU-bound-above-tiny-exchange is the case byte-based
+    # coalescing cannot see.
     width = spark.sparkContext.defaultParallelism
     na = dn.repartition(width, "p_brand", "ln").alias("na")
     nb = (
         dn.withColumn("d", F.explode(F.sequence(F.lit(-4), F.lit(4))))
         .withColumn("ln_join", F.col("ln") + F.col("d"))
+        .repartition(width, "p_brand", "ln_join")
         .alias("nb")
     )
     dist = F.levenshtein(F.col("na.p_name"), F.col("nb.p_name"), 4)
