@@ -153,7 +153,11 @@ def main() -> None:
         "ReadSchema through the same noop sink; residual = full - scan "
         "- floor (exchange/agg/Python work). ratio_residual divides "
         "only the residual by the DuckDB twin wall — the part of the "
-        "ratio a plan change could still move.",
+        "ratio a plan change could still move. Caveat: a multi-table "
+        "scan probe pays one force() job overhead PER TABLE while the "
+        "qid pays it once, so scan slightly overstates decode for "
+        "multi-table qids (q_join_inner's full < scan is that effect); "
+        "a zero residual still reads correctly as decode+floor-bound.",
     }
     path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
