@@ -26,82 +26,28 @@ registry.load_all()
 _SMOKE_SF_DIR = "/root/testdata/sf0.001"
 FLAGSHIP = "q_agg_group"
 
-# Verification priority for DRIVER ROUND 10. The driver records ~50
+# Verification priority for DRIVER ROUND 11. The driver records ~50
 # CORRECTNESS rows per round from the FRONT of this list and may snapshot
 # the repo mid-round, so this ordering is committed at round START.
-# Per VERDICT r9 "Next round" #5: strictly STALEST-FIRST by each qid's
-# most recent driver row (computed mechanically from CORRECTNESS_r01..r09;
-# ties alphabetical). 13 r3-vintage stragglers the r9 sample didn't reach
-# lead, then the ~50-qid r4 block (VERDICT r9's named target), then
-# r5..r9. Any qid REGISTERED THIS ROUND is spliced in at the very front
-# when added (VERDICT r7 #6 discipline: every addition gets a driver row
-# same-round). Ordering only — no semantic changes in this list.
+# Per VERDICT r10 "Next round" #4: strictly STALEST-FIRST by each qid's
+# most recent driver row (computed mechanically from CORRECTNESS_r01..r10;
+# ties alphabetical). The r4 remainder (18 qids) leads, then the r5 block
+# (46) — together they fill the ~50-row sample — then r6..r10. Any qid
+# whose SEMANTICS were touched this round is spliced in at the very front
+# (VERDICT r7 #6 discipline: every touch gets a driver row same-round).
+# Ordering only — no semantic changes in this list.
 _PRIORITY = [
-    # oracle/semantics changed THIS round (r10): needs a fresh driver
-    # row same-round. q_pack_sequences/q_pack_efficiency re-scoped to
-    # chunked packing (result change); the portable-hash oracles hoist
-    # md5 out of the digit expansion and q_unpivot's twin became the
-    # UNION ALL form (same results, new oracle text); q_embed_knn_graph
-    # hoists the per-pair norm (same results).
+    # semantics touched THIS round (r11): q_pack_sequences' chunk key
+    # became true floor division (ADVICE r10; same results on the
+    # non-negative fixture ids) and q_agg_approx's median leg gained
+    # the non-null rank base + loud bracket guard (same results).
     "q_pack_sequences",
-    "q_pack_efficiency",
-    "q_minhash_portable",
-    "q_simhash_portable",
-    "q_sketch_overlap",
-    "q_dedup_eval",
-    "q_unpivot",
-    "q_embed_knn_graph",
-    # latest driver row: r3
-    "q_sample_stratified",
-    "q_scan_project",
-    "q_scan_pushdown",
-    "q_sim_ann_lsh",
-    "q_str_funcs2",
-    "q_text_normalize",
-    "q_text_repetition",
-    "q_tpch_q10",
-    "q_tpch_q3",
-    "q_tpch_q5",
-    "s_join",
-    "s_ss_join",
-    "src_orc",
+    "q_agg_approx",
     # latest driver row: r4
-    "q_abtest_ztest",
-    "q_agg_bitmap_distinct",
-    "q_agg_bloom_portable",
-    "q_agg_countmin",
-    "q_agg_entropy",
-    "q_agg_filtered",
-    "q_agg_incremental",
-    "q_agg_mode",
-    "q_agg_stringagg",
-    "q_agg_weighted_median",
-    "q_anomaly_window",
-    "q_context_pack",
-    "q_dedup_eval",
-    "q_dedup_incremental",
-    "q_dedup_segments",
-    "q_dedup_semantic",
-    "q_dedup_source_matrix",
-    "q_diff_in_diff",
-    "q_drift_chi2",
-    "q_embed_pq",
-    "q_embed_quality",
-    "q_embed_truncation_eval",
-    "q_epoch_shuffle",
-    "q_hybrid_rrf",
-    "q_join_setsim",
-    "q_join_skew_profile",
-    "q_mixture_interleave",
-    "q_multimodal_wavmeta",
-    "q_pack_efficiency",
-    "q_pareto",
-    "q_quality_agreement",
     "q_quality_model",
     "q_session_native",
     "q_shingle_novelty",
     "q_sim_ann_pq",
-    "q_sketch_overlap",
     "q_source_yield",
     "q_target_encode",
     "q_text_hapax",
@@ -135,7 +81,6 @@ _PRIORITY = [
     "q_delete_propagate",
     "q_dq_partition_stats",
     "q_embed_centroids",
-    "q_embed_knn_graph",
     "q_embed_prototype",
     "q_event_transitions",
     "q_feature_hash",
@@ -156,7 +101,6 @@ _PRIORITY = [
     "q_lateral_topn",
     "q_lm_doc_score",
     "q_map_in_arrow",
-    "q_minhash_portable",
     "q_multimodal_audio",
     "q_multimodal_pngmeta",
     "q_observe_metrics",
@@ -177,7 +121,6 @@ _PRIORITY = [
     "q_schema_evolution",
     "q_seasonality_dow",
     "q_session_paths",
-    "q_simhash_portable",
     "q_skyline",
     "q_sql_api",
     "q_sql_udf",
@@ -304,7 +247,6 @@ _PRIORITY = [
     "q_udtf",
     "q_union_all",
     "q_union_distinct",
-    "q_unpivot",
     "q_win_leadlag",
     "q_window_sliding",
     "q_window_tumbling",
@@ -347,7 +289,6 @@ _PRIORITY = [
     "q_merge_upsert",
     "q_mixture_weights",
     "q_multimodal_framesample",
-    "q_pack_sequences",
     "q_partition_prune",
     "q_pii_scrub",
     "q_project_expr",
@@ -364,6 +305,57 @@ _PRIORITY = [
     "s_stateful",
     "s_tumbling",
     "s_watermark",
+    # latest driver row: r10
+    "q_abtest_ztest",
+    "q_agg_bitmap_distinct",
+    "q_agg_bloom_portable",
+    "q_agg_countmin",
+    "q_agg_entropy",
+    "q_agg_filtered",
+    "q_agg_incremental",
+    "q_agg_mode",
+    "q_agg_stringagg",
+    "q_agg_weighted_median",
+    "q_anomaly_window",
+    "q_context_pack",
+    "q_dedup_eval",
+    "q_dedup_incremental",
+    "q_dedup_segments",
+    "q_dedup_semantic",
+    "q_dedup_source_matrix",
+    "q_diff_in_diff",
+    "q_drift_chi2",
+    "q_embed_knn_graph",
+    "q_embed_pq",
+    "q_embed_quality",
+    "q_embed_truncation_eval",
+    "q_epoch_shuffle",
+    "q_hybrid_rrf",
+    "q_join_setsim",
+    "q_join_skew_profile",
+    "q_minhash_portable",
+    "q_mixture_interleave",
+    "q_multimodal_wavmeta",
+    "q_pack_efficiency",
+    "q_pack_sequences",
+    "q_pareto",
+    "q_quality_agreement",
+    "q_sample_stratified",
+    "q_scan_project",
+    "q_scan_pushdown",
+    "q_sim_ann_lsh",
+    "q_simhash_portable",
+    "q_sketch_overlap",
+    "q_str_funcs2",
+    "q_text_normalize",
+    "q_text_repetition",
+    "q_tpch_q10",
+    "q_tpch_q3",
+    "q_tpch_q5",
+    "q_unpivot",
+    "s_join",
+    "s_ss_join",
+    "src_orc",
 ]
 
 

@@ -263,6 +263,14 @@ _ARTIFACT_CACHED = {
     "q_tile_grid", "q_tile_stats", "q_tile_sync_delta", "q_dedup_near",
 }
 _ASYMMETRIC_TWIN = {"q_multimodal_wavmeta", "q_multimodal_pngmeta"}
+#  - "two_action" (r11, VERDICT r10 #5): the Spark side runs TWO
+#    actions by construction — q_observe_metrics pins the `observe`
+#    listener API, which requires an observed action (the count())
+#    plus the 1-row result build — while the twin is one aggregation.
+#    At scale the observation rides a pass the pipeline makes anyway,
+#    so the 2x-ish wall is an artifact of the pinning harness, not a
+#    plan property; excluded from fair counts like the other classes.
+_TWO_ACTION = {"q_observe_metrics"}
 
 
 def ratio_class(qid: str) -> str:
@@ -274,7 +282,39 @@ def ratio_class(qid: str) -> str:
         return "artifact_cached"
     if qid in _ASYMMETRIC_TWIN:
         return "asymmetric_twin"
+    if qid in _TWO_ACTION:
+        return "two_action"
     return "fair"
+
+
+def box_probe() -> dict[str, float]:
+    """Fixed single-core CPU calibration, recorded in the artifact so
+    round-over-round comparisons can normalize for BOX speed. Round 11
+    found the machine itself drifting: r9's exact code re-run on the
+    r11 box measured 5.63 s against its own committed 3.55-3.79 s
+    band, and the Spark noop floor rose 0.025 -> 0.035 s on identical
+    code — cross-session wall comparisons without a box constant are
+    meaningless. Two probes: C-side throughput (sha256 over a hot
+    buffer) and interpreter speed (pure-python arithmetic loop). Both
+    deterministic, ~0.3 s total, run before the quiet wait and again
+    after the timed region."""
+    import hashlib
+
+    buf = b"\xa5" * 65536
+    t0 = time.perf_counter()
+    h = hashlib.sha256()
+    for _ in range(400):
+        h.update(buf)
+    sha = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    x = 0
+    for i in range(2_000_000):
+        x += i * i
+    loop = time.perf_counter() - t0
+    return {
+        "sha256_25mb_sec": round(sha, 4),
+        "pyloop_2m_sec": round(loop, 4),
+    }
 
 
 def _loadavg() -> list[float]:
@@ -290,6 +330,62 @@ def _loadavg() -> list[float]:
 
 
 QUIET_THRESHOLD = 4.0  # 1-min loadavg gate (BASELINE.md protocol row)
+
+# In-region contamination gate (VERDICT r10 #2). Loadavg cannot serve
+# here: the bench's OWN 32-thread JVM pushes 1-min load past 4 in any
+# healthy run (measured 4.9 on an otherwise idle box), so an absolute
+# loadavg threshold inside the region flags every pass — it certifies
+# nothing. The honest instrument is EXTERNAL CPU: total busy jiffies
+# from /proc/stat minus the jiffies consumed by our own process tree
+# (this python, the py4j JVM child, pyspark daemons/workers under it),
+# sampled around each qid's consecutive timed runs. Ambient bursts on
+# this box run 4-9 foreign cores; >2 of 32 cores of foreign work over
+# a qid's timed window marks that qid contaminated.
+EXTERNAL_CORES_THRESHOLD = 2.0
+_CLK_TCK = os.sysconf("SC_CLK_TCK") if hasattr(os, "sysconf") else 100
+
+
+def _cpu_sample() -> tuple[int, int]:
+    """(busy_jiffies_all_cpus, own_process_tree_jiffies) from /proc.
+
+    Own tree = this pid plus all live descendants (the JVM is our
+    child; pyspark daemons are its children), each process's
+    utime+stime+cutime+cstime — cutime/cstime only accrue for reaped
+    children, so adding them alongside live children's own time never
+    double-counts. The walk is a few ms and runs OUTSIDE the per-run
+    timed windows."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        vals = [int(x) for x in parts[1:]]
+        busy = sum(vals) - vals[3] - (vals[4] if len(vals) > 4 else 0)
+        info: dict[int, tuple[int, int]] = {}
+        for p in os.listdir("/proc"):
+            if not p.isdigit():
+                continue
+            try:
+                with open(f"/proc/{p}/stat") as f:
+                    s = f.read()
+            except OSError:
+                continue  # raced a process exit
+            rest = s[s.rindex(")") + 2:].split()
+            info[int(p)] = (
+                int(rest[1]),
+                int(rest[11]) + int(rest[12])
+                + int(rest[13]) + int(rest[14]),
+            )
+        kids: dict[int, list[int]] = {}
+        for pid, (ppid, _) in info.items():
+            kids.setdefault(ppid, []).append(pid)
+        own, stack = 0, [os.getpid()]
+        while stack:
+            p = stack.pop()
+            if p in info:
+                own += info[p][1]
+                stack.extend(kids.get(p, []))
+        return busy, own
+    except OSError:
+        return 0, 0
 
 
 def _wait_for_quiet(max_wait_s: int,
@@ -321,6 +417,7 @@ def main() -> None:
     sf = float(m.group(1)) if m else None
     # opt out with SPARK_GRAFT_QUIET_WAIT=0; default 600 s cap (the r9
     # 120 s cap ran out mid-burst and produced the contaminated record)
+    probe_start = box_probe()
     quiet_wait = int(os.environ.get("SPARK_GRAFT_QUIET_WAIT", "600"))
     if quiet_wait > 0:
         waited, load_gated = _wait_for_quiet(quiet_wait)
@@ -410,7 +507,19 @@ def main() -> None:
     # over headline qids of each qid's i-th consecutive run — the
     # six-run-style band now rides in the primary artifact instead of
     # BASELINE.md prose. Raise SPARK_GRAFT_BENCH_RUNS for a wider band.
+    # Per-qid contamination probe (VERDICT r10 #2): the r10 gate
+    # certified only the START of the timed region while 1-min load
+    # rose 3.68 -> 8.06 inside it. Because the timed loop is per-qid
+    # CONSECUTIVE, a time-local ambient burst lands on ALL N runs of
+    # whatever qid was executing — the meaningful contamination unit is
+    # the QID, not the pass. Each qid's timed window is bracketed by
+    # _cpu_sample(); foreign-core usage above EXTERNAL_CORES_THRESHOLD
+    # flags that qid (and, through the weighted mean, the passes its
+    # runs ride in). Loadavg is NOT used in-region: the bench's own
+    # JVM exceeds any sane absolute threshold (see EXTERNAL_CORES_
+    # THRESHOLD comment).
     run_times: dict[str, list[float]] = {}
+    qid_ext: dict[str, float] = {}
     times: dict[str, float] = {}
     extra_times: dict[str, float] = {}
     for qid in qids + extra_qids:
@@ -418,6 +527,8 @@ def main() -> None:
             continue  # cold run errored; don't abort the whole bench
         fn = registry.QUERIES[qid]
         rs: list[float] = []
+        b0, o0 = _cpu_sample()
+        tw0 = time.perf_counter()
         try:
             for _ in range(runs):
                 t0 = time.perf_counter()
@@ -426,23 +537,75 @@ def main() -> None:
         except Exception as ex:  # keep the bench runnable every round
             print(f"TIMED ERROR {qid}: {str(ex)[:120]}", file=sys.stderr)
             continue
+        dt = time.perf_counter() - tw0
+        b1, o1 = _cpu_sample()
         run_times[qid] = rs
+        qid_ext[qid] = (
+            max(0, (b1 - b0) - (o1 - o0)) / max(dt * _CLK_TCK, 1e-9)
+            if b1 > b0
+            else -1.0  # probe unavailable (non-/proc platform)
+        )
         (times if qid in qids else extra_times)[qid] = round(min(rs), 4)
+    flagged_qids = {
+        q: round(e, 2)
+        for q, e in qid_ext.items()
+        if e > EXTERNAL_CORES_THRESHOLD
+    }
     pass_walls = [
         round(sum(run_times[q][i] for q in qids if q in run_times), 4)
         for i in range(runs)
     ]
-    walls = sorted(pass_walls)
+    # pass-level external load = wall-weighted mean of the per-qid
+    # probes over that pass's constituent runs (a burst smears across
+    # a qid's runs, so per-pass numbers are indicative; flagged_qids is
+    # the authoritative list). A pass is clean iff none of its
+    # constituent headline qids was flagged.
+    pass_ext = []
+    for i in range(runs):
+        num = sum(
+            qid_ext[q] * run_times[q][i]
+            for q in qids
+            if q in run_times and qid_ext.get(q, -1) >= 0
+        )
+        den = sum(
+            run_times[q][i]
+            for q in qids
+            if q in run_times and qid_ext.get(q, -1) >= 0
+        )
+        pass_ext.append(round(num / den, 2) if den else -1.0)
+    pass_clean = [
+        not any(q in flagged_qids for q in qids if q in run_times)
+    ] * runs if flagged_qids else [True] * runs
+    clean_walls = sorted(
+        w for w, ok in zip(pass_walls, pass_clean) if ok
+    ) or sorted(pass_walls)
     band = {
-        "n": len(walls),
-        "min": walls[0],
-        "median": walls[len(walls) // 2],
-        "max": walls[-1],
-        "passes": pass_walls,
+        "n": len(pass_walls),
+        "clean_n": sum(pass_clean),
+        "min": clean_walls[0],
+        "median": clean_walls[len(clean_walls) // 2],
+        "max": clean_walls[-1],
+        "passes": [
+            {"wall": w, "external_cores": e, "clean": ok}
+            for w, e, ok in zip(pass_walls, pass_ext, pass_clean)
+        ],
+        "external_cores_threshold": EXTERNAL_CORES_THRESHOLD,
+        "flagged_qids": flagged_qids,
+        # headline sum with contamination-flagged qids dropped, so a
+        # partially-contaminated record stays comparable (alongside
+        # the list of what was dropped — no silent caps)
+        "headline_wall_excluding_flagged": round(
+            sum(v for q, v in times.items() if q not in flagged_qids), 4
+        ),
         "note": "pass_i = sum over headline qids of each qid's i-th "
         "consecutive run; 'value' remains sum of per-qid best-of-n. "
-        "pass_1 may carry residual first-run effects (codegen, "
-        "artifact cache fill) the later passes don't.",
+        "external_cores = foreign CPU (total busy minus our process "
+        "tree, /proc jiffies) during the timed windows; a qid above "
+        f"{EXTERNAL_CORES_THRESHOLD} cores is contamination-flagged "
+        "and flags every pass containing its runs (consecutive "
+        "timing puts a burst on all of a qid's runs at once). "
+        "clean_n=0 falls back to all-pass stats. pass_1 may carry "
+        "residual first-run effects (codegen, artifact cache fill).",
     }
 
     # DuckDB side of the BASELINE gate (Spark ≤ 2× DuckDB per qid):
@@ -527,6 +690,8 @@ def main() -> None:
         "load_gated": load_gated,
         "loadavg_start": load_start,
         "loadavg_end": _loadavg(),
+        "box_probe_start": probe_start,
+        "box_probe_end": box_probe(),
     }
     try:
         out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -551,6 +716,8 @@ def main() -> None:
                 "band": {k: band[k] for k in ("n", "min", "median", "max")},
                 "load_gated": load_gated,
                 "loadavg": [load_start, _loadavg()],
+                "box_probe": probe_start,
+                "flagged_qids": band["flagged_qids"],
             }
         )
     )

@@ -1,0 +1,248 @@
+"""Streaming chaos test (VERDICT r10 #6): the foreachBatch
+exactly-once upsert sink under INJECTED mid-batch kills and
+duplicate-epoch redelivery, in a REAL Structured Streaming run over
+the full events fixture — the streaming mirror of
+tests/test_http_sink_chaos.py's accounting rigor.
+
+The existing coverage exercises the crash windows synthetically
+(test_round8_pins.py drives ``upsert`` by hand on 3-row frames) and
+clean restarts (test_streaming.py's checkpoint recovery). This test
+closes the gap between them: the crashes happen INSIDE a live
+``writeStream.foreachBatch`` query, the restarts go through Spark's
+checkpoint/batch-id machinery (so the retried epoch arrives with the
+same epoch id the engine assigns, not one the test invents), and the
+accounting is exact — attempts per epoch, restarts, one version per
+epoch, poison rows provably purged, final state hash-equal to the
+one-shot batch twin.
+
+Fault classes injected (scripted per (epoch, attempt), like the HTTP
+chaos test's scripted 503s):
+ - crash_after_write: epoch N's data is FULLY written to v{N}, then
+   the batch fails before the checkpoint commits — the retry sees its
+   own complete output and must rebuild from the strictly-below
+   baseline (the classic double-apply window).
+ - crash_before_write: the batch fails before touching the sink — the
+   plain redelivery case.
+ - poison_then_crash: a PARTIAL/bogus v{N} lands (marker row with an
+   impossible user_id), then the batch fails — the retry must
+   overwrite the poison, never merge it.
+ - repeated crash: one epoch crashes on two consecutive attempts and
+   only the third succeeds.
+ - duplicate redelivery: an already-committed epoch's upsert is
+   applied twice back-to-back (a redelivered-but-committed batch);
+   the version's content must be byte-identical after the second
+   apply.
+"""
+
+from __future__ import annotations
+
+import os
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.utils import StreamingQueryException
+
+# The chaos run uses the largest fixture on disk so the per-batch
+# merge is non-trivial (sf0.01: 8 chunks over the full events table),
+# matching the sink chaos test's full-inventory discipline.
+_CHAOS_SF = (
+    "/root/testdata/sf0.01"
+    if os.path.exists("/root/testdata/sf0.01/events.parquet")
+    else os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+)
+
+POISON_USER = 99_999_999  # impossible user_id marking partial writes
+MAX_RESTARTS = 10
+
+
+def test_foreachbatch_chaos_exactly_once(spark, tmp_path):
+    from tile_etl_spark.io import load
+    from tile_etl_spark.streaming.queries import make_upsert_sink
+    from tile_etl_spark.streaming.replay import (
+        EVENTS_SCHEMA,
+        N_CHUNKS,
+        replay_dir,
+    )
+
+    chunks = replay_dir(spark, _CHAOS_SF)
+    base = str(tmp_path / "upsert")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(base)
+    inner, versions = make_upsert_sink(spark, base)
+
+    # fault script: (epoch, attempt) -> fault class. Epoch 5 crashes
+    # twice (poison first, then a full-write crash) so redelivery is
+    # exercised repeatedly on one epoch.
+    faults = {
+        (2, 1): "crash_after_write",
+        (4, 1): "crash_before_write",
+        (5, 1): "poison_then_crash",
+        (5, 2): "crash_after_write",
+    }
+    duplicate_epochs = {1, 6}
+    attempts: Counter[int] = Counter()
+
+    def _rows(path):
+        return sorted(map(tuple, spark.read.parquet(path).collect()))
+
+    def chaotic(batch_df, epoch_id):
+        epoch = int(epoch_id)
+        attempts[epoch] += 1
+        fault = faults.get((epoch, attempts[epoch]))
+        if fault == "crash_before_write":
+            raise RuntimeError(f"chaos: pre-write kill at epoch {epoch}")
+        if fault == "poison_then_crash":
+            # partial write: a bogus marker row lands at v{N}, then the
+            # task dies — the retry must rebuild v{N} from the
+            # strictly-below baseline, never from this junk.
+            spark.createDataFrame(
+                [(POISON_USER, -1.0, None, -1)],
+                "user_id bigint, last_value double, "
+                "last_ts timestamp, last_event_id bigint",
+            ).write.mode("overwrite").parquet(
+                os.path.join(base, f"v{epoch:05d}")
+            )
+            raise RuntimeError(f"chaos: mid-write kill at epoch {epoch}")
+        inner(batch_df, epoch_id)
+        if fault == "crash_after_write":
+            # data committed, checkpoint not: the exactly-once window
+            raise RuntimeError(f"chaos: post-write kill at epoch {epoch}")
+        if epoch in duplicate_epochs:
+            # duplicate redelivery of a committed epoch: re-applying
+            # must leave the version's content identical
+            before = _rows(os.path.join(base, f"v{epoch:05d}"))
+            inner(batch_df, epoch_id)
+            after = _rows(os.path.join(base, f"v{epoch:05d}"))
+            assert after == before, f"duplicate apply mutated v{epoch}"
+
+    def start():
+        stream = (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(chunks + "/chunk_*.parquet")
+        )
+        return (
+            stream.writeStream.foreachBatch(chaotic)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    restarts = 0
+    while True:
+        q = start()
+        try:
+            q.awaitTermination()
+            break
+        except StreamingQueryException:
+            restarts += 1
+            assert restarts <= MAX_RESTARTS, (
+                f"chaos run did not converge in {MAX_RESTARTS} restarts; "
+                f"attempts={dict(attempts)}"
+            )
+
+    # --- accounting (the chaos test's point) ---
+    # one restart per injected crash, no more
+    n_crashes = len(faults)
+    assert restarts == n_crashes, (restarts, n_crashes)
+    # exactly one version per epoch, contiguous — no epoch lost, none
+    # double-committed under a different id
+    vs = versions()
+    assert [os.path.basename(v) for v in vs] == [
+        f"v{i:05d}" for i in range(N_CHUNKS)
+    ]
+    # per-epoch attempt counts match the script exactly: crashed
+    # attempts + the one success; untouched epochs ran exactly once
+    expected_attempts = Counter({e: 1 for e in range(N_CHUNKS)})
+    for (epoch, _), _fault in faults.items():
+        expected_attempts[epoch] += 1
+    assert attempts == expected_attempts, (
+        dict(attempts),
+        dict(expected_attempts),
+    )
+    # the poison marker must be gone from the retried version and from
+    # every later version (it never entered a merge baseline)
+    for v in vs[5:]:
+        assert (
+            spark.read.parquet(v)
+            .filter(F.col("user_id") == POISON_USER)
+            .count()
+            == 0
+        ), f"poison row leaked into {v}"
+
+    # --- final state == one-shot batch twin (hash-equal) ---
+    key = F.struct("ts", "event_id")
+    batch = (
+        load(spark, _CHAOS_SF, "events")
+        .groupBy("user_id")
+        .agg(
+            F.max_by("value", key).alias("last_value"),
+            F.max("ts").alias("last_ts"),
+            F.max_by("event_id", key).alias("last_event_id"),
+        )
+    )
+    assert _rows(vs[-1]) == sorted(map(tuple, batch.collect()))
+
+
+@pytest.mark.parametrize("crash_epoch", [0])
+def test_foreachbatch_chaos_first_epoch_crash(spark, tmp_path, crash_epoch):
+    """Degenerate corner the main script skips: epoch 0 crashes after a
+    full write, so the retry has NO strictly-below baseline and its own
+    complete v00000 on disk — it must rebuild from the batch alone."""
+    from tile_etl_spark.io import load
+    from tile_etl_spark.streaming.queries import make_upsert_sink
+    from tile_etl_spark.streaming.replay import EVENTS_SCHEMA, replay_dir
+
+    chunks = replay_dir(spark, _CHAOS_SF)
+    base = str(tmp_path / "upsert0")
+    ckpt = str(tmp_path / "ckpt0")
+    os.makedirs(base)
+    inner, versions = make_upsert_sink(spark, base)
+    attempts: Counter[int] = Counter()
+
+    def chaotic(batch_df, epoch_id):
+        epoch = int(epoch_id)
+        attempts[epoch] += 1
+        inner(batch_df, epoch_id)
+        if epoch == crash_epoch and attempts[epoch] == 1:
+            raise RuntimeError("chaos: post-write kill at first epoch")
+
+    def start():
+        stream = (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .option("maxFilesPerTrigger", 4)
+            .parquet(chunks + "/chunk_*.parquet")
+        )
+        return (
+            stream.writeStream.foreachBatch(chaotic)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    restarts = 0
+    while True:
+        q = start()
+        try:
+            q.awaitTermination()
+            break
+        except StreamingQueryException:
+            restarts += 1
+            assert restarts <= MAX_RESTARTS
+
+    assert restarts == 1
+    assert attempts[crash_epoch] == 2
+    key = F.struct("ts", "event_id")
+    batch = (
+        load(spark, _CHAOS_SF, "events")
+        .groupBy("user_id")
+        .agg(
+            F.max_by("value", key).alias("last_value"),
+            F.max("ts").alias("last_ts"),
+            F.max_by("event_id", key).alias("last_event_id"),
+        )
+    )
+    assert sorted(
+        map(tuple, spark.read.parquet(versions()[-1]).collect())
+    ) == sorted(map(tuple, batch.collect()))

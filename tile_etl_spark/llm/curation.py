@@ -557,7 +557,10 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = d.select(
         "lang",
         "doc_id",
-        (F.col("doc_id") / PACK_CHUNK).cast("long").alias("chunk"),
+        # floor division to mirror DuckDB's `//` exactly (ADVICE r10:
+        # float-divide + cast('long') truncates toward zero and double-
+        # rounds — diverges from the oracle for negative or huge ids)
+        F.floor(F.col("doc_id") / PACK_CHUNK).cast("long").alias("chunk"),
         F.size(F.split("text", " ")).alias("tok"),
     )
 

@@ -530,28 +530,40 @@ def q_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx(
             "l_extendedprice", [0.497, 0.5, 0.503], 10000
         ).alias("br"),
-        F.count(F.lit(1)).alias("n"),
+        F.count(F.lit(1)).alias("n_all"),
+        # median ranks are over NON-NULL values only (ADVICE r10:
+        # percentile/percentile_approx ignore NULLs, so basing ranks
+        # on count(*) silently shifts the bracket if v is ever NULL)
+        F.count(v).alias("n"),
     ).collect()[0]
     lo, approx_median, hi = head["br"]
-    n = head["n"]
+    n, n_all = head["n"], head["n_all"]
     r0 = 0.5 * (n - 1)
     flo, fhi = math.floor(r0), math.ceil(r0)
     frac = r0 - flo
-    mid_lo = F.element_at(
-        "mid", (F.lit(flo) - F.col("below") + 1).cast("int")
-    )
-    mid_hi = F.element_at(
-        "mid", (F.lit(fhi) - F.col("below") + 1).cast("int")
-    )
+    idx_lo = (F.lit(flo) - F.col("below") + 1).cast("int")
+    idx_hi = (F.lit(fhi) - F.col("below") + 1).cast("int")
+    mid_lo = F.element_at("mid", idx_lo)
+    mid_hi = F.element_at("mid", idx_hi)
+    # Fail LOUDLY if the bracket guarantee is ever violated (ADVICE
+    # r10: an out-of-range element_at returns NULL and would yield a
+    # silent NULL median instead of an error).
+    bracket_ok = (idx_lo >= F.lit(1)) & (idx_hi <= F.size("mid"))
     exact = li.agg(
         F.count(F.when(v < lo, 1)).alias("below"),
         F.sort_array(
             F.collect_list(F.when((v >= lo) & (v <= hi), v))
         ).alias("mid"),
     ).select(
-        (mid_lo + (mid_hi - mid_lo) * F.lit(float(frac))).alias(
-            "exact_median"
+        F.when(
+            bracket_ok, mid_lo + (mid_hi - mid_lo) * F.lit(float(frac))
         )
+        .otherwise(
+            F.raise_error(
+                F.lit("q_agg_approx: median rank bracket violated")
+            ).cast("double")
+        )
+        .alias("exact_median")
     )
     ok_distinct = abs(dk["acd"] - dk["cd"]) / dk["cd"] < 0.05
     return exact.select(
@@ -561,7 +573,7 @@ def q_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("exact_median")
             < F.lit(0.05)
         ).alias("ok_median"),
-        F.lit(int(n)).cast("bigint").alias("n_rows"),
+        F.lit(int(n_all)).cast("bigint").alias("n_rows"),
     )
 
 

@@ -199,10 +199,21 @@ def main() -> None:
         # small tables (embeddings: 2k rows at sf0.1) single-group.
         import pyarrow.parquet as pq
 
-        tbl = con.execute(sqls[t]).arrow()
-        rg = max(256, -(-tbl.num_rows // 48))
-        pq.write_table(tbl, dest, compression="snappy",
-                       row_group_size=rg)
+        # STREAMED write (ADVICE r10): .arrow() materialized the whole
+        # amplified table in memory before writing — fine at --k 10,
+        # OOM risk at larger k. Count first (cheap), then stream
+        # record batches of the target row-group size through a
+        # ParquetWriter so layout is preserved without materialization.
+        n_rows = con.execute(
+            f"SELECT count(*) FROM ({sqls[t]})"
+        ).fetchone()[0]
+        rg = max(256, -(-n_rows // 48))
+        reader = con.execute(sqls[t]).fetch_record_batch(rg)
+        with pq.ParquetWriter(
+            dest, reader.schema, compression="snappy"
+        ) as writer:
+            for batch in reader:
+                writer.write_batch(batch)
         counts[t] = con.execute(
             f"SELECT count(*) FROM read_parquet('{dest}')"
         ).fetchone()[0]

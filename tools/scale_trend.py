@@ -232,6 +232,13 @@ def run_sf(spark, qids, sf_dir: str, runs: int) -> dict:
                 finally:
                     running.clear()
                     watchdog.cancel()
+                    # join() closes the remaining race (ADVICE r10):
+                    # the callback could have passed the running check
+                    # before clear() and be about to interrupt. After
+                    # join() the callback has either fully run (fired
+                    # set, absorbed below) or will never run — the
+                    # fired check can no longer lose the race.
+                    watchdog.join()
                 if fired.is_set():
                     # the timer fired in the sliver between fetchall()
                     # returning and running.clear(): the interrupt flag
