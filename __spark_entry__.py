@@ -39,10 +39,15 @@ FLAGSHIP = "q_agg_group"
 _PRIORITY = [
     # semantics touched THIS round (r11): q_pack_sequences' chunk key
     # became true floor division (ADVICE r10; same results on the
-    # non-negative fixture ids) and q_agg_approx's median leg gained
-    # the non-null rank base + loud bracket guard (same results).
+    # non-negative fixture ids); q_agg_approx's median leg gained the
+    # non-null rank base + loud bracket guard (same results); q_pivot
+    # re-planned single-pass (pivot has no Expand, the cells pre-agg
+    # only added a stage); cosine_topk ships float32 over Arrow and
+    # widens numpy-side (exact widening, same bits).
     "q_pack_sequences",
     "q_agg_approx",
+    "q_pivot",
+    "q_sim_cosine_topk",
     # latest driver row: r4
     "q_quality_model",
     "q_session_native",

@@ -102,9 +102,14 @@ def cosine_topk(
                 }
             )
 
-    cand = corpus.select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("e")
-    ).mapInPandas(scan, "probe_id bigint, vec_id bigint, cos_raw double")
+    # Ship the raw float32 arrays over Arrow and widen numpy-side:
+    # float->double widening is exact, so the math is bit-identical to
+    # casting JVM-side, at HALF the Arrow transfer bytes (the transfer,
+    # not the GEMM, dominates this stage's residual at small SF — and
+    # at 100 TB the saved network/serde bytes matter more).
+    cand = corpus.select("vec_id", F.col("embedding").alias("e")).mapInPandas(
+        scan, "probe_id bigint, vec_id bigint, cos_raw double"
+    )
     cand = cand.where(F.col("cos_raw") != float("-inf"))
     w = Window.partitionBy("probe_id").orderBy(
         F.col("cos_raw").desc(), F.col("vec_id").asc()

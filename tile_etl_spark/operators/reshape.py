@@ -35,44 +35,51 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     table). Planned as one aggregate with conditional expressions, same
     as the oracle's FILTER clauses.
 
-    The pivot's conditional aggregates run over the ~15 pre-aggregated
-    (priority, status) cells with exact BIGINT cent sums (the Q1 cell
-    decomposition — see aggregates._Q1_CELLS_SQL), not the fact rows:
-    bit-identical by additivity, no per-row decimal casts."""
+    DIRECT-PIVOT (r11, VERDICT r10 #3): pivot never uses Expand — with
+    multiple aggregates Spark plans it as an inner (group, pivot-col)
+    aggregate feeding a tiny `pivotfirst` aggregate — so unlike ROLLUP
+    there is no row replication for a cells pre-aggregation to save;
+    the r7-r10 form (cells agg + coalesce + pivot) stacked a THIRD
+    aggregate and stage on top for nothing, measured as most of the
+    qid's 2.6x reducible residual (BENCH_DECOMP). Pivoting the fact
+    rows directly keeps the inner aggregate fused with the scan's
+    partial agg; the second exchange moves only the ~15 finest-grain
+    rows at any scale. Per-row work stays exact-BIGINT cents (the Q1
+    cell decomposition's currency trick — see _Q1_CELLS_SQL) with the
+    decimal reconstruction on the ~5 result rows: bit-identical by
+    additivity, no per-row decimal casts."""
     ensure_session_determinism(spark)
     o = load(spark, sf_dir, "orders")
-    cells = (
-        o.groupBy("o_orderpriority", "o_orderstatus")
-        .agg(
-            F.sum(
-                F.round(F.col("o_totalprice") * 100).cast("bigint")
-            ).alias("pc"),
-            F.count(F.lit(1)).alias("cnt"),
-        )
-        .coalesce(1)
-    )
-    spend = F.col("pc").cast("decimal(30,0)") * F.lit(0.01).cast(
-        "decimal(3,2)"
-    )
     piv = (
-        cells.select(
-            "o_orderpriority", "o_orderstatus", spend.alias("s"), "cnt"
+        o.select(
+            "o_orderpriority",
+            "o_orderstatus",
+            F.round(F.col("o_totalprice") * 100)
+            .cast("bigint")
+            .alias("pc"),
         )
         .groupBy("o_orderpriority")
         .pivot("o_orderstatus", ["F", "O", "P"])
         .agg(
-            F.sum("cnt").cast("bigint").alias("n"),
-            as_double(F.sum("s")).alias("spend"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("pc").alias("pc"),
         )
     )
+
+    def spend(c: str):
+        return as_double(
+            F.col(c).cast("decimal(30,0)")
+            * F.lit(0.01).cast("decimal(3,2)")
+        )
+
     return piv.select(
         "o_orderpriority",
         F.coalesce("F_n", F.lit(0)).alias("n_f"),
         F.coalesce("O_n", F.lit(0)).alias("n_o"),
         F.coalesce("P_n", F.lit(0)).alias("n_p"),
-        F.col("F_spend").alias("spend_f"),
-        F.col("O_spend").alias("spend_o"),
-        F.col("P_spend").alias("spend_p"),
+        spend("F_pc").alias("spend_f"),
+        spend("O_pc").alias("spend_o"),
+        spend("P_pc").alias("spend_p"),
     )
 
 
