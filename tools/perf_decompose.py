@@ -91,7 +91,30 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    ap.add_argument(
+        "--fast-box-sha",
+        type=float,
+        default=0.0,
+        help="wait (up to 15 min) until bench.box_probe's sha256 "
+        "reading drops below this before starting — residual "
+        "comparisons across box-speed states are meaningless "
+        "(BASELINE.md r11 finding); 0 disables the gate",
+    )
     args = ap.parse_args()
+
+    from bench import box_probe
+
+    if args.fast_box_sha > 0:
+        deadline = time.perf_counter() + 900
+        while True:
+            p = box_probe()
+            if p["sha256_25mb_sec"] <= args.fast_box_sha:
+                break
+            if time.perf_counter() >= deadline:
+                print(f"fast-box gate timed out at {p}", file=sys.stderr)
+                break
+            time.sleep(20)
+    probe_start = box_probe()
 
     registry.load_all()
     spark = get_spark(
@@ -149,6 +172,8 @@ def main() -> None:
         "floor_sec": floor,
         "per_qid": out,
         "loadavg": [round(x, 2) for x in os.getloadavg()],
+        "box_probe_start": probe_start,
+        "box_probe_end": box_probe(),
         "note": "scan = bare column-pruned decode of the qid's own "
         "ReadSchema through the same noop sink; residual = full - scan "
         "- floor (exchange/agg/Python work). ratio_residual divides "

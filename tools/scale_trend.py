@@ -302,10 +302,18 @@ def main() -> None:
         "proof; writes to --out (default BENCH_SCALE_FULL.json)",
     )
     ap.add_argument("--out", default=None)
+    ap.add_argument(
+        "--qids",
+        default=None,
+        help="comma-separated qid list: targeted re-check of just the "
+        "queries a round touched (r11), instead of headline or --full",
+    )
     args = ap.parse_args()
 
     registry.load_all()
-    if args.full:
+    if args.qids:
+        qids = [q for q in args.qids.split(",") if q in registry.QUERIES]
+    elif args.full:
         # every qid with a DuckDB twin: batch oracles only (streaming
         # B/R qids have no denominator), every ratio class recorded —
         # the grew-list gate below applies to fair-class qids; the
