@@ -426,6 +426,23 @@ def main() -> None:
     sf = float(m.group(1)) if m else None
     # opt out with SPARK_GRAFT_QUIET_WAIT=0; default 600 s cap (the r9
     # 120 s cap ran out mid-burst and produced the contaminated record)
+    # Optional fast-box gate for RECORD runs (off by default): wait up
+    # to 15 min for the single-core probe to drop below the given
+    # sha256 reading. The r11 protocol showed the headline tracks box
+    # speed 3.77-5.21 s on identical code; a record taken on a slow-box
+    # minute understates the engine. 0.021 was the fast-mode reading
+    # across the r11 protocol.
+    box_gate = float(os.environ.get("SPARK_GRAFT_BOX_GATE_SHA", "0"))
+    if box_gate > 0:
+        deadline = time.perf_counter() + 900
+        while True:
+            p = box_probe()
+            if p["sha256_25mb_sec"] <= box_gate:
+                break
+            if time.perf_counter() >= deadline:
+                print(f"box gate timed out at {p}", file=sys.stderr)
+                break
+            time.sleep(20)
     probe_start = box_probe()
     quiet_wait = int(os.environ.get("SPARK_GRAFT_QUIET_WAIT", "600"))
     if quiet_wait > 0:
@@ -620,7 +637,11 @@ def main() -> None:
     # DuckDB side of the BASELINE gate (Spark ≤ 2× DuckDB per qid):
     # time each headline qid's oracle twin on the same parquet so the
     # bench record carries the ratio, not just the Spark absolute.
+    # The DENOMINATOR gets the same contamination probe as the Spark
+    # side: a foreign burst during a twin's window inflates the duck
+    # wall and understates the ratio — symmetric honesty.
     duck_times: dict[str, float] = {}
+    duck_flagged: dict[str, float] = {}
     try:
         import duckdb
 
@@ -631,14 +652,27 @@ def main() -> None:
             if not sql:
                 continue  # B/R qid: no SQL twin; ratio omitted by design
             best = float("inf")
+            b0, o0 = _cpu_sample()
+            tw0 = time.perf_counter()
             for _ in range(runs):
                 t0 = time.perf_counter()
                 con.execute(sql).fetchall()
                 best = min(best, time.perf_counter() - t0)
+            dt = time.perf_counter() - tw0
+            b1, o1 = _cpu_sample()
+            ext = (
+                max(0, (b1 - b0) - (o1 - o0))
+                / max(dt * _CLK_TCK, 1e-9)
+                if b1 > b0
+                else -1.0
+            )
+            if ext > EXTERNAL_CORES_THRESHOLD:
+                duck_flagged[qid] = round(ext, 2)
             duck_times[qid] = round(best, 4)
         con.close()
     except Exception as ex:
         print(f"DUCK ERROR: {str(ex)[:160]}", file=sys.stderr)
+    band["duck_flagged_qids"] = duck_flagged
 
     total = round(sum(times.values()), 4)
     all_times = {**times, **extra_times}
