@@ -209,3 +209,45 @@ def test_relayout_floor_fans_out_compute_bound_tables(spark):
     assert n_files == 8, n_files
     p001 = io_mod._scan_path(spark, "/root/testdata/sf0.001", "events")
     assert p001 == "/root/testdata/sf0.001/events.parquet"
+
+
+def test_median_refinement_loop_bounds_the_collected_window(
+    spark, sf_dir, duck, monkeypatch
+):
+    """r11: q_agg_approx's exact-median verification leg must never let
+    one aggregation state hold more than MEDIAN_WINDOW_MAX values — at
+    a fixed window FRACTION the r10 form collected ~2e-3*n values,
+    which is billions at 100 TB. Shrinking the cap below the fixture's
+    worst-case bound forces the distributed refinement pass(es) on the
+    small fixture; the result must still hash-match the oracle (an
+    ok_median=false or a bracket raise_error would break the compare),
+    and the refined bracket must agree with DuckDB's exact median."""
+    from tile_etl_spark import registry
+    from tile_etl_spark.operators import aggregates as agg_mod
+
+    registry.load_all()
+    # sf0.001 lineitem: n ~6000 -> worst-case bound ~29; cap 20 forces
+    # at least one refinement pass, and the post-pass bound (~16) exits
+    n = duck.execute(
+        "SELECT count(l_extendedprice) FROM lineitem"
+    ).fetchone()[0]
+    # direct path first (cap far above the fixture's worst-case bound)
+    direct = (
+        registry.QUERIES["q_agg_approx"](spark, sf_dir)
+        .collect()[0]
+        .asDict()
+    )
+    # force the refinement: the worst-case bound must exceed the cap,
+    # so the loop NECESSARILY runs (a broken refinement would misplace
+    # the bracket -> raise_error fires or ok_median goes NULL/false)
+    monkeypatch.setattr(agg_mod, "MEDIAN_WINDOW_MAX", 20)
+    bound = int(2 * (agg_mod.MEDIAN_EPS + 1e-4) * n) + 16
+    assert bound > 20, "fixture too small to force the loop"
+    refined = (
+        registry.QUERIES["q_agg_approx"](spark, sf_dir)
+        .collect()[0]
+        .asDict()
+    )
+    assert refined["ok_median"] is True and refined["ok_distinct"] is True
+    assert refined == direct  # loop path == direct path, field for field
+    assert refined["n_rows"] >= n

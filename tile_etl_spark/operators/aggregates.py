@@ -468,6 +468,16 @@ def q_agg_argminmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# q_agg_approx median bracket: margin 1e-3 vs the 1e-4 rank-error
+# guarantee of percentile_approx(accuracy=10000); worst-case window
+# fraction = 2*(MEDIAN_EPS + 1e-4) of n. MEDIAN_WINDOW_MAX is the most
+# values the final reconstruction lets ONE aggregation state hold —
+# module-level so the refinement-loop test can shrink it and force the
+# multi-pass path on a small fixture.
+MEDIAN_EPS = 1e-3
+MEDIAN_WINDOW_MAX = 200_000
+
+
 @query(
     "q_agg_approx",
     oracle="""
@@ -495,17 +505,30 @@ def q_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     worst absolute wall (17.5 s at sf1, flagged in VERDICT r9 #1).
     Bracket-and-refine instead: pass 1 aggregates the sketches plus a
     tight rank bracket around the median (``percentile_approx`` with
-    accuracy 10000 guarantees rank error ≤ n/10000, so the 0.497/0.503
-    quantiles ALWAYS bracket rank (n−1)/2); pass 2 counts values below
-    the bracket and collects only the ~0.6%-of-n in-bracket window,
-    from which Spark's exact-percentile interpolation (0-based rank
-    r = (n−1)·p; v[floor r] + (v[ceil r] − v[floor r])·(r − floor r))
-    is reconstructed by array index — exact to the bit, and no stage
-    ever holds more than the window. The two collected rows are bounded
-    scalars (the q_sim_cosine_topk pattern). approx_count_distinct runs
-    at rsd 0.02 — the 0.05 default IS the tolerance being asserted, so
-    the sketch must be strictly tighter than the gate for the check to
-    measure drift rather than luck."""
+    accuracy 10000 guarantees rank error ≤ n/10000, so quantiles
+    0.5±1e-3 ALWAYS bracket rank (n−1)/2 with 10x margin); the final
+    pass counts values below the bracket and collects only the
+    in-bracket window, from which Spark's exact-percentile
+    interpolation (0-based rank r = (n−1)·p; v[floor r] +
+    (v[ceil r] − v[floor r])·(r − floor r)) is reconstructed by array
+    index — exact to the bit.
+
+    The collected window is ABSOLUTELY bounded (r11): the r10 form
+    collected a fixed FRACTION (~2e-3) of n, which is a 3.6-billion-
+    value single aggregation state at 600 B rows — the same
+    single-reducer pathology the fix removed, deferred. When the
+    bracket's worst-case row count (2.2e-3·n, known driver-side from
+    the accuracy guarantee) exceeds MEDIAN_WINDOW_MAX, the bracket is
+    re-tightened WITHIN the window — each distributed refinement pass
+    multiplies the window by ~2.2e-3, so ≤4 passes bound any n up to
+    ~10^24 — and an all-ties window (lo == hi) short-circuits: every
+    bracketed rank holds that exact value. At bench SFs the bound
+    already holds, so ZERO extra passes run and the wall is unchanged.
+    The two collected rows are bounded scalars (the q_sim_cosine_topk
+    pattern). approx_count_distinct runs at rsd 0.02 — the 0.05
+    default IS the tolerance being asserted, so the sketch must be
+    strictly tighter than the gate for the check to measure drift
+    rather than luck."""
     ensure_session_determinism(spark)
     import math
 
@@ -528,7 +551,9 @@ def q_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     head = li.agg(
         F.percentile_approx(
-            "l_extendedprice", [0.497, 0.5, 0.503], 10000
+            "l_extendedprice",
+            [0.5 - MEDIAN_EPS, 0.5, 0.5 + MEDIAN_EPS],
+            10000,
         ).alias("br"),
         F.count(F.lit(1)).alias("n_all"),
         # median ranks are over NON-NULL values only (ADVICE r10:
@@ -541,6 +566,55 @@ def q_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     r0 = 0.5 * (n - 1)
     flo, fhi = math.floor(r0), math.ceil(r0)
     frac = r0 - flo
+    # Distributed refinement (r11): the window's worst-case row count
+    # is known driver-side from the accuracy guarantee; while it can
+    # exceed what one aggregation state may hold, re-tighten the
+    # bracket WITHIN the window — each pass multiplies the window by
+    # ~2.2e-3, so any real n converges in a few passes. Ties collapse
+    # the bracket (lo == hi): every bracketed rank IS that value.
+    bound = int(2 * (MEDIAN_EPS + 1e-4) * n) + 16
+    iters = 0
+    while bound > MEDIAN_WINDOW_MAX and lo < hi:
+        iters += 1
+        if iters > 4:  # 450x shrink per pass; 4 passes cover n~1e24
+            raise RuntimeError(
+                "q_agg_approx: median bracket refinement did not "
+                f"converge (bound={bound} after {iters - 1} passes)"
+            )
+        st = li.agg(
+            F.count(F.when(v < lo, 1)).alias("below"),
+            F.count(F.when((v >= lo) & (v <= hi), 1)).alias("inside"),
+        ).collect()[0]
+        below_c, inside = st["below"], st["inside"]
+        denom = max(inside - 1, 1)
+        f_lo = max(0.0, (flo - below_c) / denom - MEDIAN_EPS)
+        f_hi = min(1.0, (fhi - below_c) / denom + MEDIAN_EPS)
+        br = (
+            li.where((v >= lo) & (v <= hi))
+            .agg(
+                F.percentile_approx(
+                    "l_extendedprice", [f_lo, f_hi], 10000
+                ).alias("b")
+            )
+            .collect()[0]["b"]
+        )
+        lo, hi = br
+        bound = int(2 * (MEDIAN_EPS + 1e-4) * inside) + 16
+    if lo == hi:
+        # all bracketed ranks hold this exact value — no window needed
+        exact = spark.range(1).select(
+            F.lit(float(lo)).alias("exact_median")
+        )
+        ok_distinct = abs(dk["acd"] - dk["cd"]) / dk["cd"] < 0.05
+        return exact.select(
+            F.lit(bool(ok_distinct)).alias("ok_distinct"),
+            (
+                F.abs(F.lit(float(approx_median)) - F.col("exact_median"))
+                / F.col("exact_median")
+                < F.lit(0.05)
+            ).alias("ok_median"),
+            F.lit(int(n_all)).cast("bigint").alias("n_rows"),
+        )
     idx_lo = (F.lit(flo) - F.col("below") + 1).cast("int")
     idx_hi = (F.lit(fhi) - F.col("below") + 1).cast("int")
     mid_lo = F.element_at("mid", idx_lo)
