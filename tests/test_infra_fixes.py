@@ -251,3 +251,59 @@ def test_median_refinement_loop_bounds_the_collected_window(
     assert refined["ok_median"] is True and refined["ok_distinct"] is True
     assert refined == direct  # loop path == direct path, field for field
     assert refined["n_rows"] >= n
+
+
+def test_cpu_probe_separates_own_tree_from_external_load():
+    """r11: bench's contamination gate rests on _cpu_sample attributing
+    CPU to our process tree vs foreign processes. Pin both directions:
+    (a) CPU burned by THIS process (and a child) counts as own, not
+    external; (b) CPU burned by an ORPHANED process (double-fork, so it
+    reparents away from us) shows up as external."""
+    import os
+    import subprocess
+    import sys
+    import time
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    from bench import _CLK_TCK, _cpu_sample
+
+    burn = (
+        "import time,sys\n"
+        "t0=time.perf_counter()\n"
+        "x=0\n"
+        "while time.perf_counter()-t0 < float(sys.argv[1]): x+=1\n"
+    )
+
+    # (a) own tree: a direct child burning ~0.5 s must be attributed
+    b0, o0 = _cpu_sample()
+    t0 = time.perf_counter()
+    subprocess.run([sys.executable, "-c", burn, "0.5"], check=True)
+    dt = time.perf_counter() - t0
+    b1, o1 = _cpu_sample()
+    own = (o1 - o0) / (dt * _CLK_TCK)
+    ext = max(0, (b1 - b0) - (o1 - o0)) / (dt * _CLK_TCK)
+    assert own > 0.5, f"child CPU not attributed to own tree: {own}"
+    assert ext < 0.9, f"own child misread as external: {ext}"
+
+    # (b) external: double-fork an orphan burner (reparents to init,
+    # leaves our tree), wait for it to finish by wall clock
+    dur = 0.6
+    pid = os.fork()
+    if pid == 0:
+        if os.fork() == 0:
+            os.execv(sys.executable, [sys.executable, "-c", burn,
+                                      str(dur)])
+        os._exit(0)
+    os.waitpid(pid, 0)  # reap the intermediate; burner is orphaned
+    time.sleep(0.05)  # let the orphan reparent + start burning
+    b0, o0 = _cpu_sample()
+    t0 = time.perf_counter()
+    time.sleep(dur * 0.7)  # sample window fully inside the burn
+    dt = time.perf_counter() - t0
+    b1, o1 = _cpu_sample()
+    ext = max(0, (b1 - b0) - (o1 - o0)) / (dt * _CLK_TCK)
+    time.sleep(dur)  # let the orphan exit before the test returns
+    # ambient noise exists on this box; the orphan burns a full core,
+    # so anything clearly above half a core proves attribution
+    assert ext > 0.5, f"orphan burner not seen as external: {ext}"
