@@ -758,9 +758,16 @@ def s_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    out = spark.read.parquet(os.path.join(sink, "e*")).localCheckpoint(
-        eager=True
+    # concrete epoch dirs, not the "e*" glob: a glob path makes
+    # FileStreamSink.hasMetadata throw-and-WARN a full stacktrace into
+    # every driver/bench tail (it cannot stat a wildcard); explicit
+    # existing dirs take the quiet no-metadata path
+    epochs = sorted(
+        os.path.join(sink, d)
+        for d in os.listdir(sink)
+        if d.startswith("e")
     )
+    out = spark.read.parquet(*epochs).localCheckpoint(eager=True)
     idx_sh.unpersist()
     idx_sizes.unpersist()
     shutil.rmtree(ckpt, ignore_errors=True)
