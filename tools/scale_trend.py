@@ -89,6 +89,9 @@ def _sf_of(sf_dir: str) -> float:
 
 
 def run_sf(spark, qids, sf_dir: str, runs: int) -> dict:
+    from bench import box_probe
+
+    probe_start = box_probe()
     sf = _sf_of(sf_dir)
     # bench.py per-SF policy, applied as runtime conf
     small = sf <= 0.2
@@ -275,6 +278,12 @@ def run_sf(spark, qids, sf_dir: str, runs: int) -> dict:
         "cold": cold,
         "errors": errors,
         "oracle_declared_skips": declared_skips,
+        # box-speed constant bracketing this SF block (BASELINE.md r11
+        # finding): a full sweep's sf0.1 and sf1 blocks run ~an hour
+        # apart, so a box-speed swing between them masquerades as a
+        # scale trend — the probes let a reader discount that.
+        "box_probe_start": probe_start,
+        "box_probe_end": box_probe(),
     }
 
 
