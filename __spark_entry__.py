@@ -48,6 +48,9 @@ _PRIORITY = [
     "q_agg_approx",
     "q_pivot",
     "q_sim_cosine_topk",
+    # r11 broadcast audit: setsim's vocab-/doc-sized join sides lost
+    # their forced broadcast hints (planner threshold decides)
+    "q_join_setsim",
     # latest driver row: r4
     "q_quality_model",
     "q_session_native",

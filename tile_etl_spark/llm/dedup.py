@@ -1418,9 +1418,15 @@ def q_join_setsim(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash must match exactly. Rarest-first ordering makes prefixes
     maximally selective (common tokens never generate candidates).
 
-    Scale shape: token frequencies are |vocab| rows (broadcast);
-    per-doc ordering is a doc-partitioned window; candidates come from
-    an equi-join on PREFIX tokens only — the frequency-aware exact
+    Scale shape: token frequencies are |vocab| rows and per-doc sizes
+    are |docs| rows — both UNBOUNDED in the corpus, so neither side is
+    broadcast-HINTED (r11 audit: a forced broadcast of a corpus-sized
+    aggregate is an executor OOM at 100 TB; the planner's
+    autoBroadcastJoinThreshold still broadcasts them while they
+    genuinely fit, and plans a shuffled hash join beyond that — the
+    equi-join keys keep it co-partitioned either way). Per-doc
+    ordering is a doc-partitioned window; candidates come from an
+    equi-join on PREFIX tokens only — the frequency-aware exact
     alternative to LSH when recall must be 1.0 — and the verify tier
     is the same intersection-as-join-key shape as exact_jaccard."""
     ensure_session_determinism(spark)
@@ -1437,8 +1443,8 @@ def q_join_setsim(spark: SparkSession, sf_dir: str) -> DataFrame:
     # no-order count-over-partition is its OWN WindowExec pass on top
     # of the rarest-first sort below.
     ranked = (
-        toks.join(F.broadcast(freq), "tok")
-        .join(F.broadcast(sizes), "doc_id")
+        toks.join(freq, "tok")
+        .join(sizes, "doc_id")
         .withColumn("pos", F.row_number().over(w_ord))
     )
     # persisted: the prefix feeds BOTH sides of the candidate
