@@ -26,78 +26,25 @@ registry.load_all()
 _SMOKE_SF_DIR = "/root/testdata/sf0.001"
 FLAGSHIP = "q_agg_group"
 
-# Verification priority for DRIVER ROUND 11. The driver records ~50
+# Verification priority for DRIVER ROUND 12. The driver records ~50
 # CORRECTNESS rows per round from the FRONT of this list and may snapshot
 # the repo mid-round, so this ordering is committed at round START.
-# Per VERDICT r10 "Next round" #4: strictly STALEST-FIRST by each qid's
-# most recent driver row (computed mechanically from CORRECTNESS_r01..r10;
-# ties alphabetical). The r4 remainder (18 qids) leads, then the r5 block
-# (46) — together they fill the ~50-row sample — then r6..r10. Any qid
-# whose SEMANTICS were touched this round is spliced in at the very front
-# (VERDICT r7 #6 discipline: every touch gets a driver row same-round).
+# Strictly STALEST-FIRST by each qid's most recent driver row, computed
+# mechanically from CORRECTNESS_r01..r11 (ties alphabetical) and deduped
+# by construction (ADVICE r11: the r11 hand-splice duplicated 5 qids).
+# The 19 r5-vintage qids lead, then the 47 r6-vintage — together they
+# overfill the ~50-row sample — then r7..r11. Any qid whose SEMANTICS
+# were touched this round is spliced in at the very front. The full 306
+# ordering is written out so the tail needs no fallback logic.
 # Ordering only — no semantic changes in this list.
 _PRIORITY = [
-    # semantics touched THIS round (r11): q_pack_sequences' chunk key
-    # became true floor division (ADVICE r10; same results on the
-    # non-negative fixture ids); q_agg_approx's median leg gained the
-    # non-null rank base + loud bracket guard (same results); q_pivot
-    # re-planned single-pass (pivot has no Expand, the cells pre-agg
-    # only added a stage); cosine_topk ships float32 over Arrow and
-    # widens numpy-side (exact widening, same bits).
-    "q_pack_sequences",
+    # semantics touched THIS round (r12): q_agg_approx's exact-median
+    # reconstruction became tie-safe (strict-interior collect + counted
+    # tie blocks, verified lo==hi collapse — ADVICE r11 medium); same
+    # results on the tie-free fixture, but every touch gets a driver row
+    # same-round (VERDICT r7 #6 discipline).
     "q_agg_approx",
-    "q_pivot",
-    "q_sim_cosine_topk",
-    # r11 broadcast audit: setsim's vocab-/doc-sized join sides lost
-    # their forced broadcast hints (planner threshold decides)
-    "q_join_setsim",
-    # latest driver row: r4
-    "q_quality_model",
-    "q_session_native",
-    "q_shingle_novelty",
-    "q_sim_ann_pq",
-    "q_source_yield",
-    "q_target_encode",
-    "q_text_hapax",
-    "q_text_lang_confusion",
-    "q_tile_knn",
-    "q_tile_quadkey",
-    "q_tile_storage_plan",
-    "q_ts_changepoint",
-    "q_ts_gap_stats",
-    "q_ts_interpolate",
-    "q_ts_ohlc",
-    "q_ts_resample",
-    "q_win_regression",
-    "s_dedup_incremental",
     # latest driver row: r5
-    "q_array_funcs2",
-    "q_attribution",
-    "q_basket_pairs",
-    "q_bitwise_funcs",
-    "q_bm25",
-    "q_calendar_fill",
-    "q_cdc_apply",
-    "q_cohort_ltv",
-    "q_collation",
-    "q_corr_pearson",
-    "q_cumulative_uniques",
-    "q_cuped",
-    "q_dedup_cluster_stats",
-    "q_dedup_contain",
-    "q_dedup_url",
-    "q_delete_propagate",
-    "q_dq_partition_stats",
-    "q_embed_centroids",
-    "q_embed_prototype",
-    "q_event_transitions",
-    "q_feature_hash",
-    "q_feature_scale",
-    "q_funnel_ttc",
-    "q_generator_funcs",
-    "q_graph_bfs",
-    "q_graph_degree_dist",
-    "q_graph_triangles",
     "q_hist_equidepth",
     "q_hist_equiwidth",
     "q_hof_funcs",
@@ -182,7 +129,6 @@ _PRIORITY = [
     "q_join_nullsafe",
     "q_join_right",
     "q_join_semi",
-    "q_pivot",
     "q_rel_division",
     "q_scd2_snapshot",
     "q_sessionize",
@@ -215,7 +161,6 @@ _PRIORITY = [
     "src_text",
     "src_xml",
     # latest driver row: r8
-    "q_agg_approx",
     "q_agg_collect",
     "q_cast_types",
     "q_date_funcs",
@@ -234,7 +179,6 @@ _PRIORITY = [
     "q_multimodal_decode",
     "q_multimodal_join",
     "q_sim_ann_ivf",
-    "q_sim_cosine_topk",
     "q_str_funcs",
     "q_table_changes",
     "q_text_fingerprint",
@@ -339,13 +283,11 @@ _PRIORITY = [
     "q_embed_truncation_eval",
     "q_epoch_shuffle",
     "q_hybrid_rrf",
-    "q_join_setsim",
     "q_join_skew_profile",
     "q_minhash_portable",
     "q_mixture_interleave",
     "q_multimodal_wavmeta",
     "q_pack_efficiency",
-    "q_pack_sequences",
     "q_pareto",
     "q_quality_agreement",
     "q_sample_stratified",
@@ -364,6 +306,56 @@ _PRIORITY = [
     "s_join",
     "s_ss_join",
     "src_orc",
+    # latest driver row: r11
+    "q_array_funcs2",
+    "q_attribution",
+    "q_basket_pairs",
+    "q_bitwise_funcs",
+    "q_bm25",
+    "q_calendar_fill",
+    "q_cdc_apply",
+    "q_cohort_ltv",
+    "q_collation",
+    "q_corr_pearson",
+    "q_cumulative_uniques",
+    "q_cuped",
+    "q_dedup_cluster_stats",
+    "q_dedup_contain",
+    "q_dedup_url",
+    "q_delete_propagate",
+    "q_dq_partition_stats",
+    "q_embed_centroids",
+    "q_embed_prototype",
+    "q_event_transitions",
+    "q_feature_hash",
+    "q_feature_scale",
+    "q_funnel_ttc",
+    "q_generator_funcs",
+    "q_graph_bfs",
+    "q_graph_degree_dist",
+    "q_graph_triangles",
+    "q_join_setsim",
+    "q_pack_sequences",
+    "q_pivot",
+    "q_quality_model",
+    "q_session_native",
+    "q_shingle_novelty",
+    "q_sim_ann_pq",
+    "q_sim_cosine_topk",
+    "q_source_yield",
+    "q_target_encode",
+    "q_text_hapax",
+    "q_text_lang_confusion",
+    "q_tile_knn",
+    "q_tile_quadkey",
+    "q_tile_storage_plan",
+    "q_ts_changepoint",
+    "q_ts_gap_stats",
+    "q_ts_interpolate",
+    "q_ts_ohlc",
+    "q_ts_resample",
+    "q_win_regression",
+    "s_dedup_incremental",
 ]
 
 

@@ -101,6 +101,11 @@ def duck_views(con, sf_dir: str) -> None:
 # comparable across rounds (same 24-query set since r1). Spark + DuckDB
 # twins both recorded; merged into the same ratios dict.
 EXTRA = [
+    # ADVICE r11: q_agg_approx was reclassified asymmetric_twin the
+    # same round its implementation changed; record its absolute wall
+    # and raw ratio here every round so a regression stays visible
+    # even though the class excludes it from the fair gate.
+    "q_agg_approx",
     "q_join_bloom",
     "q_hist_equiwidth",
     "q_hist_equidepth",
@@ -294,6 +299,23 @@ def ratio_class(qid: str) -> str:
     if qid in _TWO_ACTION:
         return "two_action"
     return "fair"
+
+
+def box_probe_sha() -> float:
+    """The sha256 leg of box_probe alone (~20 ms): cheap enough to run
+    before EVERY timed qid window, so a mid-region host-throughput dip
+    (the documented 30-45% minute-scale swing, invisible between the
+    start/end probes — VERDICT r11 #3) is attributable in-artifact to
+    the qids that ran during it."""
+    import hashlib
+
+    buf = b"\xa5" * 65536
+    t0 = time.perf_counter()
+    h = hashlib.sha256()
+    for _ in range(400):
+        h.update(buf)
+    h.digest()
+    return round(time.perf_counter() - t0, 4)
 
 
 def box_probe() -> dict[str, float]:
@@ -546,6 +568,11 @@ def main() -> None:
     # THRESHOLD comment).
     run_times: dict[str, list[float]] = {}
     qid_ext: dict[str, float] = {}
+    # Per-qid box-speed bracket (VERDICT r11 #4): the external-cores
+    # probe sees foreign CPU but not the host's own throughput dips;
+    # a ~20 ms sha probe before each qid window builds a timeline that
+    # attributes a slow window to box speed in-artifact.
+    qid_box: dict[str, float] = {}
     times: dict[str, float] = {}
     extra_times: dict[str, float] = {}
     for qid in qids + extra_qids:
@@ -553,6 +580,7 @@ def main() -> None:
             continue  # cold run errored; don't abort the whole bench
         fn = registry.QUERIES[qid]
         rs: list[float] = []
+        qid_box[qid] = box_probe_sha()
         b0, o0 = _cpu_sample()
         tw0 = time.perf_counter()
         try:
@@ -605,6 +633,20 @@ def main() -> None:
     clean_walls = sorted(
         w for w, ok in zip(pass_walls, pass_clean) if ok
     ) or sorted(pass_walls)
+    # Box-speed summary over the timed region: the HEADLINE windows'
+    # probes (pass walls sum headline qids only) plus a closing probe.
+    box_tl = sorted(
+        [s for q, s in qid_box.items() if q in qids] + [box_probe_sha()]
+    )
+    box_sum = (
+        {
+            "sha_min": box_tl[0],
+            "sha_median": box_tl[len(box_tl) // 2],
+            "sha_max": box_tl[-1],
+        }
+        if box_tl
+        else {}
+    )
     band = {
         "n": len(pass_walls),
         "clean_n": sum(pass_clean),
@@ -612,11 +654,17 @@ def main() -> None:
         "median": clean_walls[len(clean_walls) // 2],
         "max": clean_walls[-1],
         "passes": [
-            {"wall": w, "external_cores": e, "clean": ok}
+            {"wall": w, "external_cores": e, "clean": ok,
+             "box_probe": box_sum}
             for w, e, ok in zip(pass_walls, pass_ext, pass_clean)
         ],
         "external_cores_threshold": EXTERNAL_CORES_THRESHOLD,
         "flagged_qids": flagged_qids,
+        # per-qid consecutive timing puts ALL passes of a qid inside
+        # one window, so each pass shares the region-wide probe
+        # timeline (box_probe above); this map attributes a dip to the
+        # specific qid windows it bracketed.
+        "qid_box_sha": {q: s for q, s in sorted(qid_box.items())},
         # headline sum with contamination-flagged qids dropped, so a
         # partially-contaminated record stays comparable (alongside
         # the list of what was dropped — no silent caps)

@@ -307,3 +307,77 @@ def test_cpu_probe_separates_own_tree_from_external_load():
     # ambient noise exists on this box; the orphan burns a full core,
     # so anything clearly above half a core proves attribution
     assert ext > 0.5, f"orphan burner not seen as external: {ext}"
+
+
+def test_median_tie_blocks_do_not_inflate_the_collected_window(
+    spark, tmp_path, monkeypatch
+):
+    """r12 (ADVICE r11 medium): the rank-span bound does not bound the
+    VALUE predicate (v>=lo)&(v<=hi) — a tie block at a bracket endpoint
+    puts every duplicate inside the window regardless of rank span, so
+    the r11 form's collect could hold ~|tie block| values while
+    claiming MEDIAN_WINDOW_MAX. The r12 reconstruction collects only
+    the strict interior and counts the tie blocks; verify correctness
+    on three adversarial shapes (endpoint tie block, median inside a
+    tie block with and without a forced refinement loop) against a
+    numpy exact median, and verify the interior stays bounded."""
+    import numpy as np
+    import pandas as pd
+
+    from tile_etl_spark import registry
+    from tile_etl_spark.operators import aggregates as agg_mod
+
+    registry.load_all()
+
+    case = [0]
+
+    def run(values, cap=None):
+        case[0] += 1
+        d = tmp_path / f"tie_{case[0]}"
+        d.mkdir()
+        pd.DataFrame(
+            {
+                "l_partkey": np.arange(len(values)) % 200,
+                "l_extendedprice": np.asarray(values, dtype="float64"),
+            }
+        ).to_parquet(d / "lineitem.parquet", index=False)
+        if cap is not None:
+            monkeypatch.setattr(agg_mod, "MEDIAN_WINDOW_MAX", cap)
+        else:
+            monkeypatch.setattr(agg_mod, "MEDIAN_WINDOW_MAX", 200_000)
+        row = (
+            registry.QUERIES["q_agg_approx"](spark, str(d))
+            .collect()[0]
+            .asDict()
+        )
+        assert row["ok_median"] is True, (values[:3], row)
+        assert row["n_rows"] == len(values)
+        # bit-exact check of the reconstruction itself (the ok_median
+        # boolean alone has 5% slack an off-by-one rank could hide in)
+        li = spark.read.parquet(str(d / "lineitem.parquet"))
+        frame, _, _, _ = agg_mod._exact_median_frame(
+            li, "l_extendedprice"
+        )
+        got = frame.collect()[0]["exact_median"]
+        want = float(np.percentile(values, 50, method="linear"))
+        assert got == want, (got, want)
+
+    rng = np.random.default_rng(7)
+    # (a) 2900-copy tie block at the LOW endpoint, median ranks just
+    # above it: the r11 window would hold all 2900 ties; the strict
+    # interior holds only the ~dozen rank-span values.
+    a = np.concatenate(
+        [np.full(2900, 10.0), 10.0 + np.cumsum(rng.uniform(0.01, 1.0, 3100))]
+    )
+    run(list(a))
+    # (b) median ranks INSIDE the tie block -> collapsed bracket path,
+    # now distributedly verified before being trusted.
+    b = np.concatenate(
+        [np.full(3500, 10.0), 10.0 + np.cumsum(rng.uniform(0.01, 1.0, 2500))]
+    )
+    run(list(b))
+    # (c) tie block + a cap small enough to force the refinement loop:
+    # the loop must converge (collapse or shrink) instead of counting
+    # ties against the bound forever, and the result stays exact.
+    run(list(a), cap=20)
+    run(list(b), cap=20)

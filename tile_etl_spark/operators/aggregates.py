@@ -478,6 +478,152 @@ MEDIAN_EPS = 1e-3
 MEDIAN_WINDOW_MAX = 200_000
 
 
+def _exact_median_frame(li, colname: str):
+    """Distributed exact-median verification leg shared by
+    q_agg_approx and its adversarial tests: bracket with
+    percentile_approx (rank error <= n/10000), refine the bracket
+    within the window while the rank-span bound exceeds
+    MEDIAN_WINDOW_MAX, then reconstruct the exact interpolated median
+    from (below, |ties of lo|, strict-interior array, |ties of hi|).
+    Returns (one-row DataFrame with column ``exact_median``,
+    approx_median, n_nonnull, n_all). Every collected intermediate is
+    a bounded scalar row; the one collect_list holds only the strict
+    interior, rank-span-bounded under ANY value distribution."""
+    import math
+
+    v = F.col(colname)
+    head = li.agg(
+        F.percentile_approx(
+            colname,
+            [0.5 - MEDIAN_EPS, 0.5, 0.5 + MEDIAN_EPS],
+            10000,
+        ).alias("br"),
+        F.count(F.lit(1)).alias("n_all"),
+        # median ranks are over NON-NULL values only (ADVICE r10:
+        # percentile/percentile_approx ignore NULLs, so basing ranks
+        # on count(*) silently shifts the bracket if v is ever NULL)
+        F.count(v).alias("n"),
+    ).collect()[0]
+    lo, approx_median, hi = head["br"]
+    n, n_all = head["n"], head["n_all"]
+    r0 = 0.5 * (n - 1)
+    flo, fhi = math.floor(r0), math.ceil(r0)
+    frac = r0 - flo
+    # Distributed refinement (r11): the window's worst-case rank span
+    # is known driver-side from the accuracy guarantee; while it can
+    # exceed what one aggregation state may hold, re-tighten the
+    # bracket WITHIN the window — each pass multiplies the span by
+    # ~2.2e-3, so any real n converges in a few passes. Ties collapse
+    # the bracket (lo == hi): every bracketed rank IS that value.
+    bound = int(2 * (MEDIAN_EPS + 1e-4) * n) + 16
+    iters = 0
+    while bound > MEDIAN_WINDOW_MAX and lo < hi:
+        iters += 1
+        # ~450x rank-span shrink per pass from a 2.2e-3*n start:
+        # 4 passes reach 200k only for n up to ~3.7e18, BELOW the
+        # bigint count max 9.2e18 (ADVICE r11) — 5 passes cover it.
+        if iters > 5:
+            raise RuntimeError(
+                "q_agg_approx: median bracket refinement did not "
+                f"converge (bound={bound} after {iters - 1} passes)"
+            )
+        st = li.agg(
+            F.count(F.when(v < lo, 1)).alias("below"),
+            F.count(F.when((v >= lo) & (v <= hi), 1)).alias("inside"),
+        ).collect()[0]
+        below_c, inside = st["below"], st["inside"]
+        denom = max(inside - 1, 1)
+        f_lo = max(0.0, (flo - below_c) / denom - MEDIAN_EPS)
+        f_hi = min(1.0, (fhi - below_c) / denom + MEDIAN_EPS)
+        br = (
+            li.where((v >= lo) & (v <= hi))
+            .agg(
+                F.percentile_approx(
+                    colname, [f_lo, f_hi], 10000
+                ).alias("b")
+            )
+            .collect()[0]["b"]
+        )
+        lo, hi = br
+        bound = int(2 * (MEDIAN_EPS + 1e-4) * inside) + 16
+    if lo == hi:
+        # Every bracketed rank holds this exact value — no window
+        # needed, but VERIFY the collapse distributedly before
+        # trusting it (ADVICE r11: the element_at path raise_errors on
+        # a misplaced bracket; this path must not be the silent one):
+        # both median ranks fall inside lo's tie block iff
+        # count(v < lo) <= flo and count(v <= lo) > fhi.
+        collapsed_ok = (F.col("below") <= F.lit(int(flo))) & (
+            F.col("below_eq") > F.lit(int(fhi))
+        )
+        exact = li.agg(
+            F.count(F.when(v < lo, 1)).alias("below"),
+            F.count(F.when(v <= lo, 1)).alias("below_eq"),
+        ).select(
+            F.when(collapsed_ok, F.lit(float(lo)))
+            .otherwise(
+                F.raise_error(
+                    F.lit(
+                        "q_agg_approx: collapsed median bracket "
+                        "violated (tie block misses a median rank)"
+                    )
+                ).cast("double")
+            )
+            .alias("exact_median")
+        )
+        return exact, approx_median, n, n_all
+    # Tie-safe reconstruction (ADVICE r11): collect ONLY the strict
+    # interior lo < v < hi — its count is rank-span-bounded under any
+    # distribution — and count the tie blocks at lo/hi. The sorted
+    # window is conceptually [lo]*eq_lo ++ mid ++ [hi]*eq_hi starting
+    # at global rank ``below``; resolve each median rank by arithmetic.
+    lo_end = F.col("below") + F.col("eq_lo")  # first rank AFTER lo ties
+    mid_end = lo_end + F.size("mid")  # first rank of hi's tie block
+
+    def rank_value(r: int):
+        rr = F.lit(int(r))
+        return (
+            F.when(rr < lo_end, F.lit(float(lo)))
+            .when(
+                rr < mid_end,
+                F.element_at("mid", (rr - lo_end + 1).cast("int")),
+            )
+            .otherwise(F.lit(float(hi)))
+        )
+
+    # Fail LOUDLY if the bracket guarantee is ever violated (ADVICE
+    # r10): both ranks must land inside [below, mid_end + eq_hi), and
+    # the interior array must respect the driver-side rank-span bound
+    # (``bound`` at loop exit) — a violation means the accuracy
+    # guarantee itself broke, never return a silently-wrong median.
+    bracket_ok = (
+        (F.lit(int(flo)) >= F.col("below"))
+        & (F.lit(int(fhi)) < mid_end + F.col("eq_hi"))
+        & (F.size("mid") <= F.lit(int(bound)))
+    )
+    mid_lo = rank_value(flo)
+    mid_hi = rank_value(fhi)
+    exact = li.agg(
+        F.count(F.when(v < lo, 1)).alias("below"),
+        F.count(F.when(v == lo, 1)).alias("eq_lo"),
+        F.count(F.when(v == hi, 1)).alias("eq_hi"),
+        F.sort_array(
+            F.collect_list(F.when((v > lo) & (v < hi), v))
+        ).alias("mid"),
+    ).select(
+        F.when(
+            bracket_ok, mid_lo + (mid_hi - mid_lo) * F.lit(float(frac))
+        )
+        .otherwise(
+            F.raise_error(
+                F.lit("q_agg_approx: median rank bracket violated")
+            ).cast("double")
+        )
+        .alias("exact_median")
+    )
+    return exact, approx_median, n, n_all
+
+
 @query(
     "q_agg_approx",
     oracle="""
@@ -513,27 +659,36 @@ def q_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     (v[ceil r] − v[floor r])·(r − floor r)) is reconstructed by array
     index — exact to the bit.
 
-    The collected window is ABSOLUTELY bounded (r11): the r10 form
-    collected a fixed FRACTION (~2e-3) of n, which is a 3.6-billion-
-    value single aggregation state at 600 B rows — the same
-    single-reducer pathology the fix removed, deferred. When the
-    bracket's worst-case row count (2.2e-3·n, known driver-side from
+    The collected state is ABSOLUTELY bounded, ties included (r12):
+    the r10 form collected a fixed FRACTION (~2e-3) of n, which is a
+    3.6-billion-value single aggregation state at 600 B rows — the
+    same single-reducer pathology the fix removed, deferred. When the
+    bracket's worst-case rank span (2.2e-3·n, known driver-side from
     the accuracy guarantee) exceeds MEDIAN_WINDOW_MAX, the bracket is
     re-tightened WITHIN the window — each distributed refinement pass
-    multiplies the window by ~2.2e-3, so ≤4 passes bound any n up to
-    ~10^24 — and an all-ties window (lo == hi) short-circuits: every
-    bracketed rank holds that exact value. At bench SFs the bound
-    already holds, so ZERO extra passes run and the wall is unchanged.
-    The two collected rows are bounded scalars (the q_sim_cosine_topk
+    multiplies the rank span by ~2.2e-3, so ≤5 passes bound any n a
+    bigint count can express — and an all-ties window (lo == hi)
+    short-circuits after a distributed rank check proves both median
+    ranks fall inside that value's tie block. The rank-span bound does
+    NOT bound the VALUE predicate (v>=lo)&(v<=hi) under skew: a tie
+    block at a bracket endpoint puts every duplicate inside the window
+    regardless of rank span (ADVICE r11). So the final reconstruction
+    collects only the STRICT interior (lo < v < hi) — whose count is
+    rank-span-bounded for ANY distribution, because interior values
+    occupy distinct ranks between the lo tie block and the hi tie
+    block — and COUNTS the tie blocks at lo and hi instead of
+    collecting them; the two median ranks are then resolved by rank
+    arithmetic over (below, |ties of lo|, interior array, |ties of
+    hi|). A size guard on the interior array raise_errors if the
+    guarantee is ever violated. At bench SFs the bound already holds,
+    so ZERO extra passes run and the wall is unchanged. The two
+    collected rows are bounded scalars (the q_sim_cosine_topk
     pattern). approx_count_distinct runs at rsd 0.02 — the 0.05
     default IS the tolerance being asserted, so the sketch must be
     strictly tighter than the gate for the check to measure drift
     rather than luck."""
     ensure_session_determinism(spark)
-    import math
-
     li = load(spark, sf_dir, "lineitem")
-    v = F.col("l_extendedprice")
     # Two separate head jobs on purpose: mixing count_distinct with
     # non-distinct aggregates in ONE agg plans an Expand that
     # replicates every input row per aggregate class (measured: the
@@ -549,95 +704,8 @@ def q_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .collect()[0]
     )
-    head = li.agg(
-        F.percentile_approx(
-            "l_extendedprice",
-            [0.5 - MEDIAN_EPS, 0.5, 0.5 + MEDIAN_EPS],
-            10000,
-        ).alias("br"),
-        F.count(F.lit(1)).alias("n_all"),
-        # median ranks are over NON-NULL values only (ADVICE r10:
-        # percentile/percentile_approx ignore NULLs, so basing ranks
-        # on count(*) silently shifts the bracket if v is ever NULL)
-        F.count(v).alias("n"),
-    ).collect()[0]
-    lo, approx_median, hi = head["br"]
-    n, n_all = head["n"], head["n_all"]
-    r0 = 0.5 * (n - 1)
-    flo, fhi = math.floor(r0), math.ceil(r0)
-    frac = r0 - flo
-    # Distributed refinement (r11): the window's worst-case row count
-    # is known driver-side from the accuracy guarantee; while it can
-    # exceed what one aggregation state may hold, re-tighten the
-    # bracket WITHIN the window — each pass multiplies the window by
-    # ~2.2e-3, so any real n converges in a few passes. Ties collapse
-    # the bracket (lo == hi): every bracketed rank IS that value.
-    bound = int(2 * (MEDIAN_EPS + 1e-4) * n) + 16
-    iters = 0
-    while bound > MEDIAN_WINDOW_MAX and lo < hi:
-        iters += 1
-        if iters > 4:  # 450x shrink per pass; 4 passes cover n~1e24
-            raise RuntimeError(
-                "q_agg_approx: median bracket refinement did not "
-                f"converge (bound={bound} after {iters - 1} passes)"
-            )
-        st = li.agg(
-            F.count(F.when(v < lo, 1)).alias("below"),
-            F.count(F.when((v >= lo) & (v <= hi), 1)).alias("inside"),
-        ).collect()[0]
-        below_c, inside = st["below"], st["inside"]
-        denom = max(inside - 1, 1)
-        f_lo = max(0.0, (flo - below_c) / denom - MEDIAN_EPS)
-        f_hi = min(1.0, (fhi - below_c) / denom + MEDIAN_EPS)
-        br = (
-            li.where((v >= lo) & (v <= hi))
-            .agg(
-                F.percentile_approx(
-                    "l_extendedprice", [f_lo, f_hi], 10000
-                ).alias("b")
-            )
-            .collect()[0]["b"]
-        )
-        lo, hi = br
-        bound = int(2 * (MEDIAN_EPS + 1e-4) * inside) + 16
-    if lo == hi:
-        # all bracketed ranks hold this exact value — no window needed
-        exact = spark.range(1).select(
-            F.lit(float(lo)).alias("exact_median")
-        )
-        ok_distinct = abs(dk["acd"] - dk["cd"]) / dk["cd"] < 0.05
-        return exact.select(
-            F.lit(bool(ok_distinct)).alias("ok_distinct"),
-            (
-                F.abs(F.lit(float(approx_median)) - F.col("exact_median"))
-                / F.col("exact_median")
-                < F.lit(0.05)
-            ).alias("ok_median"),
-            F.lit(int(n_all)).cast("bigint").alias("n_rows"),
-        )
-    idx_lo = (F.lit(flo) - F.col("below") + 1).cast("int")
-    idx_hi = (F.lit(fhi) - F.col("below") + 1).cast("int")
-    mid_lo = F.element_at("mid", idx_lo)
-    mid_hi = F.element_at("mid", idx_hi)
-    # Fail LOUDLY if the bracket guarantee is ever violated (ADVICE
-    # r10: an out-of-range element_at returns NULL and would yield a
-    # silent NULL median instead of an error).
-    bracket_ok = (idx_lo >= F.lit(1)) & (idx_hi <= F.size("mid"))
-    exact = li.agg(
-        F.count(F.when(v < lo, 1)).alias("below"),
-        F.sort_array(
-            F.collect_list(F.when((v >= lo) & (v <= hi), v))
-        ).alias("mid"),
-    ).select(
-        F.when(
-            bracket_ok, mid_lo + (mid_hi - mid_lo) * F.lit(float(frac))
-        )
-        .otherwise(
-            F.raise_error(
-                F.lit("q_agg_approx: median rank bracket violated")
-            ).cast("double")
-        )
-        .alias("exact_median")
+    exact, approx_median, n, n_all = _exact_median_frame(
+        li, "l_extendedprice"
     )
     ok_distinct = abs(dk["acd"] - dk["cd"]) / dk["cd"] < 0.05
     return exact.select(
