@@ -42,8 +42,13 @@ _PRIORITY = [
     # reconstruction became tie-safe (strict-interior collect + counted
     # tie blocks, verified lo==hi collapse — ADVICE r11 medium); same
     # results on the tie-free fixture, but every touch gets a driver row
-    # same-round (VERDICT r7 #6 discipline).
+    # same-round (VERDICT r7 #6 discipline). q_agg_rollup/cube/gsets
+    # were re-planned to direct single-pass Expand SQL (VERDICT r11 #1,
+    # interleaved A/B evidence in the rollup docstring).
     "q_agg_approx",
+    "q_agg_rollup",
+    "q_agg_cube",
+    "q_agg_gsets",
     # latest driver row: r5
     "q_hist_equidepth",
     "q_hist_equiwidth",
@@ -209,14 +214,11 @@ _PRIORITY = [
     "src_csv_json",
     # latest driver row: r9
     "q_agg_argminmax",
-    "q_agg_cube",
     "q_agg_distinct",
     "q_agg_global",
-    "q_agg_gsets",
     "q_agg_having",
     "q_agg_hll_sketch",
     "q_agg_percentile",
-    "q_agg_rollup",
     "q_agg_stats",
     "q_array_funcs",
     "q_cogroup_pandas",

@@ -246,3 +246,140 @@ def test_foreachbatch_chaos_first_epoch_crash(spark, tmp_path, crash_epoch):
     assert sorted(
         map(tuple, spark.read.parquet(versions()[-1]).collect())
     ) == sorted(map(tuple, batch.collect()))
+
+
+def test_stateful_chaos_state_store_recovery(spark, tmp_path):
+    """r12 (VERDICT r11 #5): the applyInPandasWithState path
+    (s_stateful's per-user running counter) under mid-batch kills +
+    restart through the SAME checkpoint. The risk here is STATE-STORE
+    recovery, not sink idempotence: a batch that dies after some tasks
+    already committed their state-store version must, on retry, reload
+    the prior version and rebuild — never double-count.
+
+    Two scripted kills, both raised INSIDE the stateful function on
+    executor workers (sentinel flag files make them fire exactly once
+    each, surviving the worker-process boundary):
+      - kill A: the very first group processed (batch 0, attempt 1)
+        dies — recovery with an EMPTY prior state.
+      - kill B: fires when the busiest user's running total first
+        crosses ~60% of its final count — a mid-stream batch dies with
+        REAL accumulated state behind it; a lost/duplicated state
+        version would surface as a wrong final total for exactly that
+        user.
+    Emissions land in epoch-versioned overwrite dirs (idempotent on
+    retry); the final running totals (max emission per user across the
+    whole chaotic run, both query incarnations) must equal the batch
+    twin groupBy(user).count() row-for-row."""
+    from tile_etl_spark.io import load
+    from tile_etl_spark.streaming.replay import (
+        EVENTS_SCHEMA,
+        N_CHUNKS,
+        replay_dir,
+    )
+
+    chunks = replay_dir(spark, _CHAOS_SF)
+    ckpt = str(tmp_path / "ckpt_state")
+    out_base = str(tmp_path / "emitted")
+    flags = str(tmp_path / "flags")
+    os.makedirs(out_base)
+    os.makedirs(flags)
+
+    twin = (
+        load(spark, _CHAOS_SF, "events")
+        .groupBy("user_id")
+        .count()
+        .collect()
+    )
+    want = {int(r["user_id"]): int(r["count"]) for r in twin}
+    hot_user, hot_total = max(want.items(), key=lambda kv: kv[1])
+    threshold = max(2, int(hot_total * 0.6))
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def _arm(path):
+        # atomically claim a kill flag; True exactly once per flag
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.close(fd)
+            return True
+        except FileExistsError:
+            return False
+
+    flag_a = os.path.join(flags, "kill_first_batch")
+    flag_b = os.path.join(flags, "kill_mid_stream")
+
+    def count_events(key, pdfs, state: GroupState):
+        running = state.get[0] if state.exists else 0
+        if _arm(flag_a):
+            raise RuntimeError("chaos: kill inside first stateful batch")
+        for pdf in pdfs:
+            running += len(pdf)
+        if (
+            int(key[0]) == hot_user
+            and running >= threshold
+            and _arm(flag_b)
+        ):
+            raise RuntimeError("chaos: kill mid-stream with live state")
+        state.update((running,))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [running]})
+
+    def emit(batch_df, epoch_id):
+        batch_df.write.mode("overwrite").parquet(
+            os.path.join(out_base, f"v{int(epoch_id):05d}")
+        )
+
+    def start():
+        stream = (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(chunks + "/chunk_*.parquet")
+        )
+        counted = stream.groupBy("user_id").applyInPandasWithState(
+            count_events,
+            outputStructType="user_id BIGINT, n_events BIGINT",
+            stateStructType="n BIGINT",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+        return (
+            counted.writeStream.foreachBatch(emit)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    restarts = 0
+    while True:
+        q = start()
+        try:
+            q.awaitTermination()
+            break
+        except StreamingQueryException:
+            restarts += 1
+            assert restarts <= MAX_RESTARTS, (
+                f"stateful chaos did not converge in {MAX_RESTARTS} "
+                "restarts"
+            )
+
+    # both kills fired, each cost exactly one restart
+    assert os.path.exists(flag_a) and os.path.exists(flag_b)
+    assert restarts == 2, restarts
+    # every epoch emitted exactly once into a contiguous version set
+    vs = sorted(os.listdir(out_base))
+    assert vs == [f"v{i:05d}" for i in range(N_CHUNKS)], vs
+    # recovered running totals == batch twin, row for row
+    got_rows = spark.read.parquet(os.path.join(out_base, "v*")).collect()
+    got: dict[int, int] = {}
+    for r in got_rows:
+        u, n = int(r["user_id"]), int(r["n_events"])
+        got[u] = max(got.get(u, 0), n)
+    assert got == want, (
+        len(got),
+        len(want),
+        {u: (got.get(u), want.get(u)) for u in list(want)[:5]},
+    )
+    # the hot user's total specifically proves cross-restart state:
+    # its counter accumulated both before and after kill B
+    assert got[hot_user] == hot_total

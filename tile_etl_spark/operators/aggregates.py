@@ -269,40 +269,39 @@ def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP hierarchy with explicit grouping-bit id (identical bit
     formula both engines).
 
-    Cell decomposition (see _Q1_CELLS_SQL): Spark plans ROLLUP as an
-    Expand that replicates EVERY input row once per grouping set, so
-    the canonical form evaluated 3x rows worth of double->decimal
-    casts and decimal adds. Instead the finest grain (status,
-    priority — ~15 cells) aggregates exact BIGINT cents first; the
-    ROLLUP (with its 3x Expand and the decimal reconstruction) runs
-    over the coalesced cell rows. Bit-identical by additivity of the
-    per-cell sums over every grouping set."""
+    r12 re-plan (VERDICT r11 #1), measured to mechanism with
+    interleaved same-JVM A/Bs at sf0.1: the r7-r11 cells-first form
+    (pre-aggregate the finest grain, ROLLUP over ~15 cells) carried
+    TWO costs the DECOMP residual conflated — (a) its ~15 eagerly-
+    analyzed DataFrame build steps (~70 ms of Py4J round trips; the
+    _Q1_SQL lesson applies here too) and (b) a third stage, because
+    ExpandExec reports UnknownPartitioning so even SinglePartition
+    cells re-shuffle under the rollup. Three arms interleaved:
+    cells-DF 0.221 s median, union-of-levels-SQL 0.230, cells-SQL
+    0.160, DIRECT rollup-with-cents SQL 0.139 (min 0.111) — direct
+    wins every round. The 3x Expand over fact rows is cheap because
+    the rollup aggregates exact BIGINT CENTS (round(x*100), the exact-
+    integer argument of _Q1_CELLS_SQL) — plain long adds in codegen,
+    not the 3x BigDecimal work the r7 cells rewrite was built to
+    avoid; the DECIMAL reconstruction touches only the ~45 output
+    rows. Scale shape: Expand -> partial agg collapses each partition
+    to <=3x|cells| rows before the single tiny shuffle — Spark's
+    canonical distributed ROLLUP at any SF, now 2 stages total."""
     ensure_session_determinism(spark)
-    o = load(spark, sf_dir, "orders")
-    cells = (
-        o.groupBy("o_orderstatus", "o_orderpriority")
-        .agg(
-            F.sum(
-                F.round(F.col("o_totalprice") * 100).cast("bigint")
-            ).alias("pc"),
-            F.count(F.lit(1)).alias("n"),
-        )
-        .coalesce(1)
-    )
-    spend = F.col("pc").cast("decimal(30,0)") * F.lit(0.01).cast(
-        "decimal(3,2)"
-    )
-    gid = (
-        F.grouping("o_orderstatus") * 2 + F.grouping("o_orderpriority")
-    ).cast("int")
-    return (
-        cells.select("o_orderstatus", "o_orderpriority", spend.alias("s"), "n")
-        .rollup("o_orderstatus", "o_orderpriority")
-        .agg(
-            gid.alias("gid"),
-            F.sum("n").cast("bigint").alias("n_orders"),
-            as_double(F.sum("s")).alias("total_spend"),
-        )
+    t = table_view(spark, sf_dir, "orders")
+    return spark.sql(
+        f"""
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(grouping(o_orderstatus) * 2
+                    + grouping(o_orderpriority) AS INT) AS gid,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                         AS DECIMAL(30,0))
+                    * CAST(0.01 AS DECIMAL(3,2)) AS DOUBLE)
+                 AS total_spend
+        FROM {t}
+        GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        """
     )
 
 
@@ -318,21 +317,22 @@ def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE: all grouping combinations via a single Expand — one pass
-    over the input regardless of the number of sets. Like q_agg_rollup,
-    the Expand runs over the ~15 pre-aggregated (status, priority)
-    cells, not the fact rows — identical by additivity of counts."""
+    over the input regardless of the number of sets. r12: direct CUBE
+    over the fact rows as one spark.sql call (the q_agg_rollup A/B —
+    count-only aggregates make the 4x Expand pure long adds, and the
+    cells pre-agg's extra stage plus its ~10 eager DataFrame build
+    steps cost more than the Expand saves)."""
     ensure_session_determinism(spark)
-    o = load(spark, sf_dir, "orders")
-    cells = (
-        o.groupBy("o_orderstatus", "o_orderpriority")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .coalesce(1)
-    )
-    gid = (
-        F.grouping("o_orderstatus") * 2 + F.grouping("o_orderpriority")
-    ).cast("int")
-    return cells.cube("o_orderstatus", "o_orderpriority").agg(
-        gid.alias("gid"), F.sum("n").cast("bigint").alias("n_orders")
+    t = table_view(spark, sf_dir, "orders")
+    return spark.sql(
+        f"""
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(grouping(o_orderstatus) * 2
+                    + grouping(o_orderpriority) AS INT) AS gid,
+               CAST(count(*) AS BIGINT) AS n_orders
+        FROM {t}
+        GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        """
     )
 
 
@@ -346,21 +346,18 @@ def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_agg_gsets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Explicit GROUPING SETS via Spark SQL — same Expand machinery,
-    over the ~15 pre-aggregated cells (see q_agg_rollup)."""
+    """Explicit GROUPING SETS via Spark SQL — same Expand machinery.
+    r12: direct over the fact rows in ONE spark.sql call (the
+    q_agg_rollup A/B); the former two-statement cells+temp-view dance
+    cost an extra stage plus a createOrReplaceTempView round trip per
+    build."""
     ensure_session_determinism(spark)
     t = table_view(spark, sf_dir, "orders")
-    cells = spark.sql(
-        f"SELECT o_orderstatus, o_orderpriority, count(*) AS n"
-        f" FROM {t} GROUP BY o_orderstatus, o_orderpriority"
-    ).coalesce(1)
-    v = f"__gsets_cells_{cells.semanticHash() & 0xFFFFFFFF:x}"
-    cells.createOrReplaceTempView(v)
     return spark.sql(
         f"""
         SELECT o_orderstatus, o_orderpriority,
-               CAST(sum(n) AS BIGINT) AS n_orders
-        FROM {v}
+               CAST(count(*) AS BIGINT) AS n_orders
+        FROM {t}
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         """
     )

@@ -31,7 +31,12 @@ sys.path.insert(
     0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 )
 
-from bench import duck_views, force, measure_floor  # noqa: E402
+from bench import (  # noqa: E402
+    box_probe_sha,
+    duck_views,
+    force,
+    measure_floor,
+)
 from tile_etl_spark import registry  # noqa: E402
 from tile_etl_spark.io import load  # noqa: E402
 from tile_etl_spark.session import get_spark  # noqa: E402
@@ -142,6 +147,7 @@ def main() -> None:
                 force(load(spark, args.sf_dir, t).select(*cols))
 
         scan_all()  # warm the scan path too
+        sha = box_probe_sha()  # r12: box speed bracketing THIS qid
         scan = best_of(scan_all, args.runs)
         full = best_of(lambda: force(fn(spark, args.sf_dir)), args.runs)
         duck = None
@@ -149,6 +155,7 @@ def main() -> None:
         if sql:
             duck = best_of(lambda: con.execute(sql).arrow(), args.runs)
         out[qid] = {
+            "box_sha": sha,
             "floor": floor,
             "scan": scan,
             "full": full,
