@@ -49,6 +49,8 @@ _PRIORITY = [
     "q_agg_rollup",
     "q_agg_cube",
     "q_agg_gsets",
+    "q_pivot",
+    "q_join_broadcast",
     # latest driver row: r5
     "q_hist_equidepth",
     "q_hist_equiwidth",
@@ -124,7 +126,6 @@ _PRIORITY = [
     "q_filter_null_bool",
     "q_join_anti",
     "q_join_asof",
-    "q_join_broadcast",
     "q_join_bucketed",
     "q_join_cross",
     "q_join_full",
@@ -338,7 +339,6 @@ _PRIORITY = [
     "q_graph_triangles",
     "q_join_setsim",
     "q_pack_sequences",
-    "q_pivot",
     "q_quality_model",
     "q_session_native",
     "q_shingle_novelty",

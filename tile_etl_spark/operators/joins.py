@@ -187,39 +187,40 @@ def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells, so the map side sums exact BIGINT cents per (brand,
     discount) and the decimal products run on the cell rows —
     bit-identical by distributivity, zero per-row BigDecimal. The
-    coalesce(1) folds the brand re-aggregation into the reduce stage
-    (cells are bounded at any scale)."""
+    COALESCE(1) hint folds the brand re-aggregation into the reduce
+    stage (cells are bounded at any scale). r12: the whole query is
+    ONE spark.sql statement (the q_agg_rollup A/B lesson — the former
+    ~10-step eager DataFrame build cost more than the plan it chose;
+    interleaved A/B at sf0.1: 0.266 s median -> 0.196, -26%, values
+    bit-identical). The BROADCAST hint plans the same
+    BroadcastHashJoin as F.broadcast(); the build job re-executing
+    per action is Spark's per-action constant (O(dim) at any scale,
+    BENCH_DECOMP r11), not a plan defect."""
     ensure_session_determinism(spark)
-    li = load(spark, sf_dir, "lineitem").select(
-        "l_partkey", "l_extendedprice", "l_discount"
-    )
-    p = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    cells = (
-        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
-        .groupBy(
-            "p_brand",
-            # int-cent key: avoids the NaN/zero-normalization wrapper a
-            # raw double group key gets in the hash (see _Q1_CELLS_SQL)
-            F.round(F.col("l_discount") * 100).cast("int").alias("dc"),
+    li = table_view(spark, sf_dir, "lineitem")
+    pt = table_view(spark, sf_dir, "part")
+    # int-cent group key: avoids the NaN/zero-normalization wrapper a
+    # raw double group key gets in the hash (see _Q1_CELLS_SQL)
+    return spark.sql(
+        f"""
+        WITH cells AS (
+          SELECT /*+ BROADCAST(p), COALESCE(1) */ p.p_brand,
+                 CAST(round(l.l_discount * 100) AS INT) AS dc,
+                 sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+                   AS pc,
+                 count(*) AS n
+          FROM {li} l JOIN {pt} p ON l.l_partkey = p.p_partkey
+          GROUP BY p.p_brand, CAST(round(l.l_discount * 100) AS INT)
         )
-        .agg(
-            F.sum(
-                F.round(F.col("l_extendedprice") * 100).cast("bigint")
-            ).alias("pc"),
-            F.count(F.lit(1)).alias("n"),
-        )
-        .coalesce(1)
-    )
-    s_price = F.col("pc").cast("decimal(30,0)") * F.lit(0.01).cast(
-        "decimal(3,2)"
-    )
-    disc = F.col("dc").cast("decimal(4,0)") * F.lit(0.01).cast(
-        "decimal(3,2)"
-    )
-    revenue = s_price * (1 - disc)
-    return cells.groupBy("p_brand").agg(
-        F.sum("n").cast("bigint").alias("n_lines"),
-        as_double(F.sum(revenue)).alias("revenue"),
+        SELECT p_brand,
+               CAST(sum(n) AS BIGINT) AS n_lines,
+               CAST(sum(CAST(pc AS DECIMAL(30,0))
+                        * CAST(0.01 AS DECIMAL(3,2))
+                        * (1 - CAST(dc AS DECIMAL(4,0))
+                               * CAST(0.01 AS DECIMAL(3,2))))
+                    AS DOUBLE) AS revenue
+        FROM cells GROUP BY p_brand
+        """
     )
 
 

@@ -8,7 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from tile_etl_spark.io import as_double, dec, load
+from tile_etl_spark.io import load, table_view
 from tile_etl_spark.registry import query
 from tile_etl_spark.session import ensure_session_determinism
 
@@ -35,51 +35,46 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     table). Planned as one aggregate with conditional expressions, same
     as the oracle's FILTER clauses.
 
-    DIRECT-PIVOT (r11, VERDICT r10 #3): pivot never uses Expand — with
-    multiple aggregates Spark plans it as an inner (group, pivot-col)
-    aggregate feeding a tiny `pivotfirst` aggregate — so unlike ROLLUP
-    there is no row replication for a cells pre-aggregation to save;
-    the r7-r10 form (cells agg + coalesce + pivot) stacked a THIRD
-    aggregate and stage on top for nothing, measured as most of the
-    qid's 2.6x reducible residual (BENCH_DECOMP). Pivoting the fact
-    rows directly keeps the inner aggregate fused with the scan's
-    partial agg; the second exchange moves only the ~15 finest-grain
-    rows at any scale. Per-row work stays exact-BIGINT cents (the Q1
-    cell decomposition's currency trick — see _Q1_CELLS_SQL) with the
-    decimal reconstruction on the ~5 result rows: bit-identical by
-    additivity, no per-row decimal casts."""
+    CONDITIONAL-AGGREGATION form (r12, VERDICT r11 #1): Catalyst
+    lowers an explicit-value SINGLE-aggregate .pivot() to exactly
+    these conditional aggregates; the MULTI-aggregate .pivot() API
+    (the r11 form, count+sum) instead plans an inner (group, pivot)
+    aggregate feeding a PivotFirst aggregate — one more aggregate +
+    exchange — and the DataFrame build itself costs ~8 eagerly-
+    analyzed steps. Interleaved same-JVM A/B at sf0.1: multi-agg
+    pivot 0.176 s median, struct-single-agg pivot 0.164, this one-
+    statement conditional-agg SQL 0.101 (-43%), values bit-identical
+    across all three (the .pivot() API equivalence is pinned in
+    tests/test_round7_pins.py). ONE partial+final hash agg, one
+    exchange carrying ~5 rows x partitions, two stages — the minimal
+    distributed pivot at any scale. Per-row work stays exact-BIGINT
+    cents (see _Q1_CELLS_SQL) with the decimal reconstruction on the
+    ~5 result rows: bit-identical by additivity, no per-row decimal
+    casts. count(IF(...)) yields 0 on empty cells and sum(IF(...))
+    yields NULL — the oracle's FILTER semantics exactly."""
     ensure_session_determinism(spark)
-    o = load(spark, sf_dir, "orders")
-    piv = (
-        o.select(
-            "o_orderpriority",
-            "o_orderstatus",
-            F.round(F.col("o_totalprice") * 100)
-            .cast("bigint")
-            .alias("pc"),
-        )
-        .groupBy("o_orderpriority")
-        .pivot("o_orderstatus", ["F", "O", "P"])
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n"),
-            F.sum("pc").alias("pc"),
-        )
-    )
+    t = table_view(spark, sf_dir, "orders")
+    cents = "CAST(round(o_totalprice * 100) AS BIGINT)"
 
-    def spend(c: str):
-        return as_double(
-            F.col(c).cast("decimal(30,0)")
-            * F.lit(0.01).cast("decimal(3,2)")
+    def spend(status: str, alias: str) -> str:
+        return (
+            f"CAST(CAST(sum(IF(o_orderstatus = '{status}', {cents}, "
+            f"NULL)) AS DECIMAL(30,0)) * CAST(0.01 AS DECIMAL(3,2)) "
+            f"AS DOUBLE) AS {alias}"
         )
 
-    return piv.select(
-        "o_orderpriority",
-        F.coalesce("F_n", F.lit(0)).alias("n_f"),
-        F.coalesce("O_n", F.lit(0)).alias("n_o"),
-        F.coalesce("P_n", F.lit(0)).alias("n_p"),
-        spend("F_pc").alias("spend_f"),
-        spend("O_pc").alias("spend_o"),
-        spend("P_pc").alias("spend_p"),
+    return spark.sql(
+        f"""
+        SELECT o_orderpriority,
+               CAST(count(IF(o_orderstatus = 'F', 1, NULL)) AS BIGINT) AS n_f,
+               CAST(count(IF(o_orderstatus = 'O', 1, NULL)) AS BIGINT) AS n_o,
+               CAST(count(IF(o_orderstatus = 'P', 1, NULL)) AS BIGINT) AS n_p,
+               {spend('F', 'spend_f')},
+               {spend('O', 'spend_o')},
+               {spend('P', 'spend_p')}
+        FROM {t}
+        GROUP BY o_orderpriority
+        """
     )
 
 
