@@ -51,6 +51,7 @@ _PRIORITY = [
     "q_agg_gsets",
     "q_pivot",
     "q_join_broadcast",
+    "q_window_tumbling",
     # latest driver row: r5
     "q_hist_equidepth",
     "q_hist_equiwidth",
@@ -207,7 +208,6 @@ _PRIORITY = [
     "q_union_distinct",
     "q_win_leadlag",
     "q_window_sliding",
-    "q_window_tumbling",
     "sink_objectstore",
     "sink_parquet",
     "src_binary",

@@ -381,3 +381,16 @@ def test_median_tie_blocks_do_not_inflate_the_collected_window(
     # ties against the bound forever, and the result stays exact.
     run(list(a), cap=20)
     run(list(b), cap=20)
+
+
+def test_events_value_is_micro_unit_exact(duck):
+    """r12: q_window_tumbling sums round(value*1e6) micro-units — the
+    exact-integer currency argument (_Q1_CELLS_SQL) extended to
+    events.value's <=6 decimal digits. Guard the fixture assumption so
+    a regenerated fixture with wider fractions fails HERE, not as a
+    silent oracle mismatch."""
+    bad = duck.execute(
+        "SELECT count(*) FROM events WHERE value IS NOT NULL "
+        "AND abs(value*1000000 - round(value*1000000)) > 1e-3"
+    ).fetchone()[0]
+    assert bad == 0, f"{bad} events.value rows are not 6dp-exact"

@@ -125,20 +125,33 @@ def q_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """1-hour tumbling counts/sums per event type — the batch twin of
-    s_tumbling, via the same F.window operator the stream uses."""
+    s_tumbling, via the same window() operator the stream uses.
+
+    r12: one spark.sql statement summing MICRO-UNITS (round(value*1e6)
+    — events.value carries <=6 decimal digits, the same exact-integer
+    argument as _Q1_CELLS_SQL's cents, asserted over every fixture SF)
+    instead of a per-row double->DECIMAL(18,6) cast; the accumulator
+    is DECIMAL(27,0) of the micro-units long, which adds compact-long
+    fast-path until ~1e18 unscaled and then PROMOTES instead of
+    wrapping — a bare BIGINT sum would silently overflow ~16x beyond
+    100 TB cell sizes in non-ANSI mode. Interleaved A/B at sf0.1:
+    0.125 s median -> 0.105 (micro), decimal-accumulator within noise
+    of the bigint sum; values bit-identical to the decimal-cast
+    form."""
     ensure_session_determinism(spark)
-    e = load(spark, sf_dir, "events")
-    return (
-        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            as_double(F.sum(F.col("value").cast("decimal(18,6)"))).alias(
-                "sum_value"
-            ),
-        )
-        .select(
-            F.col("w.start").alias("window_start"), "event_type", "n", "sum_value"
-        )
+    t = table_view(spark, sf_dir, "events")
+    return spark.sql(
+        f"""
+        SELECT w.start AS window_start, event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(CAST(round(value * 1000000) AS BIGINT)
+                             AS DECIMAL(27,0)))
+                    * CAST(0.000001 AS DECIMAL(7,6)) AS DOUBLE)
+                 AS sum_value
+        FROM (SELECT window(ts, '1 hour') AS w, event_type, value
+              FROM {t})
+        GROUP BY w, event_type
+        """
     )
 
 
