@@ -454,7 +454,10 @@ def main() -> None:
     # speed 3.77-5.21 s on identical code; a record taken on a slow-box
     # minute understates the engine. 0.021 was the fast-mode reading
     # across the r11 protocol.
-    box_gate = float(os.environ.get("SPARK_GRAFT_BOX_GATE_SHA", "0"))
+    # r12 (VERDICT r11 #6): gated by DEFAULT so cross-round records
+    # share a denominator — the wait is bounded (15 min, then proceed
+    # with the state recorded in box_probe_start); set to 0 to disable.
+    box_gate = float(os.environ.get("SPARK_GRAFT_BOX_GATE_SHA", "0.021"))
     if box_gate > 0:
         deadline = time.perf_counter() + 900
         while True:

@@ -128,7 +128,14 @@ def main() -> None:
         adaptive="false",
     )
     force(spark.read.parquet(f"{args.sf_dir}/lineitem.parquet"))
-    floor = measure_floor(spark, args.runs)
+    # r12 floor comparability (VERDICT r11 #2): bench.py measures its
+    # floor AFTER a cold pass over ~145 qids — a deeply JIT-warmed JVM
+    # — while the r11 DECOMP measured it near-cold and read 0.1154 vs
+    # the bench's 0.0262 on the same box. Record a start reading for
+    # transparency, but the floor used in residuals is measured at the
+    # END of the qid loop, in bench-equivalent JVM state.
+    measure_floor(spark, 2)  # warm the noop/job-submission path
+    floor_start = measure_floor(spark, args.runs)
 
     import duckdb
 
@@ -140,7 +147,8 @@ def main() -> None:
         if qid not in registry.QUERIES:
             continue
         fn = registry.QUERIES[qid]
-        force(fn(spark, args.sf_dir))  # warm: artifact builds + codegen
+        for _ in range(2):  # warm: artifact builds + codegen + JIT
+            force(fn(spark, args.sf_dir))
 
         def scan_all():
             for t, cols in scans:
@@ -156,19 +164,29 @@ def main() -> None:
             duck = best_of(lambda: con.execute(sql).arrow(), args.runs)
         out[qid] = {
             "box_sha": sha,
-            "floor": floor,
             "scan": scan,
             "full": full,
-            "residual": round(max(full - scan - floor, 0.0), 4),
             "duck": duck,
             "ratio_raw": round(full / duck, 2) if duck else None,
-            "ratio_residual": (
-                round(max(full - scan - floor, 0.0) / duck, 2)
-                if duck
-                else None
-            ),
         }
         print(f"{qid}: {json.dumps(out[qid])}", file=sys.stderr, flush=True)
+    # end-state floor: the bench-comparable number (see note above)
+    floor = measure_floor(spark, args.runs)
+    for qid, row in out.items():
+        row["floor"] = floor
+        row["residual"] = round(
+            max(row["full"] - row["scan"] - floor, 0.0), 4
+        )
+        row["ratio_residual"] = (
+            round(row["residual"] / row["duck"], 2)
+            if row["duck"]
+            else None
+        )
+        row["ratio_floor_adjusted"] = (
+            round(max(row["full"] - floor, 0.0) / row["duck"], 2)
+            if row["duck"]
+            else None
+        )
     con.close()
     spark.stop()
 
@@ -177,6 +195,7 @@ def main() -> None:
         "sf_dir": args.sf_dir,
         "runs": args.runs,
         "floor_sec": floor,
+        "floor_sec_start_of_run": floor_start,
         "per_qid": out,
         "loadavg": [round(x, 2) for x in os.getloadavg()],
         "box_probe_start": probe_start,
