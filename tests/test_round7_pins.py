@@ -196,3 +196,31 @@ def test_pivot_condagg_equals_pivot_api_and_plans_single_agg(
     n_reused = p.count("ReusedExchange")
     n_real = p.count("Exchange hashpartitioning") - n_reused
     assert n_real == 1, (n_real, p[:1500])
+
+
+def test_tumbling_date_trunc_equals_window_operator(spark, sf_dir):
+    """r12: q_window_tumbling buckets with date_trunc('hour', ts) —
+    value-identical to window(ts, '1 hour').start for epoch-aligned
+    tumbling windows but without the per-row (start,end) struct build
+    (-17% at sf0.1). Pin the equivalence in-engine so the cheaper key
+    can never drift from the window-operator semantics the streaming
+    twin (s_tumbling) runs."""
+    t = table_view(spark, sf_dir, "events")
+    via_window = spark.sql(
+        f"""
+        SELECT w.start AS window_start, event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(CAST(round(value * 1000000) AS BIGINT)
+                             AS DECIMAL(27,0)))
+                    * CAST(0.000001 AS DECIMAL(7,6)) AS DOUBLE)
+                 AS sum_value
+        FROM (SELECT window(ts, '1 hour') AS w, event_type, value
+              FROM {t})
+        GROUP BY w, event_type
+        """
+    )
+    shipped = registry.QUERIES["q_window_tumbling"](spark, sf_dir)
+    key = lambda r: (str(r[0]), str(r[1]))  # noqa: E731
+    assert sorted(map(tuple, shipped.collect()), key=key) == sorted(
+        map(tuple, via_window.collect()), key=key
+    )

@@ -134,23 +134,28 @@ def q_window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     is DECIMAL(27,0) of the micro-units long, which adds compact-long
     fast-path until ~1e18 unscaled and then PROMOTES instead of
     wrapping — a bare BIGINT sum would silently overflow ~16x beyond
-    100 TB cell sizes in non-ANSI mode. Interleaved A/B at sf0.1:
-    0.125 s median -> 0.105 (micro), decimal-accumulator within noise
-    of the bigint sum; values bit-identical to the decimal-cast
-    form."""
+    100 TB cell sizes in non-ANSI mode. The bucket key is
+    date_trunc('hour', ts): for EPOCH-ALIGNED tumbling windows it is
+    value-identical to window(ts,'1 hour').start but skips building a
+    (start,end) struct per row (interleaved A/B at sf0.1: 0.129 ->
+    0.106 s median; the window() form's equivalence is pinned
+    in-engine by tests/test_round7_pins.py, and the streaming twin
+    s_tumbling still runs the window() operator itself). Cumulative
+    r12 A/Bs: 0.125 (decimal-cast window()) -> 0.105 (micro-units) ->
+    0.106/0.098 (date_trunc); the remainder is scan+floor by DECOMP
+    (scan 0.039 + floor 0.026 of the 0.103 full)."""
     ensure_session_determinism(spark)
     t = table_view(spark, sf_dir, "events")
     return spark.sql(
         f"""
-        SELECT w.start AS window_start, event_type,
+        SELECT date_trunc('hour', ts) AS window_start, event_type,
                CAST(count(*) AS BIGINT) AS n,
                CAST(sum(CAST(CAST(round(value * 1000000) AS BIGINT)
                              AS DECIMAL(27,0)))
                     * CAST(0.000001 AS DECIMAL(7,6)) AS DOUBLE)
                  AS sum_value
-        FROM (SELECT window(ts, '1 hour') AS w, event_type, value
-              FROM {t})
-        GROUP BY w, event_type
+        FROM {t}
+        GROUP BY date_trunc('hour', ts), event_type
         """
     )
 
