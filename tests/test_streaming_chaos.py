@@ -383,3 +383,104 @@ def test_stateful_chaos_state_store_recovery(spark, tmp_path):
     # the hot user's total specifically proves cross-restart state:
     # its counter accumulated both before and after kill B
     assert got[hot_user] == hot_total
+
+
+def test_session_window_chaos_merge_state_recovery(spark, tmp_path):
+    """r12 follow-on to the stateful chaos test: the session_window
+    MERGE state (JVM-side stateful aggregation, no Python hook to
+    raise from) under batch failures. Kills are injected in
+    foreachBatch — one BEFORE the epoch's write (the batch's merged
+    session state is computed but uncommitted; the retry must rebuild
+    from the prior state-store version) and one AFTER (the retry must
+    overwrite idempotently). Complete output mode makes every epoch
+    emit the full sessions-so-far, so the LAST version alone must
+    equal the batch q_sessionize twin's (user, session_start,
+    n_events) multiset — a lost or doubled merge after either restart
+    shows up as a wrong session count or a shifted session_start."""
+    from pyspark.sql import functions as F
+
+    from tile_etl_spark import registry
+    from tile_etl_spark.streaming.replay import (
+        EVENTS_SCHEMA,
+        N_CHUNKS,
+        replay_dir,
+    )
+
+    registry.load_all()
+    chunks = replay_dir(spark, _CHAOS_SF)
+    ckpt = str(tmp_path / "ckpt_sess")
+    out_base = str(tmp_path / "sess")
+    os.makedirs(out_base)
+
+    faults = {(2, 1): "pre_write", (5, 1): "post_write"}
+    attempts: Counter[int] = Counter()
+
+    def chaotic(batch_df, epoch_id):
+        epoch = int(epoch_id)
+        attempts[epoch] += 1
+        fault = faults.get((epoch, attempts[epoch]))
+        if fault == "pre_write":
+            raise RuntimeError(f"chaos: pre-write kill at epoch {epoch}")
+        batch_df.write.mode("overwrite").parquet(
+            os.path.join(out_base, f"v{epoch:05d}")
+        )
+        if fault == "post_write":
+            raise RuntimeError(f"chaos: post-write kill at epoch {epoch}")
+
+    def start():
+        stream = (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(chunks + "/chunk_*.parquet")
+        )
+        agg = (
+            stream.groupBy(
+                F.session_window("ts", "30 minutes").alias("w"), "user_id"
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.min("ts").alias("session_start"),
+            )
+            .select("user_id", "session_start", "n_events")
+        )
+        return (
+            agg.writeStream.foreachBatch(chaotic)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    restarts = 0
+    while True:
+        q = start()
+        try:
+            q.awaitTermination()
+            break
+        except StreamingQueryException:
+            restarts += 1
+            assert restarts <= MAX_RESTARTS
+    assert restarts == len(faults), restarts
+    # per-epoch attempts match the script; every epoch's version exists
+    expected = Counter({e: 1 for e in range(N_CHUNKS)})
+    for (e, _a) in faults:
+        expected[e] += 1
+    assert attempts == expected, (dict(attempts), dict(expected))
+    vs = sorted(os.listdir(out_base))
+    assert vs == [f"v{i:05d}" for i in range(N_CHUNKS)], vs
+
+    got = sorted(
+        map(
+            tuple,
+            spark.read.parquet(os.path.join(out_base, vs[-1])).collect(),
+        )
+    )
+    want = sorted(
+        map(
+            tuple,
+            registry.QUERIES["q_sessionize"](spark, _CHAOS_SF)
+            .select("user_id", "session_start", "n_events")
+            .collect(),
+        )
+    )
+    assert got == want, (len(got), len(want), got[:3], want[:3])

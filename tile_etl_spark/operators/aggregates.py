@@ -270,36 +270,46 @@ def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     formula both engines).
 
     r12 re-plan (VERDICT r11 #1), measured to mechanism with
-    interleaved same-JVM A/Bs at sf0.1: the r7-r11 cells-first form
-    (pre-aggregate the finest grain, ROLLUP over ~15 cells) carried
-    TWO costs the DECOMP residual conflated — (a) its ~15 eagerly-
-    analyzed DataFrame build steps (~70 ms of Py4J round trips; the
-    _Q1_SQL lesson applies here too) and (b) a third stage, because
+    interleaved same-JVM A/Bs at BOTH sf0.1 and sf1. The r7-r11
+    cells-first DATAFRAME form carried two costs the DECOMP residual
+    conflated: (a) ~15 eagerly-analyzed build steps (~70 ms of Py4J
+    round trips — the _Q1_SQL lesson) and (b) a third stage, because
     ExpandExec reports UnknownPartitioning so even SinglePartition
-    cells re-shuffle under the rollup. Three arms interleaved:
-    cells-DF 0.221 s median, union-of-levels-SQL 0.230, cells-SQL
-    0.160, DIRECT rollup-with-cents SQL 0.139 (min 0.111) — direct
-    wins every round. The 3x Expand over fact rows is cheap because
-    the rollup aggregates exact BIGINT CENTS (round(x*100), the exact-
-    integer argument of _Q1_CELLS_SQL) — plain long adds in codegen,
-    not the 3x BigDecimal work the r7 cells rewrite was built to
-    avoid; the DECIMAL reconstruction touches only the ~45 output
-    rows. Scale shape: Expand -> partial agg collapses each partition
-    to <=3x|cells| rows before the single tiny shuffle — Spark's
-    canonical distributed ROLLUP at any SF, now 2 stages total."""
+    cells re-shuffle under the rollup. Arms at sf0.1 (medians):
+    cells-DF 0.221 s, union-of-levels-SQL 0.230, cells-SQL 0.145,
+    direct-rollup-with-cents-SQL 0.139. Direct edges out cells at
+    sf0.1 — but at sf1 the SAME interleaved A/B inverts decisively:
+    direct 0.740 s vs cells 0.369 (the 3x Expand row replication is
+    per-row work that grows with data, while the cells pre-agg's
+    extra tiny stage is a constant). 100 TB is the design point, so
+    the CELLS-as-one-SQL form ships: one pass aggregates exact BIGINT
+    cents per (status, priority) — ~15 rows per partition at any
+    scale — and the ROLLUP's Expand + its second (constant-size)
+    exchange run over cell rows only; the DECIMAL reconstruction
+    touches ~45 rows. Bit-identical by additivity of the per-cell
+    sums over every grouping set (values asserted equal across all
+    four arms at both SFs); no coalesce stitch — the r12 A/B measured
+    the COALESCE(1) hint slower than letting the tiny exchange
+    happen (0.177 vs 0.145)."""
     ensure_session_determinism(spark)
     t = table_view(spark, sf_dir, "orders")
     return spark.sql(
         f"""
+        WITH cells AS (
+          SELECT o_orderstatus, o_orderpriority,
+                 sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS pc,
+                 count(*) AS n
+          FROM {t}
+          GROUP BY o_orderstatus, o_orderpriority
+        )
         SELECT o_orderstatus, o_orderpriority,
                CAST(grouping(o_orderstatus) * 2
                     + grouping(o_orderpriority) AS INT) AS gid,
-               CAST(count(*) AS BIGINT) AS n_orders,
-               CAST(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
-                         AS DECIMAL(30,0))
-                    * CAST(0.01 AS DECIMAL(3,2)) AS DOUBLE)
+               CAST(sum(n) AS BIGINT) AS n_orders,
+               CAST(sum(CAST(pc AS DECIMAL(30,0))
+                        * CAST(0.01 AS DECIMAL(3,2))) AS DOUBLE)
                  AS total_spend
-        FROM {t}
+        FROM cells
         GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
         """
     )
@@ -316,21 +326,27 @@ def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CUBE: all grouping combinations via a single Expand — one pass
-    over the input regardless of the number of sets. r12: direct CUBE
-    over the fact rows as one spark.sql call (the q_agg_rollup A/B —
-    count-only aggregates make the 4x Expand pure long adds, and the
-    cells pre-agg's extra stage plus its ~10 eager DataFrame build
-    steps cost more than the Expand saves)."""
+    """CUBE: all grouping combinations via a single Expand over the
+    ~15 pre-aggregated (status, priority) cells, expressed as ONE
+    spark.sql call (r12). The q_agg_rollup sf1 A/B applies verbatim:
+    Expand over FACT rows replicates per-row work 4x and loses 2x at
+    sf1, while the cells pre-agg's extra exchange is constant-size at
+    any scale; the one-SQL build removes the ~10 eager DataFrame
+    steps the r11 form paid. Identical by additivity of counts."""
     ensure_session_determinism(spark)
     t = table_view(spark, sf_dir, "orders")
     return spark.sql(
         f"""
+        WITH cells AS (
+          SELECT o_orderstatus, o_orderpriority, count(*) AS n
+          FROM {t}
+          GROUP BY o_orderstatus, o_orderpriority
+        )
         SELECT o_orderstatus, o_orderpriority,
                CAST(grouping(o_orderstatus) * 2
                     + grouping(o_orderpriority) AS INT) AS gid,
-               CAST(count(*) AS BIGINT) AS n_orders
-        FROM {t}
+               CAST(sum(n) AS BIGINT) AS n_orders
+        FROM cells
         GROUP BY CUBE (o_orderstatus, o_orderpriority)
         """
     )
@@ -346,18 +362,23 @@ def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_agg_gsets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Explicit GROUPING SETS via Spark SQL — same Expand machinery.
-    r12: direct over the fact rows in ONE spark.sql call (the
-    q_agg_rollup A/B); the former two-statement cells+temp-view dance
-    cost an extra stage plus a createOrReplaceTempView round trip per
-    build."""
+    """Explicit GROUPING SETS via Spark SQL — same Expand machinery,
+    over the ~15 pre-aggregated cells in ONE spark.sql call (r12: the
+    q_agg_rollup sf1 A/B — Expand belongs above the cells, and the
+    former two-statement cells+temp-view dance paid a
+    createOrReplaceTempView round trip per build)."""
     ensure_session_determinism(spark)
     t = table_view(spark, sf_dir, "orders")
     return spark.sql(
         f"""
+        WITH cells AS (
+          SELECT o_orderstatus, o_orderpriority, count(*) AS n
+          FROM {t}
+          GROUP BY o_orderstatus, o_orderpriority
+        )
         SELECT o_orderstatus, o_orderpriority,
-               CAST(count(*) AS BIGINT) AS n_orders
-        FROM {t}
+               CAST(sum(n) AS BIGINT) AS n_orders
+        FROM cells
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         """
     )
