@@ -38,13 +38,16 @@ FLAGSHIP = "q_agg_group"
 # ordering is written out so the tail needs no fallback logic.
 # Ordering only — no semantic changes in this list.
 _PRIORITY = [
-    # semantics touched THIS round (r12): q_agg_approx's exact-median
+    # semantics touched THIS round (r12), every touch gets a driver row
+    # same-round (VERDICT r7 #6 discipline): q_agg_approx's exact-median
     # reconstruction became tie-safe (strict-interior collect + counted
-    # tie blocks, verified lo==hi collapse — ADVICE r11 medium); same
-    # results on the tie-free fixture, but every touch gets a driver row
-    # same-round (VERDICT r7 #6 discipline). q_agg_rollup/cube/gsets
-    # were re-planned to direct single-pass Expand SQL (VERDICT r11 #1,
-    # interleaved A/B evidence in the rollup docstring).
+    # tie blocks, verified lo==hi collapse — ADVICE r11 medium);
+    # q_agg_rollup/cube/gsets re-planned to cells-as-one-SQL (the sf1
+    # interleaved A/B inverted the sf0.1 direct-Expand winner 2x);
+    # q_pivot to conditional-aggregation SQL; q_join_broadcast to one
+    # hinted SQL; q_window_tumbling to date_trunc + micro-unit decimal
+    # accumulator. All re-MATCHed at sf0.01 in-session; A/B evidence in
+    # each docstring.
     "q_agg_approx",
     "q_agg_rollup",
     "q_agg_cube",
