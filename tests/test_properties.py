@@ -598,3 +598,50 @@ def test_global_rank_empty_frame(spark):
     assert r.count() == 0
     assert [f.name for f in r.schema.fields] == ["id", "v", "n", "rn"]
     cache.scope("prop_empty_done")
+
+
+@given(
+    data=st.lists(
+        st.tuples(
+            # a VALUE drawn from a tiny alphabet (forces heavy ties)
+            st.integers(min_value=0, max_value=6),
+            # a REPEAT count so tie blocks of very different sizes form
+            st.integers(min_value=1, max_value=40),
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    cap=st.sampled_from([20, 200_000]),
+)
+@settings(max_examples=12, deadline=None)
+def test_exact_median_frame_matches_numpy_under_any_ties(
+    spark, data, cap
+):
+    """r12 property form of the tie-safety fix (ADVICE r11 medium):
+    _exact_median_frame must reproduce numpy's linear-interpolated
+    median BIT-FOR-BIT for arbitrary tie structures — tie blocks at
+    bracket endpoints, straddling the median ranks, or covering the
+    whole column — with the window cap both at its default and
+    shrunk to force the refinement loop."""
+    import numpy as np
+
+    from tile_etl_spark.operators import aggregates as agg_mod
+
+    values = []
+    for v, k in data:
+        values.extend([float(v)] * k)
+    old_cap = agg_mod.MEDIAN_WINDOW_MAX
+    try:
+        agg_mod.MEDIAN_WINDOW_MAX = cap
+        df = spark.createDataFrame(
+            [(x,) for x in values], "l_extendedprice double"
+        )
+        frame, _, n, n_all = agg_mod._exact_median_frame(
+            df, "l_extendedprice"
+        )
+        got = frame.collect()[0]["exact_median"]
+    finally:
+        agg_mod.MEDIAN_WINDOW_MAX = old_cap
+    want = float(np.percentile(values, 50, method="linear"))
+    assert got == want, (got, want, len(values), cap)
+    assert n == n_all == len(values)
