@@ -448,15 +448,16 @@ def main() -> None:
     sf = float(m.group(1)) if m else None
     # opt out with SPARK_GRAFT_QUIET_WAIT=0; default 600 s cap (the r9
     # 120 s cap ran out mid-burst and produced the contaminated record)
-    # Optional fast-box gate for RECORD runs (off by default): wait up
-    # to 15 min for the single-core probe to drop below the given
-    # sha256 reading. The r11 protocol showed the headline tracks box
-    # speed 3.77-5.21 s on identical code; a record taken on a slow-box
-    # minute understates the engine. 0.021 was the fast-mode reading
-    # across the r11 protocol.
-    # r12 (VERDICT r11 #6): gated by DEFAULT so cross-round records
-    # share a denominator — the wait is bounded (15 min, then proceed
-    # with the state recorded in box_probe_start); set to 0 to disable.
+    # Fast-box gate for RECORD runs — ON BY DEFAULT since r12 (ADVICE
+    # r12: this paragraph previously still said "off by default"): the
+    # bench waits up to 15 min for the single-core sha probe to drop to
+    # SPARK_GRAFT_BOX_GATE_SHA (default 0.021, the fast-mode reading
+    # across the r11 protocol), then proceeds regardless with the state
+    # recorded in box_probe_start. Set the env var to 0 to disable the
+    # wait entirely. Rationale: the r11 protocol showed the headline
+    # tracks box speed 3.77-5.21 s on identical code; a record taken on
+    # a slow-box minute understates the engine, and cross-round records
+    # need a shared denominator (VERDICT r11 #6).
     box_gate = float(os.environ.get("SPARK_GRAFT_BOX_GATE_SHA", "0.021"))
     if box_gate > 0:
         deadline = time.perf_counter() + 900
@@ -603,6 +604,96 @@ def main() -> None:
             else -1.0  # probe unavailable (non-/proc platform)
         )
         (times if qid in qids else extra_times)[qid] = round(min(rs), 4)
+
+    # React to the per-qid box probe (VERDICT r12 #1): the r12 driver
+    # record had clean_n=0 — every pass flagged — because the gate
+    # certified only the START of the run while the box dipped
+    # mid-region (start sha 0.0199, median window probe 0.0212, worst
+    # 0.0323), and the bench could see the dip per qid but only FLAG
+    # it. Now any qid whose window probe exceeded the gate is RE-TIMED
+    # after the main loop: bounded wait for the box to recover, probe
+    # before AND after the retimed window, accept only an in-gate
+    # window, and replace the qid's runs so the headline is built from
+    # in-gate windows. Both timings + probes stay in band.retimes — a
+    # retime is an attributed re-measurement, never a silent overwrite.
+    retime_gate = float(
+        os.environ.get(
+            "SPARK_GRAFT_QID_RETIME_SHA",
+            str(box_gate) if box_gate > 0 else "0.021",
+        )
+    )
+    retimes: dict[str, dict] = {}
+    if retime_gate > 0:
+        dipped = [
+            q for q in qids + extra_qids
+            if q in run_times and qid_box.get(q, 0.0) > retime_gate
+        ]
+        # bounded: headline qids first, global wait budget shared
+        # across all retimes so a persistently-slow box cannot stall
+        # the record (worst case we keep the original flagged windows)
+        dipped.sort(key=lambda q: (q not in qids, qids.index(q)
+                                   if q in qids else 0))
+        wait_deadline = time.perf_counter() + float(
+            os.environ.get("SPARK_GRAFT_RETIME_WAIT", "300")
+        )
+        for qid in dipped:
+            rec = {
+                "orig_wall_best": (times if qid in qids
+                                   else extra_times)[qid],
+                "orig_probe": qid_box[qid],
+                "attempts": [],
+                "accepted": False,
+            }
+            fn = registry.QUERIES[qid]
+            for _ in range(3):  # bounded attempts per qid
+                p0 = box_probe_sha()
+                if p0 > retime_gate:
+                    if time.perf_counter() >= wait_deadline:
+                        break
+                    time.sleep(5)
+                    continue
+                b0, o0 = _cpu_sample()
+                tw0 = time.perf_counter()
+                try:
+                    rs = []
+                    for _ in range(runs):
+                        t0 = time.perf_counter()
+                        force(fn(spark, sf_dir))
+                        rs.append(time.perf_counter() - t0)
+                except Exception as ex:
+                    print(f"RETIME ERROR {qid}: {str(ex)[:120]}",
+                          file=sys.stderr)
+                    break
+                dt = time.perf_counter() - tw0
+                b1, o1 = _cpu_sample()
+                ext = (
+                    max(0, (b1 - b0) - (o1 - o0))
+                    / max(dt * _CLK_TCK, 1e-9)
+                    if b1 > b0
+                    else -1.0
+                )
+                p1 = box_probe_sha()
+                att = {"probe_start": p0, "probe_end": p1,
+                       "external_cores": round(ext, 2),
+                       "runs": [round(r, 4) for r in rs]}
+                rec["attempts"].append(att)
+                # accept only a window that STAYED in-gate (small
+                # closing tolerance: the end probe rides scheduler
+                # noise the start probe already gated) with no foreign
+                # CPU burst — the retime must pass BOTH contamination
+                # instruments or it doesn't replace anything
+                if (p1 <= retime_gate * 1.2
+                        and ext <= EXTERNAL_CORES_THRESHOLD):
+                    rec["accepted"] = True
+                    run_times[qid] = rs
+                    qid_box[qid] = p0
+                    qid_ext[qid] = ext
+                    (times if qid in qids
+                     else extra_times)[qid] = round(min(rs), 4)
+                    break
+            if rec["attempts"] or rec["orig_probe"] > retime_gate:
+                retimes[qid] = rec
+
     flagged_qids = {
         q: round(e, 2)
         for q, e in qid_ext.items()
@@ -657,10 +748,23 @@ def main() -> None:
         "median": clean_walls[len(clean_walls) // 2],
         "max": clean_walls[-1],
         "passes": [
-            {"wall": w, "external_cores": e, "clean": ok,
-             "box_probe": box_sum}
+            {"wall": w, "external_cores": e, "clean": ok}
             for w, e, ok in zip(pass_walls, pass_ext, pass_clean)
         ],
+        # region-wide probe summary, recorded ONCE (ADVICE r12: the
+        # per-pass copy read as a per-pass measurement; the real
+        # per-window attribution is qid_box_sha below)
+        "box_probe_region": box_sum,
+        # VERDICT r12 #1: per-qid retime reaction — original + retimed
+        # walls and probes for every qid whose window probe exceeded
+        # the gate; box_flagged_qids lists the windows that are STILL
+        # out-of-gate after bounded retries (empty on a clean record)
+        "retime_gate_sha": retime_gate,
+        "retimes": retimes,
+        "box_flagged_qids": {
+            q: s for q, s in sorted(qid_box.items())
+            if retime_gate > 0 and s > retime_gate
+        },
         "external_cores_threshold": EXTERNAL_CORES_THRESHOLD,
         "flagged_qids": flagged_qids,
         # per-qid consecutive timing puts ALL passes of a qid inside

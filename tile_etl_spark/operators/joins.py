@@ -13,7 +13,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from tile_etl_spark.io import as_double, dec, load, table_view
+from tile_etl_spark.io import (
+    as_double, cached_dim_view, dec, load, table_view,
+)
 from tile_etl_spark.registry import query
 from tile_etl_spark.session import ensure_session_determinism
 
@@ -193,12 +195,20 @@ def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~10-step eager DataFrame build cost more than the plan it chose;
     interleaved A/B at sf0.1: 0.266 s median -> 0.196, -26%, values
     bit-identical). The BROADCAST hint plans the same
-    BroadcastHashJoin as F.broadcast(); the build job re-executing
-    per action is Spark's per-action constant (O(dim) at any scale,
-    BENCH_DECOMP r11), not a plan defect."""
+    BroadcastHashJoin as F.broadcast(). r13 (VERDICT r12 #3b): the
+    broadcast BUILD job re-executes per action (Spark never reuses a
+    broadcast exchange across actions — ReusedExchange is intra-plan
+    only), so the build side is now the projected MEMORY-CACHED dim
+    view (io.cached_dim_view): the per-action rebuild reads the
+    columnar cache instead of re-scanning parquet. Interleaved A/B,
+    values bit-identical: sf0.1 median 0.409 s -> 0.319 (-22%); sf1
+    0.717 -> 0.693 (wash — the build is an O(dim) constant that
+    amortizes); shipped because pinning hot dims is the long-lived
+    cluster serving path regardless."""
     ensure_session_determinism(spark)
     li = table_view(spark, sf_dir, "lineitem")
-    pt = table_view(spark, sf_dir, "part")
+    pt = cached_dim_view(spark, sf_dir, "part",
+                         ("p_partkey", "p_brand"))
     # int-cent group key: avoids the NaN/zero-normalization wrapper a
     # raw double group key gets in the hash (see _Q1_CELLS_SQL)
     return spark.sql(
