@@ -484,3 +484,173 @@ def test_session_window_chaos_merge_state_recovery(spark, tmp_path):
         )
     )
     assert got == want, (len(got), len(want), got[:3], want[:3])
+
+
+def test_ss_join_chaos_both_sides_state_recovery(spark, tmp_path):
+    """r13 (VERDICT r12 #5): the STREAM-STREAM interval join's state —
+    the one stateful shape the chaos tier had not exercised. Unlike the
+    running-counter and session-window tests, the join state store
+    buffers ROWS FROM BOTH INPUTS (every unmatched click and purchase
+    inside the watermark horizon); a lost or doubled state version
+    after a restart surfaces as missing or duplicated (click_id,
+    purchase_id) pairs, so the accounting is over the exact match
+    multiset, not aggregates.
+
+    Three scripted kills in foreachBatch, each a distinct crash window:
+      - epoch 0 pre-write: the first micro-batch dies with its join
+        output computed but nothing committed — recovery from EMPTY
+        buffers on both sides.
+      - mid-stream pre-write: a later batch dies the same way but with
+        REAL buffered state behind it (clicks waiting for purchases and
+        vice versa); the retry must reload the prior state version and
+        re-emit exactly the same appended matches.
+      - mid-stream post-write: the epoch's matches are fully written,
+        then the batch fails before the checkpoint commits — the retry
+        must rebuild the SAME version content (snapshot-compared), the
+        double-apply window for append-mode join output.
+    Append mode means each epoch's version holds only that epoch's new
+    matches; the union over all versions must equal the batch interval
+    join twin row-for-row."""
+    from tile_etl_spark.io import load
+    from tile_etl_spark.streaming.replay import EVENTS_SCHEMA, replay_dir
+
+    chunks = replay_dir(spark, _CHAOS_SF)
+    ckpt = str(tmp_path / "ckpt_ssjoin")
+    out_base = str(tmp_path / "ssjoin")
+    os.makedirs(out_base)
+
+    faults = {
+        (0, 1): "pre_write",   # empty-buffer recovery
+        (3, 1): "pre_write",   # live buffers, uncommitted output
+        (5, 1): "post_write",  # committed output, uncommitted ckpt
+    }
+    attempts: Counter[int] = Counter()
+    post_write_snapshot: dict[int, list] = {}
+
+    def _rows(path):
+        return sorted(map(tuple, spark.read.parquet(path).collect()))
+
+    def chaotic(batch_df, epoch_id):
+        epoch = int(epoch_id)
+        attempts[epoch] += 1
+        fault = faults.get((epoch, attempts[epoch]))
+        if fault == "pre_write":
+            raise RuntimeError(f"chaos: pre-write kill at epoch {epoch}")
+        vdir = os.path.join(out_base, f"v{epoch:05d}")
+        batch_df.write.mode("overwrite").parquet(vdir)
+        if fault == "post_write":
+            post_write_snapshot[epoch] = _rows(vdir)
+            raise RuntimeError(f"chaos: post-write kill at epoch {epoch}")
+
+    def start():
+        def side(event_type, keys):
+            s = (
+                spark.readStream.schema(EVENTS_SCHEMA)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(chunks + "/chunk_*.parquet")
+                .where(F.col("event_type") == event_type)
+            )
+            return s.select(*keys)
+
+        clicks = side(
+            "click",
+            (
+                F.col("user_id").alias("c_user"),
+                F.col("event_id").alias("click_id"),
+                F.col("ts").alias("click_ts"),
+            ),
+        ).withWatermark("click_ts", "1 hour")
+        purchases = side(
+            "purchase",
+            (
+                F.col("user_id").alias("p_user"),
+                F.col("event_id").alias("purchase_id"),
+                F.col("ts").alias("purchase_ts"),
+            ),
+        ).withWatermark("purchase_ts", "1 hour")
+        joined = clicks.join(
+            purchases,
+            (F.col("c_user") == F.col("p_user"))
+            & (F.col("purchase_ts") >= F.col("click_ts"))
+            & (
+                F.col("purchase_ts")
+                <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")
+            ),
+        ).select(
+            F.col("c_user").alias("user_id"), "click_id", "purchase_id"
+        )
+        return (
+            joined.writeStream.foreachBatch(chaotic)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    restarts = 0
+    while True:
+        q = start()
+        try:
+            q.awaitTermination()
+            break
+        except StreamingQueryException:
+            restarts += 1
+            assert restarts <= MAX_RESTARTS, (
+                f"ss-join chaos did not converge in {MAX_RESTARTS} "
+                f"restarts; attempts={dict(attempts)}"
+            )
+
+    # one restart per injected kill, no more
+    assert restarts == len(faults), (restarts, dict(attempts))
+    # versions contiguous from 0 — no epoch lost, none re-committed
+    # under a different id (the engine may append trailing
+    # watermark-finalization epochs beyond the data chunks; they must
+    # still be contiguous and carry no spurious matches)
+    vs = sorted(os.listdir(out_base))
+    assert vs == [f"v{i:05d}" for i in range(len(vs))], vs
+    # per-epoch attempts match the script exactly
+    expected = Counter({e: 1 for e in range(len(vs))})
+    for (e, _a) in faults:
+        expected[e] += 1
+    assert attempts == expected, (dict(attempts), dict(expected))
+    # the post-write epoch's retry rebuilt byte-identical content from
+    # the recovered state version — the double-apply window closed
+    for epoch, snap in post_write_snapshot.items():
+        assert _rows(os.path.join(out_base, f"v{epoch:05d}")) == snap
+
+    # union of all appended epochs == batch interval join twin,
+    # row-for-row (a lost state version drops pairs; a doubled one
+    # duplicates them — multiset compare catches both directions)
+    got = _rows(os.path.join(out_base, "v*"))
+    e = load(spark, _CHAOS_SF, "events")
+    c = e.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    p = e.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    want = sorted(
+        map(
+            tuple,
+            c.join(
+                p,
+                (F.col("c_user") == F.col("p_user"))
+                & (F.col("purchase_ts") >= F.col("click_ts"))
+                & (
+                    F.col("purchase_ts")
+                    <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")
+                ),
+            )
+            .select(
+                F.col("c_user").alias("user_id"),
+                "click_id",
+                "purchase_id",
+            )
+            .collect(),
+        )
+    )
+    assert got == want, (len(got), len(want))
