@@ -394,3 +394,54 @@ def test_events_value_is_micro_unit_exact(duck):
         "AND abs(value*1000000 - round(value*1000000)) > 1e-3"
     ).fetchone()[0]
     assert bad == 0, f"{bad} events.value rows are not 6dp-exact"
+
+
+def test_cached_dim_view_memoizes_and_rebuilds_on_regeneration(
+    spark, tmp_path
+):
+    """r13: cached_dim_view must (a) return the same view name while
+    the fixture is unchanged, (b) serve the projected dim from the
+    columnar cache, and (c) unpersist the stale cache and rebuild when
+    the fixture regenerates — a stale cached dim after an upstream
+    refresh is a silent wrong-answer hazard, worse than slow."""
+    sf_dir = str(tmp_path)
+    path = os.path.join(sf_dir, "region.parquet")
+
+    def write(keys):
+        t = pa.table(
+            {
+                "r_regionkey": pa.array(keys, pa.int64()),
+                "r_name": pa.array([f"R{k}" for k in keys]),
+                "r_comment": pa.array(["x"] * len(keys)),
+            }
+        )
+        pq.write_table(t, path)
+
+    write([0, 1, 2])
+    cols = ("r_regionkey", "r_name")
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    n0 = cm.numCachedEntries()
+    v1 = io_mod.cached_dim_view(spark, sf_dir, "region", cols)
+    assert spark.table(v1).columns == list(cols)
+    assert spark.table(v1).count() == 3
+    # memoized: same name back, cache entry is live
+    assert io_mod.cached_dim_view(spark, sf_dir, "region", cols) == v1
+    memo = io_mod._memo_for(spark)
+    _df1, proj1, _v = memo[("__dimcache__", sf_dir, "region", cols)]
+    assert proj1.storageLevel.useMemory
+    n1 = cm.numCachedEntries()
+    assert n1 == n0 + 1
+
+    write([0, 1, 2, 3, 4])  # regenerate: new fingerprint
+    v2 = io_mod.cached_dim_view(spark, sf_dir, "region", cols)
+    assert spark.table(v2).count() == 5  # stale data must not be served
+    _df2, proj2, _v2 = memo[("__dimcache__", sf_dir, "region", cols)]
+    assert proj2 is not proj1
+    # the stale projection was unpersisted, not leaked: the CacheManager
+    # holds exactly as many entries as after the FIRST build (old entry
+    # dropped, new one added). NOTE proj1.storageLevel is useless here —
+    # it resolves by plan through the CacheManager, and the regenerated
+    # projection's plan (same path, same columns) matches the stale
+    # handle, so it would read as "cached" either way.
+    assert cm.numCachedEntries() == n1
+    shutil.rmtree(sf_dir, ignore_errors=True)
