@@ -102,22 +102,30 @@ def test_objectstore_sink_writes_objects_and_deadletters(spark, sf_dir):
     int(parts[1]), int(parts[2]), int(parts[3])
 
 
-def test_scan_relayout_preserves_values(spark, sf_dir, monkeypatch):
+def test_scan_relayout_preserves_values(
+    spark, sf_dir, monkeypatch, tmp_path
+):
     """The single-row-group fixture re-layout (io._scan_path) must be
     value-transparent: same multiset of rows, just spread over multiple
     files for scan parallelism. Exercised here at tiny SF by dropping
     the row threshold (real SFs trigger it naturally at >=100k rows).
     Covers both the plain path (orders) and the events path, whose
-    ns->us timestamp conversion is materialized INTO the artifact."""
-    import shutil
+    ns->us timestamp conversion is materialized INTO the artifact.
 
+    r13: ART_DIR is monkeypatched to an isolated tmp dir instead of
+    rmtree'ing the SHARED /tmp artifact cache — the old teardown
+    deleted scan-layout files out from under any concurrently running
+    engine process (the r13 pre-driver sweep lost 55 qids to exactly
+    that: memoized plans referencing unlinked files). `_art()` reads
+    files.ART_DIR at call time, so the patch isolates every artifact
+    this test triggers."""
     from tile_etl_spark import io as io_mod
-    from tile_etl_spark.sources.files import ART_DIR
+    from tile_etl_spark.sources import files as files_mod
 
     monkeypatch.setattr(io_mod, "_RELAYOUT_MIN_ROWS", 1)
     monkeypatch.setattr(io_mod, "_RELAYOUT_ROWS_PER_FILE", 100)
+    monkeypatch.setattr(files_mod, "ART_DIR", str(tmp_path / "art"))
     io_mod._LOAD_MEMO.clear()
-    shutil.rmtree(os.path.join(ART_DIR, "scan_layout"), ignore_errors=True)
     try:
         for name in ("orders", "events"):
             raw = io_mod._read_raw(
@@ -132,10 +140,9 @@ def test_scan_relayout_preserves_values(spark, sf_dir, monkeypatch):
             b = sorted(map(tuple, df.collect()))
             assert a == b, name
     finally:
+        # the memoized frames point into the tmp ART_DIR about to be
+        # torn down — drop them so later tests re-derive real layouts
         io_mod._LOAD_MEMO.clear()
-        shutil.rmtree(
-            os.path.join(ART_DIR, "scan_layout"), ignore_errors=True
-        )
 
 
 def test_registry_outputs_driver_hashable(spark, sf_dir):
