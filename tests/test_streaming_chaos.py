@@ -654,3 +654,183 @@ def test_ss_join_chaos_both_sides_state_recovery(spark, tmp_path):
         )
     )
     assert got == want, (len(got), len(want))
+
+
+def test_ss_join_louter_chaos_eviction_emission_recovery(spark, tmp_path):
+    """r13 follow-on to the inner-join chaos test: the LEFT OUTER
+    stream-stream join's null-extended emissions ride state EVICTION —
+    an unmatched click surfaces only when the joint watermark passes
+    its whole match window — which is a different recovery shape from
+    emit-on-match: a kill landing around an eviction boundary can
+    double-emit the evicted rows (state restored, eviction re-runs) or
+    lose them (sink write lost, state already gone). Kills:
+      - epoch 0 pre-write: empty-state recovery, as in the inner test.
+      - mid-stream pre-write: an epoch whose watermark advance
+        finalized real unmatched clicks dies before committing them —
+        the retry must re-run the SAME eviction from the restored
+        state version.
+      - final-epoch post-write: the flush-sentinel epoch (the largest
+        eviction burst — everything still buffered flushes) commits
+        its output, then dies before the checkpoint; the retry must
+        rebuild byte-identical content, never a second (empty or
+        doubled) eviction.
+    The union over all appended epochs (sentinel user filtered) must
+    equal the batch LEFT join twin multiset — matched rows AND
+    null-extended unmatched rows, each exactly once."""
+    from tile_etl_spark.io import load
+    from tile_etl_spark.streaming.replay import (
+        EVENTS_SCHEMA,
+        N_CHUNKS,
+        replay_dir_with_flush,
+    )
+
+    chunks = replay_dir_with_flush(spark, _CHAOS_SF)
+    ckpt = str(tmp_path / "ckpt_louter")
+    out_base = str(tmp_path / "louter")
+    os.makedirs(out_base)
+
+    # the flush sentinel is chunk N_CHUNKS (0-indexed), the last file;
+    # with maxFilesPerTrigger=1 per source it lands in epoch N_CHUNKS
+    final_epoch = N_CHUNKS
+    faults = {
+        (0, 1): "pre_write",
+        (4, 1): "pre_write",
+        (final_epoch, 1): "post_write",
+    }
+    attempts: Counter[int] = Counter()
+    post_write_snapshot: dict[int, list] = {}
+
+    def _rows(path):
+        return sorted(
+            map(tuple, spark.read.parquet(path).collect()),
+            key=lambda t: tuple((v is None, v) for v in t),
+        )
+
+    def chaotic(batch_df, epoch_id):
+        epoch = int(epoch_id)
+        attempts[epoch] += 1
+        fault = faults.get((epoch, attempts[epoch]))
+        if fault == "pre_write":
+            raise RuntimeError(f"chaos: pre-write kill at epoch {epoch}")
+        vdir = os.path.join(out_base, f"v{epoch:05d}")
+        batch_df.write.mode("overwrite").parquet(vdir)
+        if fault == "post_write":
+            post_write_snapshot[epoch] = _rows(vdir)
+            raise RuntimeError(f"chaos: post-write kill at epoch {epoch}")
+
+    def start():
+        def side(event_type, keys):
+            s = (
+                spark.readStream.schema(EVENTS_SCHEMA)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(chunks + "/chunk_*.parquet")
+                .where(F.col("event_type") == event_type)
+            )
+            return s.select(*keys)
+
+        clicks = side(
+            "click",
+            (
+                F.col("user_id").alias("c_user"),
+                F.col("event_id").alias("click_id"),
+                F.col("ts").alias("click_ts"),
+            ),
+        ).withWatermark("click_ts", "1 hour")
+        purchases = side(
+            "purchase",
+            (
+                F.col("user_id").alias("p_user"),
+                F.col("event_id").alias("purchase_id"),
+                F.col("ts").alias("purchase_ts"),
+            ),
+        ).withWatermark("purchase_ts", "1 hour")
+        joined = clicks.join(
+            purchases,
+            (F.col("c_user") == F.col("p_user"))
+            & (F.col("purchase_ts") >= F.col("click_ts"))
+            & (
+                F.col("purchase_ts")
+                <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")
+            ),
+            "left_outer",
+        ).select(
+            F.col("c_user").alias("user_id"), "click_id", "purchase_id"
+        )
+        return (
+            joined.writeStream.foreachBatch(chaotic)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    restarts = 0
+    while True:
+        q = start()
+        try:
+            q.awaitTermination()
+            break
+        except StreamingQueryException:
+            restarts += 1
+            assert restarts <= MAX_RESTARTS, (
+                f"louter chaos did not converge in {MAX_RESTARTS} "
+                f"restarts; attempts={dict(attempts)}"
+            )
+
+    assert restarts == len(faults), (restarts, dict(attempts))
+    vs = sorted(os.listdir(out_base))
+    assert vs == [f"v{i:05d}" for i in range(len(vs))], vs
+    assert len(vs) > final_epoch, (len(vs), final_epoch)
+    expected = Counter({e: 1 for e in range(len(vs))})
+    for (e, _a) in faults:
+        expected[e] += 1
+    assert attempts == expected, (dict(attempts), dict(expected))
+    # the flush epoch's retry re-ran the SAME eviction from restored
+    # state: byte-identical version content
+    for epoch, snap in post_write_snapshot.items():
+        assert _rows(os.path.join(out_base, f"v{epoch:05d}")) == snap
+        assert snap, "flush epoch emitted nothing — eviction lost"
+
+    got = [
+        t
+        for t in _rows(os.path.join(out_base, "v*"))
+        if t[0] is not None and t[0] >= 0
+    ]
+    e = load(spark, _CHAOS_SF, "events")
+    c = e.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    p = e.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    want = sorted(
+        map(
+            tuple,
+            c.join(
+                p,
+                (F.col("c_user") == F.col("p_user"))
+                & (F.col("purchase_ts") >= F.col("click_ts"))
+                & (
+                    F.col("purchase_ts")
+                    <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")
+                ),
+                "left_outer",
+            )
+            .select(
+                F.col("c_user").alias("user_id"),
+                "click_id",
+                "purchase_id",
+            )
+            .collect(),
+        ),
+        key=lambda t: tuple((v is None, v) for v in t),
+    )
+    assert got == want, (len(got), len(want))
+    # and the null-extended tier specifically survived: some clicks
+    # really are unconverted in the fixture
+    n_null = sum(1 for t in got if t[2] is None)
+    assert n_null > 0 and n_null == sum(1 for t in want if t[2] is None)
