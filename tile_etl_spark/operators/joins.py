@@ -35,19 +35,34 @@ from tile_etl_spark.session import ensure_session_determinism
 def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hash equi-join chain orders⋈customer⋈nation + group agg. customer
     and nation are dimension-sized → Catalyst broadcasts them; the fact
-    table never shuffles before aggregation."""
+    table never shuffles before aggregation.
+
+    r13: one spark.sql statement over cached dim views (the r12
+    eager-build-tax lesson + the q_join_broadcast dim-cache lever
+    applied together): the former 6-step DataFrame chain paid per-op
+    Py4J analysis, and both dims' broadcast BUILD jobs re-scanned
+    parquet every action. The projected join columns now pin in the
+    columnar cache (O(dim) memory at any corpus scale — customers
+    don't grow with fact data). Interleaved A/B, values bit-identical:
+    sf0.1 median 0.426 s → 0.346 (−19%); sf1 0.954 → 0.775 (−19%,
+    min −33%) — a both-SF winner, no inversion."""
     ensure_session_determinism(spark)
-    o = load(spark, sf_dir, "orders")
-    c = load(spark, sf_dir, "customer")
-    n = load(spark, sf_dir, "nation")
-    return (
-        o.join(c, o.o_custkey == c.c_custkey)
-        .join(n, c.c_nationkey == n.n_nationkey)
-        .groupBy("n_name")
-        .agg(
-            F.count(F.lit(1)).alias("n_orders"),
-            as_double(F.sum(dec("o_totalprice"))).alias("total_spend"),
-        )
+    o = table_view(spark, sf_dir, "orders")
+    c = cached_dim_view(spark, sf_dir, "customer",
+                        ("c_custkey", "c_nationkey"))
+    n = cached_dim_view(spark, sf_dir, "nation",
+                        ("n_nationkey", "n_name"))
+    return spark.sql(
+        f"""
+        SELECT n.n_name,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2)))
+                    AS DOUBLE) AS total_spend
+        FROM {o} o
+        JOIN {c} c ON o.o_custkey = c.c_custkey
+        JOIN {n} n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+        """
     )
 
 

@@ -46,13 +46,15 @@ from tile_etl_spark.session import get_spark  # noqa: E402
 # ReadSchema). The scan probe reads exactly those columns and forces
 # through the same noop sink.
 SCAN_SETS: dict[str, list[tuple[str, list[str]]]] = {
+    # r13 fix: this set previously listed the OLD 5-table shape
+    # (lineitem/part/supplier included); the shipped query reads
+    # orders ⋈ customer ⋈ nation only, so the over-wide probe
+    # overstated the scan component and the residual read 0.0
+    # artificially. Columns match the pinned plan's ReadSchema.
     "q_join_inner": [
-        ("lineitem", ["l_orderkey", "l_partkey", "l_suppkey",
-                      "l_extendedprice", "l_discount"]),
-        ("orders", ["o_orderkey", "o_custkey"]),
+        ("orders", ["o_custkey", "o_totalprice"]),
         ("customer", ["c_custkey", "c_nationkey"]),
-        ("part", ["p_partkey", "p_name"]),
-        ("supplier", ["s_suppkey", "s_name"]),
+        ("nation", ["n_nationkey", "n_name"]),
     ],
     "q_join_broadcast": [
         ("lineitem", ["l_orderkey", "l_partkey", "l_extendedprice"]),
