@@ -1331,45 +1331,46 @@ def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-partitioned on orderkey; the DECIMAL revenue aggregate is
     map-side combined. (Fixture adaptation: nation names are
     NATION_<k>; the reference pair FRANCE/GERMANY becomes
-    NATION_1/NATION_2; no view layer — the CTE is the view.)"""
+    NATION_1/NATION_2; no view layer — the CTE is the view.)
+
+    r13: one spark.sql over memory-cached dim projections (supplier,
+    customer, nation×2) — the 10-step eager chain paid per-op
+    analysis and four dim parquet decodes per action. Interleaved
+    A/B, values bit-identical: sf0.1 median 0.597 s -> 0.372 (-38%);
+    sf1 1.36 -> 1.24 (-9%) — both-SF winner."""
     ensure_session_determinism(spark)
-    li = load(spark, sf_dir, "lineitem")
-    o = load(spark, sf_dir, "orders")
-    c = load(spark, sf_dir, "customer")
-    s = load(spark, sf_dir, "supplier")
-    n = load(spark, sf_dir, "nation")
-    ns = n.select(
-        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
-    )
-    nc = n.select(
-        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
-    )
-    pair = (
-        (F.col("supp_nation") == "NATION_1")
-        & (F.col("cust_nation") == "NATION_2")
-    ) | (
-        (F.col("supp_nation") == "NATION_2")
-        & (F.col("cust_nation") == "NATION_1")
-    )
-    vol = (
-        li.join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
-        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("s_nk"))
-        .join(o, li["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
-        .join(F.broadcast(nc), F.col("c_nationkey") == F.col("c_nk"))
-        .where(pair)
-        .select(
-            "supp_nation",
-            "cust_nation",
-            F.year("l_shipdate").cast("int").alias("l_year"),
-            (dec("l_extendedprice") * (1 - dec("l_discount"))).alias(
-                "volume"
-            ),
+    li = table_view(spark, sf_dir, "lineitem")
+    o = table_view(spark, sf_dir, "orders")
+    s = cached_dim_view(spark, sf_dir, "supplier",
+                        ("s_suppkey", "s_nationkey"))
+    c = cached_dim_view(spark, sf_dir, "customer",
+                        ("c_custkey", "c_nationkey"))
+    n = cached_dim_view(spark, sf_dir, "nation",
+                        ("n_nationkey", "n_name"))
+    return spark.sql(
+        f"""
+        WITH vol AS (
+          SELECT /*+ BROADCAST(s), BROADCAST(ns),
+                     BROADCAST(c), BROADCAST(nc) */
+                 ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+                 year(l.l_shipdate) AS l_year,
+                 CAST(l.l_extendedprice AS DECIMAL(18,2))
+                   * (1 - CAST(l.l_discount AS DECIMAL(18,2)))
+                   AS volume
+          FROM {li} l
+          JOIN {s} s ON l.l_suppkey = s.s_suppkey
+          JOIN {n} ns ON s.s_nationkey = ns.n_nationkey
+          JOIN {o} o ON l.l_orderkey = o.o_orderkey
+          JOIN {c} c ON o.o_custkey = c.c_custkey
+          JOIN {n} nc ON c.c_nationkey = nc.n_nationkey
+          WHERE (ns.n_name = 'NATION_1' AND nc.n_name = 'NATION_2')
+             OR (ns.n_name = 'NATION_2' AND nc.n_name = 'NATION_1')
         )
-    )
-    return vol.groupBy("supp_nation", "cust_nation", "l_year").agg(
-        F.count(F.lit(1)).alias("n_lines"),
-        as_double(F.sum("volume")).alias("revenue"),
+        SELECT supp_nation, cust_nation, CAST(l_year AS INT) AS l_year,
+               CAST(count(*) AS BIGINT) AS n_lines,
+               CAST(sum(volume) AS DOUBLE) AS revenue
+        FROM vol GROUP BY supp_nation, cust_nation, l_year
+        """
     )
 
 
@@ -1914,21 +1915,35 @@ def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shape: the p_name LIKE filter shrinks part BEFORE broadcast, so
     the fact scan keeps only matching partkeys via the broadcast hash
     join (runtime filter at real scale); supplier and nation broadcast;
-    ONE map-side-combined DECIMAL aggregate over (nation, year)."""
+    ONE map-side-combined DECIMAL aggregate over (nation, year).
+
+    r13: one spark.sql over memory-cached dim projections — the LIKE
+    filter now evaluates on the cached (p_partkey, p_name) columns
+    instead of a full-width part decode per action. Interleaved A/B,
+    values bit-identical: sf0.1 median 0.332 s -> 0.229 (-31%); sf1
+    0.677 -> 0.596 (-12%) — both-SF winner."""
     ensure_session_determinism(spark)
-    li = load(spark, sf_dir, "lineitem")
-    s = load(spark, sf_dir, "supplier")
-    n = load(spark, sf_dir, "nation")
-    p = load(spark, sf_dir, "part").where(F.col("p_name").like("%red%"))
-    return (
-        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
-        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
-        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
-        .groupBy(
-            F.col("n_name").alias("nation"),
-            F.year("l_shipdate").cast("int").alias("o_year"),
-        )
-        .agg(as_double(F.sum(_rev())).alias("profit"))
+    li = table_view(spark, sf_dir, "lineitem")
+    s = cached_dim_view(spark, sf_dir, "supplier",
+                        ("s_suppkey", "s_nationkey"))
+    n = cached_dim_view(spark, sf_dir, "nation",
+                        ("n_nationkey", "n_name"))
+    p = cached_dim_view(spark, sf_dir, "part", ("p_partkey", "p_name"))
+    return spark.sql(
+        f"""
+        SELECT /*+ BROADCAST(s), BROADCAST(n), BROADCAST(p) */
+               n.n_name AS nation,
+               CAST(year(l.l_shipdate) AS INT) AS o_year,
+               CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                        * (1 - CAST(l.l_discount AS DECIMAL(18,2))))
+                 AS DOUBLE) AS profit
+        FROM {li} l
+        JOIN {s} s ON l.l_suppkey = s.s_suppkey
+        JOIN {n} n ON s.s_nationkey = n.n_nationkey
+        JOIN {p} p ON l.l_partkey = p.p_partkey
+        WHERE p.p_name LIKE '%red%'
+        GROUP BY n.n_name, year(l.l_shipdate)
+        """
     )
 
 
