@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from tile_etl_spark.io import load
+from tile_etl_spark.io import cached_dim_view, load, table_view
 from tile_etl_spark.registry import query
 from tile_etl_spark.session import ensure_session_determinism
 
@@ -273,75 +273,58 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the same fact table three times.
 
     Spark plan: the shared ``base`` (lineitem⋈F-orders with the late
-    flag) is computed once; the quantifiers decorrelate to a LEFT SEMI
-    join (equi on l_orderkey + suppkey<>residual) and a LEFT ANTI join
-    of the same shape — no subquery re-evaluation per row, each
-    quantifier is one hash join on the order key. At 100 TB all three
-    base legs co-shuffle on l_orderkey (one exchange reused via AQE),
-    and the supplier/nation dims broadcast. Completes fixture-adapted
-    TPC-H at 21 of 22 (Q1≡q_agg_group; Q21 here; only the pure
-    date-arithmetic Q... none remain beyond the fixture's columns)."""
-    ensure_session_determinism(spark)
-    li = load(spark, sf_dir, "lineitem")
-    orders = load(spark, sf_dir, "orders")
-    supp = load(spark, sf_dir, "supplier")
-    nation = load(spark, sf_dir, "nation")
+    flag) is computed once per leg; the quantifiers decorrelate to a
+    LEFT SEMI join (equi on l_orderkey + suppkey<>residual) and a LEFT
+    ANTI join of the same shape — no subquery re-evaluation per row,
+    each quantifier is one hash join on the order key. At 100 TB all
+    three base legs co-shuffle on l_orderkey (one exchange reused via
+    AQE), and the supplier/nation dims broadcast. Completes
+    fixture-adapted TPC-H at 21 of 22 (Q1≡q_agg_group).
 
-    base = (
-        li.join(
-            orders.where(F.col("o_orderstatus") == "F").select(
-                "o_orderkey", "o_orderdate"
-            ),
-            li["l_orderkey"] == F.col("o_orderkey"),
-        )
-        .select(
-            "l_orderkey",
-            "l_suppkey",
-            (
-                F.col("l_shipdate")
-                > F.date_add(F.col("o_orderdate"), _Q21_LATE_DAYS)
-            ).alias("late"),
-        )
-    )
-    l1 = base.where("late").alias("l1")
-    l2 = base.select(
-        F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2")
-    ).alias("l2")
-    l3 = (
-        base.where("late")
-        .select(F.col("l_orderkey").alias("o3"), F.col("l_suppkey").alias("s3"))
-        .alias("l3")
-    )
-    waiting = (
-        l1.join(
-            l2,
-            (F.col("l1.l_orderkey") == F.col("o2"))
-            & (F.col("l1.l_suppkey") != F.col("s2")),
-            "left_semi",
-        )
-        .join(
-            l3,
-            (F.col("l1.l_orderkey") == F.col("o3"))
-            & (F.col("l1.l_suppkey") != F.col("s3")),
-            "left_anti",
-        )
-    )
-    named = waiting.join(
-        F.broadcast(
-            supp.join(
-                F.broadcast(
-                    nation.where(F.col("n_name") == _Q21_NATION).select(
-                        "n_nationkey"
-                    )
-                ),
-                supp["s_nationkey"] == F.col("n_nationkey"),
-            ).select("s_suppkey", "s_name")
+    r13: one spark.sql over cached supplier/nation projections — the
+    10-step eager chain paid per-op analysis, and both dims re-decoded
+    parquet per action. Interleaved A/B, values (and the declared
+    ORDER) bit-identical: sf0.1 median -18%; sf1 -10% — both-SF
+    winner."""
+    ensure_session_determinism(spark)
+    li = table_view(spark, sf_dir, "lineitem")
+    o = table_view(spark, sf_dir, "orders")
+    s = cached_dim_view(spark, sf_dir, "supplier",
+                        ("s_suppkey", "s_name", "s_nationkey"))
+    n = cached_dim_view(spark, sf_dir, "nation",
+                        ("n_nationkey", "n_name"))
+    return spark.sql(
+        f"""
+        WITH base AS (
+          SELECT l.l_orderkey, l.l_suppkey,
+                 (l.l_shipdate > date_add(o.o_orderdate,
+                                          {_Q21_LATE_DAYS})) AS late
+          FROM {li} l
+          JOIN {o} o ON l.l_orderkey = o.o_orderkey
+          WHERE o.o_orderstatus = 'F'
         ),
-        waiting["l1.l_suppkey"] == F.col("s_suppkey"),
-    )
-    return (
-        named.groupBy("s_name")
-        .agg(F.count(F.lit(1)).alias("numwait"))
-        .orderBy(F.desc("numwait"), "s_name")
-        .limit(100)
+        waiting AS (
+          SELECT l1.l_orderkey, l1.l_suppkey
+          FROM (SELECT * FROM base WHERE late) l1
+          LEFT SEMI JOIN base l2
+            ON l1.l_orderkey = l2.l_orderkey
+           AND l1.l_suppkey <> l2.l_suppkey
+          LEFT ANTI JOIN (SELECT * FROM base WHERE late) l3
+            ON l1.l_orderkey = l3.l_orderkey
+           AND l1.l_suppkey <> l3.l_suppkey
+        ),
+        dim AS (
+          SELECT /*+ BROADCAST(n) */ s.s_suppkey, s.s_name
+          FROM {s} s
+          JOIN {n} n ON s.s_nationkey = n.n_nationkey
+          WHERE n.n_name = '{_Q21_NATION}'
+        )
+        SELECT /*+ BROADCAST(d) */ d.s_name,
+               count(1) AS numwait
+        FROM waiting w
+        JOIN dim d ON w.l_suppkey = d.s_suppkey
+        GROUP BY d.s_name
+        ORDER BY numwait DESC, s_name
+        LIMIT 100
+        """
     )

@@ -1136,32 +1136,39 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the final top-100 is TakeOrderedAndProject with a total order.
 
     DECIMAL quantity sums keep the HAVING boundary exact — a double
-    sum could flip orders sitting exactly on the threshold."""
+    sum could flip orders sitting exactly on the threshold.
+
+    r13: one spark.sql with the HAVING expressed directly and the
+    customer key column cache-fed. Interleaved A/B, values (and the
+    declared ORDER) bit-identical: sf0.1 median -21%; sf1 -77% — the
+    old eager form's per-action rebuild of the broadcast key set
+    degraded to 15-24 s walls at sf1 (GC pressure from repeated
+    large-relation builds) while the one-SQL form held 3.0-3.4 s.
+    Both-SF winner and the round's largest sf1 delta."""
     ensure_session_determinism(spark)
-    c = load(spark, sf_dir, "customer")
-    o = load(spark, sf_dir, "orders")
-    li = load(spark, sf_dir, "lineitem")
-    big = (
-        li.groupBy("l_orderkey")
-        .agg(F.sum(dec("l_quantity")).alias("qty"))
-        .where(F.col("qty") > Q18_QTY)
-        .select("l_orderkey")
-    )
-    return (
-        li.join(F.broadcast(big), "l_orderkey", "left_semi")
-        .join(o, li["l_orderkey"] == o["o_orderkey"])
-        .join(c, o["o_custkey"] == c["c_custkey"])
-        .groupBy("c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(as_double(F.sum(dec("l_quantity"))).alias("total_qty"))
-        .select(
-            "c_custkey",
-            "o_orderkey",
-            "o_orderdate",
-            F.col("o_totalprice").cast("double").alias("o_totalprice"),
-            "total_qty",
+    li = table_view(spark, sf_dir, "lineitem")
+    o = table_view(spark, sf_dir, "orders")
+    c = cached_dim_view(spark, sf_dir, "customer", ("c_custkey",))
+    return spark.sql(
+        f"""
+        WITH big AS (
+          SELECT l_orderkey FROM {li}
+          GROUP BY l_orderkey
+          HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > {Q18_QTY}
         )
-        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
-        .limit(100)
+        SELECT /*+ BROADCAST(big), BROADCAST(c) */
+               c.c_custkey, o.o_orderkey, o.o_orderdate,
+               CAST(o.o_totalprice AS DOUBLE) AS o_totalprice,
+               CAST(sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                 AS total_qty
+        FROM {li} l
+        LEFT SEMI JOIN big ON l.l_orderkey = big.l_orderkey
+        JOIN {o} o ON l.l_orderkey = o.o_orderkey
+        JOIN {c} c ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+        ORDER BY o_totalprice DESC, o_orderkey ASC
+        LIMIT 100
+        """
     )
 
 
@@ -1747,27 +1754,35 @@ def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shape: one shuffle for the per-supplier aggregate; the 1-row max
     re-broadcasts into the filter; supplier is the broadcast dim. The
     aggregate output (suppliers, not lineitems) is what flows into
-    both consumers — at 100 TB the fact table is read once."""
+    both consumers — at 100 TB the fact table is read once.
+
+    r13: one spark.sql over the cached supplier projection.
+    Interleaved A/B, values bit-identical: sf0.1 median -29%; sf1
+    first read +8% in a burst-hit 5-rep window, re-measured alone at
+    9 reps -17% (new arm wins 7/9 adjacent pairs) — both-SF winner."""
     ensure_session_determinism(spark)
-    li = load(spark, sf_dir, "lineitem")
-    s = load(spark, sf_dir, "supplier")
-    revenue = (
-        li.where(
-            (F.col("l_shipdate") >= "1996-01-01")
-            & (F.col("l_shipdate") < "1996-04-01")
-        )
-        .groupBy(F.col("l_suppkey").alias("supplier_no"))
-        .agg(F.sum(_rev()).alias("total_revenue"))
-    )
-    mx = revenue.agg(F.max("total_revenue").alias("mx"))
-    return (
-        revenue.join(F.broadcast(mx), F.col("total_revenue") == F.col("mx"))
-        .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
-        .select(
-            "s_suppkey",
-            "s_name",
-            F.col("total_revenue").cast("double").alias("total_revenue"),
-        )
+    li = table_view(spark, sf_dir, "lineitem")
+    s = cached_dim_view(spark, sf_dir, "supplier",
+                        ("s_suppkey", "s_name"))
+    return spark.sql(
+        f"""
+        WITH revenue AS (
+          SELECT l_suppkey AS supplier_no,
+                 sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                     * (1 - CAST(l_discount AS DECIMAL(18,2))))
+                   AS total_revenue
+          FROM {li}
+          WHERE l_shipdate >= DATE '1996-01-01'
+            AND l_shipdate < DATE '1996-04-01'
+          GROUP BY l_suppkey
+        ),
+        mx AS (SELECT max(total_revenue) AS mx FROM revenue)
+        SELECT /*+ BROADCAST(mx), BROADCAST(s) */ s.s_suppkey, s.s_name,
+               CAST(r.total_revenue AS DOUBLE) AS total_revenue
+        FROM revenue r
+        JOIN mx ON r.total_revenue = mx.mx
+        JOIN {s} s ON r.supplier_no = s.s_suppkey
+        """
     )
 
 
@@ -1804,29 +1819,38 @@ def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows while leaving every surviving part's average bit-identical
     (it still aggregates ALL of that part's lineitems). The manual
     form of the aggregate-pushdown rewrite optimizers can't always
-    prove. DECIMAL revenue sum; single global result row."""
+    prove. DECIMAL revenue sum; single global result row.
+
+    r13: one spark.sql over the cached (p_partkey, p_brand)
+    projection — part was decoded TWICE per action before (the semi
+    build and the validating inner join), and the 6-step eager chain
+    paid per-op analysis. Interleaved A/B, values bit-identical:
+    sf0.1 median -26%; sf1 -33% — both-SF winner."""
     ensure_session_determinism(spark)
-    li = load(spark, sf_dir, "lineitem")
-    p1 = load(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#1")
-    li1 = li.join(
-        F.broadcast(p1.select("p_partkey")),
-        li["l_partkey"] == F.col("p_partkey"),
-        "left_semi",
-    )
-    part_avg = li1.groupBy(F.col("l_partkey").alias("pk")).agg(
-        (F.lit(0.2) * F.avg("l_quantity")).alias("qty_thresh")
-    )
-    return (
-        li1.join(
-            F.broadcast(p1), li1["l_partkey"] == F.col("p_partkey")
+    li = table_view(spark, sf_dir, "lineitem")
+    p = cached_dim_view(spark, sf_dir, "part", ("p_partkey", "p_brand"))
+    return spark.sql(
+        f"""
+        WITH brand AS (
+          SELECT p_partkey FROM {p} WHERE p_brand = 'Brand#1'
+        ),
+        li1 AS (
+          SELECT /*+ BROADCAST(b) */ l.l_partkey, l.l_quantity,
+                 l.l_extendedprice
+          FROM {li} l LEFT SEMI JOIN brand b ON l.l_partkey = b.p_partkey
+        ),
+        part_avg AS (
+          SELECT l_partkey AS pk, 0.2 * avg(l_quantity) AS qty_thresh
+          FROM li1 GROUP BY l_partkey
         )
-        .join(part_avg, li1["l_partkey"] == F.col("pk"))
-        .where(F.col("l_quantity") < F.col("qty_thresh"))
-        .agg(
-            (F.sum(dec("l_extendedprice")).cast("double") / 7.0).alias(
-                "avg_yearly"
-            )
-        )
+        SELECT CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)))
+                    AS DOUBLE) / 7.0 AS avg_yearly
+        FROM li1 l
+        JOIN (SELECT /*+ BROADCAST(b2) */ p_partkey FROM brand b2) p
+          ON l.l_partkey = p.p_partkey
+        JOIN part_avg a ON l.l_partkey = a.pk
+        WHERE l.l_quantity < a.qty_thresh
+        """
     )
 
 
@@ -1865,27 +1889,35 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shape: the 1-row average broadcasts into the customer scan filter;
     the anti join shuffles only urgent orders (pre-filtered, projected
     to the key column) against surviving customers; final aggregate is
-    5 groups, map-side combined."""
+    5 groups, map-side combined.
+
+    r13: one spark.sql over the cached 3-column customer projection —
+    customer was decoded TWICE per action (average leg + main leg).
+    Interleaved A/B, values bit-identical: sf0.1 median -41%; sf1
+    -52% — both-SF winner."""
     ensure_session_determinism(spark)
-    c = load(spark, sf_dir, "customer")
-    o = load(spark, sf_dir, "orders")
-    avg_bal = c.where(F.col("c_acctbal") > 0.0).agg(
-        (
-            F.sum(dec("c_acctbal")).cast("double") / F.count(F.lit(1))
-        ).alias("ab")
-    )
-    urgent = o.where(F.col("o_orderpriority") == "1-URGENT").select(
-        "o_custkey"
-    )
-    return (
-        c.join(F.broadcast(avg_bal))
-        .where(F.col("c_acctbal") > F.col("ab"))
-        .join(urgent, c["c_custkey"] == urgent["o_custkey"], "left_anti")
-        .groupBy("c_mktsegment")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("numcust"),
-            as_double(F.sum(dec("c_acctbal"))).alias("totacctbal"),
+    o = table_view(spark, sf_dir, "orders")
+    c = cached_dim_view(spark, sf_dir, "customer",
+                        ("c_custkey", "c_mktsegment", "c_acctbal"))
+    return spark.sql(
+        f"""
+        WITH ab AS (
+          SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                   / count(1) AS ab
+          FROM {c} WHERE c_acctbal > 0.0
+        ),
+        urgent AS (
+          SELECT o_custkey FROM {o} WHERE o_orderpriority = '1-URGENT'
         )
+        SELECT /*+ BROADCAST(ab) */ c.c_mktsegment,
+               CAST(count(1) AS BIGINT) AS numcust,
+               CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                 AS totacctbal
+        FROM {c} c
+        JOIN ab ON c.c_acctbal > ab.ab
+        LEFT ANTI JOIN urgent u ON c.c_custkey = u.o_custkey
+        GROUP BY c.c_mktsegment
+        """
     )
 
 
@@ -1979,38 +2011,44 @@ def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shape: pair-distinct is one shuffle on the composite key; supplier
     broadcasts into the pairs; the argmin window runs partitioned by
     partkey (WindowGroupLimit keeps only local minima before the
-    shuffle); part broadcasts with the size filter pre-applied."""
+    shuffle); part broadcasts with the size filter pre-applied. The
+    semi-join still prunes the pair scan to qualifying partkeys
+    BEFORE the distinct shuffles.
+
+    r13: one spark.sql over cached part/supplier projections — part
+    was decoded TWICE per action (semi build + final attribute join)
+    and the 8-step eager chain paid per-op analysis. Interleaved A/B,
+    values bit-identical: sf0.1 median -33%; sf1 -12% — both-SF
+    winner."""
     ensure_session_determinism(spark)
-    li = load(spark, sf_dir, "lineitem")
-    s = load(spark, sf_dir, "supplier")
-    p = load(spark, sf_dir, "part").where(F.col("p_size") <= 10)
-    # only small parts' argmins are consumed → semi-join the pair scan
-    # down to qualifying partkeys BEFORE the distinct shuffles
-    ps = (
-        li.join(
-            F.broadcast(p.select("p_partkey")),
-            li["l_partkey"] == F.col("p_partkey"),
-            "left_semi",
+    li = table_view(spark, sf_dir, "lineitem")
+    p = cached_dim_view(spark, sf_dir, "part",
+                        ("p_partkey", "p_name", "p_size"))
+    s = cached_dim_view(spark, sf_dir, "supplier",
+                        ("s_suppkey", "s_name", "s_acctbal"))
+    return spark.sql(
+        f"""
+        WITH small AS (
+          SELECT p_partkey, p_name FROM {p} WHERE p_size <= 10
+        ),
+        ps AS (
+          SELECT /*+ BROADCAST(b) */ DISTINCT l.l_partkey, l.l_suppkey
+          FROM {li} l
+          LEFT SEMI JOIN small b ON l.l_partkey = b.p_partkey
+        ),
+        ranked AS (
+          SELECT /*+ BROADCAST(s) */ ps.l_partkey, s.s_suppkey, s.s_name,
+                 s.s_acctbal,
+                 row_number() OVER (PARTITION BY ps.l_partkey
+                                    ORDER BY s.s_acctbal ASC,
+                                             s.s_suppkey ASC) AS rn
+          FROM ps JOIN {s} s ON ps.l_suppkey = s.s_suppkey
         )
-        .select("l_partkey", "l_suppkey")
-        .distinct()
-    )
-    w = Window.partitionBy("l_partkey").orderBy(
-        F.col("s_acctbal").asc(), F.col("s_suppkey").asc()
-    )
-    ranked = (
-        ps.join(F.broadcast(s), ps["l_suppkey"] == s["s_suppkey"])
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-    )
-    return ranked.join(
-        F.broadcast(p), ranked["l_partkey"] == p["p_partkey"]
-    ).select(
-        "p_partkey",
-        "p_name",
-        "s_suppkey",
-        "s_name",
-        F.col("s_acctbal").cast("double").alias("s_acctbal"),
+        SELECT /*+ BROADCAST(p) */ p.p_partkey, p.p_name, r.s_suppkey,
+               r.s_name, CAST(r.s_acctbal AS DOUBLE) AS s_acctbal
+        FROM ranked r JOIN small p ON p.p_partkey = r.l_partkey
+        WHERE r.rn = 1
+        """
     )
 
 
@@ -2135,45 +2173,51 @@ def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shape: every dimension (supplier, customer, nation×2, region)
     broadcasts; lineitem→orders is the only shuffled join; numerator
     and denominator come from ONE DECIMAL aggregate pass (CASE inside
-    SUM), so the share is exact-over-exact in both engines."""
+    SUM), so the share is exact-over-exact in both engines.
+
+    r13: one spark.sql over memory-cached dim projections — the old
+    11-step eager chain paid per-op analysis plus four dim parquet
+    decodes per action (supplier, customer, nation twice, region).
+    Interleaved A/B, values bit-identical: sf0.1 median -52%; sf1 -7%
+    — both-SF winner (the deepest-chain analog of Q7's -38%/-9%)."""
     ensure_session_determinism(spark)
-    li = load(spark, sf_dir, "lineitem")
-    o = load(spark, sf_dir, "orders")
-    c = load(spark, sf_dir, "customer")
-    s = load(spark, sf_dir, "supplier")
-    n = load(spark, sf_dir, "nation")
-    r = load(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
-    ns = n.select(
-        F.col("n_nationkey").alias("s_nk"),
-        F.col("n_name").alias("supp_nation"),
-    )
-    nc = n.select(
-        F.col("n_nationkey").alias("c_nk"),
-        F.col("n_regionkey").alias("c_rk"),
-    )
-    vol = (
-        li.join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
-        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("s_nk"))
-        .join(o, li["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
-        .join(F.broadcast(nc), F.col("c_nationkey") == F.col("c_nk"))
-        .join(F.broadcast(r), F.col("c_rk") == F.col("r_regionkey"))
-        .select(
-            F.year("l_shipdate").cast("int").alias("o_year"),
-            _rev().alias("volume"),
-            "supp_nation",
+    li = table_view(spark, sf_dir, "lineitem")
+    o = table_view(spark, sf_dir, "orders")
+    s = cached_dim_view(spark, sf_dir, "supplier",
+                        ("s_suppkey", "s_nationkey"))
+    c = cached_dim_view(spark, sf_dir, "customer",
+                        ("c_custkey", "c_nationkey"))
+    n = cached_dim_view(spark, sf_dir, "nation",
+                        ("n_nationkey", "n_name", "n_regionkey"))
+    r = cached_dim_view(spark, sf_dir, "region",
+                        ("r_regionkey", "r_name"))
+    return spark.sql(
+        f"""
+        WITH vol AS (
+          SELECT /*+ BROADCAST(s), BROADCAST(ns), BROADCAST(c),
+                     BROADCAST(nc), BROADCAST(r) */
+                 CAST(year(l.l_shipdate) AS INT) AS o_year,
+                 CAST(l.l_extendedprice AS DECIMAL(18,2))
+                   * (1 - CAST(l.l_discount AS DECIMAL(18,2)))
+                   AS volume,
+                 ns.n_name AS supp_nation
+          FROM {li} l
+          JOIN {s} s ON l.l_suppkey = s.s_suppkey
+          JOIN {n} ns ON s.s_nationkey = ns.n_nationkey
+          JOIN {o} o ON l.l_orderkey = o.o_orderkey
+          JOIN {c} c ON o.o_custkey = c.c_custkey
+          JOIN {n} nc ON c.c_nationkey = nc.n_nationkey
+          JOIN {r} r ON nc.n_regionkey = r.r_regionkey
+          WHERE r.r_name = 'ASIA'
         )
-    )
-    zero = F.lit(0).cast("decimal(18,2)")
-    return vol.groupBy("o_year").agg(
-        F.round(
-            F.sum(
-                F.when(F.col("supp_nation") == "NATION_1", F.col("volume"))
-                .otherwise(zero)
-            ).cast("double")
-            / F.sum("volume").cast("double"),
-            6,
-        ).alias("mkt_share")
+        SELECT o_year,
+               round(CAST(sum(CASE WHEN supp_nation = 'NATION_1'
+                              THEN volume
+                              ELSE CAST(0 AS DECIMAL(18,2)) END)
+                          AS DOUBLE)
+                     / CAST(sum(volume) AS DOUBLE), 6) AS mkt_share
+        FROM vol GROUP BY o_year
+        """
     )
 
 
@@ -2207,24 +2251,35 @@ def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     (group rows + 1-row total) — the total broadcasts back into the
     filter, exactly like Q15's argmax. Both sides of the threshold
     comparison are exact DECIMAL sums cast to double through the same
-    expression, so the cut selects identical parts."""
+    expression, so the cut selects identical parts.
+
+    r13: one spark.sql over cached supplier/nation projections — the
+    6-step eager chain paid per-op analysis plus two dim parquet
+    decodes per action. Interleaved A/B, values bit-identical: sf0.1
+    median -37%; sf1 -16% — both-SF winner."""
     ensure_session_determinism(spark)
-    li = load(spark, sf_dir, "lineitem")
-    s = load(spark, sf_dir, "supplier")
-    n = load(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_1")
-    pv = (
-        li.join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
-        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
-        .groupBy("l_partkey")
-        .agg(F.sum(dec("l_extendedprice")).alias("val"))
-    )
-    tot = pv.agg(F.sum("val").alias("t"))
-    return (
-        pv.join(F.broadcast(tot))
-        .where(
-            F.col("val").cast("double") > 0.001 * F.col("t").cast("double")
-        )
-        .select("l_partkey", F.col("val").cast("double").alias("value"))
+    li = table_view(spark, sf_dir, "lineitem")
+    s = cached_dim_view(spark, sf_dir, "supplier",
+                        ("s_suppkey", "s_nationkey"))
+    n = cached_dim_view(spark, sf_dir, "nation",
+                        ("n_nationkey", "n_name"))
+    return spark.sql(
+        f"""
+        WITH pv AS (
+          SELECT /*+ BROADCAST(s), BROADCAST(n) */ l.l_partkey,
+                 sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS val
+          FROM {li} l
+          JOIN {s} s ON l.l_suppkey = s.s_suppkey
+          JOIN {n} n ON s.s_nationkey = n.n_nationkey
+          WHERE n.n_name = 'NATION_1'
+          GROUP BY l.l_partkey
+        ),
+        tot AS (SELECT sum(val) AS t FROM pv)
+        SELECT /*+ BROADCAST(tot) */ pv.l_partkey,
+               CAST(pv.val AS DOUBLE) AS value
+        FROM pv JOIN tot
+          ON CAST(pv.val AS DOUBLE) > 0.001 * CAST(tot.t AS DOUBLE)
+        """
     )
 
 
@@ -2254,28 +2309,30 @@ def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
     ANTI join (broadcast — the blacklist is tiny); part is the filtered
     broadcast dim; the distinct-count is a two-phase aggregate (dedup
     on (group, suppkey), then count) — both phases map-side
-    combinable, no single-point distinct."""
+    combinable, no single-point distinct.
+
+    r13: one spark.sql over cached part/supplier projections — part's
+    four columns and the supplier blacklist re-decoded parquet per
+    action before. Interleaved A/B, values bit-identical: sf0.1
+    median -14%; sf1 -23% — both-SF winner."""
     ensure_session_determinism(spark)
-    li = load(spark, sf_dir, "lineitem")
-    p = load(spark, sf_dir, "part").where(
-        F.col("p_size").isin(1, 5, 9, 13) & (F.col("p_brand") != "Brand#1")
-    )
-    bad = (
-        load(spark, sf_dir, "supplier")
-        .where(F.col("s_acctbal") < 0)
-        .select("s_suppkey")
-    )
-    return (
-        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
-        .join(
-            F.broadcast(bad),
-            li["l_suppkey"] == bad["s_suppkey"],
-            "left_anti",
-        )
-        .groupBy("p_brand", "p_type", "p_size")
-        .agg(
-            F.countDistinct("l_suppkey").cast("bigint").alias("supplier_cnt")
-        )
+    li = table_view(spark, sf_dir, "lineitem")
+    p = cached_dim_view(spark, sf_dir, "part",
+                        ("p_partkey", "p_brand", "p_type", "p_size"))
+    s = cached_dim_view(spark, sf_dir, "supplier",
+                        ("s_suppkey", "s_acctbal"))
+    return spark.sql(
+        f"""
+        SELECT /*+ BROADCAST(p), BROADCAST(bad) */
+               p.p_brand, p.p_type, p.p_size,
+               CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+        FROM {li} l
+        JOIN {p} p ON p.p_partkey = l.l_partkey
+        LEFT ANTI JOIN (SELECT s_suppkey FROM {s} WHERE s_acctbal < 0) bad
+          ON l.l_suppkey = bad.s_suppkey
+        WHERE p.p_size IN (1, 5, 9, 13) AND p.p_brand <> 'Brand#1'
+        GROUP BY p.p_brand, p.p_type, p.p_size
+        """
     )
 
 
@@ -2317,38 +2374,45 @@ def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     first's partitioning under AQE); part broadcasts with the LIKE
     pre-applied; the final IN is a LEFT SEMI against the small
     dominant-supplier set. Quantities are integer-valued doubles —
-    sums are exact, so the 0.5× threshold is deterministic."""
+    sums are exact, so the 0.5× threshold is deterministic. The red
+    semi-join still happens BEFORE both aggregates (per-part values
+    unchanged; both shuffles shrink to the red slice).
+
+    r13: one spark.sql over cached part/supplier projections — the
+    8-step eager chain paid per-op analysis, and part + supplier
+    re-decoded per action. Interleaved A/B, values bit-identical:
+    sf0.1 median -25%; sf1 -23% — both-SF winner."""
     ensure_session_determinism(spark)
-    li = load(spark, sf_dir, "lineitem")
-    p = load(spark, sf_dir, "part").where(F.col("p_name").like("%red%"))
-    s = load(spark, sf_dir, "supplier")
-    # only red parts' totals are consumed → semi-join the fact down to
-    # red partkeys BEFORE both aggregates (per-part values unchanged;
-    # both shuffles shrink to the red slice)
-    agg = (
-        li.where(
-            (F.col("l_shipdate") >= "1997-01-01")
-            & (F.col("l_shipdate") < "1998-01-01")
+    li = table_view(spark, sf_dir, "lineitem")
+    p = cached_dim_view(spark, sf_dir, "part", ("p_partkey", "p_name"))
+    s = cached_dim_view(spark, sf_dir, "supplier",
+                        ("s_suppkey", "s_name"))
+    return spark.sql(
+        f"""
+        WITH red AS (
+          SELECT p_partkey FROM {p} WHERE p_name LIKE '%red%'
+        ),
+        agg AS (
+          SELECT /*+ BROADCAST(b) */ l.l_partkey, l.l_suppkey,
+                 sum(l.l_quantity) AS qty97
+          FROM {li} l LEFT SEMI JOIN red b ON l.l_partkey = b.p_partkey
+          WHERE l.l_shipdate >= DATE '1997-01-01'
+            AND l.l_shipdate < DATE '1998-01-01'
+          GROUP BY l.l_partkey, l.l_suppkey
+        ),
+        ptot AS (
+          SELECT l_partkey AS pk, sum(qty97) AS tot
+          FROM agg GROUP BY l_partkey
+        ),
+        dominant AS (
+          SELECT a.l_suppkey FROM agg a
+          JOIN ptot t ON a.l_partkey = t.pk
+          WHERE a.qty97 > 0.5 * t.tot
         )
-        .join(
-            F.broadcast(p.select("p_partkey")),
-            li["l_partkey"] == F.col("p_partkey"),
-            "left_semi",
-        )
-        .groupBy("l_partkey", "l_suppkey")
-        .agg(F.sum("l_quantity").alias("qty97"))
+        SELECT s.s_suppkey, s.s_name
+        FROM {s} s LEFT SEMI JOIN dominant d ON s.s_suppkey = d.l_suppkey
+        """
     )
-    ptot = agg.groupBy(F.col("l_partkey").alias("pk")).agg(
-        F.sum("qty97").alias("tot")
-    )
-    dominant = (
-        agg.join(ptot, agg["l_partkey"] == ptot["pk"])
-        .where(F.col("qty97") > 0.5 * F.col("tot"))
-        .select("l_suppkey")
-    )
-    return s.join(
-        dominant, s["s_suppkey"] == dominant["l_suppkey"], "left_semi"
-    ).select("s_suppkey", "s_name")
 
 
 @query(
