@@ -258,7 +258,16 @@ def test_cpu_probe_separates_own_tree_from_external_load():
     CPU to our process tree vs foreign processes. Pin both directions:
     (a) CPU burned by THIS process (and a child) counts as own, not
     external; (b) CPU burned by an ORPHANED process (double-fork, so it
-    reparents away from us) shows up as external."""
+    reparents away from us) shows up as external.
+
+    r14: direction (a)'s upper bound on external CPU assumes a quiet
+    box — genuinely-foreign ambient load (this box bursts 4-9 cores,
+    BASELINE.md) lands in `ext` BY DESIGN and failed the suite's -x run
+    at loadavg ~3.7. A control window now measures the ambient foreign
+    level first; when the box is already noisy the (a) upper bound is
+    skipped (the probe cannot distinguish ambient from misattribution
+    there), while (a)'s lower bound and all of (b) — where ambient only
+    adds signal — still run."""
     import os
     import subprocess
     import sys
@@ -275,6 +284,14 @@ def test_cpu_probe_separates_own_tree_from_external_load():
         "while time.perf_counter()-t0 < float(sys.argv[1]): x+=1\n"
     )
 
+    # control window: ambient foreign CPU with nothing of ours running
+    b0, o0 = _cpu_sample()
+    t0 = time.perf_counter()
+    time.sleep(0.3)
+    dt = time.perf_counter() - t0
+    b1, o1 = _cpu_sample()
+    ambient = max(0, (b1 - b0) - (o1 - o0)) / (dt * _CLK_TCK)
+
     # (a) own tree: a direct child burning ~0.5 s must be attributed
     b0, o0 = _cpu_sample()
     t0 = time.perf_counter()
@@ -284,7 +301,8 @@ def test_cpu_probe_separates_own_tree_from_external_load():
     own = (o1 - o0) / (dt * _CLK_TCK)
     ext = max(0, (b1 - b0) - (o1 - o0)) / (dt * _CLK_TCK)
     assert own > 0.5, f"child CPU not attributed to own tree: {own}"
-    assert ext < 0.9, f"own child misread as external: {ext}"
+    if ambient < 0.4:
+        assert ext < 0.9, f"own child misread as external: {ext}"
 
     # (b) external: double-fork an orphan burner (reparents to init,
     # leaves our tree), wait for it to finish by wall clock
@@ -444,4 +462,58 @@ def test_cached_dim_view_memoizes_and_rebuilds_on_regeneration(
     # projection's plan (same path, same columns) matches the stale
     # handle, so it would read as "cached" either way.
     assert cm.numCachedEntries() == n1
+    shutil.rmtree(sf_dir, ignore_errors=True)
+
+
+def test_cached_dim_view_rejects_fact_tables_and_size_gates(
+    spark, tmp_path, monkeypatch
+):
+    """r14 (VERDICT r13 #5): the dim-cache lever must not silently
+    creep onto data-scaled inputs. Two guards: (a) non-dimension tables
+    raise outright — lineitem/orders/events/documents/embeddings scale
+    with the corpus and pinning them is the hazard the rule exists for;
+    (b) a DIM whose source outgrows the small-source gate (customer/
+    supplier/part grow ~linearly with TPC-H SF) falls back to the
+    UNCACHED table_view — same rows, no pinned memory."""
+    sf_dir = str(tmp_path)
+    for fact in ("lineitem", "orders", "events", "documents",
+                 "embeddings"):
+        with pytest.raises(ValueError, match="dimension tables"):
+            io_mod.cached_dim_view(spark, sf_dir, fact, ("x",))
+
+    t = pa.table(
+        {
+            "r_regionkey": pa.array([0, 1, 2], pa.int64()),
+            "r_name": pa.array(["R0", "R1", "R2"]),
+        }
+    )
+    pq.write_table(t, os.path.join(sf_dir, "region.parquet"))
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    n0 = cm.numCachedEntries()
+    monkeypatch.setattr(io_mod, "_SMALL_SOURCE_MAX_BYTES", 10)
+    v = io_mod.cached_dim_view(
+        spark, sf_dir, "region", ("r_regionkey", "r_name")
+    )
+    # over-gate dim: served, but NOT pinned (no new cache entry, no
+    # dimcache memo slot) — and un-projected like any table_view
+    assert spark.table(v).count() == 3
+    assert cm.numCachedEntries() == n0
+    memo = io_mod._memo_for(spark)
+    assert (
+        "__dimcache__", sf_dir, "region", ("r_regionkey", "r_name")
+    ) not in memo
+    # under the real gate the same call pins the projection again
+    monkeypatch.setattr(
+        io_mod, "_SMALL_SOURCE_MAX_BYTES", 32 * 1024 * 1024
+    )
+    v2 = io_mod.cached_dim_view(
+        spark, sf_dir, "region", ("r_regionkey", "r_name")
+    )
+    assert spark.table(v2).columns == ["r_regionkey", "r_name"]
+    assert cm.numCachedEntries() == n0 + 1
+    # build wall recorded for bench attribution (VERDICT r13 #5)
+    assert any(
+        b["table"] == "region" and b["view"] == v2
+        for b in io_mod.DIM_CACHE_BUILDS
+    )
     shutil.rmtree(sf_dir, ignore_errors=True)

@@ -26,7 +26,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from tile_etl_spark.io import cached_dim_view, load, table_view
+from tile_etl_spark.io import (
+    cached_dim_view,
+    load,
+    scaled_broadcast_hint,
+    table_view,
+)
 from tile_etl_spark.registry import query
 from tile_etl_spark.session import ensure_session_determinism
 
@@ -272,20 +277,25 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     order) AND NOT EXISTS(another LATE supplier on the same order) —
     over the same fact table three times.
 
-    Spark plan: the shared ``base`` (lineitem⋈F-orders with the late
-    flag) is computed once per leg; the quantifiers decorrelate to a
-    LEFT SEMI join (equi on l_orderkey + suppkey<>residual) and a LEFT
-    ANTI join of the same shape — no subquery re-evaluation per row,
-    each quantifier is one hash join on the order key. At 100 TB all
-    three base legs co-shuffle on l_orderkey (one exchange reused via
-    AQE), and the supplier/nation dims broadcast. Completes
-    fixture-adapted TPC-H at 21 of 22 (Q1≡q_agg_group).
+    Spark plan: the ``base`` CTE is INLINED by Spark into each of its
+    three consumers (plans/r13/q_tpch_q21_after.txt: 4 Exchange, 8
+    BroadcastExchange — no cross-leg exchange reuse fires on this
+    shape); the quantifiers decorrelate to a LEFT SEMI join (equi on
+    l_orderkey + suppkey<>residual) and a LEFT ANTI join of the same
+    shape — no subquery re-evaluation per row, each quantifier is one
+    hash join on the order key, and at 100 TB the three legs shuffle
+    co-partitioned on l_orderkey. The supplier/nation dims broadcast.
+    Completes fixture-adapted TPC-H at 21 of 22 (Q1≡q_agg_group).
 
     r13: one spark.sql over cached supplier/nation projections — the
     10-step eager chain paid per-op analysis, and both dims re-decoded
     parquet per action. Interleaved A/B, values (and the declared
     ORDER) bit-identical: sf0.1 median -18%; sf1 -10% — both-SF
-    winner."""
+    winner.
+
+    r14: the supplier-backed hints are size-gated (supplier grows
+    ~linearly with SF); nation is constant-size and its file stays
+    under the gate at any SF."""
     ensure_session_determinism(spark)
     li = table_view(spark, sf_dir, "lineitem")
     o = table_view(spark, sf_dir, "orders")
@@ -314,12 +324,13 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
            AND l1.l_suppkey <> l3.l_suppkey
         ),
         dim AS (
-          SELECT /*+ BROADCAST(n) */ s.s_suppkey, s.s_name
+          SELECT {scaled_broadcast_hint(sf_dir, n="nation")}
+                 s.s_suppkey, s.s_name
           FROM {s} s
           JOIN {n} n ON s.s_nationkey = n.n_nationkey
           WHERE n.n_name = '{_Q21_NATION}'
         )
-        SELECT /*+ BROADCAST(d) */ d.s_name,
+        SELECT {scaled_broadcast_hint(sf_dir, d="supplier")} d.s_name,
                count(1) AS numwait
         FROM waiting w
         JOIN dim d ON w.l_suppkey = d.s_suppkey

@@ -26,6 +26,7 @@ from tile_etl_spark.io import (
     free_local_checkpoint,
     load,
     plan_memo,
+    scaled_broadcast_hint,
     table_view,
 )
 from tile_etl_spark.registry import query
@@ -1144,11 +1145,21 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     old eager form's per-action rebuild of the broadcast key set
     degraded to 15-24 s walls at sf1 (GC pressure from repeated
     large-relation builds) while the one-SQL form held 3.0-3.4 s.
-    Both-SF winner and the round's largest sf1 delta."""
+    Both-SF winner and the round's largest sf1 delta.
+
+    r14 (VERDICT r13 #3 + ADVICE): the BROADCAST hints are size-
+    gated. ``big`` is FACT-scaled (its cardinality grows with lineitem;
+    a skewed quantity distribution could OOM a forced build side) and
+    customer grows ~linearly with SF, so both hints now come from
+    scaled_broadcast_hint — emitted only while the governing source is
+    under the 32 MB gate, dropped past it so AQE picks the strategy
+    from runtime sizes. Bench-SF plans byte-identical (both sources
+    under the gate there)."""
     ensure_session_determinism(spark)
     li = table_view(spark, sf_dir, "lineitem")
     o = table_view(spark, sf_dir, "orders")
     c = cached_dim_view(spark, sf_dir, "customer", ("c_custkey",))
+    hint = scaled_broadcast_hint(sf_dir, big="lineitem", c="customer")
     return spark.sql(
         f"""
         WITH big AS (
@@ -1156,7 +1167,7 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
           GROUP BY l_orderkey
           HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > {Q18_QTY}
         )
-        SELECT /*+ BROADCAST(big), BROADCAST(c) */
+        SELECT {hint}
                c.c_custkey, o.o_orderkey, o.o_orderdate,
                CAST(o.o_totalprice AS DOUBLE) AS o_totalprice,
                CAST(sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE)
@@ -1354,11 +1365,15 @@ def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
                         ("c_custkey", "c_nationkey"))
     n = cached_dim_view(spark, sf_dir, "nation",
                         ("n_nationkey", "n_name"))
+    # r14: hints size-gated — supplier/customer grow ~linearly with SF
+    # (nation is constant); past the gate AQE picks the strategy.
+    hint = scaled_broadcast_hint(
+        sf_dir, s="supplier", ns="nation", c="customer", nc="nation"
+    )
     return spark.sql(
         f"""
         WITH vol AS (
-          SELECT /*+ BROADCAST(s), BROADCAST(ns),
-                     BROADCAST(c), BROADCAST(nc) */
+          SELECT {hint}
                  ns.n_name AS supp_nation, nc.n_name AS cust_nation,
                  year(l.l_shipdate) AS l_year,
                  CAST(l.l_extendedprice AS DECIMAL(18,2))
@@ -1777,7 +1792,9 @@ def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
           GROUP BY l_suppkey
         ),
         mx AS (SELECT max(total_revenue) AS mx FROM revenue)
-        SELECT /*+ BROADCAST(mx), BROADCAST(s) */ s.s_suppkey, s.s_name,
+        SELECT {scaled_broadcast_hint(sf_dir, always=("mx",),
+                                      s="supplier")}
+               s.s_suppkey, s.s_name,
                CAST(r.total_revenue AS DOUBLE) AS total_revenue
         FROM revenue r
         JOIN mx ON r.total_revenue = mx.mx
@@ -1829,13 +1846,16 @@ def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_session_determinism(spark)
     li = table_view(spark, sf_dir, "lineitem")
     p = cached_dim_view(spark, sf_dir, "part", ("p_partkey", "p_brand"))
+    # r14: part grows ~linearly with SF — hints size-gated
+    hint_b = scaled_broadcast_hint(sf_dir, b="part")
+    hint_b2 = scaled_broadcast_hint(sf_dir, b2="part")
     return spark.sql(
         f"""
         WITH brand AS (
           SELECT p_partkey FROM {p} WHERE p_brand = 'Brand#1'
         ),
         li1 AS (
-          SELECT /*+ BROADCAST(b) */ l.l_partkey, l.l_quantity,
+          SELECT {hint_b} l.l_partkey, l.l_quantity,
                  l.l_extendedprice
           FROM {li} l LEFT SEMI JOIN brand b ON l.l_partkey = b.p_partkey
         ),
@@ -1846,7 +1866,7 @@ def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)))
                     AS DOUBLE) / 7.0 AS avg_yearly
         FROM li1 l
-        JOIN (SELECT /*+ BROADCAST(b2) */ p_partkey FROM brand b2) p
+        JOIN (SELECT {hint_b2} p_partkey FROM brand b2) p
           ON l.l_partkey = p.p_partkey
         JOIN part_avg a ON l.l_partkey = a.pk
         WHERE l.l_quantity < a.qty_thresh
@@ -1963,7 +1983,8 @@ def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = cached_dim_view(spark, sf_dir, "part", ("p_partkey", "p_name"))
     return spark.sql(
         f"""
-        SELECT /*+ BROADCAST(s), BROADCAST(n), BROADCAST(p) */
+        SELECT {scaled_broadcast_hint(sf_dir, s="supplier", n="nation",
+                                      p="part")}
                n.n_name AS nation,
                CAST(year(l.l_shipdate) AS INT) AS o_year,
                CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
@@ -2026,25 +2047,29 @@ def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
                         ("p_partkey", "p_name", "p_size"))
     s = cached_dim_view(spark, sf_dir, "supplier",
                         ("s_suppkey", "s_name", "s_acctbal"))
+    # r14: part/supplier grow ~linearly with SF — hints size-gated
+    hint_b = scaled_broadcast_hint(sf_dir, b="part")
+    hint_s = scaled_broadcast_hint(sf_dir, s="supplier")
+    hint_p = scaled_broadcast_hint(sf_dir, p="part")
     return spark.sql(
         f"""
         WITH small AS (
           SELECT p_partkey, p_name FROM {p} WHERE p_size <= 10
         ),
         ps AS (
-          SELECT /*+ BROADCAST(b) */ DISTINCT l.l_partkey, l.l_suppkey
+          SELECT {hint_b} DISTINCT l.l_partkey, l.l_suppkey
           FROM {li} l
           LEFT SEMI JOIN small b ON l.l_partkey = b.p_partkey
         ),
         ranked AS (
-          SELECT /*+ BROADCAST(s) */ ps.l_partkey, s.s_suppkey, s.s_name,
+          SELECT {hint_s} ps.l_partkey, s.s_suppkey, s.s_name,
                  s.s_acctbal,
                  row_number() OVER (PARTITION BY ps.l_partkey
                                     ORDER BY s.s_acctbal ASC,
                                              s.s_suppkey ASC) AS rn
           FROM ps JOIN {s} s ON ps.l_suppkey = s.s_suppkey
         )
-        SELECT /*+ BROADCAST(p) */ p.p_partkey, p.p_name, r.s_suppkey,
+        SELECT {hint_p} p.p_partkey, p.p_name, r.s_suppkey,
                r.s_name, CAST(r.s_acctbal AS DOUBLE) AS s_acctbal
         FROM ranked r JOIN small p ON p.p_partkey = r.l_partkey
         WHERE r.rn = 1
@@ -2194,8 +2219,9 @@ def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         f"""
         WITH vol AS (
-          SELECT /*+ BROADCAST(s), BROADCAST(ns), BROADCAST(c),
-                     BROADCAST(nc), BROADCAST(r) */
+          SELECT {scaled_broadcast_hint(sf_dir, s="supplier",
+                                        ns="nation", c="customer",
+                                        nc="nation", r="region")}
                  CAST(year(l.l_shipdate) AS INT) AS o_year,
                  CAST(l.l_extendedprice AS DECIMAL(18,2))
                    * (1 - CAST(l.l_discount AS DECIMAL(18,2)))
@@ -2266,7 +2292,8 @@ def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         f"""
         WITH pv AS (
-          SELECT /*+ BROADCAST(s), BROADCAST(n) */ l.l_partkey,
+          SELECT {scaled_broadcast_hint(sf_dir, s="supplier",
+                                        n="nation")} l.l_partkey,
                  sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS val
           FROM {li} l
           JOIN {s} s ON l.l_suppkey = s.s_suppkey
@@ -2323,7 +2350,8 @@ def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
                         ("s_suppkey", "s_acctbal"))
     return spark.sql(
         f"""
-        SELECT /*+ BROADCAST(p), BROADCAST(bad) */
+        SELECT {scaled_broadcast_hint(sf_dir, p="part",
+                                      bad="supplier")}
                p.p_brand, p.p_type, p.p_size,
                CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
         FROM {li} l
@@ -2393,7 +2421,8 @@ def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
           SELECT p_partkey FROM {p} WHERE p_name LIKE '%red%'
         ),
         agg AS (
-          SELECT /*+ BROADCAST(b) */ l.l_partkey, l.l_suppkey,
+          SELECT {scaled_broadcast_hint(sf_dir, b="part")}
+                 l.l_partkey, l.l_suppkey,
                  sum(l.l_quantity) AS qty97
           FROM {li} l LEFT SEMI JOIN red b ON l.l_partkey = b.p_partkey
           WHERE l.l_shipdate >= DATE '1997-01-01'
