@@ -107,6 +107,21 @@ def cosine_topk(
     # casting JVM-side, at HALF the Arrow transfer bytes (the transfer,
     # not the GEMM, dominates this stage's residual at small SF — and
     # at 100 TB the saved network/serde bytes matter more).
+    #
+    # r14 (VERDICT r13 #4): a mapInArrow rewrite of this scan — the
+    # batch's list<float32> flattened straight from the Arrow buffers
+    # via pyarrow.compute.list_flatten into one (n × d) matrix, no
+    # pandas Series of per-row ndarrays — was A/B'd (same JVM,
+    # interleaved arms, values bit-identical) and did NOT win: sf0.1
+    # medians −11.0% (7 reps) then −1.3% (11 reps), sf1 −5.7% (7) then
+    # +0.5% (11), and a 200k-vector cached-corpus probe isolating the
+    # boundary read +3.1% — every delta inside the box noise floor
+    # (raw runs: plans/r14/AB_COSINE_ARROW.json). Mechanism: Spark's
+    # mapInPandas conversion is itself Arrow-backed, and the stage is
+    # dominated by the float64 widening + GEMM that both forms pay
+    # identically, so removing the pandas wrapper moves nothing. NOT
+    # shipped — the pandas form stays (same plan node count; the
+    # losing A/B is committed so the lever is not re-tried).
     cand = corpus.select("vec_id", F.col("embedding").alias("e")).mapInPandas(
         scan, "probe_id bigint, vec_id bigint, cos_raw double"
     )
