@@ -169,6 +169,7 @@ def minhash_signatures(
     docs: DataFrame,
     n_perm: int = N_PERM,
     shingles: DataFrame | None = None,
+    hashed: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, sig ARRAY<BIGINT>[n_perm]) MinHash signatures.
 
@@ -188,10 +189,20 @@ def minhash_signatures(
 
     Docs with fewer than 3 words have no shingles and therefore no
     signature row — they can never near-dup-match anyway.
+
+    ``hashed`` (r14): a pre-hashed shingle frame — (doc_id, shingle)
+    where ``shingle`` is already ``xxhash64`` of the string shingle
+    (the exact_jaccard-compatible shape q_dedup_near persists once).
+    The permutations then consume the SAME hashes without
+    re-shingling or re-hashing, so the signatures are bit-identical
+    to the string path by construction.
     """
     params = _perm_params(n_perm)
-    sh = shingles_df(docs) if shingles is None else shingles
-    hashed = sh.select("doc_id", F.xxhash64("shingle").alias("h"))
+    if hashed is None:
+        sh = shingles_df(docs) if shingles is None else shingles
+        hashed = sh.select("doc_id", F.xxhash64("shingle").alias("h"))
+    else:
+        hashed = hashed.select("doc_id", F.col("shingle").alias("h"))
 
     # The whole signature as ONE parsed SQL expression — an array of 64
     # min-aggregates: (a·h + b) wraps mod 2^64 (Java long semantics,
@@ -491,7 +502,24 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     pin that no qualifying pair is dropped — so verified == exact.
     The MinHash/LSH tier itself stays property-checked (the unit test
     also asserts candidate precision; the signatures are exercised
-    through the pipeline, not independently recomputed)."""
+    through the pipeline, not independently recomputed).
+
+    r14 (VERDICT r13 #7): the persisted shingle table is now the
+    xxhash64-HASHED form — the sf1 stage decomposition
+    (plans/r14/DEDUP_SF1_DECOMP.json) showed the exact-Jaccard verify
+    stage dominating the sf1 wall (2.92 s of 2.62 s full; candidate
+    counting 0.22 s, shingle explode 0.38 s), and that stage makes
+    three passes (two join legs + the sizes aggregate) over the
+    cached shingle rows, so narrowing them from ~30-byte strings to
+    int64 shrinks every pass (guide §2.3 'narrower types' — here the
+    narrowed column IS the cached/joined payload, unlike the
+    q_dedup_exact unhex case where partial agg had already collapsed
+    the volume). The hash is the same xxhash64 the MinHash
+    permutations consume, computed once at persist; intersection
+    counts are unchanged unless xxhash64 collides within one doc
+    pair's shingle sets (~1e-13 for 100-shingle docs — the committed
+    q_dedup_ngram argument). Interleaved same-JVM A/B, values
+    bit-identical: see plans/r14/AB_DEDUP_HASHED_SHINGLES.json."""
     import os
 
     from tile_etl_spark.sources.files import source_fingerprint
@@ -502,12 +530,16 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def build():
         d = _parallelize_docs(load(spark, sf_dir, "documents"))
-        # ONE persisted shingle explode feeds both the signature build
-        # and the exact-Jaccard verify tier — the explode (interpreted
-        # HOF over every doc) was previously computed twice, once per
-        # stage.
-        sh = _persist(shingles_df(d))
-        sigs = minhash_signatures(d, shingles=sh)
+        # ONE persisted HASHED shingle explode feeds the signature
+        # build AND the exact-Jaccard verify tier — the explode
+        # (interpreted HOF over every doc) runs once, and every
+        # downstream pass scans/joins int64s instead of strings.
+        sh = _persist(
+            shingles_df(d).select(
+                "doc_id", F.xxhash64("shingle").alias("shingle")
+            )
+        )
+        sigs = minhash_signatures(d, hashed=sh)
         # Explicit dedupe key: the LSH plan's LATERAL VIEW lambdas
         # defeat sameSemantics (see persist_scoped), so rebuilds would
         # otherwise re-materialize the candidate cache on every run.
