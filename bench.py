@@ -442,6 +442,259 @@ def _wait_for_quiet(max_wait_s: int,
         time.sleep(5)
 
 
+def _ensure_sf1_fixtures(sf1_dir: str) -> dict:
+    """Materialize the deterministic ×10 sf1 fixture set (idempotent —
+    tools/make_scale_fixtures.py reuses an existing set via its recipe
+    marker). Runs as a subprocess AFTER the sf0.1 timed region, so a
+    cold generation can never contaminate the headline windows; its
+    wall is recorded either way. This is INPUT derivation (the same
+    committed amplification every r13 A/B used), not result caching:
+    every sf1 query still computes from the parquet files."""
+    import subprocess
+
+    tool = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "tools", "make_scale_fixtures.py",
+    )
+    t0 = time.perf_counter()
+    try:
+        r = subprocess.run(
+            [sys.executable, tool, "--out", sf1_dir, "--k", "10"],
+            capture_output=True, text=True, timeout=1800,
+        )
+        line = (r.stdout.strip().splitlines() or [""])[-1]
+        status = json.loads(line).get("status", "generated")
+        ok = r.returncode == 0
+    except Exception as ex:
+        status, ok = f"error: {str(ex)[:120]}", False
+    return {
+        "ok": ok,
+        "status": status,
+        "gen_sec": round(time.perf_counter() - t0, 1),
+    }
+
+
+def run_sf1_tier(spark, qids: list[str], sf1_dir: str, runs: int,
+                 n_cpus: int | None) -> dict:
+    """The sf1 headline tier (VERDICT r13 #1): per-qid sf1 walls +
+    DuckDB-twin ratios with the same contamination instruments as the
+    sf0.1 region. The sf0.1 bench is floor-bound (job floor + decode
+    constants dominate sub-0.35 s walls), so optimization claims need a
+    tier where data volume and parallelism are visible; this emits it
+    in the SAME artifact every round. Runs AFTER the sf0.1 record is
+    complete — nothing here can contaminate the headline. Session conf
+    flips to the >0.2-SF posture (AQE on, width from input size/cores),
+    mirroring tools/scale_trend.py; the process exits after this, so
+    nothing needs restoring."""
+    cpus = n_cpus or os.cpu_count() or 8
+    spark.conf.set("spark.sql.shuffle.partitions", str(max(32, cpus)))
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.files.minPartitionNum", str(cpus))
+    spark.conf.set("spark.sql.files.openCostInBytes", "262144")
+    force(spark.read.parquet(f"{sf1_dir}/lineitem.parquet"))
+    from tile_etl_spark.operators.bucketed import orders_by_custkey
+
+    orders_by_custkey(spark, sf1_dir)
+    floor = measure_floor(spark, runs)
+    budget_s = float(os.environ.get("SPARK_GRAFT_SWEEP_BUDGET", "120"))
+
+    import threading
+
+    def guarded_force(qid: str) -> float:
+        cancelled = threading.Event()
+
+        def _cancel() -> None:
+            cancelled.set()
+            spark.sparkContext.cancelAllJobs()
+
+        t0 = time.perf_counter()
+        watchdog = threading.Timer(budget_s, _cancel)
+        watchdog.start()
+        try:
+            force(registry.QUERIES[qid](spark, sf1_dir))
+        finally:
+            watchdog.cancel()
+        if cancelled.is_set():
+            raise TimeoutError(f"spark wall > {budget_s}s (cancelled)")
+        return time.perf_counter() - t0
+
+    cold: dict[str, float] = {}
+    times: dict[str, float] = {}
+    qid_box: dict[str, float] = {}
+    qid_ext: dict[str, float] = {}
+    errors: dict[str, str] = {}
+    for qid in qids:
+        try:
+            cold[qid] = round(guarded_force(qid), 4)
+        except Exception as ex:
+            errors[qid] = str(ex)[:160]
+            continue
+        qid_box[qid] = box_probe_sha()
+        b0, o0 = _cpu_sample()
+        tw0 = time.perf_counter()
+        try:
+            best = cold[qid]
+            for _ in range(runs):
+                best = min(best, guarded_force(qid))
+        except Exception as ex:
+            errors[qid] = str(ex)[:160]
+            continue
+        dt = time.perf_counter() - tw0
+        b1, o1 = _cpu_sample()
+        qid_ext[qid] = (
+            max(0, (b1 - b0) - (o1 - o0)) / max(dt * _CLK_TCK, 1e-9)
+            if b1 > b0
+            else -1.0
+        )
+        times[qid] = round(best, 4)
+
+    duck_times: dict[str, float] = {}
+    try:
+        import duckdb
+
+        con = duckdb.connect()
+        duck_views(con, sf1_dir)
+        for qid in qids:
+            sql = registry.ORACLES.get(qid)
+            if not sql or qid not in times:
+                continue
+            running = threading.Event()
+            fired = threading.Event()
+
+            def _interrupt() -> None:
+                if running.is_set():
+                    fired.set()
+                    con.interrupt()
+
+            try:
+                best = float("inf")
+                for _ in range(runs):
+                    running.set()
+                    watchdog = threading.Timer(budget_s, _interrupt)
+                    watchdog.start()
+                    try:
+                        t0 = time.perf_counter()
+                        con.execute(sql).arrow()
+                        dt = time.perf_counter() - t0
+                    finally:
+                        running.clear()
+                        watchdog.cancel()
+                        watchdog.join()
+                    if fired.is_set():
+                        try:  # absorb a stale interrupt (scale_trend)
+                            con.execute("SELECT 1").fetchall()
+                        except Exception:
+                            pass
+                        fired.clear()
+                    best = min(best, dt)
+                    if dt >= 3:
+                        break  # multi-second twins don't need best-of-N
+                duck_times[qid] = round(best, 4)
+            except Exception as ex:
+                errors[qid] = f"duck: {str(ex)[:150]}"
+        con.close()
+    except Exception as ex:
+        print(f"SF1 DUCK ERROR: {str(ex)[:160]}", file=sys.stderr)
+
+    retime_gate = float(os.environ.get("SPARK_GRAFT_QID_RETIME_SHA",
+                                       "0.021"))
+    # Same reaction as the sf0.1 region (VERDICT r12 #1 discipline): a
+    # window hit by a box dip or foreign burst is RE-TIMED under a
+    # bounded budget, accepted only when both instruments pass — the
+    # r14 shakedown run had an ambient burst land on the tier's tail
+    # windows (7 qids flagged 2.4-6.8 foreign cores), which without
+    # this would stand as the round's sf1 record.
+    retimes: dict[str, dict] = {}
+    dipped = [
+        q for q in qids
+        if q in times
+        and (qid_box.get(q, 0.0) > retime_gate
+             or qid_ext.get(q, 0.0) > EXTERNAL_CORES_THRESHOLD)
+    ]
+    wait_deadline = time.perf_counter() + float(
+        os.environ.get("SPARK_GRAFT_RETIME_WAIT", "300")
+    )
+    for qid in dipped:
+        rec = {
+            "orig_wall_best": times[qid],
+            "orig_probe": qid_box.get(qid),
+            "orig_external_cores": round(qid_ext.get(qid, -1.0), 2),
+            "attempts": [],
+            "accepted": False,
+        }
+        for _ in range(3):
+            p0 = box_probe_sha()
+            if p0 > retime_gate:
+                if time.perf_counter() >= wait_deadline:
+                    break
+                time.sleep(5)
+                continue
+            b0, o0 = _cpu_sample()
+            tw0 = time.perf_counter()
+            try:
+                best = float("inf")
+                for _ in range(runs):
+                    best = min(best, guarded_force(qid))
+            except Exception as ex:
+                rec["attempts"].append({"error": str(ex)[:120]})
+                break
+            dt = time.perf_counter() - tw0
+            b1, o1 = _cpu_sample()
+            ext = (
+                max(0, (b1 - b0) - (o1 - o0)) / max(dt * _CLK_TCK, 1e-9)
+                if b1 > b0
+                else -1.0
+            )
+            p1 = box_probe_sha()
+            rec["attempts"].append(
+                {"probe_start": p0, "probe_end": p1,
+                 "external_cores": round(ext, 2),
+                 "wall_best": round(best, 4)}
+            )
+            if (p1 <= retime_gate * 1.2
+                    and ext <= EXTERNAL_CORES_THRESHOLD):
+                rec["accepted"] = True
+                times[qid] = round(best, 4)
+                qid_box[qid] = p0
+                qid_ext[qid] = ext
+                break
+        retimes[qid] = rec
+    return {
+        "dir": sf1_dir,
+        "sf": 1.0,
+        "runs": runs,
+        "cpus": cpus,
+        "floor_sec": floor,
+        "value": round(sum(times.values()), 4),
+        "queries": times,
+        "cold_queries": cold,
+        "duck_queries": duck_times,
+        "ratios": {
+            q: round(times[q] / max(d, 1e-6), 2)
+            for q, d in duck_times.items()
+            if q in times
+        },
+        "ratio_class": {q: ratio_class(q) for q in times},
+        "errors": errors,
+        "qid_box_sha": {q: s for q, s in sorted(qid_box.items())},
+        "box_flagged_qids": {
+            q: s for q, s in sorted(qid_box.items()) if s > retime_gate
+        },
+        "flagged_qids": {
+            q: round(e, 2)
+            for q, e in qid_ext.items()
+            if e > EXTERNAL_CORES_THRESHOLD
+        },
+        "retimes": retimes,
+        "note": (
+            "sf1 tier runs after the sf0.1 record completes (cannot "
+            "contaminate it); conf = AQE on, shuffle max(32,cpus), "
+            "minPartitionNum=cpus; warm best-of-n after a recorded "
+            "cold; duck twins stop at best-of-1 once a run >= 3 s"
+        ),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -488,9 +741,25 @@ def main() -> None:
     # (measured on the 8 floor-dominated headline qids: 32→8 partitions
     # shaves ~10% wall; AQE still coalesces/splits adaptively on top).
     # A real deployment uses cluster_conf()'s 2000 + 128MB advisory.
+    # r14 (VERDICT r13 #2): the proposed max(8, $SPARK_GRAFT_CPUS)
+    # derivation was A/B'd (same JVM, interleaved arms, 5 reps, probes
+    # in-gate 0.018-0.019) and LOST: width 32 on local[32] regressed
+    # the sf0.1 headline sum-of-medians +29.7% (7.91 -> 10.26 s;
+    # q_text_tfidf +200%, q_dedup_embed/exact +67-69%) — at this SF
+    # every shuffle carries KBs and extra reduce tasks are pure
+    # scheduler overhead, so widening CANNOT make core-count ratios
+    # informative, it only slows both runs (plans/r14/
+    # AB_SHUFFLE_WIDTH.json). The width stays env-derived but capped:
+    # min(8, cpus) — a sub-8-core driver run no longer over-partitions
+    # — and the core-scaling CONTRACT is carried by the sf1 tier below
+    # (run_sf1_tier), where walls are data-dominated and 8-vs-32-core
+    # ratios mean something; scaling_note documents the floor analysis
+    # in-artifact.
     shuffle = os.environ.get("SPARK_GRAFT_SHUFFLE")
+    cpus_env = os.environ.get("SPARK_GRAFT_CPUS", "")
+    n_cpus = int(cpus_env) if cpus_env.isdigit() else None
     if shuffle is None and sf is not None and sf <= 0.2:
-        shuffle = "8"
+        shuffle = str(min(8, n_cpus)) if n_cpus else "8"
     # Small-input fast path: AQE's per-exchange driver barrier (runtime
     # stats collection + re-planning) costs ~50-150 ms/stage and buys
     # nothing when every shuffle carries KBs. Measured A/B on the full
@@ -530,12 +799,22 @@ def main() -> None:
     # in BENCH_FULL.json (ADVICE r7: warm-run numbers alone hide what a
     # first run costs — tile-inventory derivation, LSH candidate
     # build, plan construction).
+    # Per-qid dim-cache population attribution (VERDICT r13 #5): each
+    # cached_dim_view build (eager noop materialization, io.py) lands
+    # in io.DIM_CACHE_BUILDS; draining it after every cold run names
+    # the qid whose cold wall paid each build.
+    from tile_etl_spark.io import DIM_CACHE_BUILDS
+
     cold_times: dict[str, float] = {}
+    cold_dim_builds: dict[str, list] = {}
     for qid in qids + extra_qids:
         try:
+            DIM_CACHE_BUILDS.clear()
             t0 = time.perf_counter()
             force(registry.QUERIES[qid](spark, sf_dir))
             cold_times[qid] = round(time.perf_counter() - t0, 4)
+            if DIM_CACHE_BUILDS:
+                cold_dim_builds[qid] = list(DIM_CACHE_BUILDS)
         except Exception as ex:  # keep the bench runnable every round
             print(f"WARM ERROR {qid}: {str(ex)[:120]}", file=sys.stderr)
 
@@ -884,6 +1163,44 @@ def main() -> None:
         print(f"DUCK ERROR: {str(ex)[:160]}", file=sys.stderr)
     band["duck_flagged_qids"] = duck_flagged
 
+    # sf1 headline tier (VERDICT r13 #1): opt out with
+    # SPARK_GRAFT_SF1=0, or point SPARK_GRAFT_SF1 at a fixture dir.
+    # Default: run it whenever the main record is the standard sf0.1
+    # bench (the driver's low-core pass included — that is what makes
+    # core-count scaling measurable, since sf1 walls are not
+    # floor-bound).
+    sf1_env = os.environ.get("SPARK_GRAFT_SF1", "auto")
+    sf1_rec: dict | None = None
+    if sf1_env != "0" and (sf1_env not in ("auto", "1") or sf == 0.1):
+        sf1_dir = (
+            sf1_env
+            if sf1_env not in ("auto", "1")
+            else "/tmp/tile_etl_spark_scale/sf1"
+        )
+        gen = _ensure_sf1_fixtures(sf1_dir)
+        if gen["ok"]:
+            try:
+                sf1_rec = run_sf1_tier(spark, qids, sf1_dir, runs, n_cpus)
+                sf1_rec["fixtures"] = gen
+            except Exception as ex:
+                print(f"SF1 TIER ERROR: {str(ex)[:160]}", file=sys.stderr)
+                sf1_rec = {"error": str(ex)[:160], "fixtures": gen}
+        else:
+            sf1_rec = {"error": "fixture generation failed",
+                       "fixtures": gen}
+
+    scaling_note = (
+        "at sf<=0.2 every headline wall is job floor "
+        f"(~{floor}s) + single-digit-MB parquet decode; no stage moves "
+        "enough bytes for reduce-width or core count to matter, so "
+        "8-vs-32-core wall ratios read ~1 at this SF by construction. "
+        "Widening the shuffle to the core count was A/B'd and LOST "
+        "(+29.7% headline at width 32, plans/r14/AB_SHUFFLE_WIDTH"
+        f".json); width = min(8, $SPARK_GRAFT_CPUS) = {shuffle}. "
+        "Core-count scaling is measurable in the sf1 tier (key 'sf1' "
+        "here / BENCH_FULL.json), where walls are data-dominated."
+    )
+
     total = round(sum(times.values()), 4)
     all_times = {**times, **extra_times}
     ratios = {
@@ -927,6 +1244,7 @@ def main() -> None:
         "queries": times,
         "extra_queries": extra_times,
         "cold_queries": cold_times,
+        "cold_dim_builds": cold_dim_builds,
         "duck_queries": duck_times,
         "ratios": ratios,
         "ratios_floor_adjusted": ratios_floor_adj,
@@ -939,6 +1257,8 @@ def main() -> None:
         "errored": sorted(set(qids + extra_qids) - set(all_times)),
         "topk_per_group_path": topk_path,
         "sf": sf,
+        "sf1": sf1_rec,
+        "scaling_note": scaling_note,
         "quiet_wait_sec": waited,
         "load_gated": load_gated,
         "loadavg_start": load_start,
@@ -971,6 +1291,19 @@ def main() -> None:
                 "loadavg": [load_start, _loadavg()],
                 "box_probe": probe_start,
                 "flagged_qids": band["flagged_qids"],
+                "scaling_note": scaling_note,
+                "sf1": (
+                    {
+                        k: sf1_rec[k]
+                        for k in (
+                            "value", "queries", "ratios", "floor_sec",
+                            "cpus", "flagged_qids", "errors",
+                        )
+                        if k in sf1_rec
+                    }
+                    if sf1_rec is not None and "queries" in sf1_rec
+                    else sf1_rec
+                ),
             }
         )
     )

@@ -371,3 +371,28 @@ def test_exact_jaccard_prune_is_result_identical(spark, sf_dir):
         docs._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
     )
     assert est <= D._JACCARD_PRUNE_BYTES
+
+
+def test_minhash_hashed_input_matches_string_path(spark, sf_dir):
+    """r14: q_dedup_near persists the xxhash64-HASHED shingle table and
+    feeds it to minhash_signatures via ``hashed=`` — the signatures
+    must be BIT-IDENTICAL to the string path (the permutations consume
+    xxhash64(shingle) either way; the param only moves where the hash
+    is computed). A drift here would silently change LSH candidates."""
+    from pyspark.sql import functions as F
+
+    from tile_etl_spark.io import load
+    from tile_etl_spark.llm import dedup as D
+
+    docs = D._parallelize_docs(load(spark, sf_dir, "documents"))
+    sh = D.shingles_df(docs)
+    hashed = sh.select("doc_id", F.xxhash64("shingle").alias("shingle"))
+
+    def rows(df):
+        return sorted(
+            (r["doc_id"], tuple(r["sig"])) for r in df.collect()
+        )
+
+    a = rows(D.minhash_signatures(docs))
+    b = rows(D.minhash_signatures(docs, hashed=hashed))
+    assert a == b and len(a) > 0
